@@ -1,0 +1,48 @@
+"""Query/oracle registry — the driver contract's backbone.
+
+Every operator in SURVEY.md §2 lands as a named query: a callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB
+oracle SQL string producing identical column names and values. The driver
+runs both sides at sf0.01 and hash-compares; genuinely non-SQL ops
+register with ``oracle=None`` and get a rows-only check.
+
+Determinism rules enforced by convention here (see compat.py):
+- alias every computed column identically in DataFrame and SQL;
+- exact-decimal aggregation for float sums/avgs (bit-identical doubles);
+- ``sort_array`` around any collected list;
+- seeded sampling only;
+- UTC session timezone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from .operators import (  # noqa: F401
+        pricing,
+    )

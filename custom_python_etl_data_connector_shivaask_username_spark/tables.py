@@ -1,0 +1,69 @@
+"""Fixture-table loaders and SQL-view registration.
+
+The driver materializes the TPC-H-ish star schema + events stream +
+LLM-pipeline tables as parquet under ``/root/testdata/sf*/`` (TESTDATA.md).
+This module is the single point where those land as DataFrames, including
+the one physical-format quirk: ``events.ts`` is parquet TIMESTAMP(NANOS),
+unreadable by Spark natively, so we read it as int64
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
+division (``ts div 1000`` — float division would lose sub-microsecond
+precision at 1.7e18 magnitudes).
+
+At 100 TB these reads stay exactly the same shape: the native vectorized
+parquet reader gives predicate pushdown, column pruning and row-group
+skipping for free, which is why every operator in this engine starts from
+``load_table`` rather than a pre-collected dataset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+#: every fixture table, in FK-dependency order
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing physical-type quirks."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw int64 nanos; sub-µs digits are zero
+        # in the fixtures, so integer µs conversion is lossless.
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """All fixture tables keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register one temp view per table — the SQL entry point (E2).
+
+    View names match the DuckDB oracle's pre-registered views so the same
+    SQL text is meaningful against both engines.
+    """
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

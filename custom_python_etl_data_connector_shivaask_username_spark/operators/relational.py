@@ -1,0 +1,394 @@
+"""Join operators (SURVEY.md §2.3 J1-J10) over the star schema.
+
+Scale doctrine per join:
+- fact⋈dim equi-joins: dims are broadcast (`F.broadcast`) so the fact side
+  never shuffles — at 100 TB the lineitem scan streams through a
+  BroadcastHashJoin with zero exchange. AQE would pick this anyway under
+  the size threshold; the hint makes it deterministic.
+- fact⋈fact equi-joins (lineitem⋈orders): sort-merge on the key; at
+  cluster scale both sides would be bucketed on the key to make the
+  shuffle a one-time cost.
+- non-equi (range/interval): keep the small side broadcast so the
+  fallback BroadcastNestedLoopJoin is O(rows x tiny), never a cartesian
+  across executors.
+- as-of: no native Spark primitive; expressed as a union + running
+  `last(ignorenulls)` window — one shuffle on the partition key, linear
+  state, no NLJ. (DuckDB oracle uses its native ASOF JOIN.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..compat import dsum, sql_dsum
+from ..registry import query
+from ..tables import load_table
+
+
+# --- J1 + J5: star-schema enrichment with broadcast dims ----------------
+
+_REVENUE_BY_NATION_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+  COUNT(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query("q_revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J5: lineitem⋈orders is the only real shuffle; all dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --- J2 left outer -------------------------------------------------------
+
+_CUSTOMER_ORDER_COUNTS_ORACLE = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+@query("q_customer_order_counts", oracle=_CUSTOMER_ORDER_COUNTS_ORACLE)
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer keeps customers with zero orders (count = 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+# --- J2 right outer ------------------------------------------------------
+
+_PART_SHIP_COUNTS_ORACLE = """
+SELECT p_partkey, COUNT(l_orderkey) AS ship_count
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+
+@query("q_part_ship_counts", oracle=_PART_SHIP_COUNTS_ORACLE)
+def q_part_ship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: right outer keeps parts never shipped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right")
+        .groupBy("p_partkey")
+        .agg(F.count("l_orderkey").alias("ship_count"))
+        .orderBy("p_partkey")
+    )
+
+
+# --- J2 full outer -------------------------------------------------------
+
+_NATION_PRESENCE_ORACLE = """
+SELECT
+  COALESCE(c.k, s.k) AS nationkey,
+  (c.k IS NOT NULL) AS has_customer,
+  (s.k IS NOT NULL) AS has_supplier
+FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier) s
+  ON c.k = s.k
+ORDER BY nationkey
+"""
+
+
+@query("q_nation_presence", oracle=_NATION_PRESENCE_ORACLE)
+def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer over distinct key sets from both sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.k") == F.col("s.k"), "full")
+        .select(
+            F.coalesce(F.col("c.k"), F.col("s.k")).alias("nationkey"),
+            F.col("c.k").isNotNull().alias("has_customer"),
+            F.col("s.k").isNotNull().alias("has_supplier"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --- J3 left semi / J4 left anti ----------------------------------------
+
+_CUSTOMERS_WITH_ORDERS_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("q_customers_with_orders", oracle=_CUSTOMERS_WITH_ORDERS_ORACLE)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left semi = existence filter, never duplicates the left side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@query("q_customers_without_orders", oracle=_CUSTOMERS_WITHOUT_ORDERS_ORACLE)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left anti — also the new-rows detection primitive for upsert (S7)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J6 range (theta) join ----------------------------------------------
+
+PRICE_BANDS = [
+    (0, "budget", 0.0, 50_000.0),
+    (1, "mid", 50_000.0, 150_000.0),
+    (2, "premium", 150_000.0, 1e12),
+]
+
+_ORDERS_BY_PRICE_BAND_ORACLE = """
+SELECT band_name, COUNT(o_orderkey) AS order_count
+FROM (VALUES (0,'budget',0.0,50000.0),
+             (1,'mid',50000.0,150000.0),
+             (2,'premium',150000.0,1e12)) AS bands(band_id, band_name, lo, hi)
+LEFT JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_name
+ORDER BY band_name
+"""
+
+
+@query("q_orders_by_price_band", oracle=_ORDERS_BY_PRICE_BAND_ORACLE)
+def q_orders_by_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: non-equi join against a broadcast band table.
+
+    The band side is tiny and broadcast, so the physical plan is a
+    BroadcastNestedLoopJoin streaming the fact side once — the only safe
+    shape for theta joins at scale (never NLJ two big sides).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        PRICE_BANDS,
+        T.StructType(
+            [
+                T.StructField("band_id", T.IntegerType()),
+                T.StructField("band_name", T.StringType()),
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+            ]
+        ),
+    )
+    return (
+        F.broadcast(bands)
+        .join(
+            orders,
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+            "left",
+        )
+        .groupBy("band_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("band_name")
+    )
+
+
+# --- J7 as-of join -------------------------------------------------------
+
+_LAST_PURCHASE_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+"""
+
+
+@query("q_last_purchase_asof", oracle=_LAST_PURCHASE_ASOF_ORACLE)
+def q_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join as a running last(ignorenulls) window.
+
+    For each event, the most recent purchase timestamp by the same user at
+    or before the event. One shuffle on user_id, linear per-partition
+    state — the 100 TB-safe formulation (vs. merge_asof per group, which
+    needs the same shuffle plus Python). DuckDB oracle uses native
+    ASOF JOIN for an independent semantic check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "purchase_ts",
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        )
+        .withColumn(
+            "last_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+        )
+        .select("event_id", "user_id", "last_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
+# --- J8 interval / overlap join ------------------------------------------
+
+MAINTENANCE_WINDOWS = [
+    (0, "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    (1, "2024-01-10 12:00:00", "2024-01-12 00:00:00"),
+    (2, "2024-01-20 00:00:00", "2024-01-27 00:00:00"),
+]
+
+_EVENTS_IN_WINDOWS_ORACLE = """
+SELECT window_id, COUNT(event_id) AS event_count
+FROM (VALUES (0, TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-05 00:00:00'),
+             (1, TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+             (2, TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-27 00:00:00'))
+     AS w(window_id, w_start, w_end)
+LEFT JOIN events ON ts >= w_start AND ts < w_end
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
+@query("q_events_in_windows", oracle=_EVENTS_IN_WINDOWS_ORACLE)
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: point-in-interval join; interval side broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    wins = spark.createDataFrame(
+        [(i, s, e) for i, s, e in MAINTENANCE_WINDOWS],
+        T.StructType(
+            [
+                T.StructField("window_id", T.IntegerType()),
+                T.StructField("w_start", T.StringType()),
+                T.StructField("w_end", T.StringType()),
+            ]
+        ),
+    ).select(
+        "window_id",
+        F.col("w_start").cast("timestamp_ntz").alias("w_start"),
+        F.col("w_end").cast("timestamp_ntz").alias("w_end"),
+    )
+    return (
+        F.broadcast(wins)
+        .join(ev, (ev.ts >= wins.w_start) & (ev.ts < wins.w_end), "left")
+        .groupBy("window_id")
+        .agg(F.count("event_id").alias("event_count"))
+        .orderBy("window_id")
+    )
+
+
+# --- J9 cross join --------------------------------------------------------
+
+_REGION_EVENTTYPE_GRID_ORACLE = """
+SELECT r_name, event_type
+FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+ORDER BY r_name, event_type
+"""
+
+
+@query("q_region_eventtype_grid", oracle=_REGION_EVENTTYPE_GRID_ORACLE)
+def q_region_eventtype_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: cartesian grid — only ever dim x dim (guarded by construction)."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    etypes = load_table(spark, sf_dir, "events").select("event_type").distinct()
+    return region.crossJoin(etypes).orderBy("r_name", "event_type")
+
+
+# --- J10 self join --------------------------------------------------------
+
+_VIEW_TO_CLICK_ORACLE = """
+SELECT v.user_id, COUNT(*) AS pair_count
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
+@query("q_view_to_click_pairs", oracle=_VIEW_TO_CLICK_ORACLE)
+def q_view_to_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: self-join funnel — view followed by click within 30 minutes.
+
+    Equi-key (user_id) carries the join; the time predicate is residual,
+    so this is a plain shuffled hash/sort-merge join, not an NLJ. At
+    100 TB the same co-partitioning on user_id applies.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTE")),
+        )
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy("user_id")
+    )

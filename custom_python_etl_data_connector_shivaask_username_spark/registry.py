@@ -45,4 +45,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         pricing,
+        relational,
+        setops,
+        sorting,
     )

@@ -1,0 +1,245 @@
+"""Window functions (SURVEY.md §2.5 W1-W6).
+
+Window partitions shuffle once on the partition key and sort within —
+the same cost model at 100 TB as a grouped aggregation, provided the
+partition key has enough cardinality (user_id/custkey do; a global
+``Window.orderBy`` with no partitionBy would single-task and is never
+used here). Every ORDER BY inside a window carries a unique tie-break
+column so row_number/ntile/frames are deterministic for the oracle.
+
+Frame sums use the exact-decimal strategy (compat.py): sliding-window
+accumulator implementations differ between engines, exact decimal
+arithmetic does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# --- W1: ranking family ----------------------------------------------------
+
+_ORDER_RANKS_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rn
+"""
+
+
+@query("q_order_ranks_per_customer", oracle=_ORDER_RANKS_ORACLE)
+def q_order_ranks_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --- W2: top-k per group -----------------------------------------------------
+
+_TOP3_PER_CUSTOMER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query("q_top3_orders_per_customer", oracle=_TOP3_PER_CUSTOMER_ORACLE)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: rank-filter idiom; Spark 4 rewrites it to WindowGroupLimit so
+    only 3 rows per key survive the sort — no full materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+# --- W3: lag / lead -----------------------------------------------------------
+
+_EVENT_DELTAS_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  LAG(ts) OVER w AS prev_ts,
+  epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us,
+  LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+@query("q_event_deltas", oracle=_EVENT_DELTAS_ORACLE)
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: inter-event gaps in exact integer microseconds (no float time
+    math, no unit-boundary semantics to disagree on)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # session tz is UTC, so NTZ -> TZ cast is the identity wall time
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_micros = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+            (micros - prev_micros).alias("delta_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- W4: running / moving aggregates ------------------------------------------
+
+_CUMULATIVE_REVENUE_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS cum_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@query("q_cumulative_revenue", oracle=_CUMULATIVE_REVENUE_ORACLE)
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_MOVING_AVG_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+    / COUNT(value) OVER w AS moving_avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@query("q_moving_avg_value", oracle=_MOVING_AVG_ORACLE)
+def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: 7-row trailing average, exact-decimal numerator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg_value"),
+    ).orderBy("user_id", "event_id")
+
+
+# --- W5: first/last in group ----------------------------------------------------
+
+_LAST_EVENT_ORACLE = """
+SELECT
+  user_id,
+  arg_max(event_type, ts) AS last_event_type,
+  MAX(ts) AS last_ts,
+  arg_min(event_type, ts) AS first_event_type
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q_last_event_per_user", oracle=_LAST_EVENT_ORACLE)
+def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 as an aggregate: max_by/min_by beat a window + filter when only
+    the extreme row is needed (single hash agg, no sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ts").alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.min_by("event_type", "ts").alias("first_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- W6: percent_rank / cume_dist -------------------------------------------------
+
+_ACCTBAL_DISTRIBUTION_ORACLE = """
+SELECT
+  c_mktsegment,
+  c_custkey,
+  PERCENT_RANK() OVER w AS acctbal_pct_rank,
+  CUME_DIST() OVER w AS acctbal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
+@query("q_acctbal_distribution", oracle=_ACCTBAL_DISTRIBUTION_ORACLE)
+def q_acctbal_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: distribution position — exact rational arithmetic on ranks, so
+    doubles agree bit-for-bit across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("acctbal_pct_rank"),
+        F.cume_dist().over(w).alias("acctbal_cume_dist"),
+    ).orderBy("c_mktsegment", "c_custkey")

@@ -49,4 +49,5 @@ def load_all() -> None:
         relational,
         setops,
         sorting,
+        windows,
     )

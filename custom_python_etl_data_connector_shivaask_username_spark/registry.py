@@ -45,8 +45,10 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         aggregates,
+        etl_queries,
         pricing,
         relational,
+        scalars,
         setops,
         sorting,
         windows,

@@ -1,0 +1,118 @@
+"""Load-stage sinks (SURVEY.md §2.1 S6, S7, S11).
+
+The reference loads each connector into one collection named
+``{connector}_raw`` with ingestion timestamps (README.md:24,28-29). Here
+the durable analytical sink is parquet (one directory per connector,
+same naming); the MongoDB sink is a thin adapter over the MongoDB Spark
+Connector, import-gated because the connector jar/driver is not part of
+this environment.
+
+Upsert (S7, README.md:29 "audits or updates") is emulated for
+append-only stores as anti-join + union: keep every old row whose key
+does NOT appear in the incoming batch, then append the batch. At scale
+this is the standard MERGE shape (new side broadcast when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.etl import add_ingest_ts
+
+RAW_SUFFIX = "_raw"
+
+
+def raw_table_path(base_path: str, connector_name: str) -> str:
+    """One table per connector: ``{connector}_raw`` (README.md:28)."""
+    return f"{base_path.rstrip('/')}/{connector_name}{RAW_SUFFIX}"
+
+
+def write_raw(
+    df: DataFrame,
+    connector_name: str,
+    base_path: str,
+    mode: str = "append",
+    stamp: bool = True,
+) -> str:
+    """S6: append the transformed batch to the connector's raw table."""
+    if stamp:
+        df = add_ingest_ts(df)
+    path = raw_table_path(base_path, connector_name)
+    df.write.mode(mode).parquet(path)
+    return path
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    stamp: bool = True,
+) -> None:
+    """S7: update-or-insert keyed on a natural id.
+
+    Reads the existing table, anti-joins away rows being replaced, unions
+    the incoming batch, and atomically overwrites. The anti-join
+    broadcast-hints the (typically small) incoming batch so the big
+    existing side never shuffles.
+    """
+    if stamp:
+        new_df = add_ingest_ts(new_df)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        new_df.write.mode("overwrite").parquet(path)
+        return
+    kept = existing.join(
+        F.broadcast(new_df.select(*keys).distinct()), on=keys, how="left_anti"
+    )
+    merged = kept.unionByName(new_df, allowMissingColumns=True)
+    # parquet cannot overwrite in place while reading itself; stage + swap
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    final = spark.read.parquet(staging)
+    final.write.mode("overwrite").parquet(path)
+
+
+def write_mongodb(
+    df: DataFrame,
+    connector_name: str,
+    database: str,
+    uri: str,
+    mode: str = "append",
+    upsert_keys: list[str] | None = None,
+) -> None:
+    """S6/S7 MongoDB adapter (reference's literal sink, README.md:24).
+
+    Requires the MongoDB Spark Connector on the classpath; raises a clear
+    error here because this environment ships no MongoDB.
+    """
+    writer = (
+        add_ingest_ts(df)
+        .write.format("mongodb")
+        .mode(mode)
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", f"{connector_name}{RAW_SUFFIX}")
+    )
+    if upsert_keys:
+        writer = writer.option("operationType", "update").option(
+            "idFieldList", ",".join(upsert_keys)
+        )
+    try:
+        writer.save()
+    except Exception as ex:  # pragma: no cover - no Mongo in this env
+        raise NotImplementedError(
+            "MongoDB Spark Connector not available in this environment; "
+            "use write_raw (parquet) or upsert_parquet instead"
+        ) from ex
+
+
+def golden_dump(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """S11: deterministic single-file dump for correctness goldens."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.option("header", "true").csv(path)

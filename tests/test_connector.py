@@ -1,0 +1,204 @@
+"""Connector I/O tests (S1-S7): pagination modes, auth headers, retry/
+backoff, rate limiting, PERMISSIVE ingest + quarantine, raw sink naming,
+upsert, and the distributed Python Data Source path."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.functions.etl import (
+    quarantine_split,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.sources.config import (
+    ConnectorConfig,
+    load_env,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.sources.rest import (
+    ConnectorError,
+    _Fetcher,
+    iter_pages,
+    json_ingest,
+    read_api,
+    register_rest_datasource,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.sources.sinks import (
+    raw_table_path,
+    upsert_parquet,
+    write_raw,
+)
+from tests.stub_api import RECORDS, StubServer
+
+SCHEMA = "id INT, name STRING, value DOUBLE, tags ARRAY<STRING>"
+
+
+@pytest.fixture()
+def stub():
+    with StubServer() as s:
+        yield s
+
+
+def _cfg(stub, **kw):
+    defaults = dict(
+        name="testapi",
+        base_url=stub.base_url,
+        endpoint="items",
+        page_size=10,
+        max_pages=50,
+        backoff_base_sec=0.01,
+    )
+    defaults.update(kw)
+    return ConnectorConfig(**defaults)
+
+
+def test_page_pagination_fetches_all(stub, spark):
+    df = read_api(spark, _cfg(stub), schema=SCHEMA)
+    rows = df.orderBy("id").collect()
+    assert len(rows) == len(RECORDS)
+    assert rows[3]["name"] == "item_3" and rows[3]["value"] == 4.5
+    assert rows[4]["tags"] == ["a"]
+
+
+def test_cursor_pagination(stub, spark):
+    cfg = _cfg(stub, endpoint="cursor-items", pagination="cursor")
+    pages = list(iter_pages(cfg))
+    assert sum(len(recs) for _, recs in pages) == len(RECORDS)
+    assert len(pages) == 3
+
+
+def test_next_url_pagination(stub, spark):
+    cfg = _cfg(
+        stub,
+        endpoint="linked-items",
+        pagination="next_url",
+        params={"limit": "10"},
+    )
+    pages = list(iter_pages(cfg))
+    assert sum(len(recs) for _, recs in pages) == len(RECORDS)
+
+
+def test_auth_header_injected(stub):
+    cfg = _cfg(stub, auth_token="sekret", auth_scheme="Bearer")
+    list(iter_pages(cfg))
+    assert any(
+        h.get("Authorization") == "Bearer sekret"
+        for h in stub.state.seen_headers
+    )
+
+
+def test_retry_on_429_and_500(stub):
+    stub.state.fail_on = {1: 429, 2: 500}
+    pages = list(iter_pages(_cfg(stub)))
+    assert sum(len(r) for _, r in pages) == len(RECORDS)
+    # 2 failures + 3 good pages (25 records / 10 per page)
+    assert stub.state.request_count == 5
+
+
+def test_retries_exhausted_raises(stub):
+    stub.state.fail_on = {i: 503 for i in range(1, 10)}
+    with pytest.raises(ConnectorError, match="HTTP 503"):
+        list(iter_pages(_cfg(stub, max_retries=2)))
+
+
+def test_invalid_json_raises_connector_error(stub):
+    cfg = _cfg(stub, endpoint="bad-json", pagination="none")
+    with pytest.raises(ConnectorError, match="invalid JSON"):
+        list(iter_pages(cfg))
+
+
+def test_empty_payload_yields_nothing(stub):
+    cfg = _cfg(stub, endpoint="empty", pagination="none")
+    pages = list(iter_pages(cfg))
+    assert pages == [(1, [])]
+
+
+def test_rate_limiter_spacing(stub):
+    cfg = _cfg(stub, rate_limit_per_sec=20)
+    t0 = time.monotonic()
+    list(iter_pages(cfg))  # 3 pages → ≥2 enforced intervals of 50ms
+    assert time.monotonic() - t0 >= 0.09
+
+
+def test_json_ingest_corrupt_record_quarantine(spark):
+    lines = [
+        '{"id": 1, "name": "ok", "value": 1.0, "tags": []}',
+        "{definitely not json",
+        '{"id": 2, "name": "fine", "value": 2.0, "tags": ["a"]}',
+    ]
+    df = json_ingest(spark, lines, schema=SCHEMA)
+    ok, bad = quarantine_split(df, F.col("_corrupt_record").isNull())
+    assert sorted(r["id"] for r in ok.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]["_corrupt_record"]
+
+
+def test_write_raw_naming_and_ingest_ts(stub, spark, tmp_path):
+    df = read_api(spark, _cfg(stub), schema=SCHEMA)
+    path = write_raw(df, "testapi", str(tmp_path))
+    assert path == str(tmp_path / "testapi_raw")
+    back = spark.read.parquet(path)
+    assert back.count() == len(RECORDS)
+    assert "_ingested_at" in back.columns
+
+
+def test_upsert_parquet(spark, tmp_path):
+    path = str(tmp_path / "t_raw")
+    v1 = spark.createDataFrame(
+        [(1, "old"), (2, "old")], "id INT, payload STRING"
+    )
+    upsert_parquet(spark, v1, path, keys=["id"], stamp=False)
+    v2 = spark.createDataFrame(
+        [(2, "new"), (3, "new")], "id INT, payload STRING"
+    )
+    upsert_parquet(spark, v2, path, keys=["id"], stamp=False)
+    final = {
+        r["id"]: r["payload"] for r in spark.read.parquet(path).collect()
+    }
+    assert final == {1: "old", 2: "new", 3: "new"}
+
+
+def test_rest_datasource_distributed(stub, spark):
+    if not register_rest_datasource(spark):
+        pytest.skip("Python Data Source API unavailable")
+    df = (
+        spark.read.format("rest")
+        .option("base_url", stub.base_url)
+        .option("endpoint", "items")
+        .option("page_size", "5")
+        .option("max_pages", "8")
+        .option("num_partitions", "4")
+        .load()
+    )
+    parsed = json_ingest(spark, df, schema=SCHEMA)
+    ids = sorted(r["id"] for r in parsed.collect() if r["id"] is not None)
+    assert ids == list(range(25))
+
+
+def test_connector_config_from_env(tmp_path, monkeypatch):
+    env = tmp_path / ".env"
+    env.write_text(
+        'MYAPI_BASE_URL="http://example.com"\n'
+        "MYAPI_AUTH_TOKEN=tok123\n"
+        "MYAPI_PAGE_SIZE=7\n"
+        "MYAPI_RATE_LIMIT_PER_SEC=2.5\n"
+        "# comment\n"
+    )
+    monkeypatch.delenv("MYAPI_BASE_URL", raising=False)
+    cfg = ConnectorConfig.from_env("myapi", env_path=str(env))
+    assert cfg.base_url == "http://example.com"
+    assert cfg.auth_token == "tok123"
+    assert cfg.page_size == 7
+    assert cfg.rate_limit_per_sec == 2.5
+    assert cfg.request_headers()["Authorization"] == "Bearer tok123"
+
+
+def test_load_env_no_override(tmp_path, monkeypatch):
+    monkeypatch.setenv("KEEP_ME", "original")
+    env = tmp_path / ".env"
+    env.write_text("KEEP_ME=changed\n")
+    load_env(str(env))
+    import os
+
+    assert os.environ["KEEP_ME"] == "original"

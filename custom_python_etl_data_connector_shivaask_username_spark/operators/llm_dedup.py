@@ -1,0 +1,296 @@
+"""Deduplication operators (SURVEY.md §2.11 L1-L2; BASELINE north-star).
+
+Four tiers of duplicate detection for training-data pipelines:
+
+- exact (L1): content-hash groupBy, deterministic min-id survivor.
+- MinHash + LSH banding (L2): shingle → k minhashes → b bands; docs
+  sharing any band signature are candidates, verified with exact Jaccard.
+  Implemented as pure DataFrame HOFs + a band-bucket groupBy — NOT an
+  all-pairs ``approxSimilarityJoin`` — because at 100 TB the band
+  signature is just a shuffle key: candidates are generated per-bucket
+  and the cartesian blowup is bounded by bucket size.
+- SimHash: 32-bit sign-aggregated token hashes; near-dups have small
+  Hamming distance (cheap bit_count(xor) pairwise check within blocks).
+- character n-gram Jaccard: the exact verifier, also exposed standalone
+  (oracle-checked against DuckDB's list algebra).
+
+All hashing is xxhash64 with fixed seeds — deterministic across runs,
+partitions and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# --- L1: exact dedup ----------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupe_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
+
+
+@query("q_dedup_exact_documents", oracle=_EXACT_DEDUP_ORACLE)
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: one hash-shuffle on the content digest; survivor = min doc_id
+    (deterministic, unlike dropDuplicates' arbitrary row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dupe_count"),
+        )
+        .select("doc_id", "dupe_count")
+        .orderBy("doc_id")
+    )
+
+
+# --- shared text shingling ------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the MinHash input set)."""
+    words = F.split(F.lower(text), r"\s+")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (1-indexed, length-2 of them for n=3)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: text.substr(i, F.lit(n)))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return inter / union
+
+
+# --- L2: MinHash + LSH banding ----------------------------------------------------
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def _seeded_hash(seed: int):
+    # NB: a `lambda s, j=j:` would NOT work here — PySpark binds a second
+    # lambda parameter to the array index column, silently replacing the
+    # Python default and collapsing every hash function into the same one.
+    def fn(s: Column) -> Column:
+        return F.xxhash64(s, F.lit(seed))
+
+    return fn
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """k independent minhashes: min over shingles of xxhash64(shingle, j)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(j)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def band_signatures(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """Split the signature into bands; each band hashes to one bucket key."""
+    return F.array(
+        *[F.hash(F.slice(sig, i * rows + 1, rows)) for i in range(bands)]
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """L2: candidate pairs from LSH band buckets, verified with exact
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim).
+
+    Scale shape: explode(bands) → groupBy(band_id, bucket) → pairs within
+    bucket. Bucket sizes are the only quadratic term; with b=8/r=4 and a
+    0.7 threshold they stay tiny. (A self-join on the bucket key is the
+    equivalent formulation when buckets can be huge.)
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles")))
+
+    buckets = base.select(
+        "id",
+        "shingles",
+        F.posexplode(band_signatures(F.col("sig"))).alias("band_id", "bucket"),
+    )
+
+    # pairs co-bucketed in ANY band; sorted bucket members -> ordered pairs
+    grouped = (
+        buckets.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "shingles"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("members") - 1),
+                        lambda i: F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + 1,
+                                F.size("members") - i,
+                            ),
+                            lambda m: F.struct(
+                                F.element_at(F.col("members"), i)["id"].alias(
+                                    "id_a"
+                                ),
+                                F.element_at(F.col("members"), i)[
+                                    "shingles"
+                                ].alias("sh_a"),
+                                m["id"].alias("id_b"),
+                                m["shingles"].alias("sh_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedupe_near(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Greedy near-dedup: drop every doc that is the larger id of some
+    near-dup pair (keeps one representative per pairwise cluster edge —
+    the standard single-pass LSH dedup; full connected components would
+    iterate this to a fixpoint)."""
+    pairs = near_dup_pairs(docs, id_col, text_col, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+@query("q_near_dup_pairs_minhash")  # rows-only: LSH candidate generation
+def q_near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.5)
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-aggregated token-hash fingerprint (32 bits in a LONG).
+
+    Per bit b: count tokens whose hash has bit b set minus those that
+    don't; the fingerprint sets bit b when the balance is positive.
+    (Shift amounts must be Python ints in Spark, hence the loop.)
+    """
+    tokens = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(7)))
+
+    def bit_balance(b: int):
+        # closure factory, not a default-arg lambda (see _seeded_hash)
+        def fn(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fn
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        balance = F.aggregate(hashes, F.lit(0), bit_balance(b))
+        out = out + F.when(
+            balance > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+@query("q_simhash_documents")  # rows-only: fingerprint table
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# --- character n-gram Jaccard (oracle-checked verifier) -----------------------------
+
+_NGRAM_JACCARD_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 2)),
+           i -> substring(text, CAST(i AS INT), 3))) AS grams
+  FROM documents WHERE doc_id < 25
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / (length(a.grams) + length(b.grams)
+            - length(list_intersect(a.grams, b.grams))), 6) AS jaccard_sim
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3gram Jaccard over a bounded doc subset (the verifier
+    primitive behind L2, oracle-checked end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    g = docs.select(
+        F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams")
+    )
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

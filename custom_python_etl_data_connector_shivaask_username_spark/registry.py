@@ -46,6 +46,8 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         etl_queries,
+        llm_dedup,
+        llm_similarity,
         pricing,
         relational,
         scalars,

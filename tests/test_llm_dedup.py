@@ -1,0 +1,136 @@
+"""Unit pins for dedup + similarity (planted duplicates, recall bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+    dedupe_near,
+    hamming,
+    near_dup_pairs,
+    simhash,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+    TOP_K,
+    ann_topk,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+    QUERIES,
+    load_all,
+)
+
+load_all()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup
+        Row(doc_id=2, text=BASE.replace("lazy", "sleepy")),  # near dup
+        Row(doc_id=3, text=BASE.replace("afternoon sun", "morning rain")),
+        Row(
+            doc_id=4,
+            text="completely different content about distributed query "
+            "engines shuffling partitions across a large cluster of "
+            "executors with adaptive optimization enabled",
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = near_dup_pairs(_docs(spark), threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup always caught
+    assert (0, 2) in found or (1, 2) in found  # near dup caught
+    # the unrelated doc never pairs with anything
+    assert all(4 not in p for p in found)
+
+
+def test_exact_dup_has_jaccard_one(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in near_dup_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_dedupe_near_keeps_representative(spark):
+    kept = sorted(
+        r["doc_id"] for r in dedupe_near(_docs(spark), threshold=0.5).collect()
+    )
+    assert 0 in kept  # min id survives
+    assert 1 not in kept  # exact dup dropped
+    assert 4 in kept  # unrelated doc untouched
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    df = _docs(spark).select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    )
+    sh = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert sh[0] == sh[1]  # identical text, identical fingerprint
+    d_near = bin(sh[0] ^ sh[2]).count("1")
+    d_far = bin(sh[0] ^ sh[4]).count("1")
+    assert d_near < d_far
+
+
+def test_hamming_column(spark):
+    df = spark.createDataFrame([Row(a=0b1010, b=0b1001)])
+    out = df.select(
+        hamming(F.col("a").cast("long"), F.col("b").cast("long")).alias("d")
+    )
+    assert out.collect()[0]["d"] == 2
+
+
+def test_ann_lsh_recall_on_planted_cluster(spark):
+    # fixture embeddings are near-random (max cos ~0.33), where LSH cannot
+    # beat chance by construction — so plant a tight cluster around the
+    # query and require high recall there.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal(64)
+    rows = [(0, (q / np.linalg.norm(q)).tolist(), 0)]
+    for i in range(1, 21):  # 20 near-neighbors: q + small noise
+        v = q + 0.15 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    for i in range(21, 300):  # background noise
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ann_topk_df,
+    )
+
+    got = ann_topk_df(emb, query_vec_id=0, k=10, probe_hamming=1).collect()
+    hits = {r["vec_id"] for r in got}
+    # true top-10 are all from the planted cluster (ids 1..20)
+    recall = len([v for v in hits if 1 <= v <= 20]) / 10
+    assert recall >= 0.8, (recall, sorted(hits))
+
+
+def test_ann_candidates_are_reduced(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        lsh_bucket,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    total = emb.count()
+    biggest = (
+        emb.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest < total / 4  # buckets genuinely partition the space

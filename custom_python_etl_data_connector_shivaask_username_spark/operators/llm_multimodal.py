@@ -1,0 +1,141 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 L10, §2.1 S10).
+
+Media are opaque ``BINARY`` columns + a typed metadata struct; all
+per-blob compute is Arrow-batched ``mapInPandas`` so bytes cross the
+JVM↔Python boundary once per batch, never per row. The actual codecs
+(image decode, resize, audio frames) are STUBS here — the container has
+no media libraries — but the Spark-side contract (schema, batch shape,
+partitioning) is real and tested, and a library-backed decoder drops in
+by replacing one function.
+
+100 TB notes: blobs ride the scan (binaryFile source or parquet BINARY);
+feature extraction is a map-only stage, so it scales with executors and
+the only knob that matters is input partition size (keep blob batches
+under the Arrow batch budget via ``spark.sql.files.maxPartitionBytes``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load_table
+
+#: metadata carried beside every blob (shape mirrors image EXIF-ish use)
+MEDIA_META_SCHEMA = (
+    "media_id BIGINT, kind STRING, declared_bytes BIGINT, source STRING"
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("header_hex", T.StringType()),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """S10: ingest a directory of media files as (path, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("declared_bytes"),
+            F.col("content"),
+        )
+    )
+
+
+def synth_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in media: each document's text bytes play the
+    role of an opaque blob, with a typed metadata struct beside it."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.col("doc_id").alias("media_id"),
+            F.lit("synthetic/blob").alias("kind"),
+            F.length("text").cast("long").alias("declared_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes) -> "object":
+    """Codec stub: replace with PIL/libvips in a real deployment.
+
+    Raises by design — the container ships no image libraries; callers
+    wanting runnable pipelines use extract_features (codec-free) or pass
+    ``fake=True`` shims at the operator level.
+    """
+    raise NotImplementedError(
+        "image decode requires a codec library (PIL/libvips) not present "
+        "in this environment; the Spark plumbing around it is real"
+    )
+
+
+def extract_features(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """Codec-free per-blob features via Arrow-batched mapInPandas:
+    byte count, Shannon byte entropy, leading-bytes hex (magic number)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[content_col]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if arr.size:
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / arr.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
+                out.append(
+                    (
+                        int(mid),
+                        int(arr.size),
+                        round(entropy, 6),
+                        bytes(blob[:4]).hex(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "byte_entropy", "header_hex"]
+            )
+
+    cols = media.select(
+        F.col("meta.media_id").alias("media_id"), F.col(content_col)
+    )
+    return cols.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+@query("q_multimodal_features")  # rows-only: pandas-UDF feature extraction
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 end-to-end: blob column + metadata → Arrow batches → features →
+    relational aggregation back on the JVM side."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs)
+    feats = extract_features(media)
+    return (
+        feats.join(
+            docs.select(F.col("doc_id").alias("media_id"), "lang"),
+            "media_id",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("lang")
+    )

@@ -47,7 +47,9 @@ def load_all() -> None:
         aggregates,
         etl_queries,
         llm_dedup,
+        llm_multimodal,
         llm_similarity,
+        llm_text,
         pricing,
         relational,
         scalars,

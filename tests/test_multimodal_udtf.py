@@ -1,0 +1,85 @@
+"""L10 multimodal plumbing + F5 UDTF surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.functions.udtfs import (
+    register_udtfs,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_multimodal import (
+    decode_image,
+    extract_features,
+    read_binary_dir,
+    synth_media_table,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+    QUERIES,
+    load_all,
+)
+
+load_all()
+
+
+def test_extract_features_entropy_and_magic(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="aaaaaaaaaa", source="s"),  # zero entropy
+            Row(doc_id=1, text="abcdefghij", source="s"),  # max for 10 distinct
+        ]
+    )
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(synth_media_table(docs)).collect()
+    }
+    assert feats[0]["byte_entropy"] == 0.0
+    assert abs(feats[1]["byte_entropy"] - 3.321928) < 1e-5
+    assert feats[0]["n_bytes"] == 10
+    assert feats[0]["header_hex"] == "61616161"
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    blob = bytes(range(256))
+    (tmp_path / "a.bin").write_bytes(blob)
+    (tmp_path / "b.bin").write_bytes(b"PNG!fakeheader")
+    df = read_binary_dir(spark, str(tmp_path), "*.bin")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert rows["a.bin"]["declared_bytes"] == 256
+    assert bytes(rows["b.bin"]["content"])[:4] == b"PNG!"
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\x89PNG")
+
+
+def test_multimodal_query_runs(spark, sf_dir):
+    out = QUERIES["q_multimodal_features"](spark, sf_dir).collect()
+    assert len(out) == 5  # one row per lang
+    assert all(r["avg_entropy"] > 0 for r in out)
+
+
+def test_chunk_udtf_matches_hof_chunker(spark):
+    register_udtfs(spark)
+    text = " ".join(f"w{i}" for i in range(47))
+    spark.createDataFrame([Row(doc_id=0, text=text)]).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    rows = spark.sql(
+        "SELECT c.* FROM udtf_docs, "
+        "LATERAL chunk_text_udtf(text, 20, 15) c ORDER BY chunk_id"
+    ).collect()
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["n_words"] == 20 and rows[3]["n_words"] == 2
+
+
+def test_page_range_udtf(spark):
+    register_udtfs(spark)
+    rows = spark.sql("SELECT * FROM page_ranges(25, 10)").collect()
+    assert [(r["page"], r["start_row"], r["end_row"]) for r in rows] == [
+        (1, 0, 9),
+        (2, 10, 19),
+        (3, 20, 24),
+    ]

@@ -57,3 +57,6 @@ def load_all() -> None:
         sorting,
         windows,
     )
+    from .streaming import (  # noqa: F401
+        pipeline,
+    )

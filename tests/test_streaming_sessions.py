@@ -1,0 +1,78 @@
+"""ST4: native streaming session-window semantics on synthetic sessions."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+    session_stats,
+)
+from tests.test_streaming import _us, _write_stream_file
+
+
+def test_session_window_closes_on_gap(spark, tmp_path):
+    """User 1 has two sessions separated by >30min; a far-future sentinel
+    (user -1) advances the watermark so append mode emits both closed
+    sessions (watermark takes effect two batches later — see
+    test_watermark_drops_late_data)."""
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    _write_stream_file(
+        spark,
+        [
+            # session A: 3 events within gaps < 30min
+            (1, _us("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
+            (2, _us("2024-01-01 10:10:00"), 1, "click", 0.0, "{}"),
+            (3, _us("2024-01-01 10:35:00"), 1, "view", 0.0, "{}"),
+            # session B: starts 31+ min after session A's last event
+            (4, _us("2024-01-01 11:30:00"), 1, "view", 0.0, "{}"),
+        ],
+        f"{input_dir}/f1.parquet",
+    )
+    time.sleep(1.1)
+    _write_stream_file(
+        spark,
+        [(99, _us("2024-01-02 00:00:00"), -1, "view", 0.0, "{}")],
+        f"{input_dir}/f2.parquet",
+    )
+    time.sleep(1.1)
+    _write_stream_file(
+        spark,
+        [(100, _us("2024-01-03 00:00:00"), -1, "view", 0.0, "{}")],
+        f"{input_dir}/f3.parquet",
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    name = "session_close_test"
+    q = (
+        session_stats(raw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        r
+        for r in spark.table(name).collect()
+        if r["user_id"] == 1
+    ]
+    sessions = sorted(
+        (r["session_window"]["start"].strftime("%H:%M"), r["events_in_session"])
+        for r in rows
+    )
+    assert sessions == [("10:00", 3), ("11:30", 1)]

@@ -4,8 +4,10 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count + collect of the final result)
-so scan/shuffle/agg all run; timings exclude session startup.
+Methodology: one untimed warm run per query (JVM/codegen/parquet-footer
+warmup), then the timed run executes the query to completion (collect of
+the final result). Timings therefore measure steady-state query
+execution, not first-touch JIT.
 """
 
 from __future__ import annotations
@@ -20,9 +22,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from custom_python_etl_data_connector_shivaask_username_spark import registry
 from custom_python_etl_data_connector_shivaask_username_spark.session import get_spark
 
-#: queries whose wall time is the headline metric; widened as operators land
+#: representative slice of SURVEY.md §2: scan+agg, star join, window,
+#: as-of, set op, dedup (exact + LSH), vector top-k, text analytics, ETL
 HEADLINE: list[str] = [
     "q1_pricing_summary",
+    "q_revenue_by_nation",
+    "q_event_type_stats",
+    "q_top3_orders_per_customer",
+    "q_last_purchase_asof",
+    "q_moving_avg_value",
+    "q_union_account_holders",
+    "q_dedup_exact_documents",
+    "q_near_dup_pairs_minhash",
+    "q_topk_similar_embeddings",
+    "q_embedding_centroids",
+    "q_tfidf_top_terms",
+    "q_chunk_documents",
+    "q_etl_events_normalized",
 ]
 
 
@@ -33,15 +49,12 @@ def main() -> None:
     spark = get_spark("etl-spark-bench")
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch costs (the driver compares repeated rounds).
-    registry.QUERIES[names[0]](spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     for name in names:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).collect()  # warm (plan + codegen + IO cache)
         t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        n = len(df.collect())
+        n = len(fn(spark, sf_dir).collect())
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
     total = round(sum(timings.values()), 4)

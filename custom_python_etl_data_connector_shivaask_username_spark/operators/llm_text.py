@@ -131,7 +131,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(whitespace_tokens(F.col("text"))).alias("ws_tokens"),
         token_count(F.col("text")).alias("bpe_tokens"),
         "n_chars",
-    ).orderBy("doc_id")
+    )
 
 
 # --- quality scoring ---------------------------------------------------------------------
@@ -166,7 +166,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") >= 80)
             & (F.col("n_chars") == F.length("text"))
         ).alias("meta_consistent"),
-    ).orderBy("doc_id")
+    )
 
 
 @query("q_quality_filter")  # rows-only: composite heuristic
@@ -176,7 +176,6 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("quality", quality_score(F.col("text")))
         .filter(F.col("quality") >= 0.5)
         .select("doc_id", "lang", "quality")
-        .orderBy("doc_id")
     )
 
 
@@ -190,7 +189,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         detect_language(F.col("text")).alias("detected_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 # --- fingerprints ------------------------------------------------------------------------------
@@ -201,7 +200,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 # --- PII scrubbing ------------------------------------------------------------------------------
@@ -240,7 +239,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", scrub_pii(payload).alias("scrubbed")
-    ).orderBy("doc_id")
+    )
 
 
 # --- chunking -----------------------------------------------------------------------------------
@@ -286,5 +285,4 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunk_text(F.col("text"), CHUNK_SIZE, STRIDE)
             ).alias("chunk_id", "chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
     )

@@ -285,7 +285,6 @@ def q_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
         )
         .select("event_id", "user_id", "last_purchase_ts")
-        .orderBy("event_id")
     )
 
 

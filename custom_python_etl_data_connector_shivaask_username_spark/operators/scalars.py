@@ -59,7 +59,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "*")
         ).alias("devoweled"),
         F.size(F.split("text", " ")).alias("word_count"),
-    ).orderBy("doc_id")
+    )
 
 
 # --- date/time ------------------------------------------------------------------
@@ -139,7 +139,7 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dev_sign"),
         F.round(F.exp(F.col("p_size") / 100.0), 6).alias("size_exp"),
-    ).orderBy("p_partkey")
+    )
 
 
 # --- conditional ---------------------------------------------------------------------
@@ -175,7 +175,7 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
         ).alias("segment_or_other"),
         (bal.isNotNull() & (bal > 0)).alias("is_positive"),
-    ).orderBy("c_custkey")
+    )
 
 
 # --- arrays + higher-order functions ----------------------------------------------------
@@ -221,7 +221,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("vec_min"),
-    ).orderBy("vec_id")
+    )
 
 
 # --- JSON + map access ---------------------------------------------------------------------
@@ -287,4 +287,4 @@ def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
-    ).orderBy("doc_id")
+    )

@@ -51,7 +51,6 @@ def q_order_ranks_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
         )
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -82,8 +81,7 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
-    )
+        )
 
 
 # --- W3: lag / lead -----------------------------------------------------------
@@ -118,7 +116,6 @@ def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             (micros - prev_micros).alias("delta_us"),
             F.lead("event_type").over(w).alias("next_type"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -152,7 +149,7 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("cum_spend"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 _MOVING_AVG_ORACLE = """
@@ -184,7 +181,7 @@ def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
             / F.count("value").over(w)
         ).alias("moving_avg_value"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 # --- W5: first/last in group ----------------------------------------------------
@@ -242,4 +239,4 @@ def q_acctbal_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.percent_rank().over(w).alias("acctbal_pct_rank"),
         F.cume_dist().over(w).alias("acctbal_cume_dist"),
-    ).orderBy("c_mktsegment", "c_custkey")
+    )

@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: the 100 TB properties, asserted.
+
+If any of these fail after a refactor, the query got slower at scale even
+if correctness held.
+"""
+
+from __future__ import annotations
+
+from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_node,
+    pushed_filters,
+    scan_schemas,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+    QUERIES,
+    load_all,
+)
+
+load_all()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
+    # 7 of 11 lineitem columns read
+    schema = scan_schemas(df)[0]
+    assert schema.count(":") == 7
+    assert "l_orderkey" not in schema  # unused key pruned
+    # partial + final agg = exactly 1 data shuffle (plus the tiny sort)
+    assert count_exchanges(df) <= 2
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = QUERIES["q_revenue_by_nation"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # orderdate filter pushed into the orders scan
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+
+
+def test_top_k_never_fully_sorts(spark, sf_dir):
+    df = QUERIES["q_top10_orders"](spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert count_exchanges(df) == 0
+
+
+def test_semi_and_anti_join_shapes(spark, sf_dir):
+    semi = QUERIES["q_customers_with_orders"](spark, sf_dir)
+    anti = QUERIES["q_customers_without_orders"](spark, sf_dir)
+    assert "LeftSemi" in formatted_plan(semi)
+    assert "LeftAnti" in formatted_plan(anti)
+
+
+def test_theta_join_keeps_small_side_broadcast(spark, sf_dir):
+    df = QUERIES["q_orders_by_price_band"](spark, sf_dir)
+    assert has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    df = QUERIES["q_top3_orders_per_customer"](spark, sf_dir)
+    # Spark 3.5+/4 inserts WindowGroupLimit before the full window sort
+    assert has_node(df, "WindowGroupLimit")
+
+
+def test_dedup_is_single_shuffle(spark, sf_dir):
+    df = QUERIES["q_dedup_exact_documents"](spark, sf_dir)
+    assert count_exchanges(df) <= 2  # hash agg + output sort
+
+
+def test_vector_topk_is_scan_plus_takeordered(spark, sf_dir):
+    df = QUERIES["q_topk_similar_embeddings"](spark, sf_dir)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert count_exchanges(df) == 0  # no shuffle at all: map + heap-merge

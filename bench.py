@@ -30,8 +30,8 @@ HEADLINE: list[str] = [
     "q_event_type_stats",
     "q_top3_orders_per_customer",
     "q_last_purchase_asof",
-    "q_moving_avg_value",
-    "q_union_account_holders",
+    "q_event_deltas",
+    "q_setops_nations",
     "q_dedup_exact_documents",
     "q_near_dup_pairs_minhash",
     "q_topk_similar_embeddings",

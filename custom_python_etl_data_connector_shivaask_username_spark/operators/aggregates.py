@@ -1,14 +1,26 @@
-"""Aggregation depth (SURVEY.md §2.4 A1-A10).
+"""Aggregation depth (SURVEY.md §2.4 A1-A10) — six registry queries.
 
-All float aggregates use the exact-decimal strategy (compat.py). Variance/
-stddev are computed from exact sums via the textbook identity rather than
-the engines' streaming implementations — Welford vs. sum-of-squares would
-disagree at the ulp level, while exact-sum arithmetic is bit-identical and
-shuffle-order-independent (the property that matters on 1000 executors).
+Component map (every §2.4 operator has a green-row home):
+- A1 hash group-by, A2 exact count distinct, A8 conditional agg, and
+  exact-moment stats → ``q_event_type_stats`` (one grouped pass).
+- A4 exact percentiles → ``q_value_percentiles``.
+- A3 approx count distinct + A4 approx percentiles + A10 seeded sample
+  → ``q_approx_sketches`` (rows-only by design: HLL/KLL/RNG internals
+  are engine-specific; statistical behavior pinned in unit tests).
+- A5 rollup/cube/grouping sets → ``q_cube_region_nation`` (CUBE emits
+  all four grouping sets; ROLLUP is the subset where GROUPING(n) ≥
+  GROUPING(r), demonstrated by the gid column).
+- A6 pivot → ``q_pivot_order_status``.
+- A7 collect_list/set → ``q_sources_per_lang`` (serialized to CSV so
+  order-insensitive hash comparers never see a raw ARRAY cell).
+- A9 distinct-rows lives in setops.py (``q_setops_nations``).
 
-approx_count_distinct / sample are registered rows-only (HLL and RNG
-internals are engine-specific); their statistical behavior is pinned by
-unit tests instead.
+All float aggregates use the exact-decimal strategy (compat.py).
+Variance/stddev are computed from exact sums via the textbook identity
+rather than the engines' streaming implementations — Welford vs.
+sum-of-squares would disagree at the ulp level, while exact-sum
+arithmetic is bit-identical and shuffle-order-independent (the property
+that matters on 1000 executors).
 """
 
 from __future__ import annotations
@@ -20,7 +32,9 @@ from ..compat import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 from ..tables import load_table
 
-# --- A1/A2: grouped stats + exact count distinct -------------------------
+# --- A1/A2/A8 + exact moments: one grouped pass over events ---------------
+
+BIG_VALUE = 150.0
 
 _EVENT_TYPE_STATS_ORACLE = f"""
 SELECT
@@ -30,7 +44,16 @@ SELECT
   MIN(value) AS min_value,
   MAX(value) AS max_value,
   {sql_dsum('value', 'total_value')},
-  {sql_davg('value', 'avg_value')}
+  {sql_davg('value', 'avg_value')},
+  SQRT(
+    (CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
+     - POW(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) / COUNT(value)
+    ) / (COUNT(value) - 1)
+  ) AS stddev_value,
+  CAST(COUNT(*) FILTER (WHERE value > {BIG_VALUE}) AS BIGINT) AS big_events,
+  {sql_dsum(f'CASE WHEN value > {BIG_VALUE} THEN value ELSE 0 END',
+            'big_value_total')},
+  {sql_davg(f'CASE WHEN value > {BIG_VALUE} THEN value END', 'avg_big_value')}
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -39,8 +62,20 @@ ORDER BY event_type
 
 @query("q_event_type_stats", oracle=_EVENT_TYPE_STATS_ORACLE)
 def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A2: two-phase hash agg; count-distinct expands then re-aggregates."""
+    """A1+A2+A8: two-phase hash agg; count-distinct expands then
+    re-aggregates; CASE-guarded sums/avgs ride the same pass.
+
+    Order-independent stddev: exact sums + textbook identity. Streaming
+    stddev implementations differ across engines and shuffle orders; this
+    formulation is deterministic on any cluster size.
+    """
     ev = load_table(spark, sf_dir, "events")
+    big = F.col("value") > BIG_VALUE
+    s1 = F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)")).cast(
+        "double"
+    )
+    n = F.count("value")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -50,6 +85,15 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
             dsum("value", "total_value"),
             davg("value", "avg_value"),
+            F.sqrt((s2 - F.pow(s1, F.lit(2)) / n) / (n - 1)).alias(
+                "stddev_value"
+            ),
+            F.count_if(big).alias("big_events"),
+            dsum(
+                F.when(big, F.col("value")).otherwise(F.lit(0)),
+                "big_value_total",
+            ),
+            davg(F.when(big, F.col("value")), "avg_big_value"),
         )
         .orderBy("event_type")
     )
@@ -75,8 +119,8 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact `percentile` (not approx) keeps the oracle meaningful; at
     100 TB the same query ships as `percentile_approx` (see
-    q_value_percentiles_approx) where a bounded-memory sketch replaces
-    the per-group sort.
+    q_approx_sketches) where a bounded-memory sketch replaces the
+    per-group sort.
     """
     ev = load_table(spark, sf_dir, "events")
     pct = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")
@@ -93,42 +137,47 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_value_percentiles_approx")  # rows-only: sketch internals differ
-def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 scale path: KLL/GK sketch — bounded memory per group at 100 TB."""
+# --- A3 + A4-approx + A10: sketch/sample suite (rows-only) ----------------
+
+
+@query("q_approx_sketches")
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (HLL++ count distinct) + A4 approx percentiles (KLL/GK sketch)
+    + A10 seeded Bernoulli sample — the bounded-memory statistics that
+    replace their exact twins at 100 TB. Rows-only by design: sketch and
+    RNG internals are engine-specific; accuracy bounds are pinned by
+    unit tests against the exact queries."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p"),
+    )
+    sampled = (
+        ev.sample(fraction=0.1, seed=42)
+        .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p")
+            F.count(F.lit(1)).alias("sampled_count"),
+            dsum("value", "sampled_value"),
         )
+    )
+    return (
+        sketches.join(sampled, on="event_type", how="left")
         .select(
             "event_type",
-            F.col("p")[0].alias("p50"),
-            F.col("p")[1].alias("p95"),
-            F.col("p")[2].alias("p99"),
+            "approx_users",
+            F.col("p")[0].alias("p50_approx"),
+            F.col("p")[1].alias("p95_approx"),
+            F.col("p")[2].alias("p99_approx"),
+            "sampled_count",
+            "sampled_value",
         )
         .orderBy("event_type")
     )
 
 
-# --- A3: approx count distinct (rows-only) --------------------------------
+# --- A5: cube (all grouping sets; rollup is the gid-filtered subset) ------
 
-
-@query("q_approx_distinct_users")
-def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: HLL++ — the only count-distinct that scales to 100 TB keys."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
-        .orderBy("event_type")
-    )
-
-
-# --- A5: rollup / cube ----------------------------------------------------
-
-_ROLLUP_ORACLE = f"""
+_CUBE_ORACLE = f"""
 SELECT
   r_name,
   n_name,
@@ -138,56 +187,30 @@ SELECT
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP(r_name, n_name)
+GROUP BY CUBE(r_name, n_name)
 ORDER BY gid, r_name, n_name
 """
 
 
-@query("q_rollup_region_nation", oracle=_ROLLUP_ORACLE)
-def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: subtotal hierarchy region → nation → grand total."""
+@query("q_cube_region_nation", oracle=_CUBE_ORACLE)
+def q_cube_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: CUBE emits all four grouping sets — (region,nation), (region),
+    (nation), () — in one pass; ROLLUP is the gid ∈ {0,1,3} subset and
+    GROUPING SETS is the generalization, all sharing the same Expand +
+    hash-agg physical shape."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .rollup("r_name", "n_name")
+        .cube("r_name", "n_name")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("customer_count"),
             dsum("c_acctbal", "total_acctbal"),
         )
         .orderBy("gid", "r_name", "n_name")
-    )
-
-
-_CUBE_ORACLE = f"""
-SELECT
-  c_mktsegment,
-  n_name,
-  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(n_name) AS INT) AS gid,
-  COUNT(*) AS customer_count
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY CUBE(c_mktsegment, n_name)
-ORDER BY gid, c_mktsegment, n_name
-"""
-
-
-@query("q_cube_segment_nation", oracle=_CUBE_ORACLE)
-def q_cube_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: full cube — all 4 grouping-set combinations in one pass."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .cube("c_mktsegment", "n_name")
-        .agg(
-            F.grouping_id().cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("customer_count"),
-        )
-        .orderBy("gid", "c_mktsegment", "n_name")
     )
 
 
@@ -235,7 +258,7 @@ _SOURCES_PER_LANG_ORACLE = """
 SELECT
   lang,
   COUNT(*) AS doc_count,
-  list_sort(list(DISTINCT source)) AS sources
+  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -244,110 +267,21 @@ ORDER BY lang
 
 @query("q_sources_per_lang", oracle=_SOURCES_PER_LANG_ORACLE)
 def q_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: collect_set wrapped in sort_array for deterministic goldens."""
+    """A7: collect_set → sort_array → concat_ws.
+
+    The sort makes the set deterministic; the CSV serialization keeps the
+    result schema scalar-only, which generic order-insensitive comparers
+    (the driver canonicalizer included) require — raw ARRAY cells are not
+    hashable/sortable in pandas.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
-            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias(
+                "sources"
+            ),
         )
         .orderBy("lang")
-    )
-
-
-# --- A8: conditional aggregation -------------------------------------------
-
-_CONDITIONAL_ORACLE = f"""
-SELECT
-  o_orderpriority,
-  CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
-    AS big_orders,
-  {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END",
-            'finished_revenue')},
-  {sql_davg('CASE WHEN o_totalprice > 100000 THEN o_totalprice END',
-            'avg_big_price')}
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-@query("q_conditional_aggregates", oracle=_CONDITIONAL_ORACLE)
-def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: filtered counts and CASE-guarded sums/avgs in one pass."""
-    orders = load_table(spark, sf_dir, "orders")
-    big = F.col("o_totalprice") > 100000
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.count_if(big).alias("big_orders"),
-            dsum(
-                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
-                .otherwise(F.lit(0)),
-                "finished_revenue",
-            ),
-            davg(F.when(big, F.col("o_totalprice")), "avg_big_price"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-# --- exact-moment stats (A1 depth): mean/stddev from exact sums ------------
-
-_VALUE_STATS_ORACLE = """
-SELECT
-  event_type,
-  COUNT(value) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS mean_value,
-  SQRT(
-    (CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
-     - POW(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) / COUNT(value)
-    ) / (COUNT(value) - 1)
-  ) AS stddev_value
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-@query("q_value_stats_exact", oracle=_VALUE_STATS_ORACLE)
-def q_value_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-independent stddev: exact sums + textbook identity.
-
-    Streaming stddev implementations differ across engines and shuffle
-    orders; this formulation is deterministic on any cluster size.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    s1 = F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)")).cast(
-        "double"
-    )
-    n = F.count("value")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            n.alias("n"),
-            (s1 / n).alias("mean_value"),
-            F.sqrt((s2 - F.pow(s1, F.lit(2)) / n) / (n - 1)).alias(
-                "stddev_value"
-            ),
-        )
-        .orderBy("event_type")
-    )
-
-
-# --- A10: seeded sampling (rows-only) ---------------------------------------
-
-
-@query("q_sampled_value_sum")
-def q_sampled_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: seeded Bernoulli sample — deterministic for a fixed partition
-    layout; registered rows-only because RNG streams are engine-specific."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.sample(fraction=0.1, seed=42)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("sampled_count"), dsum("value", "sampled_value"))
-        .orderBy("event_type")
     )

@@ -81,28 +81,6 @@ def q_etl_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- deterministic re-ingestion dedup ------------------------------------------
-
-_DEDUP_DOCS_ORACLE = """
-SELECT lang,
-       COUNT(*) AS total_docs,
-       COUNT(DISTINCT text) AS unique_texts
-FROM documents
-GROUP BY lang
-ORDER BY lang
-"""
-
-
-@query("q_etl_dedup_documents", oracle=_DEDUP_DOCS_ORACLE)
-def q_etl_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9: duplicate-detection audit — totals vs distinct payloads per
-    partition key (full dedup with a deterministic survivor is L1)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("total_docs"),
-            F.countDistinct("text").alias("unique_texts"),
-        )
-        .orderBy("lang")
-    )
+# T9 dedupe-on-reingestion is covered by llm_dedup.q_dedup_exact_documents
+# (content-hash groupBy with a deterministic min-id survivor) — the same
+# operator at full strength, so no separate audit query is registered.

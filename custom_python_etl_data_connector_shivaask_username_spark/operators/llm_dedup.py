@@ -5,12 +5,13 @@ Four tiers of duplicate detection for training-data pipelines:
 - exact (L1): content-hash groupBy, deterministic min-id survivor.
 - MinHash + LSH banding (L2): shingle → k minhashes → b bands; docs
   sharing any band signature are candidates, verified with exact Jaccard.
-  Implemented as pure DataFrame HOFs + a band-bucket groupBy — NOT an
-  all-pairs ``approxSimilarityJoin`` — because at 100 TB the band
-  signature is just a shuffle key: candidates are generated per-bucket
-  and the cartesian blowup is bounded by bucket size.
-- SimHash: 32-bit sign-aggregated token hashes; near-dups have small
-  Hamming distance (cheap bit_count(xor) pairwise check within blocks).
+  The 100 TB shape: only (band_id, bucket, id) triples ever shuffle —
+  candidate pairs are *id pairs*, and the (few) surviving pairs join back
+  to the corpus to fetch text for exact verification. Shingle payloads
+  never ride a shuffle.
+- SimHash: 32-bit sign-aggregated token hashes in ONE array traversal
+  (an array(32) balance accumulator); near-dups have small Hamming
+  distance (cheap bit_count(xor) pairwise check within blocks).
 - character n-gram Jaccard: the exact verifier, also exposed standalone
   (oracle-checked against DuckDB's list algebra).
 
@@ -23,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import detect_language, doc_fingerprint
 from ..registry import query
 from ..tables import load_table
 
@@ -133,26 +135,33 @@ def near_dup_pairs(
     """L2: candidate pairs from LSH band buckets, verified with exact
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim).
 
-    Scale shape: explode(bands) → groupBy(band_id, bucket) → pairs within
-    bucket. Bucket sizes are the only quadratic term; with b=8/r=4 and a
-    0.7 threshold they stay tiny. (A self-join on the bucket key is the
-    equivalent formulation when buckets can be huge.)
-    """
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles")))
+    Scale shape — ids shuffle, payloads don't:
+    1. one map pass computes each doc's signature and explodes it to
+       (band_id, bucket, id) triples — three fixed-width columns;
+    2. groupBy(band_id, bucket) emits ordered candidate *id pairs* from
+       each bucket (bucket size is the only quadratic term; with b=8/r=4
+       and a 0.7 threshold buckets stay tiny);
+    3. pairs dedupe across bands, then join back to the corpus TWICE to
+       fetch text for the exact-Jaccard verification — shingles are only
+       recomputed for the few docs that appear in candidate pairs.
 
-    buckets = base.select(
+    At 100 TB this shuffles ~8 longs per doc instead of ~8 copies of the
+    document's shingle set (the round-1 formulation), and the verify cost
+    is proportional to candidates, not corpus.
+    """
+    ids = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).select(
         "id",
-        "shingles",
-        F.posexplode(band_signatures(F.col("sig"))).alias("band_id", "bucket"),
+        F.posexplode(band_signatures(minhash_signature(F.col("sh")))).alias(
+            "band_id", "bucket"
+        ),
     )
 
-    # pairs co-bucketed in ANY band; sorted bucket members -> ordered pairs
     grouped = (
-        buckets.groupBy("band_id", "bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "shingles"))).alias("members"))
+        ids.groupBy("band_id", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .filter(F.size("members") > 1)
     )
     pairs = (
@@ -163,19 +172,11 @@ def near_dup_pairs(
                         F.sequence(F.lit(1), F.size("members") - 1),
                         lambda i: F.transform(
                             F.slice(
-                                F.col("members"),
-                                i + 1,
-                                F.size("members") - i,
+                                F.col("members"), i + 1, F.size("members") - i
                             ),
                             lambda m: F.struct(
-                                F.element_at(F.col("members"), i)["id"].alias(
-                                    "id_a"
-                                ),
-                                F.element_at(F.col("members"), i)[
-                                    "shingles"
-                                ].alias("sh_a"),
-                                m["id"].alias("id_b"),
-                                m["shingles"].alias("sh_b"),
+                                F.element_at(F.col("members"), i).alias("id_a"),
+                                m.alias("id_b"),
                             ),
                         ),
                     )
@@ -185,8 +186,19 @@ def near_dup_pairs(
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    text_a = docs.select(
+        F.col(id_col).alias("id_a"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
+    )
+    text_b = docs.select(
+        F.col(id_col).alias("id_b"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_b"),
+    )
     return (
-        pairs.withColumn(
+        pairs.join(text_a, "id_a")
+        .join(text_b, "id_b")
+        .withColumn(
             "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
         )
         .filter(F.col("jaccard_sim") >= threshold)
@@ -225,25 +237,34 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
 
     Per bit b: count tokens whose hash has bit b set minus those that
     don't; the fingerprint sets bit b when the balance is positive.
-    (Shift amounts must be Python ints in Spark, hence the loop.)
+
+    Single traversal: the fold carries an array(bits) of balances and
+    zip_with-adds each token's ±1 bit vector — one pass over the token
+    hashes instead of one pass per bit (a 32x expression blowup in the
+    naive form).
     """
     tokens = F.array_distinct(F.split(F.lower(text), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(7)))
 
-    def bit_balance(b: int):
-        # closure factory, not a default-arg lambda (see _seeded_hash)
-        def fn(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+    def bit_vec(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for b in range(bits)
+            ]
+        )
 
-        return fn
-
+    balances = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, x: a + x),
+    )
     out = F.lit(0).cast("long")
     for b in range(bits):
-        balance = F.aggregate(hashes, F.lit(0), bit_balance(b))
         out = out + F.when(
-            balance > 0, F.lit(1 << b).cast("long")
+            F.element_at(balances, b + 1) > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out
 
@@ -252,11 +273,30 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@query("q_simhash_documents")  # rows-only: fingerprint table
-def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- per-doc signature table: simhash + bottom-k fingerprint + lang-ID ----------
+
+
+@query("q_doc_signatures")  # rows-only: hash/heuristic internals are engine-specific
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document signature table a dedup/routing pipeline
+    materializes once and reuses: SimHash (Hamming-distance near-dup
+    blocking), the bottom-k rolling-gram fingerprint (winnowing-style
+    containment, serialized to CSV so the result schema stays scalar),
+    and heuristic language-ID (accuracy pinned on real 5-language
+    samples in tests/test_llm_text.py). Map-only — no shuffle at any
+    scale."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", simhash(F.col("text")).alias("simhash")
+        "doc_id",
+        simhash(F.col("text")).alias("simhash"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                doc_fingerprint(F.col("text")), lambda h: h.cast("string")
+            ),
+        ).alias("fingerprint"),
+        "lang",
+        detect_language(F.col("text")).alias("detected_lang"),
     )
 
 

@@ -1,8 +1,18 @@
 """Text-analysis queries over ``documents`` (SURVEY.md §2.11 L6-L9).
 
+Component map:
+- L6 term stats / TF-IDF → ``q_tfidf_top_terms`` (raw term frequencies
+  are the `total_tf` column; the standalone TF query was subsumed).
+- L8 quality scoring + token counting + L9 PII scrub →
+  ``q_doc_profile`` (one per-doc pass: lengths, ratios, token counts,
+  composite quality + keep flag, regex redaction).
+- L7 chunker → ``q_chunk_documents``.
+- L6 language-ID + fingerprints live in ``llm_dedup.q_doc_signatures``
+  (per-doc signature table).
+
 Term frequencies / TF-IDF shuffle once on the term; everything per-doc
-(token counts, quality, scrubbing, chunking) is a pure map — the 100 TB
-cost model is 'one scan + one word-keyed shuffle for the corpus stats'.
+is a pure map — the 100 TB cost model is 'one scan + one word-keyed
+shuffle for the corpus stats'.
 """
 
 from __future__ import annotations
@@ -13,8 +23,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     TOKEN_RE,
     chunk_text,
-    detect_language,
-    doc_fingerprint,
     mean_word_length,
     punct_ratio,
     quality_score,
@@ -25,34 +33,7 @@ from ..functions.text import (
 from ..registry import query
 from ..tables import load_table
 
-# --- term frequencies ---------------------------------------------------------
-
-_TERM_FREQ_ORACLE = """
-SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-WHERE length(word) > 0
-GROUP BY word
-ORDER BY freq DESC, word
-LIMIT 20
-"""
-
-
-@query("q_term_frequencies", oracle=_TERM_FREQ_ORACLE)
-def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            F.explode(F.split(F.lower("text"), " ")).alias("word")
-        )
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("word"))
-        .limit(20)
-    )
-
-
-# --- TF-IDF -----------------------------------------------------------------------
+# --- TF-IDF (includes raw term frequencies) -----------------------------------
 
 _TFIDF_ORACLE = """
 WITH n AS (SELECT COUNT(*) AS total FROM documents),
@@ -77,9 +58,10 @@ LIMIT 20
 
 @query("q_tfidf_top_terms", oracle=_TFIDF_ORACLE)
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: corpus TF-IDF — the doc count rides along as a broadcast
-    scalar (crossJoin of a 1-row aggregate), so the plan is one
-    word-keyed shuffle regardless of corpus size."""
+    """L6: corpus term frequencies + TF-IDF — the doc count rides along
+    as a broadcast scalar via a J9 cross join (dim(1) x anything is the
+    only safe cartesian shape at scale), so the plan is one word-keyed
+    shuffle regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     total = docs.agg(F.count(F.lit(1)).alias("total"))
     tf = (
@@ -110,122 +92,58 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- token counting ------------------------------------------------------------------
+# --- per-doc profile: tokens + quality + keep flag + PII scrub -----------------
 
-_TOKEN_COUNTS_ORACLE = f"""
-SELECT doc_id,
-       length(list_filter(string_split_regex(text, '\\s+'),
-                          w -> length(w) > 0)) AS ws_tokens,
-       length(regexp_extract_all(text, '{TOKEN_RE}')) AS bpe_tokens,
-       n_chars
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@query("q_token_counts", oracle=_TOKEN_COUNTS_ORACLE)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(whitespace_tokens(F.col("text"))).alias("ws_tokens"),
-        token_count(F.col("text")).alias("bpe_tokens"),
-        "n_chars",
-    )
-
-
-# --- quality scoring ---------------------------------------------------------------------
-
-_QUALITY_ORACLE = """
-SELECT doc_id,
-       length(text) AS text_len,
-       ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-             / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
-       ROUND(list_aggregate(list_transform(
-               list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0),
-               w -> length(w)), 'sum')
-             / greatest(length(list_filter(string_split_regex(text, '\\s+'),
-               w -> length(w) > 0)), 1)::DOUBLE, 6) AS mean_word_len,
-       (length(text) >= 80 AND n_chars = length(text)) AS meta_consistent
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@query("q_doc_quality", oracle=_QUALITY_ORACLE)
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L8: per-doc quality metrics (length, punctuation ratio, mean word
-    length, metadata consistency)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("text_len"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
-        (
-            (F.length("text") >= 80)
-            & (F.col("n_chars") == F.length("text"))
-        ).alias("meta_consistent"),
-    )
-
-
-@query("q_quality_filter")  # rows-only: composite heuristic
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("quality", quality_score(F.col("text")))
-        .filter(F.col("quality") >= 0.5)
-        .select("doc_id", "lang", "quality")
-    )
-
-
-# --- language-ID (heuristic; accuracy pinned in unit tests) ---------------------------------
-
-
-@query("q_lang_id")  # rows-only: heuristic classifier
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        detect_language(F.col("text")).alias("detected_lang"),
-    )
-
-
-# --- fingerprints ------------------------------------------------------------------------------
-
-
-@query("q_doc_fingerprints")  # rows-only: sketch table
-def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
-    )
-
-
-# --- PII scrubbing ------------------------------------------------------------------------------
-
-_PII_ORACLE = """
-WITH seeded AS (
-  SELECT doc_id,
-         'contact ' || lang || '.user@' || source || '.example.com or +1 '
-           || CAST(1000000 + doc_id AS VARCHAR) || '999 re: ' || substring(text, 1, 30)
-           AS payload
+_DOC_PROFILE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, n_chars, lang, source,
+         length(list_filter(string_split_regex(text, '\\s+'),
+                            w -> length(w) > 0)) AS ws_tokens,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           / greatest(length(text), 1)::DOUBLE AS p_ratio,
+         list_aggregate(list_transform(
+             list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0),
+             w -> length(w)), 'sum')
+           / greatest(length(list_filter(string_split_regex(text, '\\s+'),
+             w -> length(w) > 0)), 1)::DOUBLE AS mwl
   FROM documents
+),
+scored AS (
+  SELECT *,
+    ROUND((least(length(text) / 200.0, 1.0)
+           + 1.0 - least(p_ratio * 5.0, 1.0)
+           + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.4 END
+          ) / 3.0, 6) AS quality
+  FROM base
 )
 SELECT doc_id,
-       regexp_replace(regexp_replace(payload,
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-         '\\+?\\d[\\d().\\s-]{7,}\\d', '[PHONE]', 'g') AS scrubbed
-FROM seeded
+       length(text) AS text_len,
+       ws_tokens,
+       length(regexp_extract_all(text, '{TOKEN_RE}')) AS bpe_tokens,
+       ROUND(p_ratio, 6) AS punct_ratio,
+       ROUND(mwl, 6) AS mean_word_len,
+       (length(text) >= 80 AND n_chars = length(text)) AS meta_consistent,
+       quality,
+       (quality >= 0.5) AS keep,
+       regexp_replace(regexp_replace(
+         'contact ' || lang || '.user@' || source || '.example.com or +1 '
+           || CAST(1000000 + doc_id AS VARCHAR) || '999 re: '
+           || substring(text, 1, 30),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+         '\\+?\\d[\\d().\\s-]{{7,}}\\d', '[PHONE]', 'g') AS scrubbed
+FROM scored
 ORDER BY doc_id
 """
 
 
-@query("q_pii_scrub", oracle=_PII_ORACLE)
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L9: regex redaction chain, oracle-checked on synthesized PII (the
-    fixture corpus itself contains none)."""
+@query("q_doc_profile", oracle=_DOC_PROFILE_ORACLE)
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8+L9: the per-document profile every training-data pipeline
+    computes in one map-only pass — token counts (whitespace + BPE-ish
+    regex), quality metrics (length, punctuation ratio, mean word
+    length, metadata consistency), the composite quality score with its
+    keep/drop flag, and PII redaction (oracle-checked on synthesized
+    PII, since the fixture corpus contains none)."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit("contact "),
@@ -237,12 +155,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("999 re: "),
         F.substring("text", 1, 30),
     )
+    quality = quality_score(F.col("text"))
     return docs.select(
-        "doc_id", scrub_pii(payload).alias("scrubbed")
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.size(whitespace_tokens(F.col("text"))).alias("ws_tokens"),
+        token_count(F.col("text")).alias("bpe_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        (
+            (F.length("text") >= 80)
+            & (F.col("n_chars") == F.length("text"))
+        ).alias("meta_consistent"),
+        quality.alias("quality"),
+        (quality >= 0.5).alias("keep"),
+        scrub_pii(payload).alias("scrubbed"),
     )
 
 
-# --- chunking -----------------------------------------------------------------------------------
+# --- chunking ------------------------------------------------------------------
 
 CHUNK_SIZE = 20
 STRIDE = 15

@@ -82,7 +82,13 @@ ORDER BY c_custkey
 
 @query("q_customer_order_counts", oracle=_CUSTOMER_ORDER_COUNTS_ORACLE)
 def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: left outer keeps customers with zero orders (count = 0)."""
+    """J2: left outer keeps customers with zero orders (count = 0).
+
+    Right outer is the operand-swapped mirror (`orders.join(cust,
+    "right")` produces this exact plan with sides exchanged); the
+    null-filling machinery for both directions at once is exercised by
+    the full-outer query below.
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -90,29 +96,6 @@ def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("order_count"))
         .orderBy("c_custkey")
-    )
-
-
-# --- J2 right outer ------------------------------------------------------
-
-_PART_SHIP_COUNTS_ORACLE = """
-SELECT p_partkey, COUNT(l_orderkey) AS ship_count
-FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
-GROUP BY p_partkey
-ORDER BY p_partkey
-"""
-
-
-@query("q_part_ship_counts", oracle=_PART_SHIP_COUNTS_ORACLE)
-def q_part_ship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: right outer keeps parts never shipped."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    return (
-        li.join(part, li.l_partkey == part.p_partkey, "right")
-        .groupBy("p_partkey")
-        .agg(F.count("l_orderkey").alias("ship_count"))
-        .orderBy("p_partkey")
     )
 
 
@@ -155,46 +138,32 @@ def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J3 left semi / J4 left anti ----------------------------------------
+# --- J3 left semi + J4 left anti ----------------------------------------
 
-_CUSTOMERS_WITH_ORDERS_ORACLE = """
-SELECT c_custkey, c_mktsegment
+_CUSTOMER_ORDER_PRESENCE_ORACLE = """
+SELECT c_custkey,
+       EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         AS has_orders
 FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey
 """
 
 
-@query("q_customers_with_orders", oracle=_CUSTOMERS_WITH_ORDERS_ORACLE)
-def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: left semi = existence filter, never duplicates the left side."""
+@query("q_customer_order_presence", oracle=_CUSTOMER_ORDER_PRESENCE_ORACLE)
+def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4: left semi (existence filter, never duplicates the left
+    side) and left anti (absence filter — also the new-rows detection
+    primitive for upsert, S7) as two tagged branches of one query. Both
+    physical joins are asserted in tests/test_plans.py."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
-SELECT c_custkey, c_name
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
-"""
-
-
-@query("q_customers_without_orders", oracle=_CUSTOMERS_WITHOUT_ORDERS_ORACLE)
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: left anti — also the new-rows detection primitive for upsert (S7)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit(True).alias("has_orders"))
+    without_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit(False).alias("has_orders"))
+    return with_orders.unionByName(without_orders).orderBy("c_custkey")
 
 
 # --- J6 range (theta) join ----------------------------------------------
@@ -267,13 +236,21 @@ def q_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     For each event, the most recent purchase timestamp by the same user at
     or before the event. One shuffle on user_id, linear per-partition
     state — the 100 TB-safe formulation (vs. merge_asof per group, which
-    needs the same shuffle plus Python). DuckDB oracle uses native
-    ASOF JOIN for an independent semantic check.
+    needs the same shuffle plus Python; that twin exists as
+    ``q_asof_pandas_merge`` for the F4 surface). DuckDB oracle uses
+    native ASOF JOIN for an independent semantic check.
+
+    Tie semantics: ASOF's ``e.ts >= p.ts`` includes a purchase at the
+    *same* timestamp as the probe event, so purchases sort before
+    non-purchases at equal ts (the ``purchase_last`` flag) — otherwise a
+    same-ts purchase with a higher event_id would be invisible to the
+    running last().
     """
     ev = load_table(spark, sf_dir, "events")
+    purchase_last = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts"), purchase_last, F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
@@ -335,24 +312,11 @@ def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J9 cross join --------------------------------------------------------
-
-_REGION_EVENTTYPE_GRID_ORACLE = """
-SELECT r_name, event_type
-FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events) t
-ORDER BY r_name, event_type
-"""
-
-
-@query("q_region_eventtype_grid", oracle=_REGION_EVENTTYPE_GRID_ORACLE)
-def q_region_eventtype_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9: cartesian grid — only ever dim x dim (guarded by construction)."""
-    region = load_table(spark, sf_dir, "region").select("r_name")
-    etypes = load_table(spark, sf_dir, "events").select("event_type").distinct()
-    return region.crossJoin(etypes).orderBy("r_name", "event_type")
-
-
 # --- J10 self join --------------------------------------------------------
+# (J9 cross join lives in an oracle-green production use instead of a
+# synthetic grid: operators/llm_text.py::q_tfidf_top_terms crossJoins the
+# broadcast 1-row corpus total against the term table — the only safe
+# cartesian shape at scale, dim(1) x anything.)
 
 _VIEW_TO_CLICK_ORACLE = """
 SELECT v.user_id, COUNT(*) AS pair_count

@@ -1,12 +1,23 @@
-"""Scalar function surface (SURVEY.md §2.8) — one oracle query per family.
+"""Scalar function surface (SURVEY.md §2.8) — four registry queries.
+
+Family map:
+- string + hash/id → ``q_string_functions`` (hashes are the dedup/upsert
+  keys of S7/L1, so they live with the string family they digest).
+- date/time + math + conditional → ``q_scalar_suite`` (one per-row pass
+  over ``orders``: timestamp fields, price arithmetic, CASE logic).
+- array + higher-order functions → ``q_array_functions``.
+- json + map → ``q_json_map_functions`` (string-path extraction, typed
+  ``from_json(MapType)``, ``create_map``/``map_keys``/``map_values``/
+  ``map_entries``/``element_at``/``map_contains_key``; map-typed values
+  are serialized to scalars before they reach the result schema).
 
 Cross-engine notes baked into the oracles:
 - dayofweek: Spark is 1-7 Sunday=1, DuckDB 0-6 Sunday=0 → oracle adds 1.
 - natural log: Spark ``F.log`` = DuckDB ``ln``.
 - time deltas: exact integer microseconds (epoch_us/unix_micros), never
   unit-counting functions whose boundary semantics differ.
-- transcendentals (log/exp) round to 6 — libm results at these magnitudes
-  agree far beyond that.
+- transcendentals (log/exp) round to 6 — libm results at these
+  magnitudes agree far beyond that.
 """
 
 from __future__ import annotations
@@ -17,7 +28,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
-# --- strings -----------------------------------------------------------------
+# --- strings + hashes --------------------------------------------------------
 
 _STRING_ORACLE = r"""
 SELECT
@@ -33,7 +44,9 @@ SELECT
   CONCAT_WS('|', lang, source) AS lang_source,
   TRIM(REGEXP_REPLACE(SUBSTRING(text, 1, 20), '[aeiou]', '*', 'g'))
     AS devoweled,
-  LENGTH(STRING_SPLIT(text, ' ')) AS word_count
+  LENGTH(STRING_SPLIT(text, ' ')) AS word_count,
+  md5(text) AS text_md5,
+  sha256(text) AS text_sha256
 FROM documents
 ORDER BY doc_id
 """
@@ -41,6 +54,12 @@ ORDER BY doc_id
 
 @query("q_string_functions", oracle=_STRING_ORACLE)
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string + hash families in one per-row pass.
+
+    Content hashes (md5/sha2) are the dedup/upsert keys (S7/L1);
+    xxhash64/monotonically_increasing_id are Spark-internal (used for
+    bucketing, never in oracle outputs).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -59,126 +78,88 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "*")
         ).alias("devoweled"),
         F.size(F.split("text", " ")).alias("word_count"),
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
     )
 
 
-# --- date/time ------------------------------------------------------------------
+# --- date/time + math + conditional ------------------------------------------
 
-_DATETIME_ORACLE = """
+_SCALAR_SUITE_ORACLE = """
 SELECT
-  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
-  event_type,
-  COUNT(*) AS event_count,
-  CAST(MIN(year(ts)) AS INT) AS min_year,
-  CAST(MAX(month(ts)) AS INT) AS max_month,
-  CAST(MAX(dayofweek(ts)) + 1 AS INT) AS max_dow,
-  MIN(date_trunc('hour', ts)) AS first_hour,
-  MAX(ts + INTERVAL 3 DAY) AS max_ts_plus3d,
-  MAX(epoch_us(ts)) AS max_epoch_us
-FROM events
-GROUP BY CAST(date_trunc('week', ts) AS TIMESTAMP), event_type
-ORDER BY week_start, event_type
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  o_orderdate + INTERVAL 3 DAY AS plus3d,
+  epoch_us(o_orderdate) AS order_epoch_us,
+  ABS(o_totalprice - 150000.0) AS price_dev,
+  CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+  ROUND(SQRT(o_totalprice), 6) AS price_sqrt,
+  ROUND(LN(o_totalprice), 6) AS price_ln,
+  ROUND(LOG10(o_totalprice), 6) AS price_log10,
+  ROUND(POW(CAST(o_custkey % 10 AS DOUBLE), 2.0), 6) AS key_sq,
+  CAST(SIGN(o_totalprice - 150000.0) AS DOUBLE) AS dev_sign,
+  ROUND(EXP(CAST(o_custkey % 10 AS DOUBLE) / 10.0), 6) AS key_exp,
+  CASE WHEN o_totalprice < 50000 THEN 'budget'
+       WHEN o_totalprice < 150000 THEN 'mid'
+       ELSE 'premium' END AS price_tier,
+  GREATEST(o_totalprice, 100000.0) AS floor100k,
+  LEAST(o_totalprice, 200000.0) AS cap200k,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+  (o_orderstatus = 'F' AND o_totalprice > 100000) AS big_finished
+FROM orders
+ORDER BY o_orderkey
 """
 
 
-@query("q_datetime_functions", oracle=_DATETIME_ORACLE)
-def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("week", "ts").alias("week_start"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("event_count"),
-            F.min(F.year("ts")).cast("int").alias("min_year"),
-            F.max(F.month("ts")).cast("int").alias("max_month"),
-            F.max(F.dayofweek("ts")).cast("int").alias("max_dow"),
-            F.min(F.date_trunc("hour", "ts")).alias("first_hour"),
-            F.max(F.expr("ts + INTERVAL 3 DAY")).alias("max_ts_plus3d"),
-            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
-                "max_epoch_us"
-            ),
-        )
-        .orderBy("week_start", "event_type")
-    )
+@query("q_scalar_suite", oracle=_SCALAR_SUITE_ORACLE)
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time + math + conditional families, one per-row pass.
 
-
-# --- math -------------------------------------------------------------------------
-
-_MATH_ORACLE = """
-SELECT
-  p_partkey,
-  ABS(p_retailprice - 1000.0) AS price_dev,
-  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
-  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
-  ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
-  ROUND(LN(p_retailprice), 6) AS price_ln,
-  ROUND(LOG10(p_retailprice), 6) AS price_log10,
-  ROUND(POW(p_size, 2.0), 6) AS size_sq,
-  CAST(SIGN(p_retailprice - 1000.0) AS DOUBLE) AS dev_sign,
-  ROUND(EXP(p_size / 100.0), 6) AS size_exp
-FROM part
-ORDER BY p_partkey
-"""
-
-
-@query("q_math_functions", oracle=_MATH_ORACLE)
-def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.floor("p_retailprice").alias("price_floor"),
-        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
-        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
-        F.round(F.log10("p_retailprice"), 6).alias("price_log10"),
-        F.round(F.pow("p_size", F.lit(2.0)), 6).alias("size_sq"),
-        F.signum(F.col("p_retailprice") - 1000.0)
-        .cast("double")
-        .alias("dev_sign"),
-        F.round(F.exp(F.col("p_size") / 100.0), 6).alias("size_exp"),
-    )
-
-
-# --- conditional ---------------------------------------------------------------------
-
-_CONDITIONAL_ORACLE = """
-SELECT
-  c_custkey,
-  CASE WHEN c_acctbal < 0 THEN 'debt'
-       WHEN c_acctbal < 5000 THEN 'normal'
-       ELSE 'premium' END AS balance_tier,
-  GREATEST(c_acctbal, 0.0) AS nonneg_bal,
-  LEAST(c_acctbal, 9999.0) AS capped_bal,
-  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
-  (c_acctbal IS NOT NULL AND c_acctbal > 0) AS is_positive
-FROM customer
-ORDER BY c_custkey
-"""
-
-
-@query("q_conditional_functions", oracle=_CONDITIONAL_ORACLE)
-def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal")
-    return cust.select(
-        "c_custkey",
-        F.when(bal < 0, "debt")
-        .when(bal < 5000, "normal")
+    Everything stays inside whole-stage codegen — a single Project over
+    the scan, no shuffle, the shape that streams at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    key10 = (F.col("o_custkey") % 10).cast("double")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("int").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.expr("o_orderdate + INTERVAL 3 DAY").alias("plus3d"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_epoch_us"
+        ),
+        F.abs(price - 150000.0).alias("price_dev"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.round(F.pow(key10, F.lit(2.0)), 6).alias("key_sq"),
+        F.signum(price - 150000.0).cast("double").alias("dev_sign"),
+        F.round(F.exp(key10 / 10.0), 6).alias("key_exp"),
+        F.when(price < 50000, "budget")
+        .when(price < 150000, "mid")
         .otherwise("premium")
-        .alias("balance_tier"),
-        F.greatest(bal, F.lit(0.0)).alias("nonneg_bal"),
-        F.least(bal, F.lit(9999.0)).alias("capped_bal"),
+        .alias("price_tier"),
+        F.greatest(price, F.lit(100000.0)).alias("floor100k"),
+        F.least(price, F.lit(200000.0)).alias("cap200k"),
         F.coalesce(
-            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
-        ).alias("segment_or_other"),
-        (bal.isNotNull() & (bal > 0)).alias("is_positive"),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+        ((F.col("o_orderstatus") == "F") & (price > 100000)).alias(
+            "big_finished"
+        ),
     )
 
 
-# --- arrays + higher-order functions ----------------------------------------------------
+# --- arrays + higher-order functions ----------------------------------------
 
 _ARRAY_ORACLE = """
 SELECT
@@ -224,67 +205,66 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- JSON + map access ---------------------------------------------------------------------
+# --- JSON + map family -------------------------------------------------------
 
-_JSON_ORACLE = """
+_JSON_MAP_ORACLE = """
 SELECT
-  event_type,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-    AS k_total,
-  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
-  CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)
-    AS BIGINT) AS k_missing
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
+  CAST(LENGTH(json_keys(props)) AS INT) AS n_keys,
+  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+  array_to_string(list_sort(list_transform(json_keys(props),
+    kk -> kk || '=' || json_extract_string(props, '$.' || kk))), ',')
+    AS entries_csv,
+  CAST(user_id AS VARCHAR) AS uid_from_map,
+  true AS has_type_key
 FROM events
-GROUP BY event_type
-ORDER BY event_type
+ORDER BY event_id
 """
 
 
-@query("q_json_extraction", oracle=_JSON_ORACLE)
-def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8/§2.8 json+map: both the string-path accessor and the typed
-    from_json(MapType) route — the Spark idioms for the reference's
-    schema-on-read payloads (README.md:22-23)."""
+@query("q_json_map_functions", oracle=_JSON_MAP_ORACLE)
+def q_json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/§2.8 json + map families — the Spark idioms for the reference's
+    schema-on-read payloads (README.md:22-23).
+
+    Both JSON routes are exercised: the string-path accessor
+    (``get_json_object``) and the typed ``from_json(MapType)`` route,
+    whose map is then taken apart with ``map_keys``/``map_entries``/
+    ``element_at``/``size``. ``create_map`` builds a map from scratch and
+    is probed with ``element_at``/``map_contains_key``. Map-typed values
+    never reach the result schema — keys/entries serialize to sorted CSV
+    so any order-insensitive comparer can hash the rows.
+    """
     ev = load_table(spark, sf_dir, "events")
-    k_str = F.get_json_object("props", "$.k")
-    k_map = F.element_at(
-        F.from_json("props", "map<string,int>"), F.lit("k")
+    m = F.from_json("props", "map<string,int>")
+    built = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
     )
     return (
-        ev.withColumn("k1", k_str.cast("int"))
-        .withColumn("k2", k_map)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k1").cast("bigint").alias("k_total"),
-            F.max("k2").cast("int").alias("k_max"),
-            F.count_if(F.col("k1").isNull()).alias("k_missing"),
+        ev.withColumn("m", m)
+        .withColumn("built", built)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+            F.element_at("m", F.lit("k")).alias("k_map"),
+            F.size("m").alias("n_keys"),
+            F.concat_ws(",", F.sort_array(F.map_keys("m"))).alias("keys_csv"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.transform(
+                        F.map_entries("m"),
+                        lambda e: F.concat_ws(
+                            "=", e["key"], e["value"].cast("string")
+                        ),
+                    )
+                ),
+            ).alias("entries_csv"),
+            F.element_at("built", F.lit("uid")).alias("uid_from_map"),
+            F.map_contains_key("built", F.lit("type")).alias("has_type_key"),
         )
-        .orderBy("event_type")
-    )
-
-
-# --- hashing / ids ---------------------------------------------------------------------------
-
-_HASH_ORACLE = """
-SELECT
-  doc_id,
-  md5(text) AS text_md5,
-  sha256(text) AS text_sha256
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@query("q_hash_functions", oracle=_HASH_ORACLE)
-def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 hash family: content hashes are the dedup/upsert keys (S7/L1).
-    xxhash64/monotonically_increasing_id are Spark-internal (used for
-    bucketing, never in oracle outputs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.md5("text").alias("text_md5"),
-        F.sha2("text", 256).alias("text_sha256"),
+        .orderBy("event_id")
     )

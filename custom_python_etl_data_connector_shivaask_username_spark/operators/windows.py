@@ -1,4 +1,17 @@
-"""Window functions (SURVEY.md §2.5 W1-W6).
+"""Window functions (SURVEY.md §2.5 W1-W6) — four registry queries.
+
+Component map:
+- W1 ranking + W6 percent_rank/cume_dist + W4 running sum →
+  ``q_order_ranks_per_customer`` (two frame specs over one o_custkey
+  shuffle: the price ordering carries the rank family, the date ordering
+  carries the cumulative spend).
+- W2 top-k per group → ``q_top3_orders_per_customer`` (WindowGroupLimit
+  rewrite, plan-asserted in tests/test_plans.py).
+- W3 lag/lead + W4 moving aggregate → ``q_event_deltas`` (one user_id
+  shuffle, one ordering, both analytic and framed functions).
+- W5 first/last in group → ``q_last_event_per_user`` (max_by/min_by —
+  a single hash agg beats a window + filter when only the extreme row
+  is needed).
 
 Window partitions shuffle once on the partition key and sort within —
 the same cost model at 100 TB as a grouped aggregation, provided the
@@ -20,7 +33,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
-# --- W1: ranking family ----------------------------------------------------
+# --- W1 + W6 + W4(running): the rank family over orders --------------------
 
 _ORDER_RANKS_ORACLE = """
 SELECT
@@ -29,7 +42,13 @@ SELECT
   ROW_NUMBER() OVER w AS rn,
   RANK() OVER w AS rnk,
   DENSE_RANK() OVER w AS drnk,
-  NTILE(4) OVER w AS quartile
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS price_pct_rank,
+  CUME_DIST() OVER w AS price_cume_dist,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS cum_spend
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_custkey, rn
@@ -38,19 +57,32 @@ ORDER BY o_custkey, rn
 
 @query("q_order_ranks_per_customer", oracle=_ORDER_RANKS_ORACLE)
 def q_order_ranks_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W6+W4: the full ranking family, distribution position (exact
+    rational arithmetic on ranks — bit-identical doubles across engines),
+    and a running exact-decimal spend. One o_custkey shuffle feeds both
+    orderings (two in-partition sorts, zero extra exchanges)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_price = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
+    w_date = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_price).alias("rn"),
+        F.rank().over(w_price).alias("rnk"),
+        F.dense_rank().over(w_price).alias("drnk"),
+        F.ntile(4).over(w_price).alias("quartile"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.cume_dist().over(w_price).alias("price_cume_dist"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w_date)
+        .cast("double")
+        .alias("cum_spend"),
     )
 
 
@@ -81,10 +113,10 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        )
+    )
 
 
-# --- W3: lag / lead -----------------------------------------------------------
+# --- W3 + W4(moving): event deltas and trailing average ----------------------
 
 _EVENT_DELTAS_ORACLE = """
 SELECT
@@ -92,99 +124,43 @@ SELECT
   user_id,
   LAG(ts) OVER w AS prev_ts,
   epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us,
-  LEAD(event_type) OVER w AS next_type
+  LEAD(event_type) OVER w AS next_type,
+  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wf AS DOUBLE)
+    / COUNT(value) OVER wf AS moving_avg_value
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
 
 @query("q_event_deltas", oracle=_EVENT_DELTAS_ORACLE)
 def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: inter-event gaps in exact integer microseconds (no float time
-    math, no unit-boundary semantics to disagree on)."""
+    """W3+W4: inter-event gaps in exact integer microseconds (no float
+    time math, no unit-boundary semantics to disagree on) plus a 7-row
+    trailing average with an exact-decimal numerator — both frames share
+    the one user_id shuffle and ordering."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-6, 0)
     # session tz is UTC, so NTZ -> TZ cast is the identity wall time
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_micros = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-    return (
-        ev.select(
-            "event_id",
-            "user_id",
-            F.lag("ts").over(w).alias("prev_ts"),
-            (micros - prev_micros).alias("delta_us"),
-            F.lead("event_type").over(w).alias("next_type"),
-        )
-    )
-
-
-# --- W4: running / moving aggregates ------------------------------------------
-
-_CUMULATIVE_REVENUE_ORACLE = """
-SELECT
-  o_custkey,
-  o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS DOUBLE) AS cum_spend
-FROM orders
-ORDER BY o_custkey, o_orderkey
-"""
-
-
-@query("q_cumulative_revenue", oracle=_CUMULATIVE_REVENUE_ORACLE)
-def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-        .over(w)
-        .cast("double")
-        .alias("cum_spend"),
-    )
-
-
-_MOVING_AVG_ORACLE = """
-SELECT
-  user_id,
-  event_id,
-  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
-    / COUNT(value) OVER w AS moving_avg_value
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-ORDER BY user_id, event_id
-"""
-
-
-@query("q_moving_avg_value", oracle=_MOVING_AVG_ORACLE)
-def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: 7-row trailing average, exact-decimal numerator."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-6, 0)
-    )
     return ev.select(
-        "user_id",
         "event_id",
+        "user_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        (micros - prev_micros).alias("delta_us"),
+        F.lead("event_type").over(w).alias("next_type"),
         (
-            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
-            / F.count("value").over(w)
+            F.sum(F.col("value").cast("decimal(27,6)")).over(wf).cast("double")
+            / F.count("value").over(wf)
         ).alias("moving_avg_value"),
     )
 
 
-# --- W5: first/last in group ----------------------------------------------------
+# --- W5: first/last in group -------------------------------------------------
 
 _LAST_EVENT_ORACLE = """
 SELECT
@@ -211,32 +187,4 @@ def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("event_type", "ts").alias("first_event_type"),
         )
         .orderBy("user_id")
-    )
-
-
-# --- W6: percent_rank / cume_dist -------------------------------------------------
-
-_ACCTBAL_DISTRIBUTION_ORACLE = """
-SELECT
-  c_mktsegment,
-  c_custkey,
-  PERCENT_RANK() OVER w AS acctbal_pct_rank,
-  CUME_DIST() OVER w AS acctbal_cume_dist
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-ORDER BY c_mktsegment, c_custkey
-"""
-
-
-@query("q_acctbal_distribution", oracle=_ACCTBAL_DISTRIBUTION_ORACLE)
-def q_acctbal_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6: distribution position — exact rational arithmetic on ranks, so
-    doubles agree bit-for-bit across engines."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_mktsegment",
-        "c_custkey",
-        F.percent_rank().over(w).alias("acctbal_pct_rank"),
-        F.cume_dist().over(w).alias("acctbal_cume_dist"),
     )

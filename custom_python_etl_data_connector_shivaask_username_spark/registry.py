@@ -42,7 +42,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    The total registered-query count is deliberately held ≤ 50 so every
+    query lands inside the driver's per-round check window (round 1
+    registered 72 and the last 22 — windows, sorts, set ops, streaming —
+    were never checked). Consolidation, not deletion: merged queries
+    cover multiple SURVEY §2 components each (see COVERAGE.md), and
+    tests/test_registry_contract.py enforces the cap.
+    """
     from .operators import (  # noqa: F401
         aggregates,
         etl_queries,
@@ -55,6 +63,7 @@ def load_all() -> None:
         scalars,
         setops,
         sorting,
+        udf_queries,
         windows,
     )
     from .streaming import (  # noqa: F401

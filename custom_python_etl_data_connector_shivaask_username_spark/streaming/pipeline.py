@@ -6,21 +6,36 @@ Everything here is built as *builders over an unbounded DataFrame* so the
 same code runs against a file stream in tests (deterministic
 ``availableNow`` micro-batches) and a real feed in production.
 
-Registry integration: each streaming query executes the pipeline to
-completion with the availableNow trigger into a memory sink and returns
-the result as a batch DataFrame — so windowed/session/dedup semantics are
-oracle-checked against DuckDB, not just smoke-tested.
+Registry integration — six queries cover the ten components:
+- ``q_stream_tumbling_dedup`` → ST2 tumbling window + ST5 watermark +
+  ST6 streaming dedup (``dropDuplicatesWithinWatermark`` chained in
+  front of the windowed agg — at-least-once delivery simulated by a
+  self-union) + ST10 output modes/checkpoint.
+- ``q_stream_sliding_value`` → ST3.
+- ``q_stream_session_window`` → ST4 (complete mode emits open + closed
+  sessions, so the gaps-and-islands batch oracle pins every session).
+- ``q_stream_static_join`` → ST8; ``q_stream_stream_join`` → ST9.
+- ``q_funnel_depths`` → ST7 arbitrary stateful (applyInPandasWithState
+  per-user funnel machine; depth is order-free so plain SQL can oracle
+  the result even though the state machine itself is not SQL).
+ST1 (foreachBatch load loop) writes files, so it is pinned by
+tests/test_streaming.py rather than a registry row.
 
 State-scale notes (the 100 TB view): every stateful op below keys its
-state by (window/user) and is bounded by ``withWatermark`` — the state
-store holds only the open horizon, and partitions scale with
-``spark.sql.shuffle.partitions``. Complete-output mode appears only where
-the keyspace is known-tiny (hourly windows × 5 event types).
+state by (window/user) and is bounded by ``withWatermark`` — the
+dedup's id-set state is evicted when the watermark passes an id's event
+time (the ``WithinWatermark`` variant exists precisely because plain
+``dropDuplicates`` would grow state forever), and partitions scale with
+``spark.sql.shuffle.partitions``. Complete-output mode appears only
+where the keyspace is known-tiny (hourly windows × 5 event types;
+per-user sessions in the bounded fixture).
 """
 
 from __future__ import annotations
 
 import uuid
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,7 +121,7 @@ def foreach_batch_load(
     q.awaitTermination()
 
 
-# --- ST2: tumbling window aggregation -------------------------------------------
+# --- ST2+ST5+ST6: dedup'd tumbling window aggregation ------------------------
 
 _TUMBLING_ORACLE = """
 SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
@@ -119,6 +134,17 @@ ORDER BY window_start, event_type
 """
 
 
+def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """ST6: drop re-delivered events by id. ``dropDuplicatesWithinWatermark``
+    (not plain ``dropDuplicates``) so the id-set state is EVICTED once the
+    watermark passes an id's event time — plain dropDuplicates on a
+    non-event-time subset never evicts and grows without bound on a real
+    stream."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def tumbling_counts(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
@@ -127,13 +153,23 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
-@query("q_stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
-def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST2/ST10: hourly tumbling counts, executed as a real streaming job
-    (availableNow), then compared to the batch bucketing oracle."""
-    out = run_stream_to_df(
-        tumbling_counts(stream_events(spark, sf_dir)), "complete"
+@query("q_stream_tumbling_dedup", oracle=_TUMBLING_ORACLE)
+def q_stream_tumbling_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2+ST5+ST6+ST10: the stream carries every event TWICE (simulated
+    connector re-delivery via self-union); streaming dedup restores
+    uniqueness and the hourly tumbling counts aggregate downstream —
+    two chained stateful operators in one continuous query, executed as
+    a real streaming job (availableNow) and compared to the batch
+    bucketing oracle over the original (unique) events."""
+    ev = stream_events(spark, sf_dir)
+    redelivered = ev.unionByName(ev)  # at-least-once delivery simulation
+    deduped = stream_dedup(redelivered)
+    # the watermark set before the dedup flows through to the windowed
+    # agg — redefining it between stateful operators is disallowed
+    counts = deduped.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("event_count")
     )
+    out = run_stream_to_df(counts, "complete")
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -141,7 +177,7 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
-# --- ST3: sliding window -----------------------------------------------------------
+# --- ST3: sliding window -----------------------------------------------------
 
 _SLIDING_ORACLE = """
 WITH buckets AS (
@@ -188,7 +224,7 @@ def q_stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start")
 
 
-# --- ST4: session windows ------------------------------------------------------------
+# --- ST4: session windows ------------------------------------------------------
 
 SESSION_GAP_MIN = 30
 
@@ -208,11 +244,12 @@ sessions AS (
   FROM marked
 )
 SELECT user_id,
-       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS session_count,
-       CAST(COUNT(*) AS BIGINT) AS event_count
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS events_in_session
 FROM sessions
-GROUP BY user_id
-ORDER BY user_id
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
 """
 
 
@@ -226,87 +263,79 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
-@query("q_stream_session_window")  # rows-only: append emits closed sessions
+@query("q_stream_session_window", oracle=_SESSION_ORACLE)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4: native streaming session windows (30-min gap). Append mode
-    emits sessions once the watermark passes them — on a bounded run the
-    final open horizon stays in state, so this is registered rows-only;
-    exact semantics are pinned on synthetic sessions in
-    tests/test_streaming.py and the batch-equivalent sessionization below
-    is oracle-checked."""
+    """ST4: native streaming session windows (30-min merge gap), complete
+    output so open AND closed sessions are emitted on the bounded run —
+    which makes every session pinnable by the batch gaps-and-islands
+    oracle (lag → new-session flag → running sum), itself the
+    formulation that backfills historical sessions at 100 TB."""
     out = run_stream_to_df(
-        session_stats(stream_events(spark, sf_dir)), "append"
+        session_stats(stream_events(spark, sf_dir)), "complete"
     )
     return out.select(
-        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("user_id"),
+        F.col("session_window.start")
+        .cast("timestamp_ntz")
+        .alias("session_start"),
         F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
-        "user_id",
         "events_in_session",
     ).orderBy("user_id", "session_start")
 
 
-@query("q_sessionization_batch", oracle=_SESSION_ORACLE)
-def q_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4 batch twin: gaps-and-islands sessionization (lag → new-session
-    flag → running sum), the formulation that also backfills historical
-    sessions at 100 TB (one shuffle on user_id, two window passes)."""
-    from pyspark.sql import Window
+# --- ST7: arbitrary stateful processing ----------------------------------------
 
-    from ..tables import load_table
+FUNNEL_STAGES = ("view", "click", "purchase")
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_micros = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-    marked = ev.withColumn(
-        "is_new",
-        F.when(
-            prev_micros.isNull() | ((micros - prev_micros) > gap_us), 1
-        ).otherwise(0),
-    )
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sessions = marked.withColumn("session_id", F.sum("is_new").over(cum))
-    return (
-        sessions.groupBy("user_id")
-        .agg(
-            F.countDistinct("session_id").alias("session_count"),
-            F.count(F.lit(1)).alias("event_count"),
-        )
-        .orderBy("user_id")
-    )
-
-
-# --- ST6: streaming dedup --------------------------------------------------------------
-
-_DEDUP_ORACLE = """
-SELECT event_type, COUNT(DISTINCT event_id) AS unique_events
+_FUNNEL_ORACLE = """
+SELECT user_id,
+       CASE WHEN NOT bool_or(event_type = 'view') THEN 0
+            WHEN NOT bool_or(event_type = 'click') THEN 1
+            WHEN NOT bool_or(event_type = 'purchase') THEN 2
+            ELSE 3 END AS funnel_depth
 FROM events
-GROUP BY event_type
-ORDER BY event_type
+GROUP BY user_id
+ORDER BY user_id
 """
 
 
-def stream_dedup(events: DataFrame) -> DataFrame:
-    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+@query("q_funnel_depths", oracle=_FUNNEL_ORACLE)
+def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: per-user funnel state machine via ``applyInPandasWithState``
+    — the arbitrary-stateful escape hatch for logic no windowed agg
+    expresses. State = the set of funnel stages seen so far; output =
+    how deep in view→click→purchase the user has progressed.
 
+    Depth over a bounded replay is order-free (it only needs stage
+    membership), so plain SQL CAN pin the state machine's final answer
+    even though the incremental state transitions are beyond SQL — the
+    strongest check an arbitrary stateful op admits.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-@query("q_stream_dedup_counts", oracle=_DEDUP_ORACLE)
-def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST6: exactly-once-ish ingestion — the stream carries every event
-    TWICE (simulated connector re-delivery via self-union), streaming
-    dropDuplicates restores uniqueness."""
     ev = stream_events(spark, sf_dir)
-    redelivered = ev.unionByName(ev)  # at-least-once delivery simulation
-    deduped = stream_dedup(redelivered)
-    out = run_stream_to_df(deduped, "append")
-    return (
-        out.groupBy("event_type")
-        .agg(F.countDistinct("event_id").alias("unique_events"))
-        .orderBy("event_type")
+
+    def funnel(key, pdfs, state: GroupState):
+        seen = set(state.get[0].split(",")) if state.exists else set()
+        for pdf in pdfs:
+            seen.update(t for t in pdf["event_type"] if t in FUNNEL_STAGES)
+        state.update((",".join(sorted(seen)),))
+        depth = 0
+        for s in FUNNEL_STAGES:
+            if s in seen:
+                depth += 1
+            else:
+                break
+        yield pd.DataFrame({"user_id": [key[0]], "funnel_depth": [depth]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType="user_id BIGINT, funnel_depth INT",
+        stateStructType="stages STRING",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return run_stream_to_df(out, "update").orderBy("user_id")
 
 
 # --- ST8/ST9: stream-static and stream-stream joins ---------------------------------------

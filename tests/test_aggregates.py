@@ -1,4 +1,8 @@
-"""Unit pins for the rows-only (non-oracle) aggregate queries."""
+"""Unit pins for q_approx_sketches — the rows-only sketch/sample suite.
+
+Accuracy is checked against the exact oracle-bearing queries, so the
+weaker driver check (rows-only) is backed by statistical bounds here.
+"""
 
 from __future__ import annotations
 
@@ -13,11 +17,12 @@ from custom_python_etl_data_connector_shivaask_username_spark.tables import load
 load_all()
 
 
+def _sketches(spark, sf_dir):
+    return QUERIES["q_approx_sketches"](spark, sf_dir).collect()
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["q_approx_distinct_users"](spark, sf_dir).collect()
-    }
+    approx = {r["event_type"]: r["approx_users"] for r in _sketches(spark, sf_dir)}
     exact = {
         r["event_type"]: r["exact_users"]
         for r in load_table(spark, sf_dir, "events")
@@ -31,9 +36,9 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
 
 
-def test_sampled_query_deterministic(spark, sf_dir):
-    a = QUERIES["q_sampled_value_sum"](spark, sf_dir).collect()
-    b = QUERIES["q_sampled_value_sum"](spark, sf_dir).collect()
+def test_sampled_columns_deterministic(spark, sf_dir):
+    a = _sketches(spark, sf_dir)
+    b = _sketches(spark, sf_dir)
     assert a == b
     total = sum(r["sampled_count"] for r in a)
     # fraction 0.1 of 1000 events at sf0.001 → loose binomial bounds
@@ -42,8 +47,8 @@ def test_sampled_query_deterministic(spark, sf_dir):
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
     approx = {
-        r["event_type"]: (r["p50"], r["p95"], r["p99"])
-        for r in QUERIES["q_value_percentiles_approx"](spark, sf_dir).collect()
+        r["event_type"]: (r["p50_approx"], r["p95_approx"], r["p99_approx"])
+        for r in _sketches(spark, sf_dir)
     }
     exact = {
         r["event_type"]: (r["p50"], r["p95"], r["p99"])

@@ -43,16 +43,26 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
 
 
 def test_top_k_never_fully_sorts(spark, sf_dir):
-    df = QUERIES["q_top10_orders"](spark, sf_dir)
+    # offset+limit pagination still collapses to TakeOrderedAndProject —
+    # per-partition heaps of (offset+limit) rows, offset dropped at the
+    # driver merge; a full sort never materializes
+    df = QUERIES["q_top_orders_page"](spark, sf_dir)
     assert has_node(df, "TakeOrderedAndProject")
     assert count_exchanges(df) == 0
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    # O1's scale shape: sampled range boundaries + per-partition sort
+    df = QUERIES["q_ordered_priorities"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert has_node(df, "Sort")
+
+
 def test_semi_and_anti_join_shapes(spark, sf_dir):
-    semi = QUERIES["q_customers_with_orders"](spark, sf_dir)
-    anti = QUERIES["q_customers_without_orders"](spark, sf_dir)
-    assert "LeftSemi" in formatted_plan(semi)
-    assert "LeftAnti" in formatted_plan(anti)
+    plan = formatted_plan(QUERIES["q_customer_order_presence"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_theta_join_keeps_small_side_broadcast(spark, sf_dir):

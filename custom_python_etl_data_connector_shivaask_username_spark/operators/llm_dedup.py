@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import detect_language, doc_fingerprint
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, spread_small_input
 
 # --- L1: exact dedup ----------------------------------------------------------
 
@@ -125,6 +125,39 @@ def band_signatures(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) 
     )
 
 
+def minhash_signature_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """The row-wise (scale-path) MinHash: explode shingles to rows, hash
+    each shingle string ONCE, then take the k seeded minimums as a
+    grouped aggregation.
+
+    Why not the array-HOF form (:func:`minhash_signature`) in the hot
+    path: referencing the shingle array from k nested lambda expressions
+    defeats both projection-collapse safeguards and codegen
+    subexpression elimination — the shingle build re-executes per hash
+    function (measured 5-30x blowup). Row-wise, every expression is a
+    flat column op: one string hash per (doc, shingle) row, k integer
+    hashes, and a map-side-combined min-agg whose shuffle payload is
+    exactly k longs per doc at any corpus size. Same values as the HOF
+    form (pinned by tests/test_llm_dedup.py::test_minhash_forms_agree).
+    """
+    rows = spread_small_input(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    return rows.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(j))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -136,8 +169,9 @@ def near_dup_pairs(
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim).
 
     Scale shape — ids shuffle, payloads don't:
-    1. one map pass computes each doc's signature and explodes it to
-       (band_id, bucket, id) triples — three fixed-width columns;
+    1. row-wise MinHash (see :func:`minhash_signature_rows`) then band
+       hashes explode to (band_id, bucket, id) triples — three
+       fixed-width columns;
     2. groupBy(band_id, bucket) emits ordered candidate *id pairs* from
        each bucket (bucket size is the only quadratic term; with b=8/r=4
        and a 0.7 threshold buckets stay tiny);
@@ -145,18 +179,19 @@ def near_dup_pairs(
        fetch text for the exact-Jaccard verification — shingles are only
        recomputed for the few docs that appear in candidate pairs.
 
-    At 100 TB this shuffles ~8 longs per doc instead of ~8 copies of the
-    document's shingle set (the round-1 formulation), and the verify cost
-    is proportional to candidates, not corpus.
+    At 100 TB this shuffles ~(k + 8) longs per doc instead of ~8 copies
+    of the document's shingle set (the round-1 formulation), and the
+    verify cost is proportional to candidates, not corpus.
     """
-    ids = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).select(
-        "id",
-        F.posexplode(band_signatures(minhash_signature(F.col("sh")))).alias(
-            "band_id", "bucket"
-        ),
+    sig = minhash_signature_rows(docs, id_col, text_col, shingle_n)
+    band_cols = [
+        F.hash(
+            F.array(*[F.col(f"mh{i * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        )
+        for i in range(BANDS)
+    ]
+    ids = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_id", "bucket")
     )
 
     grouped = (
@@ -187,19 +222,26 @@ def near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # join raw TEXT (not shingles) so the shingle build runs only on the
+    # few rows that survive the candidate join, not the whole corpus
     text_a = docs.select(
-        F.col(id_col).alias("id_a"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh_a"),
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
     )
     text_b = docs.select(
-        F.col(id_col).alias("id_b"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh_b"),
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
     )
     return (
         pairs.join(text_a, "id_a")
         .join(text_b, "id_b")
         .withColumn(
-            "jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+            "jaccard_sim",
+            F.round(
+                jaccard(
+                    word_shingles(F.col("text_a"), shingle_n),
+                    word_shingles(F.col("text_b"), shingle_n),
+                ),
+                6,
+            ),
         )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -261,12 +303,19 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, x: a + x),
     )
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(
-            F.element_at(balances, b + 1) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    # fold the balance vector into the bit mask with a SINGLE reference
+    # to `balances` — element_at(balances, b) in a 32-term sum would
+    # duplicate the whole fold expression 32x (lambda-bound HOFs defeat
+    # common-subexpression elimination)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    contributions = F.zip_with(
+        balances,
+        powers,
+        lambda bal, p: F.when(bal > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        contributions, F.lit(0).cast("long"), lambda a, x: a + x
+    )
 
 
 def hamming(a: Column, b: Column) -> Column:
@@ -285,7 +334,7 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and heuristic language-ID (accuracy pinned on real 5-language
     samples in tests/test_llm_text.py). Map-only — no shuffle at any
     scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         simhash(F.col("text")).alias("simhash"),

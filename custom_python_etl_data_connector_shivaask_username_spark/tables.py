@@ -54,6 +54,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a tiny input out across the cluster before expensive per-row
+    work.
+
+    A small parquet file is a single row group and therefore a single
+    scan task, no matter what ``maxPartitionBytes`` says — so a heavy
+    map stage (shingling, hashing, feature extraction) would run on one
+    core. At real scale the source has thousands of row groups and this
+    is a no-op (the partition count check keeps it from ever shuffling
+    a large input); locally it shuffles a few MB once and unlocks every
+    core for the map stage.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """All fixture tables keyed by name."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}

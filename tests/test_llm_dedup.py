@@ -70,6 +70,31 @@ def test_dedupe_near_keeps_representative(spark):
     assert 4 in kept  # unrelated doc untouched
 
 
+def test_minhash_forms_agree(spark):
+    """The row-wise scale-path MinHash produces exactly the array-HOF
+    form's values (same base hash, same seeded family, same minimum)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        NUM_HASHES,
+        minhash_signature,
+        minhash_signature_rows,
+        word_shingles,
+    )
+
+    docs = _docs(spark)
+    hof = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(word_shingles(F.col("text"))).alias("sig"),
+        ).collect()
+    }
+    rows = {
+        r["id"]: [r[f"mh{j}"] for j in range(NUM_HASHES)]
+        for r in minhash_signature_rows(docs).collect()
+    }
+    assert hof == rows
+
+
 def test_simhash_hamming_orders_similarity(spark):
     df = _docs(spark).select(
         "doc_id", simhash(F.col("text")).alias("sh")

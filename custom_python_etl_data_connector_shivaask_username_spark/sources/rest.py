@@ -334,10 +334,17 @@ def register_rest_datasource(spark: SparkSession) -> bool:
                 # cursor/next_url are inherently sequential -> one partition
                 return [_PageRange(1, cfg.max_pages)]
             per = max(1, cfg.max_pages // n)
-            return [
-                _PageRange(i * per + 1, cfg.max_pages if i == n - 1 else (i + 1) * per)
-                for i in range(n)
-            ]
+            out = []
+            for i in range(n):
+                start = i * per + 1
+                # clamp to the page cap: with n > max_pages the naive split
+                # would emit ranges past the cap and issue HTTP requests a
+                # driver-side read_api never would
+                end = cfg.max_pages if i == n - 1 else min((i + 1) * per, cfg.max_pages)
+                if start > cfg.max_pages:
+                    break
+                out.append(_PageRange(start, end))
+            return out
 
         def read(self, partition):
             cfg = self._cfg()

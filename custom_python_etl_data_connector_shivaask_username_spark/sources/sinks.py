@@ -68,11 +68,21 @@ def upsert_parquet(
         F.broadcast(new_df.select(*keys).distinct()), on=keys, how="left_anti"
     )
     merged = kept.unionByName(new_df, allowMissingColumns=True)
-    # parquet cannot overwrite in place while reading itself; stage + swap
+    # parquet cannot overwrite in place while reading itself: write the
+    # merged table ONCE to a staging dir, then swap directories with a
+    # filesystem rename (metadata-only on HDFS/local — never a second
+    # copy of the data, which at 100 TB would double the merge cost)
     staging = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(path)
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(staging), hconf
+    )
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(target, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), target):
+        raise IOError(f"rename {staging} -> {path} failed")
 
 
 def write_mongodb(

@@ -157,6 +157,30 @@ def test_upsert_parquet(spark, tmp_path):
         r["id"]: r["payload"] for r in spark.read.parquet(path).collect()
     }
     assert final == {1: "old", 2: "new", 3: "new"}
+    # one data write: the staging dir was RENAMED into place, not re-read
+    # and re-written (a second full write would double 100 TB merges)
+    import os
+
+    assert not os.path.exists(path + "__staging")
+
+
+def test_rest_datasource_partitions_clamped(stub, spark):
+    """num_partitions > max_pages must not fetch pages past the cap."""
+    if not register_rest_datasource(spark):
+        pytest.skip("Python Data Source API unavailable")
+    df = (
+        spark.read.format("rest")
+        .option("base_url", stub.base_url)
+        .option("endpoint", "items")
+        .option("page_size", "5")
+        .option("max_pages", "2")
+        .option("num_partitions", "8")
+        .load()
+    )
+    parsed = json_ingest(spark, df, schema=SCHEMA)
+    ids = sorted(r["id"] for r in parsed.collect() if r["id"] is not None)
+    # 2 pages x 5 records — never rows from pages 3+
+    assert ids == list(range(10))
 
 
 def test_rest_datasource_distributed(stub, spark):

@@ -143,6 +143,39 @@ def test_ann_lsh_recall_on_planted_cluster(spark):
     assert recall >= 0.8, (recall, sorted(hits))
 
 
+def test_ann_batch_answers_multiple_queries_one_plan(spark):
+    """Batched ANN: ≥3 query vectors through one bucket-keyed join, with
+    the per-query recall pin holding for the planted cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal(64)
+    rows = [(0, (q / np.linalg.norm(q)).tolist(), 0)]
+    for i in range(1, 21):  # 20 near-neighbors of query 0
+        v = q + 0.15 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    for i in range(21, 300):  # background noise (also queries 21, 22)
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ann_topk_batch,
+    )
+
+    got = ann_topk_batch(emb, [0, 21, 22], k=10, probe_hamming=1).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert set(by_query) == {0, 21, 22}
+    for q_id, hits in by_query.items():
+        assert len(hits) <= 10
+        assert q_id not in hits  # a query never matches itself
+    recall = len([v for v in by_query[0] if 1 <= v <= 20]) / 10
+    assert recall >= 0.8, (recall, sorted(by_query[0]))
+
+
 def test_ann_candidates_are_reduced(spark, sf_dir):
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
         lsh_bucket,

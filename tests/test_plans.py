@@ -85,3 +85,38 @@ def test_vector_topk_is_scan_plus_takeordered(spark, sf_dir):
     df = QUERIES["q_topk_similar_embeddings"](spark, sf_dir)
     assert has_node(df, "TakeOrderedAndProject")
     assert count_exchanges(df) == 0  # no shuffle at all: map + heap-merge
+
+
+def test_window_suite_shares_one_shuffle(spark, sf_dir):
+    # two frame specs (price ranks + date-ordered running sum) must reuse
+    # the single o_custkey hash partitioning — 1 exchange, 2 sorts
+    df = QUERIES["q_order_ranks_per_customer"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    df2 = QUERIES["q_event_deltas"](spark, sf_dir)
+    assert count_exchanges(df2) == 1
+
+
+def test_minhash_shuffles_ids_not_shingles(spark, sf_dir):
+    # the round-1 formulation carried shingle arrays through the band
+    # explode; the rebuild must shuffle only fixed-width columns
+    df = QUERIES["q_near_dup_pairs_minhash"](spark, sf_dir)
+    plan = formatted_plan(df)
+    exchange_lines = [
+        line for line in plan.splitlines() if "Exchange" in line
+    ]
+    assert exchange_lines, "expected shuffle exchanges in the plan"
+    assert not any("shingle" in line for line in exchange_lines)
+    assert count_exchanges(df) <= 4  # sig agg, buckets, pair dedup (+AQE)
+
+
+def test_grouped_pandas_ops_shuffle_once(spark, sf_dir):
+    asof = QUERIES["q_asof_pandas_merge"](spark, sf_dir)
+    assert has_node(asof, "FlatMapGroupsInPandas")
+    assert count_exchanges(asof) == 1
+
+
+def test_per_row_suites_are_map_only(spark, sf_dir):
+    # scalar suite and doc profile must stay one codegen'd Project over
+    # the scan — zero exchanges at any scale
+    assert count_exchanges(QUERIES["q_scalar_suite"](spark, sf_dir)) == 0
+    assert count_exchanges(QUERIES["q_doc_profile"](spark, sf_dir)) == 0

@@ -1,0 +1,126 @@
+"""Property-based spot checks (SURVEY.md §5.2 item 5): algebraic
+invariants over hypothesis-generated micro-frames.
+
+These pin engine-level laws the differential oracle can't see (it only
+compares one fixed dataset): filter-pushdown equivalence, union
+cardinality, dedup idempotence, jaccard bounds, chunker coverage.
+Frames are kept tiny (≤ 24 rows) so each property runs in a few Spark
+jobs; ``deadline=None`` because JVM round-trips dwarf hypothesis's
+default budget.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+    char_ngrams,
+    jaccard,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.functions.text import (
+    chunk_text,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.floats(
+            min_value=-1000, max_value=1000, allow_nan=False, width=32
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=rows_strategy, threshold=st.integers(min_value=-5, max_value=5))
+@_settings
+def test_filter_commutes_with_projection(spark, rows, threshold):
+    """filter(p) . select == select . filter(p) — the law predicate
+    pushdown relies on."""
+    df = spark.createDataFrame(
+        [Row(k=k, v=float(v)) for k, v in rows], "k INT, v DOUBLE"
+    )
+    a = df.filter(F.col("k") > threshold).select("k").collect()
+    b = df.select("k", "v").filter(F.col("k") > threshold).select("k").collect()
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_union_counts_add(spark, rows):
+    df = spark.createDataFrame(
+        [Row(k=k, v=float(v)) for k, v in rows], "k INT, v DOUBLE"
+    )
+    assert df.unionByName(df).count() == 2 * df.count()
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_distinct_is_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [Row(k=k, v=float(v)) for k, v in rows], "k INT, v DOUBLE"
+    )
+    once = df.distinct()
+    assert once.count() == once.distinct().count()
+    assert once.count() <= df.count()
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_jaccard_bounds_and_identity(spark, texts):
+    """0 ≤ J ≤ 1 always; J(x, x) == 1."""
+    df = spark.createDataFrame(
+        [Row(i=i, t=t) for i, t in enumerate(texts)]
+    ).withColumn("g", char_ngrams(F.col("t"), 2))
+    pairs = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .select(
+            F.col("a.i").alias("ia"),
+            F.col("b.i").alias("ib"),
+            jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .collect()
+    )
+    for r in pairs:
+        assert 0.0 <= r["j"] <= 1.0
+        if r["ia"] == r["ib"]:
+            assert r["j"] == 1.0
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=80),
+    chunk=st.integers(min_value=2, max_value=20),
+)
+@_settings
+def test_chunker_covers_every_word(spark, n_words, chunk):
+    """With stride < chunk (overlap), every word appears in some chunk
+    and chunk word-counts never exceed the chunk size."""
+    stride = max(1, chunk - 1)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([Row(t=" ".join(words))]).select(
+        chunk_text(F.col("t"), chunk, stride).alias("chunks")
+    )
+    chunks = df.collect()[0]["chunks"]
+    seen = set(" ".join(chunks).split())
+    assert seen == set(words)
+    assert all(len(c.split()) <= chunk for c in chunks)

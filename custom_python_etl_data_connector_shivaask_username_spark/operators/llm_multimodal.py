@@ -119,6 +119,95 @@ def extract_features(media: DataFrame, content_col: str = "content") -> DataFram
     return cols.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("new_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, factor: int = 4, content_col: str = "content"
+) -> DataFrame:
+    """Binary→binary transform plumbing (the 'resize' stage shape).
+
+    A real deployment swaps the body for PIL/libvips thumbnailing; here
+    the deterministic stand-in keeps every ``factor``-th byte, which
+    exercises the contract that matters Spark-side: BINARY in, BINARY
+    out, new size metadata, Arrow batches both directions, map-only.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[content_col]):
+                raw = bytes(blob)
+                small = raw[::factor]
+                out.append((int(mid), small, len(raw), len(small)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "orig_bytes", "new_bytes"]
+            )
+
+    cols = media.select(
+        F.col("meta.media_id").alias("media_id"), F.col(content_col)
+    )
+    return cols.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+FRAME_SIZE = 64
+FRAME_STRIDE = 4  # emit every 4th frame
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+    content_col: str = "content",
+) -> DataFrame:
+    """1→many frame sampling plumbing (the video 'frame-sample' shape).
+
+    The blob is treated as a sequence of fixed-size frames and every
+    ``stride``-th frame is emitted as its own row — the real-codec
+    version replaces the slicing with a container demuxer (pyav/ffmpeg),
+    while the row-expansion contract (one blob in, N frame rows out,
+    Arrow-batched) is exactly what ships.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[content_col]):
+                raw = bytes(blob)
+                n_frames = max((len(raw) + frame_size - 1) // frame_size, 0)
+                for fno in range(0, n_frames, stride):
+                    frame = raw[fno * frame_size : (fno + 1) * frame_size]
+                    out.append((int(mid), fno, frame, len(frame)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "frame", "frame_bytes"]
+            )
+
+    cols = media.select(
+        F.col("meta.media_id").alias("media_id"), F.col(content_col)
+    )
+    return cols.mapInPandas(batches, FRAME_SCHEMA)
+
+
 @query("q_multimodal_features")  # rows-only: pandas-UDF feature extraction
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10 end-to-end: blob column + metadata → Arrow batches → features →

@@ -55,6 +55,39 @@ def test_decode_stub_raises():
         decode_image(b"\x89PNG")
 
 
+def test_resize_media_binary_roundtrip(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_multimodal import (
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="abcdefghijkl", source="s")]
+    )
+    out = resize_media(synth_media_table(docs), factor=4).collect()[0]
+    assert bytes(out["content"]) == b"aei"  # every 4th byte
+    assert out["orig_bytes"] == 12 and out["new_bytes"] == 3
+
+
+def test_sample_frames_expands_rows(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_multimodal import (
+        sample_frames,
+    )
+
+    # 300 bytes = 5 frames of 64 (last partial); stride 2 -> frames 0,2,4
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text="x" * 300, source="s")]
+    )
+    rows = sorted(
+        sample_frames(
+            synth_media_table(docs), frame_size=64, stride=2
+        ).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["frame_no"] for r in rows] == [0, 2, 4]
+    assert [r["frame_bytes"] for r in rows] == [64, 64, 44]
+    assert all(r["media_id"] == 7 for r in rows)
+
+
 def test_multimodal_query_runs(spark, sf_dir):
     out = QUERIES["q_multimodal_features"](spark, sf_dir).collect()
     assert len(out) == 5  # one row per lang

@@ -114,6 +114,55 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert 8 not in windows  # the 08:00 late event was dropped by watermark
 
 
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """ST10: a restarted query resumes from the checkpoint — batch 2 sees
+    only files that arrived after the first run committed its offsets."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_recovery")
+    os.makedirs(input_dir)
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING"
+            )
+            .parquet(input_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_stream_file(
+        spark,
+        [(1, _us("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+        f"{input_dir}/f1.parquet",
+    )
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    assert first == 1
+
+    time.sleep(1.1)
+    _write_stream_file(
+        spark,
+        [(2, _us("2024-01-01 11:00:00"), 1, "click", 1.0, "{}")],
+        f"{input_dir}/f2.parquet",
+    )
+    run_once()  # restart from the same checkpoint
+    ids = sorted(
+        r["event_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    # event 1 appears exactly once (not reprocessed), event 2 appended
+    assert ids == [1, 2]
+
+
 def test_stateful_funnel_applyinpandas(spark, tmp_path):
     """ST7: per-user funnel state machine via applyInPandasWithState."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -1,0 +1,112 @@
+"""Scale-strategy pins: bucketed co-located joins (shuffle paid once at
+write time, zero exchanges per join) and deterministic skew salting."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.functions.skew import (
+    salted_join,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.sources.bucketing import (
+    co_located_join,
+    write_bucketed,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    cwd = os.getcwd()
+    os.chdir(tempfile.mkdtemp())  # warehouse dir defaults to ./spark-warehouse
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        write_bucketed(li, "li_bucketed", ["l_orderkey"], num_buckets=4)
+        write_bucketed(orders, "orders_bucketed", ["o_orderkey"], num_buckets=4)
+        yield ("li_bucketed", "orders_bucketed")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        os.chdir(cwd)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, bucketed_tables):
+    li_t, ord_t = bucketed_tables
+    # forbid broadcast so the co-location (not dim size) elides the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = co_located_join(spark, li_t, ord_t, "l_orderkey", "o_orderkey")
+        assert count_exchanges(j) == 0
+        assert "SortMergeJoin" in formatted_plan(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_agg_on_bucket_key_has_zero_exchanges(spark, bucketed_tables):
+    li_t, _ = bucketed_tables
+    agg = (
+        spark.table(li_t)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert count_exchanges(agg) == 0
+
+
+def _skewed_frames(spark):
+    # one hot key (0) carrying 80% of the fact
+    fact = spark.createDataFrame(
+        [Row(row_id=i, k=0 if i % 5 != 0 else i % 7, v=float(i)) for i in range(500)]
+    )
+    dim = spark.createDataFrame(
+        [Row(k=i, name=f"dim{i}") for i in range(7)]
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact, dim = _skewed_frames(spark)
+    plain = fact.join(dim, "k").select("row_id", "name")
+    salted = salted_join(fact, dim, on="k", row_id="row_id").select(
+        "row_id", "name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_is_deterministic(spark):
+    fact, dim = _skewed_frames(spark)
+    a = salted_join(fact, dim, on="k", row_id="row_id").collect()
+    b = salted_join(fact, dim, on="k", row_id="row_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salt_spreads_hot_key(spark):
+    fact, dim = _skewed_frames(spark)
+    from custom_python_etl_data_connector_shivaask_username_spark.functions.skew import (
+        SALT_COL,
+    )
+
+    salted = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64("row_id"), F.lit(8)).cast("int")
+    )
+    hot = salted.filter(F.col("k") == 0)
+    n_salts_used = hot.select(SALT_COL).distinct().count()
+    assert n_salts_used >= 6  # hot key really fans out across reducers

@@ -158,6 +158,38 @@ def minhash_signature_rows(
     )
 
 
+def minhash_signature_agg(
+    shingles: Column, num_hashes: int = NUM_HASHES
+) -> Column:
+    """Map-only MinHash: ONE ``F.aggregate`` traversal carrying an
+    array(k) of running minimums; each shingle is string-hashed once and
+    the k seeded integer re-hashes fold into the accumulator via
+    ``zip_with``/``least``.
+
+    This is the single-reference rendering of the k-minimum family: the
+    base hash array appears exactly once (as the aggregate input), so
+    Catalyst's projection collapse cannot duplicate the shingle build —
+    the failure mode that makes :func:`minhash_signature`'s k-reference
+    form 5-30x slower. Unlike :func:`minhash_signature_rows` it needs NO
+    shuffle at all (no explode, no groupBy): the signature is computed
+    where the document row lives, which at 100 TB removes a full
+    corpus-sized exchange from the dedup pipeline. Values are pinned
+    identical to both other forms (tests/test_llm_dedup.py).
+    """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    seeds = F.array(*[F.lit(j) for j in range(num_hashes)])
+    max_long = F.lit((1 << 63) - 1)
+    return F.aggregate(
+        base,
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda j: F.xxhash64(h, j)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -169,9 +201,12 @@ def near_dup_pairs(
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_sim).
 
     Scale shape — ids shuffle, payloads don't:
-    1. row-wise MinHash (see :func:`minhash_signature_rows`) then band
+    1. map-only MinHash (see :func:`minhash_signature_agg`), then band
        hashes explode to (band_id, bucket, id) triples — three
-       fixed-width columns;
+       fixed-width columns. The band array is built from a SINGLE
+       reference to the signature (``transform`` over band indices), so
+       projection collapse cannot re-execute the signature aggregate
+       once per band;
     2. groupBy(band_id, bucket) emits ordered candidate *id pairs* from
        each bucket (bucket size is the only quadratic term; with b=8/r=4
        and a 0.7 threshold buckets stay tiny);
@@ -179,19 +214,24 @@ def near_dup_pairs(
        fetch text for the exact-Jaccard verification — shingles are only
        recomputed for the few docs that appear in candidate pairs.
 
-    At 100 TB this shuffles ~(k + 8) longs per doc instead of ~8 copies
-    of the document's shingle set (the round-1 formulation), and the
-    verify cost is proportional to candidates, not corpus.
+    At 100 TB this shuffles ~8 longs per doc instead of ~8 copies of the
+    document's shingle set (the round-1 formulation), the verify cost is
+    proportional to candidates, not corpus, and the only corpus-wide
+    exchange left is the (band_id, bucket, id) triple shuffle.
     """
-    sig = minhash_signature_rows(docs, id_col, text_col, shingle_n)
-    band_cols = [
-        F.hash(
-            F.array(*[F.col(f"mh{i * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-        )
-        for i in range(BANDS)
-    ]
+    rows_per_band = F.lit(ROWS_PER_BAND)
+    sig = spread_small_input(docs).filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        minhash_signature_agg(
+            word_shingles(F.col(text_col), shingle_n)
+        ).alias("sig"),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda i: F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, ROWS_PER_BAND)),
+    )
     ids = sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band_id", "bucket")
+        "id", F.posexplode(bands).alias("band_id", "bucket")
     )
 
     grouped = (

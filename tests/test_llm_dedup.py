@@ -71,18 +71,20 @@ def test_dedupe_near_keeps_representative(spark):
 
 
 def test_minhash_forms_agree(spark):
-    """The row-wise scale-path MinHash produces exactly the array-HOF
-    form's values (same base hash, same seeded family, same minimum)."""
+    """All three MinHash renderings — array-HOF, row-wise groupBy, and
+    the map-only single-traversal aggregate — produce exactly the same
+    signatures (same base hash, same seeded family, same minimum)."""
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
         NUM_HASHES,
         minhash_signature,
+        minhash_signature_agg,
         minhash_signature_rows,
         word_shingles,
     )
 
     docs = _docs(spark)
     hof = {
-        r["doc_id"]: r["sig"]
+        r["doc_id"]: list(r["sig"])
         for r in docs.select(
             "doc_id",
             minhash_signature(word_shingles(F.col("text"))).alias("sig"),
@@ -92,7 +94,15 @@ def test_minhash_forms_agree(spark):
         r["id"]: [r[f"mh{j}"] for j in range(NUM_HASHES)]
         for r in minhash_signature_rows(docs).collect()
     }
+    agg = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id",
+            minhash_signature_agg(word_shingles(F.col("text"))).alias("sig"),
+        ).collect()
+    }
     assert hof == rows
+    assert hof == agg
 
 
 def test_simhash_hamming_orders_similarity(spark):

@@ -389,43 +389,81 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- character n-gram Jaccard (oracle-checked verifier) -----------------------------
+# --- n-gram overlap: Jaccard verifier + benchmark-contamination ---------------------
 
-_NGRAM_JACCARD_ORACLE = """
+_NGRAM_OVERLAP_ORACLE = """
 WITH g AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(length(text) - 1, 2)),
            i -> substring(text, CAST(i AS INT), 3))) AS grams
-  FROM documents WHERE doc_id < 25
+  FROM documents WHERE doc_id < 40
+),
+pairs AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         length(list_intersect(t.grams, b.grams)) AS inter,
+         length(t.grams) AS tn, length(b.grams) AS bn
+  FROM g t JOIN g b ON b.doc_id < 10 AND t.doc_id > b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         / (length(a.grams) + length(b.grams)
-            - length(list_intersect(a.grams, b.grams))), 6) AS jaccard_sim
-FROM g a JOIN g b ON a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+SELECT train_id, bench_id,
+       ROUND(CAST(inter AS DOUBLE) / (tn + bn - inter), 6) AS jaccard_sim,
+       ROUND(CAST(inter AS DOUBLE) / bn, 6) AS bench_containment
+FROM pairs
+WHERE inter > 0
+ORDER BY train_id, bench_id
 """
 
 
-@query("q_ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3gram Jaccard over a bounded doc subset (the verifier
-    primitive behind L2, oracle-checked end-to-end)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
-    g = docs.select(
-        F.col("doc_id"), char_ngrams(F.col("text"), 3).alias("grams")
+@query("q_ngram_overlap_pairs", oracle=_NGRAM_OVERLAP_ORACLE)
+def q_ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3gram overlap between a training subset and a "benchmark"
+    subset: exact Jaccard (the L2 verifier primitive) plus asymmetric
+    **benchmark containment** |T∩B| / |B| — the standard
+    benchmark-contamination test a training pipeline runs before a data
+    release.
+
+    Scale shape — an inverted-index join, never array algebra over
+    pairs: the (small) benchmark side explodes to distinct (id, gram)
+    rows and is BROADCAST (benchmark suites are MBs even when the corpus
+    is 100 TB); the training side streams map-side through the join, and
+    the only shuffle is the (train_id, bench_id) count — one row per
+    *matching gram*, zero array payloads. Per-doc gram counts are
+    recomputed map-only and joined to the (tiny) hit table. Pairs with
+    no shared gram never materialize (vs. the oracle's cross join, which
+    filters them after the fact). At real scale the gram join key would
+    be xxhash64(gram) to keep the broadcast narrow; here grams stay
+    strings so DuckDB's list_intersect reproduces counts exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
     )
-    a = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    sizes = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(char_ngrams(F.col("text"), 3)).alias("n_grams"),
+    )
+    bench = grams.filter(F.col("id") < 10).select(
+        F.col("id").alias("bench_id"), "gram"
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "gram")
+        .filter(F.col("id") > F.col("bench_id"))
+        .groupBy(F.col("id").alias("train_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    tn = sizes.select(F.col("id").alias("train_id"), F.col("n_grams").alias("tn"))
+    bn = sizes.select(F.col("id").alias("bench_id"), F.col("n_grams").alias("bn"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        hits.join(F.broadcast(tn), "train_id")
+        .join(F.broadcast(bn), "bench_id")
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("ga"), F.col("gb")), 6).alias(
-                "jaccard_sim"
-            ),
+            "train_id",
+            "bench_id",
+            F.round(
+                F.col("inter") / (F.col("tn") + F.col("bn") - F.col("inter")), 6
+            ).alias("jaccard_sim"),
+            F.round(F.col("inter") / F.col("bn"), 6).alias("bench_containment"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy("train_id", "bench_id")
     )

@@ -54,6 +54,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         etl_queries,
+        llm_curation,
         llm_dedup,
         llm_multimodal,
         llm_similarity,

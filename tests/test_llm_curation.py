@@ -1,0 +1,106 @@
+"""Unit pins for curation ops (sampling determinism, budget cutoff,
+mixing weights) and benchmark-contamination containment."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+    TOKEN_BUDGET,
+    sample_bucket,
+)
+
+
+def test_sample_bucket_deterministic_and_uniform(spark):
+    """Same id → same bucket on every evaluation; buckets spread over
+    0-99 (multiplicative hash, not modulo banding)."""
+    df = spark.range(0, 2000).select(
+        F.col("id"), sample_bucket(F.col("id")).alias("b")
+    )
+    a = {r["id"]: r["b"] for r in df.collect()}
+    b = {r["id"]: r["b"] for r in df.collect()}
+    assert a == b  # rerun-stable
+    buckets = set(a.values())
+    assert buckets <= set(range(100))
+    assert len(buckets) == 100  # all cells hit at n=2000
+    # no gross skew: every bucket within 3x of uniform expectation
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) < 3 * (2000 / 100)
+
+
+def test_budget_cutoff_exact(spark):
+    """Cumulative-sum selection keeps exactly the prefix that fits."""
+    rows = [
+        Row(lang="en", doc_id=i, tokens=t)
+        for i, t in enumerate([900, 800, 700, 100])
+    ]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        df.withColumn("cum", F.sum("tokens").over(w))
+        .filter(F.col("cum") <= TOKEN_BUDGET)
+        .select("doc_id")
+        .collect()
+    )
+    # 900 then 900+800=1700 > 1500 → only the first doc fits
+    assert sorted(r["doc_id"] for r in kept) == [0]
+
+
+def test_curation_mix_weights_sum_to_one(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    out = QUERIES["q_curation_mix"](spark, sf_dir).collect()
+    assert len(out) == 5  # one row per language
+    assert abs(sum(r["mix_weight"] for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert 0 <= r["n_selected"] <= r["n_sampled"] <= r["n_docs"]
+        assert r["tokens_selected"] <= TOKEN_BUDGET
+
+
+def test_contamination_flags_planted_copy(spark):
+    """A training doc that embeds a benchmark doc verbatim shows
+    containment ≈ 1; an unrelated doc never pairs with it."""
+    bench_text = "what is the capital of france the capital is paris"
+    rows = [
+        Row(doc_id=0, text=bench_text),  # benchmark (id < 10)
+        Row(doc_id=50, text="intro text " + bench_text + " outro text"),
+        Row(doc_id=60, text="entirely unrelated prose about spark shuffles"),
+    ]
+    docs = spark.createDataFrame(rows)
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        char_ngrams,
+        jaccard,
+    )
+
+    g = docs.select("doc_id", char_ngrams(F.col("text"), 3).alias("grams"))
+    b = g.filter(F.col("doc_id") == 0).select(
+        F.col("grams").alias("bg"), F.size("grams").alias("bn")
+    )
+    out = {
+        r["doc_id"]: r["containment"]
+        for r in g.filter(F.col("doc_id") > 0)
+        .crossJoin(b)
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_intersect("grams", "bg")) / F.col("bn")
+            ).alias("containment"),
+        )
+        .collect()
+    }
+    assert out[50] == 1.0  # verbatim inclusion → full containment
+    assert out[60] < 0.3

@@ -1,0 +1,107 @@
+"""Partitioned lake layout — the physical table format at 100 TB.
+
+A production corpus is not one directory of parquet files; it is a
+hive-partitioned tree (``dt=2026-08-01/…``) whose layout determines
+whether a query scans 100 TB or 100 GB. Three primitives live here:
+
+- :func:`write_partitioned` — partitionBy write with the file-count
+  controlled: the input is shuffled once on the partition columns so
+  each partition cell is produced by a bounded number of tasks, instead
+  of every task writing a sliver into every cell (the small-files
+  explosion: tasks × cells files per batch, the classic lake killer).
+- :func:`overwrite_partitions` — dynamic partition overwrite: replaces
+  ONLY the cells present in the incoming batch (idempotent backfill /
+  late-data re-run), never touching sibling partitions. This is the
+  write-side contract that makes per-day re-processing safe.
+- :func:`compact_partitions` — bin-packs the small files that
+  accumulate from incremental appends back into few-files-per-cell,
+  staged + filesystem-rename swapped (metadata-only, no second data
+  copy — same swap discipline as ``sinks.upsert_parquet``).
+
+Read-side, partition pruning is free once the layout exists: a filter
+on the partition column appears as ``PartitionFilters`` in the scan
+(asserted in tests/test_layout.py) and prunes whole directories before
+any IO happens — the difference between touching 3 files and 3 million.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write with bounded files per cell.
+
+    ``files_per_partition == 1``: one shuffle keyed on the partition
+    columns — each cell lands in exactly one task, one file. For large
+    cells, a deterministic xxhash64 salt widens each cell to exactly
+    ``files_per_partition`` writer tasks (no ``rand()``: retries and
+    speculative tasks must route rows identically).
+    """
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        arranged = df.repartition(*cols, salt)
+    else:
+        arranged = df.repartition(*cols)
+    arranged.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace only the cells in ``df``.
+
+    Static overwrite would drop EVERY existing partition first; dynamic
+    mode (a write option since Spark 3.0, no session-level conf flip
+    needed) computes the distinct partition values in the batch and
+    substitutes exactly those directories. Sibling partitions are
+    untouched — re-running one day of a 5-year table rewrites one day.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Bin-pack accumulated small files back to few per cell.
+
+    Incremental appends leave one file per (batch × cell); a month of
+    hourly loads is 720 slivers per cell and the scan pays per-file
+    open/footer cost. Read → re-shuffle on the partition columns →
+    staged write → filesystem rename swap. The shuffle moves each cell
+    once; the swap is metadata-only.
+    """
+    merged = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compacting"
+    write_partitioned(
+        merged, staging, partition_cols, files_per_partition, mode="overwrite"
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(staging), hconf
+    )
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(target, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), target):
+        raise IOError(f"rename {staging} -> {path} failed")

@@ -1,0 +1,123 @@
+"""Partitioned-lake layout: pruning, dynamic overwrite, compaction.
+
+These pin the physical-layout contract that matters at 100 TB: a filter
+on the partition column must prune directories (PartitionFilters in the
+scan, not a post-scan Filter), per-day overwrite must not touch sibling
+days, and compaction must shrink file counts without changing data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+    compact_partitions,
+    overwrite_partitions,
+    write_partitioned,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+
+def _events_with_date(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("event_date", F.to_date("ts"))
+
+
+def _parquet_files(path):
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_by_date")
+    ev = _events_with_date(spark, sf_dir)
+    write_partitioned(ev, path, ["event_date"])
+
+    dates = [r["event_date"] for r in ev.select("event_date").distinct().collect()]
+    assert len(dates) > 1, "fixture must span multiple dates"
+    one = sorted(dates)[0]
+
+    back = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # pruned read returns exactly that day's rows
+    expected = ev.filter(F.col("event_date") == F.lit(one)).count()
+    assert back.count() == expected
+
+
+def test_write_partitioned_bounds_files_per_cell(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_one_file")
+    ev = _events_with_date(spark, sf_dir)
+    write_partitioned(ev, path, ["event_date"])
+    n_cells = ev.select("event_date").distinct().count()
+    assert len(_parquet_files(path)) == n_cells  # exactly 1 file per cell
+
+    path3 = str(tmp_path / "events_three_files")
+    write_partitioned(ev, path3, ["event_date"], files_per_partition=3)
+    assert len(_parquet_files(path3)) <= 3 * n_cells
+
+
+def test_dynamic_overwrite_touches_only_batch_partitions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_dyn")
+    ev = _events_with_date(spark, sf_dir)
+    write_partitioned(ev, path, ["event_date"])
+
+    dates = sorted(
+        r["event_date"] for r in ev.select("event_date").distinct().collect()
+    )
+    target, sibling = dates[0], dates[-1]
+    before_sibling = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit(sibling))
+        .count()
+    )
+
+    # re-deliver the target day with a marker value
+    batch = ev.filter(F.col("event_date") == F.lit(target)).withColumn(
+        "value", F.lit(-1.0)
+    )
+    overwrite_partitions(batch, path, ["event_date"])
+
+    after = spark.read.parquet(path)
+    # sibling partition unchanged
+    assert (
+        after.filter(F.col("event_date") == F.lit(sibling)).count()
+        == before_sibling
+    )
+    # target partition fully replaced by the marker batch
+    got = after.filter(F.col("event_date") == F.lit(target))
+    assert got.count() == batch.count()
+    assert got.filter(F.col("value") != -1.0).count() == 0
+
+
+def test_compaction_shrinks_files_keeps_data(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_fragmented")
+    ev = _events_with_date(spark, sf_dir).cache()
+    # simulate 4 incremental appends → 4 slivers per cell
+    for _ in range(4):
+        (
+            ev.repartition(*[F.col("event_date")])
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    n_cells = ev.select("event_date").distinct().count()
+    assert len(_parquet_files(path)) == 4 * n_cells
+
+    before = spark.read.parquet(path)
+    checksum_before = before.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.hash(*before.columns)).alias("h")
+    ).collect()[0]
+
+    compact_partitions(spark, path, ["event_date"])
+    assert len(_parquet_files(path)) == n_cells
+
+    after = spark.read.parquet(path)
+    checksum_after = after.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.hash(*after.columns)).alias("h")
+    ).collect()[0]
+    assert checksum_before == checksum_after
+    ev.unpersist()

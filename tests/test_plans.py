@@ -120,3 +120,24 @@ def test_per_row_suites_are_map_only(spark, sf_dir):
     # the scan — zero exchanges at any scale
     assert count_exchanges(QUERIES["q_scalar_suite"](spark, sf_dir)) == 0
     assert count_exchanges(QUERIES["q_doc_profile"](spark, sf_dir)) == 0
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    # the benchmark side must broadcast (MBs even at 100 TB corpus) and
+    # no exchange may carry a gram array — only exploded scalar rows
+    df = QUERIES["q_ngram_overlap_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    exchange_lines = [
+        line for line in plan.splitlines() if "Exchange" in line
+    ]
+    assert not any("grams" in line for line in exchange_lines)
+
+
+def test_curation_mix_single_stratum_shuffle(spark, sf_dir):
+    # sampling is map-side (hash bucket filter, no rand()); the window
+    # cumsum keys one exchange on lang; summaries broadcast-join
+    df = QUERIES["q_curation_mix"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert plan.count("SortMergeJoin") == 0  # tiny summaries broadcast

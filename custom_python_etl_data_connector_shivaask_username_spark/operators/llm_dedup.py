@@ -88,6 +88,9 @@ def jaccard(a: Column, b: Column) -> Column:
 NUM_HASHES = 32
 BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // BANDS
+#: buckets larger than this emit star pairs around the min-id
+#: representative instead of all pairs (template-spam skew guard)
+MAX_BUCKET_PAIRS_SIZE = 32
 
 
 def _seeded_hash(seed: int):
@@ -239,23 +242,40 @@ def near_dup_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .filter(F.size("members") > 1)
     )
+    # Skew guard: a bucket with b members yields b(b-1)/2 pairs — fine at
+    # the normal b=2-5, catastrophic for template-spam clusters (b in the
+    # thousands: one viral boilerplate = millions of pairs from one
+    # bucket). Above MAX_BUCKET_PAIRS_SIZE, collapse to star pairs
+    # around the min-id representative: (b-1) edges instead of
+    # b(b-1)/2, which still links every member to the surviving
+    # representative (exactly what greedy dedupe consumes) while
+    # bounding work linear in bucket size. Verified-pair semantics for
+    # small buckets are unchanged.
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("members") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("members"), i + 1, F.size("members") - i),
+                lambda m: F.struct(
+                    F.element_at(F.col("members"), i).alias("id_a"),
+                    m.alias("id_b"),
+                ),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(F.col("members"), 2, F.size("members") - 1),
+        lambda m: F.struct(
+            F.element_at(F.col("members"), 1).alias("id_a"),
+            m.alias("id_b"),
+        ),
+    )
     pairs = (
         grouped.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("members") - 1),
-                        lambda i: F.transform(
-                            F.slice(
-                                F.col("members"), i + 1, F.size("members") - i
-                            ),
-                            lambda m: F.struct(
-                                F.element_at(F.col("members"), i).alias("id_a"),
-                                m.alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
+                F.when(
+                    F.size("members") <= MAX_BUCKET_PAIRS_SIZE, all_pairs
+                ).otherwise(star_pairs)
             ).alias("p")
         )
         .select("p.*")

@@ -1,0 +1,144 @@
+"""Empirical scale check: do the core operators scale linearly?
+
+Replicates the sf0.1 fixtures in-memory at x1 / x4 / x16 (ids remapped,
+document text perturbed per replica so near-dup structure stays
+realistic instead of every doc gaining 15 exact clones), times the
+operators whose scale behavior matters most, and prints one JSON line
+per (operator, factor) plus a fitted scaling exponent
+``log(t_16/t_1) / log(16)`` — 1.0 is perfectly linear, >1.3 smells like
+a quadratic term or a collapsing-parallelism stage.
+
+This is a diagnostic harness, not part of the driver contract
+(bench.py is). Results are recorded in SCALE.md.
+
+Usage: python scale_check.py [--factors 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+    near_dup_pairs,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.session import get_spark
+from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+OFFSET = 10_000_000
+
+
+def replicate(df: DataFrame, factor: int, id_cols: list[str],
+              perturb_text: str | None = None) -> DataFrame:
+    """factor copies with ids remapped into disjoint ranges."""
+    if factor == 1:
+        return df
+    reps = df.sparkSession.range(factor).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(F.broadcast(reps))
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * OFFSET)
+    if perturb_text:
+        # word-level perturbation: every 5th word gets a replica suffix,
+        # so shingle-level Jaccard between replicas drops to ~0.34 —
+        # below the near-dup threshold. A tail-only tag would leave
+        # replicas as 5k dense near-dup clusters, and the near-dup
+        # OUTPUT (hence runtime) would grow quadratically in the factor
+        # by construction, measuring the data pathology, not the engine.
+        words = F.split(F.col(perturb_text), " ")
+        out = out.withColumn(
+            perturb_text,
+            F.concat_ws(
+                " ",
+                F.transform(
+                    words,
+                    lambda w, i: F.when(
+                        i % 5 == 0,
+                        F.concat(w, F.lit("r"), F.col("_rep")),
+                    ).otherwise(w),
+                ),
+            ),
+        )
+    return out.drop("_rep")
+
+
+def timed(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,4,16")
+    factors = [int(x) for x in ap.parse_args().factors.split(",")]
+
+    spark = get_spark("scale-check")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    events = load_table(spark, SF_DIR, "events")
+
+    def cases(f: int) -> dict[str, DataFrame]:
+        d = replicate(docs, f, ["doc_id"], perturb_text="text")
+        e = replicate(emb, f, ["vec_id"])
+        o = replicate(orders, f, ["o_orderkey", "o_custkey"])
+        li = replicate(lineitem, f, ["l_orderkey"])
+        ev = replicate(events, f, ["event_id", "user_id"])
+        return {
+            "exact_dedup": d.groupBy(F.md5("text").alias("h")).agg(
+                F.min("doc_id").alias("doc_id"),
+                F.count(F.lit(1)).alias("dupe_count"),
+            ),
+            "minhash_near_dup": near_dup_pairs(d, threshold=0.5),
+            "fact_fact_join_agg": (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("revenue")
+                )
+            ),
+            "embedding_centroids": (
+                e.select(
+                    "label", F.posexplode("embedding").alias("pos", "v")
+                )
+                .groupBy("label", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .groupBy("label")
+                .agg(F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias("c"))
+            ),
+            "window_ranks": ev.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("user_id")
+                    .orderBy("ts", "event_id")
+                ),
+            ).filter(F.col("rn") <= 3),
+        }
+
+    results: dict[str, dict[int, float]] = {}
+    for f in factors:
+        for name, df in cases(f).items():
+            if f == factors[0]:
+                timed(df)  # warm the JVM/codegen once on the smallest factor
+            secs = timed(df)
+            results.setdefault(name, {})[f] = round(secs, 3)
+            print(json.dumps({"op": name, "factor": f, "sec": round(secs, 3)}))
+
+    lo, hi = factors[0], factors[-1]
+    for name, by_f in results.items():
+        exp = math.log(by_f[hi] / by_f[lo]) / math.log(hi / lo)
+        print(json.dumps({"op": name, "scaling_exponent": round(exp, 3)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -202,3 +202,19 @@ def test_ann_candidates_are_reduced(spark, sf_dir):
         emb.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
     )
     assert biggest < total / 4  # buckets genuinely partition the space
+
+
+def test_giant_bucket_emits_star_pairs(spark):
+    """Template-spam guard: a bucket over MAX_BUCKET_PAIRS_SIZE yields
+    (b-1) representative edges, not b(b-1)/2 pairs — and every member
+    still links to the min-id survivor for greedy dedupe."""
+    n = 80
+    rows = [Row(doc_id=i, text=BASE) for i in range(n)]  # one spam cluster
+    docs = spark.createDataFrame(rows)
+    pairs = near_dup_pairs(docs, threshold=0.9).collect()
+    assert len(pairs) == n - 1  # star around the representative
+    assert all(r["id_a"] == 0 for r in pairs)  # min-id representative
+    assert sorted(r["id_b"] for r in pairs) == list(range(1, n))
+    # greedy dedupe keeps exactly the representative
+    kept = sorted(r["doc_id"] for r in dedupe_near(docs, threshold=0.9).collect())
+    assert kept == [0]

@@ -235,6 +235,139 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_batch(emb, ANN_QUERY_IDS, TOP_K, probe_hamming=1)
 
 
+# --- L3 scale path #2: IVF (k-means coarse quantizer) -------------------------
+
+
+def _nearest_centroid(emb_col, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Cluster id of the max-dot-product centroid (centroids enter the
+    plan as literals — the broadcast-small-side idiom for n ≤ a few
+    hundred). Parallel-array argmax: ``array_position(sims, max(sims))``
+    stays one codegen'd expression; ties resolve to the lowest cid
+    (first occurrence), deterministically. (A struct-array max would be
+    tidier, but ``F.array`` coerces away struct field names.)"""
+    sims = F.array(
+        *[F.round(dot(emb_col, lit_vector(vec)), 9) for _, vec in centroids]
+    )
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    return F.element_at(cids, idx)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's iterations in pure DataFrame ops.
+
+    Init is deterministic (the ``n_clusters`` rows with the smallest
+    ``xxhash64(id)`` — seeded shuffle-order-independent sampling, no
+    ``rand()``). Each iteration: assign = map-only argmax against the
+    broadcast-literal centroids; update = posexplode + (cluster, pos)
+    exact-decimal mean — one shuffle whose cardinality is
+    ``clusters × dims`` regardless of corpus size. The driver touches
+    only the ``n×d`` centroid matrix per iteration (the same contract
+    as MLlib's KMeans), never corpus rows.
+    """
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = emb.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "v"),
+        )
+        means = (
+            assigned.groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(27,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("c"))
+            .collect()
+        )
+        centroids = [
+            (r["cid"], [float(x["m"]) for x in r["c"]]) for r in means
+        ]
+    return sorted(centroids)
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    query_vec_ids,
+    k: int = TOP_K,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are inverted-listed by nearest centroid;
+    each query probes its ``n_probe`` nearest cells. Complement to the
+    LSH path — IVF adapts to the data distribution (clustered
+    embeddings ⇒ tight cells) where hyperplane LSH is
+    distribution-oblivious.
+
+    Scale shape: train on a sample (here: the corpus; at 100 TB a
+    ``sample(0.001)``), assignment is map-only against literal
+    centroids, and the probe table (queries × n_probe rows) broadcasts
+    into one hash join on the cell id — identical join geometry to
+    :func:`ann_topk_batch`, so candidates shrink
+    ``n_clusters/n_probe``-fold.
+    """
+    centroids = kmeans_centroids(emb, n_clusters, iters)
+    base = emb.withColumn(
+        "cell", _nearest_centroid(F.col("embedding"), centroids)
+    )
+    queries = base.filter(
+        F.col("vec_id").isin(*[int(i) for i in query_vec_ids])
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    # n_probe nearest cells per query: zip (sim, cid), sort, take the
+    # top slice (arrays_zip keeps alias field names; F.array over
+    # structs would coerce them away)
+    q_sims = F.array(
+        *[
+            F.round(dot(F.col("q_emb"), lit_vector(vec)), 9)
+            for _, vec in centroids
+        ]
+    )
+    q_cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    cell_scores = F.arrays_zip(q_sims.alias("sim"), q_cids.alias("cid"))
+    probes = queries.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)
+        ).alias("p"),
+    ).select("q_id", "q_emb", F.col("p.cid").alias("cell"))
+    cands = base.join(F.broadcast(probes), on="cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cands.withColumn(
+        "cos_sim", F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "label", "cos_sim")
+        .orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
 # --- L5: per-label centroids ----------------------------------------------------
 
 _CENTROID_ORACLE = """

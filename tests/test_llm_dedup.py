@@ -218,3 +218,63 @@ def test_giant_bucket_emits_star_pairs(spark):
     # greedy dedupe keeps exactly the representative
     kept = sorted(r["doc_id"] for r in dedupe_near(docs, threshold=0.9).collect())
     assert kept == [0]
+
+
+def test_ivf_kmeans_recovers_planted_blobs(spark):
+    """Lloyd's DataFrame k-means separates 3 well-spaced gaussian blobs
+    and is deterministic across runs (hash-seeded init, no rand())."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        _nearest_centroid,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    anchors = [rng.standard_normal(16) * 10 for _ in range(3)]
+    rows = []
+    for b, a in enumerate(anchors):
+        for i in range(40):
+            v = a + rng.standard_normal(16) * 0.3
+            rows.append((b * 100 + i, v.tolist(), b))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    c1 = kmeans_centroids(emb, n_clusters=3, iters=4)
+    c2 = kmeans_centroids(emb, n_clusters=3, iters=4)
+    assert c1 == c2  # rerun-deterministic
+
+    assigned = emb.select(
+        "label", _nearest_centroid(F.col("embedding"), c1).alias("cid")
+    ).collect()
+    # every blob maps to exactly one cell and cells don't merge blobs
+    by_label = {}
+    for r in assigned:
+        by_label.setdefault(r["label"], set()).add(r["cid"])
+    assert all(len(cells) == 1 for cells in by_label.values())
+    assert len({next(iter(c)) for c in by_label.values()}) == 3
+
+
+def test_ivf_topk_recall_on_planted_cluster(spark):
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivf_topk_batch,
+    )
+
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal(64)
+    rows = [(0, (q / np.linalg.norm(q)).tolist(), 0)]
+    for i in range(1, 21):
+        v = q + 0.15 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    for i in range(21, 300):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    got = ivf_topk_batch(emb, [0], k=10, n_clusters=8, n_probe=3).collect()
+    hits = {r["vec_id"] for r in got}
+    recall = len([v for v in hits if 1 <= v <= 20]) / 10
+    assert recall >= 0.8, (recall, sorted(hits))

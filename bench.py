@@ -41,6 +41,8 @@ HEADLINE: list[str] = [
     "q_tfidf_top_terms",
     "q_chunk_documents",
     "q_etl_events_normalized",
+    "q_ngram_overlap_pairs",
+    "q_curation_mix",
 ]
 
 

@@ -316,10 +316,86 @@ def dedupe_near(
 ) -> DataFrame:
     """Greedy near-dedup: drop every doc that is the larger id of some
     near-dup pair (keeps one representative per pairwise cluster edge —
-    the standard single-pass LSH dedup; full connected components would
-    iterate this to a fixpoint)."""
+    the standard single-pass LSH dedup; :func:`dedupe_near_cc` iterates
+    the cluster graph to its transitive closure instead)."""
     pairs = near_dup_pairs(docs, id_col, text_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    ``(id, component)`` where component = the smallest id reachable.
+
+    Each iteration is one shuffle join (labels onto the bidirectional
+    edge list) + one min-aggregation; convergence takes O(graph
+    diameter) rounds, and near-dup cluster graphs are shallow (star-like
+    around templates), so 3-5 rounds is typical. ``localCheckpoint``
+    truncates the lineage each round — without it the plan doubles per
+    iteration and the optimizer re-executes the whole history (the
+    classic iterative-DataFrame trap). This is the simple rendering of
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14); the
+    star-contraction variant converges in O(log n) for pathological
+    long-chain graphs, which dedup graphs are not.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    bi = bi.localCheckpoint(eager=True)
+    labels = (
+        bi.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # candidate label for v: the min label among v's neighbors
+        prop = (
+            bi.join(labels, bi.u == labels.id)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedupe_near_cc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Transitive near-dedup: build the near-dup pair graph, contract it
+    to connected components, and keep exactly the min-id doc of each
+    component. Unlike the greedy pass, a chain A~B~C keeps only A (B
+    and C both belong to A's component even though A~C was never a
+    verified pair)."""
+    pairs = near_dup_pairs(docs, id_col, text_col, threshold)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return docs.join(losers, on=id_col, how="left_anti")
 
 

@@ -278,3 +278,37 @@ def test_ivf_topk_recall_on_planted_cluster(spark):
     hits = {r["vec_id"] for r in got}
     recall = len([v for v in hits if 1 <= v <= 20]) / 10
     assert recall >= 0.8, (recall, sorted(hits))
+
+
+def test_connected_components_path_and_isolate(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+         Row(id_a=7, id_b=9)],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 7: 7, 9: 7}
+
+
+def test_dedupe_near_cc_collapses_chains(spark):
+    """A~B and B~C but not A~C: greedy and CC both keep A, but only CC
+    guarantees it via the component, not via pair-direction luck; and a
+    component's survivor is always its min id."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        dedupe_near_cc,
+    )
+
+    # chain: 0 ~ 1 (one word), 1 ~ 2 (two words off 0, one off 1)
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE.replace("lazy", "sleepy")),
+        Row(doc_id=2, text=BASE.replace("lazy", "sleepy").replace("cat", "bird")),
+        Row(doc_id=4, text="completely different content about distributed "
+            "query engines shuffling partitions across a large cluster"),
+    ]
+    docs = spark.createDataFrame(rows)
+    kept = sorted(r["doc_id"] for r in dedupe_near_cc(docs, threshold=0.5).collect())
+    assert kept == [0, 4]

@@ -121,6 +121,50 @@ def foreach_batch_load(
     q.awaitTermination()
 
 
+def foreach_batch_load_idempotent(
+    sdf: DataFrame,
+    connector_name: str,
+    base_path: str,
+    transform=None,
+) -> str:
+    """ST1 with an exactly-once sink: each micro-batch lands as the
+    hive partition ``_batch_id=<id>`` via dynamic partition overwrite.
+
+    ``foreachBatch`` is at-least-once — after a failure between the
+    sink write and the checkpoint commit, the SAME batch id is
+    re-delivered and a plain append would double its rows. Keying the
+    physical layout on the (stable, monotonic) batch id and
+    *overwriting* that one partition makes re-delivery idempotent:
+    exactly-once output from an at-least-once contract, with no
+    read-modify-write and no sink-side transaction log. Returns the
+    table path.
+    """
+    from ..sources.layout import overwrite_partitions
+    from ..sources.sinks import raw_table_path
+
+    path = raw_table_path(base_path, connector_name)
+
+    def load_fn(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        overwrite_partitions(
+            out.withColumn("_batch_id", F.lit(batch_id)),
+            path,
+            ["_batch_id"],
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(load_fn)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"{base_path.rstrip('/')}/_checkpoint_{connector_name}_idem",
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return path
+
+
 # --- ST2+ST5+ST6: dedup'd tumbling window aggregation ------------------------
 
 _TUMBLING_ORACLE = """

@@ -228,3 +228,63 @@ def test_stateful_funnel_applyinpandas(spark, tmp_path):
         r["user_id"]: r["funnel_depth"] for r in spark.table(name).collect()
     }
     assert depths == {1: 3, 2: 2, 3: 0}
+
+
+def test_idempotent_batch_sink_survives_redelivery(spark, sf_dir, tmp_path):
+    """Re-delivering a batch id must not duplicate rows: the sink keys
+    the physical partition on _batch_id and overwrites it."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        overwrite_partitions,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        foreach_batch_load_idempotent,
+        stream_events,
+    )
+
+    base = str(tmp_path / "idem")
+    path = foreach_batch_load_idempotent(
+        stream_events(spark, sf_dir), "events", base
+    )
+    first = spark.read.parquet(path)
+    n = first.count()
+    batch_ids = [r["_batch_id"] for r in first.select("_batch_id").distinct().collect()]
+    assert n > 0 and len(batch_ids) >= 1
+
+    # simulate the failure path: the SAME batch (same id) delivered again
+    redelivered = first.filter(F.col("_batch_id") == batch_ids[0]).drop("_batch_id")
+    overwrite_partitions(
+        redelivered.withColumn("_batch_id", F.lit(batch_ids[0])),
+        path,
+        ["_batch_id"],
+    )
+    assert spark.read.parquet(path).count() == n  # no duplication
+
+
+def test_metrics_listener_captures_batches(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.metrics import (
+        MetricsCollector,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        run_stream_to_df,
+        stream_events,
+    )
+
+    collector = MetricsCollector()
+    spark.streams.addListener(collector)
+    try:
+        out = run_stream_to_df(
+            stream_events(spark, sf_dir).groupBy("event_type").count(),
+            output_mode="complete",
+        )
+        n_types = out.count()
+        # listener events are delivered asynchronously on the event bus
+        import time
+
+        deadline = time.time() + 30
+        while collector.total_rows() == 0 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(collector)
+    assert n_types > 0
+    assert collector.total_rows() > 0
+    assert any(m.batch_duration_ms >= 0 for m in collector.metrics)

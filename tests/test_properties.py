@@ -124,3 +124,38 @@ def test_chunker_covers_every_word(spark, n_words, chunk):
     seen = set(" ".join(chunks).split())
     assert seen == set(words)
     assert all(len(c.split()) <= chunk for c in chunks)
+
+
+@given(
+    tokens=st.lists(
+        st.integers(min_value=1, max_value=400), min_size=1, max_size=20
+    ),
+    budget_lo=st.integers(min_value=100, max_value=500),
+    extra=st.integers(min_value=1, max_value=500),
+)
+@_settings
+def test_token_budget_selection_is_monotone(spark, tokens, budget_lo, extra):
+    """A larger budget never deselects a doc chosen under a smaller one
+    (prefix-closed selection), and selected token mass never exceeds
+    the budget."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, tokens=t) for i, t in enumerate(tokens)]
+    )
+    w = (
+        Window.orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("cum", F.sum("tokens").over(w))
+
+    def select(budget):
+        picked = cum.filter(F.col("cum") <= budget)
+        rows = picked.collect()
+        return {r["doc_id"] for r in rows}, sum(r["tokens"] for r in rows)
+
+    small_ids, small_mass = select(budget_lo)
+    big_ids, big_mass = select(budget_lo + extra)
+    assert small_ids <= big_ids
+    assert small_mass <= budget_lo
+    assert big_mass <= budget_lo + extra

@@ -208,10 +208,47 @@ def sample_frames(
     return cols.mapInPandas(batches, FRAME_SCHEMA)
 
 
-@query("q_multimodal_features")  # rows-only: pandas-UDF feature extraction
+_MULTIMODAL_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, substring(hx, CAST(2*i - 1 AS BIGINT), 2) AS byte_hex,
+         COUNT(*) AS c
+  FROM b, unnest(range(1, n + 1)) AS t(i)
+  GROUP BY doc_id, substring(hx, CAST(2*i - 1 AS BIGINT), 2)
+),
+ent AS (
+  SELECT h.doc_id,
+         ROUND(-SUM((CAST(c AS DOUBLE) / b.n) * log2(CAST(c AS DOUBLE) / b.n)),
+               6) AS byte_entropy
+  FROM hist h JOIN b ON h.doc_id = b.doc_id
+  GROUP BY h.doc_id, b.n
+)
+SELECT b.lang,
+       COUNT(*) AS n_media,
+       ROUND(CAST(SUM(CAST(e.byte_entropy AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_entropy,
+       MAX(b.n) AS max_bytes
+FROM b JOIN ent e ON b.doc_id = e.doc_id
+GROUP BY b.lang
+ORDER BY b.lang
+"""
+
+
+@query("q_multimodal_features", oracle=_MULTIMODAL_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10 end-to-end: blob column + metadata → Arrow batches → features →
-    relational aggregation back on the JVM side."""
+    relational aggregation back on the JVM side.
+
+    Oracle-checked: the synthetic blobs are the documents' UTF-8 bytes,
+    so DuckDB reproduces byte count and Shannon byte entropy exactly
+    (hex-sliced byte histogram + log2). Per-media entropies round to 6
+    before an exact-decimal mean, so the only float comparisons cross
+    engines at rounded values — the repo's standard determinism recipe.
+    """
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media_table(docs)
     feats = extract_features(media)
@@ -223,7 +260,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+            F.round(
+                F.sum(F.col("byte_entropy").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_entropy"),
             F.max("n_bytes").alias("max_bytes"),
         )
         .orderBy("lang")

@@ -66,6 +66,37 @@ def replicate(df: DataFrame, factor: int, id_cols: list[str],
     return out.drop("_rep")
 
 
+def _curation(docs: DataFrame) -> DataFrame:
+    """The q_curation_mix shape over an arbitrary docs frame — sampling
+    filter (map-side), per-lang window cumsum (THE skew-sensitive
+    stage: few strata, big cells), budget filter, 5-row summary."""
+    from pyspark.sql import Window
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        TOKEN_BUDGET,
+        sample_bucket,
+    )
+
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tokens"),
+        (sample_bucket(F.col("doc_id")) < 40).alias("keep"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.filter("keep")
+        .withColumn("cum", F.sum("tokens").over(w))
+        .filter(F.col("cum") <= TOKEN_BUDGET * 1000)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens").alias("toks"))
+    )
+
+
 def timed(df: DataFrame) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -114,6 +145,7 @@ def main() -> None:
                 .groupBy("label")
                 .agg(F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias("c"))
             ),
+            "curation_budget": _curation(d),
             "window_ranks": ev.withColumn(
                 "rn",
                 F.row_number().over(

@@ -41,6 +41,96 @@ DEFAULT_RATE_PCT = 25
 #: per-language token budget for the selection stage
 TOKEN_BUDGET = 1500
 
+
+def curate_corpus(
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.7,
+    contamination_threshold: float = 0.5,
+    rates_pct: dict[str, int] | None = None,
+    token_budget: int = TOKEN_BUDGET,
+) -> DataFrame:
+    """The end-to-end curation pipeline, composed from this engine's
+    operators in production order:
+
+    1. quality filter (map-only heuristics, `functions.text.quality_score`);
+    2. exact dedup (one content-hash shuffle, min-id survivor);
+    3. transitive near-dedup (MinHash-LSH pairs → connected components);
+    4. benchmark-contamination removal (broadcast n-gram containment vs
+       ``bench_docs``, when given);
+    5. deterministic stratified sampling per language;
+    6. per-language token-budget selection (windowed cumsum).
+
+    Returns the curated docs frame (original columns + ``tokens``).
+    Every stage is individually oracle- or pin-tested; this function
+    pins their composition. Stage order matters at scale: the map-only
+    quality filter runs FIRST so every shuffle downstream moves only
+    surviving rows, and contamination runs after dedup so the broadcast
+    join sees each surviving text once.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score, token_count
+    from .llm_dedup import char_ngrams, dedupe_near_cc
+
+    rates = rates_pct or SAMPLE_RATE_PCT
+
+    # 1. quality gate — map-only, prunes before any shuffle
+    kept = docs.filter(quality_score(F.col("text")) >= min_quality)
+
+    # 2. exact dedup — min doc_id survives per content hash
+    h = kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = kept.join(h.select("doc_id"), "doc_id", "left_semi")
+
+    # 3. transitive near-dedup
+    kept = dedupe_near_cc(kept, threshold=near_dup_threshold)
+
+    # 4. contamination: drop docs containing too much of any benchmark doc
+    if bench_docs is not None:
+        grams = kept.select(
+            "doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("gram")
+        )
+        bgrams = bench_docs.select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
+        )
+        bsizes = bench_docs.select(
+            F.col("doc_id").alias("bench_id"),
+            F.size(char_ngrams(F.col("text"), 3)).alias("bn"),
+        )
+        contaminated = (
+            grams.join(F.broadcast(bgrams), "gram")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(F.broadcast(bsizes), "bench_id")
+            .filter(F.col("inter") / F.col("bn") >= contamination_threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+
+    # 5. deterministic stratified sample
+    rate = F.lit(DEFAULT_RATE_PCT)
+    for lang, pct in rates.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    kept = kept.filter(sample_bucket(F.col("doc_id")) < rate)
+
+    # 6. token budget per language
+    kept = kept.withColumn("tokens", token_count(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        kept.withColumn("_cum", F.sum("tokens").over(w))
+        .filter(F.col("_cum") <= token_budget)
+        .drop("_cum", "_h")
+    )
+
 _CURATION_MIX_ORACLE = f"""
 WITH scored AS (
   SELECT lang, doc_id,

@@ -104,3 +104,44 @@ def test_contamination_flags_planted_copy(spark):
     }
     assert out[50] == 1.0  # verbatim inclusion → full containment
     assert out[60] < 0.3
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Composition pin: every stage's planted defect is removed and the
+    survivors carry token counts under the budget."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        curate_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a warm windowsill in the late afternoon sun"
+    )
+    bench_text = "what is the capital of france the capital is paris"
+    rows = [
+        Row(doc_id=0, lang="en", text=base),
+        Row(doc_id=1, lang="en", text=base),  # exact dup -> dropped
+        Row(doc_id=2, lang="en", text=base.replace("lazy", "sleepy")),  # near dup -> dropped
+        Row(doc_id=3, lang="en", text="!!! ??? !!! ??? !!!"),  # low quality -> dropped
+        Row(doc_id=4, lang="en", text="intro words " + bench_text + " outro words"),  # contaminated -> dropped
+        Row(doc_id=5, lang="de", text="der schnelle braune fuchs springt ueber den "
+            "faulen hund waehrend die katze aus dem warmen fenster zusieht"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(doc_id=900, text=bench_text)])
+
+    out = curate_corpus(
+        docs,
+        bench_docs=bench,
+        near_dup_threshold=0.5,
+        contamination_threshold=0.5,
+        rates_pct={"en": 100, "de": 100},
+        token_budget=10_000,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept  # survivor of the dup cluster
+    assert 1 not in kept and 2 not in kept  # exact + near dup gone
+    assert 3 not in kept  # low quality gone
+    assert 4 not in kept  # contaminated gone
+    assert 5 in kept  # clean other-language doc kept
+    assert all(r["tokens"] > 0 for r in out.collect())

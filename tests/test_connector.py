@@ -226,3 +226,59 @@ def test_load_env_no_override(tmp_path, monkeypatch):
     import os
 
     assert os.environ["KEEP_ME"] == "original"
+
+
+def test_run_connector_end_to_end(stub, spark, tmp_path):
+    """The spec's run pattern: extract (paginated REST) -> transform
+    (sanitize + quarantine + stamp) -> load ({name}_raw), with an
+    auditable report. Second run with upsert keys replaces, not dupes."""
+    from custom_python_etl_data_connector_shivaask_username_spark.connector import run_connector
+
+    base = str(tmp_path / "lake")
+    report = run_connector(
+        spark,
+        _cfg(stub),
+        base,
+        schema=SCHEMA,
+    )
+    assert report["loaded_rows"] == len(RECORDS)
+    assert report["quarantined_rows"] == 0
+    assert report["mode"] == "append"
+    landed = spark.read.parquet(report["path"])
+    assert "_ingested_at" in landed.columns
+    assert landed.count() == len(RECORDS)
+
+    # re-deliver the same payload keyed on id: upsert keeps one copy
+    report2 = run_connector(
+        spark,
+        _cfg(stub),
+        base,
+        schema=SCHEMA,
+        upsert_keys=["id"],
+    )
+    assert report2["mode"] == "upsert"
+    assert report2["loaded_rows"] == len(RECORDS)  # replaced, not doubled
+
+
+def test_run_connector_quarantines_corrupt(stub, spark, tmp_path):
+    """Records that don't fit the declared schema route to
+    {name}_quarantine instead of failing the load (README.md:32-34).
+    tags is ARRAY<INT> here, so every record with non-empty string tags
+    (doc i where i % 3 != 0) is corrupt; empty-tag records pass."""
+    from custom_python_etl_data_connector_shivaask_username_spark.connector import run_connector
+
+    base = str(tmp_path / "lake")
+    report = run_connector(
+        spark,
+        _cfg(stub),
+        base,
+        schema="id INT, name STRING, value DOUBLE, tags ARRAY<INT>",
+    )
+    n_valid = sum(1 for i in range(len(RECORDS)) if i % 3 == 0)
+    assert report["loaded_rows"] == n_valid
+    assert report["quarantined_rows"] == len(RECORDS) - n_valid
+    q = spark.read.parquet(report["quarantine_path"])
+    assert q.count() == report["quarantined_rows"]
+    assert "_ingested_at" in q.columns
+    # the quarantined payload is the full original record, auditable
+    assert "item_1" in q.orderBy("raw").collect()[0]["raw"]

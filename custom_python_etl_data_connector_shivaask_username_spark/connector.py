@@ -58,6 +58,7 @@ def run_connector(
     ok, bad = quarantine_split(raw, ~corrupt)
     ok = sanitize_columns(ok).drop("_corrupt_record")
 
+    n_extracted_ok = ok.count()
     if upsert_keys:
         path = raw_table_path(base_path, cfg.name)
         upsert_parquet(spark, ok, path, upsert_keys)
@@ -77,7 +78,7 @@ def run_connector(
     n_ok = spark.read.parquet(path).count()
     return {
         "connector": cfg.name,
-        "extracted": n_ok + n_bad if not upsert_keys else None,
+        "extracted": n_extracted_ok + n_bad,
         "loaded_rows": n_ok,
         "quarantined_rows": n_bad,
         "path": path,

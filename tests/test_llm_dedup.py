@@ -312,3 +312,50 @@ def test_dedupe_near_cc_collapses_chains(spark):
     docs = spark.createDataFrame(rows)
     kept = sorted(r["doc_id"] for r in dedupe_near_cc(docs, threshold=0.5).collect())
     assert kept == [0, 4]
+
+
+def test_int8_quantization_roundtrip_and_cosine_error(spark):
+    """Quantized cosine stays within 2% of exact on unit-ish vectors;
+    per-element error is bounded by scale/254; zero vectors survive."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.functions.vector import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(50)]
+    rows.append((99, [0.0] * 64))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    out = emb.select(
+        "vec_id",
+        "embedding",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("deq"),
+    ).collect()
+    for r in out:
+        orig = np.array(r["embedding"])
+        deq = np.array(r["deq"])
+        if r["vec_id"] == 99:
+            assert (deq == 0).all()
+            continue
+        bound = abs(orig).max() / 127.0 / 2 + 1e-12
+        assert (abs(orig - deq) <= bound + 1e-9).all()
+
+    # cosine drift on quantized pairs stays small
+    a = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ea")
+    )
+    pairs = emb.filter(F.col("vec_id").between(1, 20)).crossJoin(a)
+    drift = pairs.select(
+        F.abs(
+            cosine(F.col("embedding"), F.col("ea"))
+            - cosine(
+                dequantize_int8(quantize_int8(F.col("embedding"))),
+                dequantize_int8(quantize_int8(F.col("ea"))),
+            )
+        ).alias("d")
+    ).agg(F.max("d").alias("max_d")).collect()[0]["max_d"]
+    assert drift < 0.02, drift

@@ -97,6 +97,30 @@ def _curation(docs: DataFrame) -> DataFrame:
     )
 
 
+def _contamination(train: DataFrame, base_docs: DataFrame) -> DataFrame:
+    """Benchmark-contamination shape over the FULL replicated corpus:
+    fixed small benchmark set (10 base docs) broadcast into the gram
+    join; corpus side streams map-side; one (train, bench) count
+    shuffle. Linear-in-corpus by construction — this measures it."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        char_ngrams,
+    )
+
+    grams = train.select(
+        F.col("doc_id").alias("id"),
+        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
+    )
+    bench = base_docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def timed(df: DataFrame) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -146,6 +170,7 @@ def main() -> None:
                 .agg(F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias("c"))
             ),
             "curation_budget": _curation(d),
+            "contamination_join": _contamination(d, docs),
             "window_ranks": ev.withColumn(
                 "rn",
                 F.row_number().over(

@@ -172,6 +172,56 @@ def sample_bucket(id_col: F.Column) -> F.Column:
     return (id_col % 100003) * F.lit(2654435761) % 100
 
 
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production contamination check: **word** n-gram containment.
+
+    Long word n-grams (8-13, the published range for benchmark decon)
+    are selective — common function words don't collide the way
+    char-3-grams do, so the gram join emits only genuine overlaps
+    (measured ~100x fewer joined rows than char-3 at the same corpus,
+    SCALE.md). Grams are xxhash64'd before the join: the broadcast
+    carries 8 bytes per benchmark gram, not the text. Returns
+    (train_id, bench_id, containment) for pairs ≥ threshold.
+    """
+    from ..functions.text import whitespace_tokens
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        words = whitespace_tokens(F.lower(F.col(text_col)))
+        count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(grams).alias("gh")
+        )
+
+    tg = gram_hashes(train, "train_id")
+    bg = gram_hashes(bench, "bench_id")
+    bsize = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bn"))
+    return (
+        tg.join(F.broadcast(bg), "gh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(bsize), "bench_id")
+        .filter(F.col("inter") / F.col("bn") >= threshold)
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(F.col("inter") / F.col("bn"), 6).alias("containment"),
+        )
+    )
+
+
 @query("q_curation_mix", oracle=_CURATION_MIX_ORACLE)
 def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sample → per-language token budget → mixture report.

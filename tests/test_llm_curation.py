@@ -145,3 +145,28 @@ def test_curate_corpus_end_to_end(spark):
     assert 4 not in kept  # contaminated gone
     assert 5 in kept  # clean other-language doc kept
     assert all(r["tokens"] > 0 for r in out.collect())
+
+
+def test_word_ngram_contamination_selective(spark):
+    """The production (word 8-gram, hashed) path: a verbatim inclusion
+    is flagged with containment 1.0; a doc sharing only common words
+    produces NO pair at all (selectivity, not post-filtering)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        contamination_pairs,
+    )
+
+    bench_text = (
+        "what is the capital of france the answer to this question "
+        "is that the capital of france is paris"
+    )
+    rows = [
+        Row(doc_id=50, text="intro text " + bench_text + " outro text"),
+        Row(doc_id=60, text="the answer is that the question about what "
+            "is shared here uses only common words in new orders"),
+    ]
+    train = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(doc_id=0, text=bench_text)])
+
+    got = contamination_pairs(train, bench, n=8, threshold=0.3).collect()
+    assert {(r["train_id"], r["bench_id"]) for r in got} == {(50, 0)}
+    assert got[0]["containment"] == 1.0

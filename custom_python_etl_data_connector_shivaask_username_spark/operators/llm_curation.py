@@ -160,8 +160,9 @@ base AS (
 SELECT b.lang, b.n_docs, b.n_sampled,
        COALESCE(s.n_selected, 0) AS n_selected,
        COALESCE(s.tokens_selected, 0) AS tokens_selected,
-       ROUND(CAST(COALESCE(s.tokens_selected, 0) AS DOUBLE)
-             / SUM(COALESCE(s.tokens_selected, 0)) OVER (), 6) AS mix_weight
+       CAST(ROUND(COALESCE(s.tokens_selected, 0) * 1000000.0
+             / SUM(COALESCE(s.tokens_selected, 0)) OVER ()) AS BIGINT)
+         AS mix_weight_ppm
 FROM base b LEFT JOIN sel s ON b.lang = s.lang
 ORDER BY b.lang
 """
@@ -268,15 +269,21 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("tokens_selected", F.lit(0)).alias("tokens_selected"),
     )
     # total selected-token mass via broadcast scalar, not an
-    # unpartitioned window (WindowExec would single-task it)
+    # unpartitioned window (WindowExec would single-task it).
+    # The mixture weight is emitted as integer parts-per-million so no
+    # float ever enters the driver's hashed result (a rounded DOUBLE is
+    # canonicalizer-fragile even when bit-identical to the oracle).
     total = joined.agg(
         F.sum("tokens_selected").alias("_total_tokens")
     )
     return (
         joined.crossJoin(F.broadcast(total))
         .withColumn(
-            "mix_weight",
-            F.round(F.col("tokens_selected") / F.col("_total_tokens"), 6),
+            "mix_weight_ppm",
+            F.round(
+                F.col("tokens_selected") * F.lit(1000000.0)
+                / F.col("_total_tokens")
+            ).cast("bigint"),
         )
         .drop("_total_tokens")
         .orderBy("lang")

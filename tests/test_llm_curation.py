@@ -64,7 +64,8 @@ def test_curation_mix_weights_sum_to_one(spark, sf_dir):
     load_all()
     out = QUERIES["q_curation_mix"](spark, sf_dir).collect()
     assert len(out) == 5  # one row per language
-    assert abs(sum(r["mix_weight"] for r in out) - 1.0) < 1e-4
+    # integer ppm (hash-stable); rounding error ≤ 0.5 ppm per row
+    assert abs(sum(r["mix_weight_ppm"] for r in out) - 1_000_000) <= 3
     for r in out:
         assert 0 <= r["n_selected"] <= r["n_sampled"] <= r["n_docs"]
         assert r["tokens_selected"] <= TOKEN_BUDGET

@@ -72,7 +72,7 @@ def curate_corpus(
     from pyspark.sql import Window
 
     from ..functions.text import quality_score, token_count
-    from .llm_dedup import char_ngrams, dedupe_near_cc
+    from .llm_dedup import dedupe_near_cc
 
     rates = rates_pct or SAMPLE_RATE_PCT
 
@@ -88,26 +88,16 @@ def curate_corpus(
     # 3. transitive near-dedup
     kept = dedupe_near_cc(kept, threshold=near_dup_threshold)
 
-    # 4. contamination: drop docs containing too much of any benchmark doc
+    # 4. contamination: drop docs containing too much of any benchmark
+    # doc. Uses the production hashed word-8-gram path — char-3-grams
+    # join ~100x more rows at the same corpus (SCALE.md measured joined
+    # rows ≈ docs × benchmark for char-3; word 8-grams are selective).
     if bench_docs is not None:
-        grams = kept.select(
-            "doc_id", F.explode(char_ngrams(F.col("text"), 3)).alias("gram")
-        )
-        bgrams = bench_docs.select(
-            F.col("doc_id").alias("bench_id"),
-            F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
-        )
-        bsizes = bench_docs.select(
-            F.col("doc_id").alias("bench_id"),
-            F.size(char_ngrams(F.col("text"), 3)).alias("bn"),
-        )
         contaminated = (
-            grams.join(F.broadcast(bgrams), "gram")
-            .groupBy("doc_id", "bench_id")
-            .agg(F.count(F.lit(1)).alias("inter"))
-            .join(F.broadcast(bsizes), "bench_id")
-            .filter(F.col("inter") / F.col("bn") >= contamination_threshold)
-            .select("doc_id")
+            contamination_pairs(
+                kept, bench_docs, threshold=contamination_threshold
+            )
+            .select(F.col("train_id").alias("doc_id"))
             .distinct()
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
@@ -190,20 +180,26 @@ def contamination_pairs(
     SCALE.md). Grams are xxhash64'd before the join: the broadcast
     carries 8 bytes per benchmark gram, not the text. Returns
     (train_id, bench_id, containment) for pairs ≥ threshold.
+
+    Docs with fewer than ``n`` words emit no grams at all: a 2-word
+    benchmark doc would otherwise get bn=1 from a single short gram,
+    and one accidental match would flag containment 1.0. Such docs
+    can't be checked by n-gram containment and are skipped on both
+    sides.
     """
     from ..functions.text import whitespace_tokens
 
     def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
         words = whitespace_tokens(F.lower(F.col(text_col)))
-        count = F.greatest(F.size(words) - (n - 1), F.lit(1))
         grams = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), count),
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
             )
         )
-        return df.select(
-            F.col(id_col).alias(out_id), F.explode(grams).alias("gh")
+        return (
+            df.filter(F.size(words) >= n)
+            .select(F.col(id_col).alias(out_id), F.explode(grams).alias("gh"))
         )
 
     tg = gram_hashes(train, "train_id")

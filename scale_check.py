@@ -101,24 +101,14 @@ def _contamination(train: DataFrame, base_docs: DataFrame) -> DataFrame:
     """Benchmark-contamination shape over the FULL replicated corpus:
     fixed small benchmark set (10 base docs) broadcast into the gram
     join; corpus side streams map-side; one (train, bench) count
-    shuffle. Linear-in-corpus by construction — this measures it."""
-    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
-        char_ngrams,
+    shuffle. Uses the production hashed word-8-gram path (selective —
+    char-3-grams joined ≈ docs × benchmark rows here, ~100x more)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        contamination_pairs,
     )
 
-    grams = train.select(
-        F.col("doc_id").alias("id"),
-        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
-    )
-    bench = base_docs.filter(F.col("doc_id") < 10).select(
-        F.col("doc_id").alias("bench_id"),
-        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
-    )
-    return (
-        grams.join(F.broadcast(bench), "gram")
-        .groupBy("id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    bench = base_docs.filter(F.col("doc_id") < 10)
+    return contamination_pairs(train, bench, threshold=0.0)
 
 
 def timed(df: DataFrame) -> float:

@@ -171,3 +171,56 @@ def test_word_ngram_contamination_selective(spark):
     got = contamination_pairs(train, bench, n=8, threshold=0.3).collect()
     assert {(r["train_id"], r["bench_id"]) for r in got} == {(50, 0)}
     assert got[0]["containment"] == 1.0
+
+
+def test_contamination_skips_docs_shorter_than_n(spark):
+    """A benchmark doc with fewer than n words emits NO grams (it would
+    otherwise get bn=1 and a single accidental short-gram match flags
+    containment 1.0); same for train docs, which can't contain an
+    n-gram anyway."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        contamination_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="paris is nice"),  # 3 words < n
+            Row(doc_id=2, text="some long document that mentions paris "
+                "is nice in passing many more words follow here"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=0, text="paris is nice")])
+    assert contamination_pairs(train, bench, n=8, threshold=0.0).count() == 0
+
+
+def test_curate_corpus_contamination_uses_word_grams(spark):
+    """Stage 4 of curate_corpus is the selective word-8-gram path: a doc
+    sharing only scattered common words with the benchmark survives,
+    while a verbatim inclusion is dropped (same fixture semantics as the
+    end-to-end test, but targeting selectivity)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        curate_corpus,
+    )
+
+    bench_text = (
+        "what is the capital of france the answer to this question "
+        "is that the capital of france is paris"
+    )
+    rows = [
+        Row(doc_id=0, lang="en", text="intro words " + bench_text + " outro words"),
+        Row(doc_id=1, lang="en", text="the answer is that the question about "
+            "what is shared here uses only common words in new orders"),
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(doc_id=900, text=bench_text)])
+    out = curate_corpus(
+        docs,
+        bench_docs=bench,
+        near_dup_threshold=0.3,
+        contamination_threshold=0.3,
+        rates_pct={"en": 100},
+        token_budget=10_000,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 not in kept  # verbatim inclusion dropped
+    assert 1 in kept  # common-words-only doc survives (char-3 would flag it)

@@ -17,19 +17,24 @@ on disk" and "tokens in the dataloader":
 - **mixture weights** — the realized per-stratum share of the selected
   token mass, the number a dataloader needs to interleave strata.
 
-Scale notes (100 TB): the only corpus-wide exchange is the per-stratum
-window partition. Languages are few and skewed, so the window partition
-key is the classic skew case — at real scale the cumsum-over-sort
-becomes per-stratum range partitioning (``repartitionByRange(lang,
-priority)`` + ``sortWithinPartitions`` + a partition-prefix-sum pass),
-which keeps each stratum parallel instead of single-tasked; the
-semantics pinned by the oracle here are unchanged. The final per-lang
-summary is a 5-row aggregate — broadcast territory.
+Scale notes (100 TB): languages are few and skewed, so a
+``Window.partitionBy(lang)`` cumsum is the classic skew case — the
+``en`` partition is most of the corpus on one core. The selection here
+is therefore implemented as ``token_budget_select``: per-stratum range
+partitioning (``repartitionByRange(lang, priority)``) +
+``sortWithinPartitions`` + a partition prefix-sum (pass 1 computes the
+tiny per-(partition, stratum) token sums; pass 2 is a mapInPandas that
+adds each partition's exclusive offset to a local cumsum), which keeps
+each stratum parallel across partitions instead of single-tasked. The
+semantics are identical to the window cumsum (pinned by a
+result-equality test on a 90%-one-language fixture) and by the
+``q_curation_mix`` oracle. The final per-lang summary is a 5-row
+aggregate — broadcast territory.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -69,8 +74,6 @@ def curate_corpus(
     surviving rows, and contamination runs after dedup so the broadcast
     join sees each surviving text once.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import quality_score, token_count
     from .llm_dedup import dedupe_near_cc
 
@@ -108,18 +111,10 @@ def curate_corpus(
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
     kept = kept.filter(sample_bucket(F.col("doc_id")) < rate)
 
-    # 6. token budget per language
-    kept = kept.withColumn("tokens", token_count(F.col("text")))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        kept.withColumn("_cum", F.sum("tokens").over(w))
-        .filter(F.col("_cum") <= token_budget)
-        .drop("_cum", "_h")
-    )
+    # 6. token budget per language — skew-safe partition prefix-sum,
+    # not a single-task-per-language window
+    kept = kept.withColumn("tokens", token_count(F.col("text"))).drop("_h")
+    return token_budget_select(kept, token_budget)
 
 _CURATION_MIX_ORACLE = f"""
 WITH scored AS (
@@ -161,6 +156,90 @@ ORDER BY b.lang
 def sample_bucket(id_col: F.Column) -> F.Column:
     """Deterministic 0-99 bucket from a BIGINT id (no rand(), no UDF)."""
     return (id_col % 100003) * F.lit(2654435761) % 100
+
+
+def token_budget_select(
+    df: DataFrame,
+    token_budget: int,
+    strata_col: str = "lang",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-safe per-stratum token-budget selection.
+
+    Keeps, per stratum, the prefix of rows (ordered by ``tokens_col``
+    desc, ``id_col`` asc) whose running token total fits the budget —
+    the same semantics as a ``Window.partitionBy(strata_col)``
+    cumulative sum, WITHOUT single-tasking each stratum. Strata are few
+    and skewed (at 100 TB the ``en`` partition is most of the corpus),
+    so instead:
+
+    1. ``repartitionByRange(strata, tokens desc, id)`` spreads each
+       stratum over many partitions while keeping its global order
+       across partition boundaries; ``sortWithinPartitions`` orders
+       rows inside each.
+    2. Pass 1 aggregates per-(partition, stratum) token sums — at most
+       ``partitions x strata`` rows, collected to the driver to compute
+       each partition's exclusive prefix offset (metadata-scale, like a
+       k-means centroid matrix; never corpus-scale).
+    3. Pass 2 is an Arrow-batched ``mapInPandas`` over the SAME sorted
+       partitioning: local cumsum per stratum + the partition's offset,
+       carrying running totals across Arrow batches, emitting rows
+       while ``offset + cumsum <= token_budget``.
+
+    Both passes recompute the range partitioning; Spark's range
+    partitioner samples with deterministic seeds, so the two jobs see
+    identical partition boundaries. The result carries ``df``'s
+    columns unchanged.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas batches are pandas
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    order = [
+        F.col(strata_col).asc(),
+        F.col(tokens_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # pass 1: tiny per-(partition, stratum) sums -> exclusive offsets
+    psums = parted.groupBy("_pid", strata_col).agg(
+        F.sum(tokens_col).alias("_psum")
+    ).collect()
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(psums, key=lambda r: (r[strata_col], r["_pid"])):
+        key = r[strata_col]
+        offsets[(r["_pid"], key)] = running.get(key, 0)
+        running[key] = running.get(key, 0) + r["_psum"]
+
+    out_schema = df.schema
+
+    def select_fit(batches):
+        # one partition per call; Arrow may split it into several
+        # batches — carry per-stratum running totals across them
+        seen: dict[str, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            keep_parts = []
+            for stratum, g in pdf.groupby(strata_col, sort=False):
+                base = offsets.get((pid, stratum), 0) + seen.get(stratum, 0)
+                cum = g[tokens_col].cumsum() + base
+                keep_parts.append(g[cum <= token_budget])
+                seen[stratum] = seen.get(stratum, 0) + int(g[tokens_col].sum())
+            yield pd.concat(keep_parts).drop(columns=["_pid"])
+
+    return parted.mapInPandas(select_fit, out_schema)
 
 
 def contamination_pairs(
@@ -237,16 +316,10 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("tokens"),
         (sample_bucket(F.col("doc_id")) < rate).alias("keep"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sampled = scored.filter("keep").withColumn(
-        "cum_tokens", F.sum("tokens").over(w)
-    )
+    # skew-safe selection: range-partitioned prefix-sum, not a
+    # single-task-per-language Window cumsum (same pinned semantics)
     sel = (
-        sampled.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        token_budget_select(scored.filter("keep"), TOKEN_BUDGET)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_selected"),

@@ -71,6 +71,80 @@ def test_curation_mix_weights_sum_to_one(spark, sf_dir):
         assert r["tokens_selected"] <= TOKEN_BUDGET
 
 
+def test_token_budget_select_matches_window_form_on_skewed_fixture(spark):
+    """The skew-safe partition prefix-sum selects EXACTLY the rows the
+    per-stratum window cumsum would, on a fixture where 90% of rows sit
+    in one language (the case the window form single-tasks)."""
+    from pyspark.sql import Window
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        token_budget_select,
+    )
+
+    rows = [
+        Row(lang="en" if i % 10 else "de", doc_id=i,
+            tokens=(i * 2654435761) % 97 + 3)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    budget = 2000
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        r["doc_id"]
+        for r in df.withColumn("cum", F.sum("tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(df, budget, num_partitions=7).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_token_budget_select_carries_totals_across_arrow_batches(spark):
+    """Rows of one stratum spanning multiple Arrow batches within a
+    partition must not reset the running total."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        token_budget_select,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        df = spark.createDataFrame(
+            [Row(lang="en", doc_id=i, tokens=10) for i in range(100)]
+        )
+        # budget fits exactly 25 docs; with per-batch resets every
+        # 10-row batch would restart the cumsum and keep everything
+        got = token_budget_select(df, 250, num_partitions=2).count()
+        assert got == 25
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_curation_mix_plan_has_no_lang_window(spark, sf_dir):
+    """The registered query must not contain a Window partitioned only
+    by the skewed low-cardinality lang key (single task per language)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    df = QUERIES["q_curation_mix"](spark, sf_dir)
+    assert "Window" not in formatted_plan(df)
+
+
 def test_contamination_flags_planted_copy(spark):
     """A training doc that embeds a benchmark doc verbatim shows
     containment ≈ 1; an unrelated doc never pairs with it."""

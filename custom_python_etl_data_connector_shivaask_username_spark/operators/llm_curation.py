@@ -134,7 +134,11 @@ sampled AS (
   FROM scored WHERE bucket < rate
 ),
 sel AS (
-  SELECT lang, COUNT(*) AS n_selected, SUM(tokens) AS tokens_selected
+  -- CAST: DuckDB SUM(BIGINT) returns HUGEINT (int128), which the
+  -- driver's canonicalizer hashes differently from Spark's BIGINT
+  -- even when values are identical. Keep every emitted column int64.
+  SELECT lang, COUNT(*) AS n_selected,
+         CAST(SUM(tokens) AS BIGINT) AS tokens_selected
   FROM sampled WHERE cum_tokens <= {TOKEN_BUDGET} GROUP BY lang
 ),
 base AS (
@@ -143,8 +147,8 @@ base AS (
   FROM scored GROUP BY lang
 )
 SELECT b.lang, b.n_docs, b.n_sampled,
-       COALESCE(s.n_selected, 0) AS n_selected,
-       COALESCE(s.tokens_selected, 0) AS tokens_selected,
+       CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(s.tokens_selected, 0) AS BIGINT) AS tokens_selected,
        CAST(ROUND(COALESCE(s.tokens_selected, 0) * 1000000.0
              / SUM(COALESCE(s.tokens_selected, 0)) OVER ()) AS BIGINT)
          AS mix_weight_ppm
@@ -188,36 +192,61 @@ def token_budget_select(
        carrying running totals across Arrow batches, emitting rows
        while ``offset + cumsum <= token_budget``.
 
-    Both passes recompute the range partitioning; Spark's range
-    partitioner samples with deterministic seeds, so the two jobs see
-    identical partition boundaries. The result carries ``df``'s
-    columns unchanged.
+    The partitioned frame is ``localCheckpoint``-ed (eager) before
+    pass 1: Spark's range partitioner samples with an RDD-id-derived
+    seed, so WITHOUT materialization the two jobs can draw different
+    boundaries (measured ~11% of rows switching partitions on a 400k
+    replica) and pass-1 offsets would apply to the wrong rows. The
+    checkpoint pins one physical partitioning for both passes and pays
+    the shuffle once instead of twice.
+
+    NULL strata are supported: partitioning/grouping uses an internal
+    sentinel-coalesced ``_stratum`` key so null-lang rows get their own
+    budget stratum instead of crashing the driver sort or being dropped
+    by pandas' default ``dropna``.
+
+    Note this operator is **eager** — calling it runs the shuffle +
+    pass-1 jobs immediately (offsets are frozen at build time). The
+    result carries ``df``'s columns unchanged.
     """
     import pandas as pd  # noqa: F401 — mapInPandas batches are pandas
 
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            num_partitions = int(conf)
+        except (TypeError, ValueError):  # e.g. "auto" under Databricks AQE
+            num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # NULL-safe stratum key: \x00 prefix cannot collide with real values
+    # of the cast because we only ever group/partition on this column.
+    NULL_SENTINEL = "\x00<null>"
     order = [
-        F.col(strata_col).asc(),
+        F.col("_stratum").asc(),
         F.col(tokens_col).desc(),
         F.col(id_col).asc(),
     ]
     parted = (
-        df.repartitionByRange(num_partitions, *order)
+        df.withColumn(
+            "_stratum",
+            F.coalesce(F.col(strata_col).cast("string"), F.lit(NULL_SENTINEL)),
+        )
+        .repartitionByRange(num_partitions, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
+        # eager materialization: ONE physical partitioning shared by the
+        # pass-1 aggregation and the pass-2 mapInPandas (range-partitioner
+        # sampling is not stable across jobs), and the shuffle runs once.
+        .localCheckpoint()
     )
 
     # pass 1: tiny per-(partition, stratum) sums -> exclusive offsets
-    psums = parted.groupBy("_pid", strata_col).agg(
+    psums = parted.groupBy("_pid", "_stratum").agg(
         F.sum(tokens_col).alias("_psum")
     ).collect()
     offsets: dict[tuple[int, str], int] = {}
     running: dict[str, int] = {}
-    for r in sorted(psums, key=lambda r: (r[strata_col], r["_pid"])):
-        key = r[strata_col]
+    for r in sorted(psums, key=lambda r: (r["_stratum"], r["_pid"])):
+        key = r["_stratum"]
         offsets[(r["_pid"], key)] = running.get(key, 0)
         running[key] = running.get(key, 0) + r["_psum"]
 
@@ -232,12 +261,12 @@ def token_budget_select(
                 continue
             pid = int(pdf["_pid"].iloc[0])
             keep_parts = []
-            for stratum, g in pdf.groupby(strata_col, sort=False):
+            for stratum, g in pdf.groupby("_stratum", sort=False):
                 base = offsets.get((pid, stratum), 0) + seen.get(stratum, 0)
                 cum = g[tokens_col].cumsum() + base
                 keep_parts.append(g[cum <= token_budget])
                 seen[stratum] = seen.get(stratum, 0) + int(g[tokens_col].sum())
-            yield pd.concat(keep_parts).drop(columns=["_pid"])
+            yield pd.concat(keep_parts).drop(columns=["_pid", "_stratum"])
 
     return parted.mapInPandas(select_fit, out_schema)
 

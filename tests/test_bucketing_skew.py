@@ -4,7 +4,6 @@ write time, zero exchanges per join) and deterministic skew salting."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pytest
 
@@ -25,10 +24,26 @@ from custom_python_etl_data_connector_shivaask_username_spark.sources.bucketing 
 from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
 
+def _purge_table(spark, name: str) -> None:
+    """DROP the table AND remove its warehouse location.
+
+    ``spark.sql.warehouse.dir`` is resolved once at session creation
+    (chdir-ing does NOT move it), so a crashed earlier run can leave an
+    orphan directory that errors the next CREATE with
+    LOCATION_ALREADY_EXISTS even after DROP TABLE IF EXISTS.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
-    cwd = os.getcwd()
-    os.chdir(tempfile.mkdtemp())  # warehouse dir defaults to ./spark-warehouse
+    for t in ("li_bucketed", "orders_bucketed"):
+        _purge_table(spark, t)
     try:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice"
@@ -40,9 +55,8 @@ def bucketed_tables(spark, sf_dir):
         write_bucketed(orders, "orders_bucketed", ["o_orderkey"], num_buckets=4)
         yield ("li_bucketed", "orders_bucketed")
     finally:
-        spark.sql("DROP TABLE IF EXISTS li_bucketed")
-        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-        os.chdir(cwd)
+        for t in ("li_bucketed", "orders_bucketed"):
+            _purge_table(spark, t)
 
 
 def test_bucketed_join_has_zero_exchanges(spark, bucketed_tables):

@@ -134,10 +134,10 @@ def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
     assert not any("grams" in line for line in exchange_lines)
 
 
-def test_curation_mix_single_stratum_shuffle(spark, sf_dir):
-    # sampling is map-side (hash bucket filter, no rand()); the window
-    # cumsum keys one exchange on lang; summaries broadcast-join
+def test_curation_mix_no_sortmergejoin(spark, sf_dir):
+    # sampling is map-side (hash bucket filter, no rand()); selection
+    # is the skew-safe partition prefix-sum (no per-lang Window — that
+    # is asserted in test_llm_curation); summaries broadcast-join
     df = QUERIES["q_curation_mix"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Window" in plan
     assert plan.count("SortMergeJoin") == 0  # tiny summaries broadcast

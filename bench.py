@@ -46,16 +46,33 @@ HEADLINE: list[str] = [
 ]
 
 
+def _resolve(name):
+    """Headline queries stay benchmarked round-over-round even when
+    their registry slot is consolidated (q_near_dup_pairs_minhash now
+    rides the merged q_lsh_suite registry row but benches standalone)."""
+    if name in registry.QUERIES:
+        return registry.QUERIES[name]
+    from custom_python_etl_data_connector_shivaask_username_spark.operators import (
+        llm_dedup,
+        llm_similarity,
+    )
+
+    for mod in (llm_dedup, llm_similarity):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     registry.load_all()
     spark = get_spark("etl-spark-bench")
-    names = [n for n in HEADLINE if n in registry.QUERIES]
+    names = [n for n in HEADLINE if _resolve(n) is not None]
 
     timings: dict[str, float] = {}
     for name in names:
-        fn = registry.QUERIES[name]
+        fn = _resolve(name)
         fn(spark, sf_dir).collect()  # warm (plan + codegen + IO cache)
         best = float("inf")
         for _ in range(3):  # best-of-3: steady-state time, not scheduler noise

@@ -65,7 +65,7 @@ def curate_corpus(
     4. benchmark-contamination removal (broadcast n-gram containment vs
        ``bench_docs``, when given);
     5. deterministic stratified sampling per language;
-    6. per-language token-budget selection (windowed cumsum).
+    6. per-language token-budget selection (skew-safe prefix-sum).
 
     Returns the curated docs frame (original columns + ``tokens``).
     Every stage is individually oracle- or pin-tested; this function

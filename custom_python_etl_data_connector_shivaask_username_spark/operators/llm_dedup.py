@@ -399,8 +399,8 @@ def dedupe_near_cc(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
-@query("q_near_dup_pairs_minhash")  # rows-only: LSH candidate generation
 def q_near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 LSH candidate pairs (driver-visible via ``q_lsh_suite``)."""
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs(docs, threshold=0.5)
 
@@ -461,7 +461,6 @@ def hamming(a: Column, b: Column) -> Column:
 # --- per-doc signature table: simhash + bottom-k fingerprint + lang-ID ----------
 
 
-@query("q_doc_signatures")  # rows-only: hash/heuristic internals are engine-specific
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document signature table a dedup/routing pipeline
     materializes once and reuses: SimHash (Hamming-distance near-dup
@@ -469,7 +468,7 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment, serialized to CSV so the result schema stays scalar),
     and heuristic language-ID (accuracy pinned on real 5-language
     samples in tests/test_llm_text.py). Map-only — no shuffle at any
-    scale."""
+    scale. Driver-visible via ``q_lsh_suite``."""
     docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
@@ -562,4 +561,187 @@ def q_ngram_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / F.col("bn"), 6).alias("bench_containment"),
         )
         .orderBy("train_id", "bench_id")
+    )
+
+
+# --- X5: transitive dedup clusters (driver-visible, exact oracle) ---------
+
+#: subset cap for the oracle-checkable cluster query — a fixed slice at
+#: any SF so the DuckDB oracle's quadratic pair check stays cheap while
+#: the Spark side runs the production inverted-index + CC path
+CLUSTER_MAX_DOC_ID = 500
+#: exact char-3-gram Jaccard edge threshold as an integer ratio —
+#: ``inter * DEN >= NUM * union`` avoids any float compare at the
+#: boundary, so both engines pick the identical edge set
+CLUSTER_THR_NUM, CLUSTER_THR_DEN = 7, 10
+
+# NB: every non-recursive CTE is AS MATERIALIZED — DuckDB re-evaluates
+# inlined CTEs referenced from the recursive term on EVERY fixpoint
+# iteration (measured 60s -> 0.7s); the edge join is the same
+# inverted-index shape as the Spark side, not quadratic list algebra.
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 2)),
+           i -> substring(text, CAST(i AS INT), 3))) AS grams
+  FROM documents WHERE doc_id < {CLUSTER_MAX_DOC_ID}
+),
+gr AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g),
+sz AS MATERIALIZED (SELECT doc_id, length(grams) AS n FROM g),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+  WHERE inter * {CLUSTER_THR_DEN} >= {CLUSTER_THR_NUM} * (sa.n + sb.n - inter)
+),
+bi AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach(u, v) AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u
+),
+lab AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT l.id, l.component, c.n AS cluster_size
+FROM lab l
+JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY component) c USING (component)
+ORDER BY id
+"""
+
+
+def char3_jaccard_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thr_num: int = CLUSTER_THR_NUM,
+    thr_den: int = CLUSTER_THR_DEN,
+) -> DataFrame:
+    """Exact char-3-gram Jaccard edges via an inverted-index join.
+
+    Never array-algebra over the quadratic pair space: docs explode to
+    (id, gram) rows, the self-join on the gram key emits one row per
+    *shared gram* (pairs with no overlap never materialize), and the
+    per-pair intersection count joins to broadcast per-doc gram counts.
+    The threshold compare is pure integer arithmetic
+    (``inter * den >= num * union``), so any ANSI engine picks the
+    bit-identical edge set. Returns ``(id_a, id_b)`` with id_a < id_b.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_ngrams(F.col(text_col), 3)).alias("gram"),
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(char_ngrams(F.col(text_col), 3)).alias("n_grams"),
+    )
+    a = grams.select(F.col("id").alias("id_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    an = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("an"))
+    bn = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("bn"))
+    return (
+        inter.join(F.broadcast(an), "id_a")
+        .join(F.broadcast(bn), "id_b")
+        .filter(
+            F.col("inter") * thr_den
+            >= thr_num * (F.col("an") + F.col("bn") - F.col("inter"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+@query("q_dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 driver-visible: transitive near-dup clusters — exact-Jaccard
+    edge graph contracted to connected components.
+
+    The edge set here is EXACT char-3-gram Jaccard (integer-ratio
+    threshold, engine-identical) so the whole pipeline — inverted-index
+    edge join → iterative min-label propagation
+    (:func:`connected_components`) — hash-checks against a DuckDB
+    ``WITH RECURSIVE`` transitive-closure oracle, including chains like
+    A~B~C where A~C was never a direct edge. Production dedup feeds the
+    same CC operator from MinHash-LSH pairs (:func:`dedupe_near_cc`,
+    seed-dependent, pinned by unit tests instead). Emits one row per
+    clustered doc: (id, component = min reachable id, cluster_size).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CLUSTER_MAX_DOC_ID
+    )
+    comp = connected_components(char3_jaccard_edges(docs))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select("id", "component", "cluster_size")
+        .orderBy("id")
+    )
+
+
+# --- merged rows-only registry entry (seed-dependent surfaces) -------------
+
+
+@query("q_lsh_suite")  # rows-only: every branch is hash-seed-dependent
+def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the three engine-specific (xxhash64-seeded)
+    surfaces, merged into ONE registry row to hold the registry within
+    the driver's 50-query check window without losing row visibility:
+
+    - ``lsh_pair``: MinHash-LSH near-dup candidate pairs
+      (:func:`q_near_dup_pairs_minhash`; equivalence + planted-dup
+      pins in tests/test_llm_dedup.py);
+    - ``lsh_ann``: batched random-hyperplane LSH ANN top-k
+      (recall ≥ 0.8 pinned);
+    - ``signature``: per-doc SimHash / fingerprint / lang-ID table
+      (Hamming + stability + accuracy pins in tests).
+
+    Columns are normalized to scalars (branch, id_a, id_b, label,
+    score, detail) — never an ARRAY cell, which the driver's
+    canonicalizer cannot hash.
+    """
+    from .llm_similarity import q_ann_lsh_topk
+
+    pairs = q_near_dup_pairs_minhash(spark, sf_dir).select(
+        F.lit("lsh_pair").alias("branch"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("jaccard_sim").alias("score"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    ann = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh_ann").alias("branch"),
+        F.col("q_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("label").cast("string").alias("label"),
+        F.col("cos_sim").alias("score"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    sigs = q_doc_signatures(spark, sf_dir).select(
+        F.lit("signature").alias("branch"),
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("id_b"),
+        F.col("lang").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+        F.concat_ws("|", "fingerprint", "detected_lang").alias("detail"),
+    )
+    return pairs.unionByName(ann).unionByName(sigs).orderBy(
+        "branch", "id_a", "id_b"
     )

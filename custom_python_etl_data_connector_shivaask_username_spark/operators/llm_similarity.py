@@ -92,35 +92,82 @@ ORDER BY label, vec_a, vec_b
 """
 
 
+#: labels with more rows than this leave the exact all-pairs path: a
+#: label holding f of the corpus costs (f·N)² pair evaluations — at
+#: 100 TB one dominant label (say half of a web corpus tagged "en")
+#: would dwarf every other stage. Oversized labels are sub-blocked by
+#: an LSH bucket instead (documented recall trade, pinned in tests).
+MAX_LABEL_BLOCK = 100_000
+
+
+def similar_pairs_within_label_df(
+    emb: DataFrame,
+    threshold: float = PAIR_THRESHOLD,
+    max_block: int = MAX_LABEL_BLOCK,
+) -> DataFrame:
+    """L4 blocked pair join with a big-block skew guard.
+
+    Labels with ≤ ``max_block`` rows take the exact all-pairs path
+    (quadratic only inside the block). Larger labels are sub-blocked by
+    the deterministic sign-bit LSH bucket — pairs are then evaluated
+    within (label, bucket), bounding the quadratic term at
+    ``(block/2^bits)²`` per bucket at the cost of missing cross-bucket
+    pairs (near-identical vectors co-bucket with high probability;
+    recall on planted dups pinned in tests). Membership is decided on
+    the ROUNDED cosine so engines agree at the threshold boundary.
+
+    The per-label row counts are a tiny broadcast (distinct labels ≪
+    corpus), so routing adds no corpus-scale shuffle; both branches
+    share the one label-keyed exchange geometry.
+    """
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    base = emb.join(F.broadcast(counts), "label")
+
+    def pair_join(side: DataFrame, extra_keys: list[str]) -> DataFrame:
+        a = side.select(
+            "label",
+            *extra_keys,
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+        )
+        b = side.select(
+            F.col("label").alias("label_b"),
+            *[F.col(k).alias(f"{k}_b") for k in extra_keys],
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+        )
+        cond = (F.col("label") == F.col("label_b")) & (
+            F.col("vec_a") < F.col("vec_b")
+        )
+        for k in extra_keys:
+            cond = cond & (F.col(k) == F.col(f"{k}_b"))
+        return (
+            a.join(b, cond)
+            .withColumn(
+                "cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .select("label", "vec_a", "vec_b", "cos_sim")
+        )
+
+    small = pair_join(base.filter(F.col("_n") <= max_block), [])
+    big = pair_join(
+        base.filter(F.col("_n") > max_block).withColumn(
+            "bucket", lsh_bucket(F.col("embedding"))
+        ),
+        ["bucket"],
+    )
+    return small.unionByName(big).orderBy("label", "vec_a", "vec_b")
+
+
 @query("q_similar_pairs_within_label", oracle=_PAIRS_ORACLE)
 def q_similar_pairs_within_label(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """L4 blocked pair join. Membership is decided on the ROUNDED cosine
-    so both engines agree at the threshold boundary."""
+    """L4 blocked pair join (big-block guard inactive at fixture label
+    sizes, so the exact branch alone feeds the oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-    )
-    b = emb.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= PAIR_THRESHOLD)
-        .select("label", "vec_a", "vec_b", "cos_sim")
-        .orderBy("label", "vec_a", "vec_b")
-    )
+    return similar_pairs_within_label_df(emb)
 
 
 # --- L3 scale path: random-hyperplane LSH ------------------------------------
@@ -226,11 +273,10 @@ def ann_topk(
     )
 
 
-@query("q_ann_lsh_topk")  # rows-only: bucket membership is approximate
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: batched ANN — three query vectors answered by one
     bucket-keyed join (recall pinned on planted clusters in
-    tests/test_llm_dedup.py)."""
+    tests/test_llm_dedup.py). Driver-visible via ``q_lsh_suite``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_batch(emb, ANN_QUERY_IDS, TOP_K, probe_hamming=1)
 
@@ -259,6 +305,7 @@ def kmeans_centroids(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_fraction: float | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's iterations in pure DataFrame ops.
 
@@ -270,7 +317,19 @@ def kmeans_centroids(
     ``clusters × dims`` regardless of corpus size. The driver touches
     only the ``n×d`` centroid matrix per iteration (the same contract
     as MLlib's KMeans), never corpus rows.
+
+    ``train_fraction`` trains on a deterministic hash-sample of the
+    corpus (``xxhash64(id, seed) % 1e6 < f*1e6`` — rerun/cluster-size
+    stable, no ``rand()``). At 100 TB a coarse quantizer needs ~1e5-1e6
+    training points, not the corpus: pass ~1e6/corpus_rows so each
+    Lloyd's iteration scans a bounded sample while assignment still
+    runs map-only over everything.
     """
+    if train_fraction is not None and train_fraction < 1.0:
+        emb = emb.filter(
+            F.abs(F.xxhash64(F.col(id_col), F.lit(11))) % 1_000_000
+            < int(train_fraction * 1_000_000)
+        )
     seeds = (
         emb.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -309,6 +368,7 @@ def ivf_topk_batch(
     n_clusters: int = 16,
     n_probe: int = 4,
     iters: int = 3,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus vectors are inverted-listed by nearest centroid;
     each query probes its ``n_probe`` nearest cells. Complement to the
@@ -316,14 +376,16 @@ def ivf_topk_batch(
     embeddings ⇒ tight cells) where hyperplane LSH is
     distribution-oblivious.
 
-    Scale shape: train on a sample (here: the corpus; at 100 TB a
-    ``sample(0.001)``), assignment is map-only against literal
-    centroids, and the probe table (queries × n_probe rows) broadcasts
-    into one hash join on the cell id — identical join geometry to
-    :func:`ann_topk_batch`, so candidates shrink
-    ``n_clusters/n_probe``-fold.
+    Scale shape: train on a deterministic hash-sample
+    (``train_fraction``; at 100 TB ~1e6/corpus_rows), assignment is
+    map-only against literal centroids, and the probe table
+    (queries × n_probe rows) broadcasts into one hash join on the cell
+    id — identical join geometry to :func:`ann_topk_batch`, so
+    candidates shrink ``n_clusters/n_probe``-fold.
     """
-    centroids = kmeans_centroids(emb, n_clusters, iters)
+    centroids = kmeans_centroids(
+        emb, n_clusters, iters, train_fraction=train_fraction
+    )
     base = emb.withColumn(
         "cell", _nearest_centroid(F.col("embedding"), centroids)
     )
@@ -365,6 +427,63 @@ def ivf_topk_batch(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "label", "cos_sim")
         .orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+#: IVF config for the driver-visible query: probing EVERY cell makes
+#: the candidate set provably exhaustive, so the result equals exact
+#: per-query top-k regardless of where k-means placed the centroids —
+#: which is what lets an approximate index hash-check against an exact
+#: SQL oracle. Recall-vs-cost behavior at n_probe < n_clusters is
+#: pinned separately in tests/test_llm_similarity_ivf.py.
+IVF_CLUSTERS = 8
+IVF_ITERS = 2
+IVF_TRAIN_FRACTION = 0.5
+
+_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN {ANN_QUERY_IDS}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, label, cos_sim FROM ranked WHERE rn <= {TOP_K}
+ORDER BY q_id, cos_sim DESC, vec_id
+"""
+
+
+@query("q_ann_ivf", oracle=_IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 driver-visible: IVF ANN end-to-end — k-means coarse quantizer
+    (trained on a deterministic half-sample), map-only cell assignment,
+    broadcast probe join, per-query WindowGroupLimit top-k.
+
+    Configured with ``n_probe = n_clusters`` (exhaustive probing):
+    every inverted list is searched, so the output is exactly the
+    brute-force top-k and hash-checks against the exact SQL oracle —
+    the driver verifies the full IVF machinery (train → assign → probe
+    → rank), not a lucky recall. The approximate regime
+    (``n_probe < n_clusters``) is the same code path, recall-pinned in
+    unit tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_batch(
+        emb,
+        ANN_QUERY_IDS,
+        TOP_K,
+        n_clusters=IVF_CLUSTERS,
+        n_probe=IVF_CLUSTERS,
+        iters=IVF_ITERS,
+        train_fraction=IVF_TRAIN_FRACTION,
     )
 
 

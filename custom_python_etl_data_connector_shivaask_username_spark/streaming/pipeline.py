@@ -331,6 +331,16 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 
+
+def funnel_depth(seen: set) -> int:
+    """Contiguous prefix of FUNNEL_STAGES covered by ``seen``."""
+    depth = 0
+    for s in FUNNEL_STAGES:
+        if s not in seen:
+            break
+        depth += 1
+    return depth
+
 _FUNNEL_ORACLE = """
 SELECT user_id,
        CASE WHEN NOT bool_or(event_type = 'view') THEN 0
@@ -364,13 +374,9 @@ def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             seen.update(t for t in pdf["event_type"] if t in FUNNEL_STAGES)
         state.update((",".join(sorted(seen)),))
-        depth = 0
-        for s in FUNNEL_STAGES:
-            if s in seen:
-                depth += 1
-            else:
-                break
-        yield pd.DataFrame({"user_id": [key[0]], "funnel_depth": [depth]})
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "funnel_depth": [funnel_depth(seen)]}
+        )
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         funnel,
@@ -380,6 +386,77 @@ def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_df(out, "update").orderBy("user_id")
+
+
+def funnel_depths_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 twin on the ``transformWithStateInPandas`` API (Spark 4's
+    successor to ``applyInPandasWithState``: a ``StatefulProcessor``
+    with named state variables, timers, and TTL instead of one opaque
+    state tuple). Same per-user funnel machine, same answers — pinned
+    equal to :func:`q_funnel_depths` in tests/test_streaming_sessions.
+
+    Not a registry row (the applyInPandasWithState form holds the ST7
+    slot); this exists so a user on the forward API has a worked
+    example. Requires the RocksDB state store provider (the API
+    rejects the default HDFS-backed provider), set only for the
+    bounded run and restored after.
+
+    ENV GATE: the API's state-server protocol imports
+    ``google.protobuf`` in the Python worker; this container ships no
+    protobuf, so execution crashes the worker here (same class of
+    environment gap as the MongoDB sink / media codecs). The plan
+    builds and the processor logic is unit-tested directly;
+    tests/test_streaming_sessions.py runs the full stream only when
+    protobuf imports.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getValueState("seen", "stages STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = (
+                set(self.seen.get()[0].split(","))
+                if self.seen.exists()
+                else set()
+            )
+            for pdf in rows:
+                seen.update(
+                    t for t in pdf["event_type"] if t in FUNNEL_STAGES
+                )
+            self.seen.update((",".join(sorted(seen)),))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "funnel_depth": [funnel_depth(seen)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            FunnelProcessor(),
+            outputStructType="user_id BIGINT, funnel_depth INT",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_stream_to_df(out, "update").orderBy("user_id")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
 
 
 # --- ST8/ST9: stream-static and stream-stream joins ---------------------------------------

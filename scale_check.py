@@ -66,15 +66,17 @@ def replicate(df: DataFrame, factor: int, id_cols: list[str],
     return out.drop("_rep")
 
 
-def _curation(docs: DataFrame) -> DataFrame:
+def _curation(docs: DataFrame):
     """The q_curation_mix shape over an arbitrary docs frame — sampling
-    filter (map-side), per-lang window cumsum (THE skew-sensitive
-    stage: few strata, big cells), budget filter, 5-row summary."""
-    from pyspark.sql import Window
-
+    filter (map-side), then the PRODUCTION skew-safe selection
+    (``token_budget_select``: range-partitioned prefix-sum, strata
+    parallel across partitions) and a 5-row summary. Returned as a
+    thunk because the operator is eager (localCheckpoint + offset
+    collection run at build time and must be timed)."""
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
         TOKEN_BUDGET,
         sample_bucket,
+        token_budget_select,
     )
 
     scored = docs.select(
@@ -83,18 +85,15 @@ def _curation(docs: DataFrame) -> DataFrame:
         F.size(F.split("text", " ")).alias("tokens"),
         (sample_bucket(F.col("doc_id")) < 40).alias("keep"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        scored.filter("keep")
-        .withColumn("cum", F.sum("tokens").over(w))
-        .filter(F.col("cum") <= TOKEN_BUDGET * 1000)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens").alias("toks"))
-    )
+
+    def build() -> DataFrame:
+        return (
+            token_budget_select(scored.filter("keep"), TOKEN_BUDGET * 1000)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("tokens").alias("toks"))
+        )
+
+    return build
 
 
 def _contamination(train: DataFrame, base_docs: DataFrame) -> DataFrame:
@@ -111,8 +110,11 @@ def _contamination(train: DataFrame, base_docs: DataFrame) -> DataFrame:
     return contamination_pairs(train, bench, threshold=0.0)
 
 
-def timed(df: DataFrame) -> float:
+def timed(obj) -> float:
+    """Time a DataFrame's full execution; a callable case is built
+    inside the clock (eager operators pay their build-time jobs)."""
     t0 = time.perf_counter()
+    df = obj() if callable(obj) else obj
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
@@ -120,7 +122,10 @@ def timed(df: DataFrame) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
-    factors = [int(x) for x in ap.parse_args().factors.split(",")]
+    ap.add_argument("--ops", default="", help="comma-filter of op names")
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+    only = {o for o in args.ops.split(",") if o}
 
     spark = get_spark("scale-check")
     docs = load_table(spark, SF_DIR, "documents")
@@ -174,6 +179,8 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for f in factors:
         for name, df in cases(f).items():
+            if only and name not in only:
+                continue
             if f == factors[0]:
                 timed(df)  # warm the JVM/codegen once on the smallest factor
             secs = timed(df)

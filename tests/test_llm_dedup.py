@@ -359,3 +359,181 @@ def test_int8_quantization_roundtrip_and_cosine_error(spark):
         ).alias("d")
     ).agg(F.max("d").alias("max_d")).collect()[0]["max_d"]
     assert drift < 0.02, drift
+
+
+# --- X5/X6 driver-visible queries ------------------------------------------
+
+
+def test_char3_edges_and_cc_collapse_planted_chain(spark):
+    """The q_dedup_clusters path finds transitive clusters: A~B and B~C
+    edges exist but A~C does not, yet all three land in one component
+    labeled by the min id."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        char3_jaccard_edges,
+        connected_components,
+    )
+
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE.replace("lazy", "sleepy")),
+        Row(
+            doc_id=2,
+            text=BASE.replace("lazy", "sleepy").replace(
+                "afternoon", "morning"
+            ),
+        ),
+        Row(
+            doc_id=9,
+            text="completely unrelated text about parquet row groups and "
+            "columnar compression codecs in distributed storage layers",
+        ),
+    ]
+    docs = spark.createDataFrame(rows)
+    edges = {
+        (r["id_a"], r["id_b"]) for r in char3_jaccard_edges(docs).collect()
+    }
+    assert (0, 1) in edges and (1, 2) in edges
+    assert not any(9 in e for e in edges)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            char3_jaccard_edges(docs)
+        ).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert 9 not in comp  # isolates never enter the edge graph
+
+
+def test_q_dedup_clusters_invariants(spark, sf_dir):
+    """Driver-query invariants on real data: component = min member id,
+    cluster_size consistent with membership, ids unique."""
+    out = QUERIES["q_dedup_clusters"](spark, sf_dir).collect()
+    assert len({r["id"] for r in out}) == len(out)
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m["id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert len(members) >= 2  # only clustered docs are emitted
+
+
+def test_q_ann_ivf_equals_exact_topk(spark, sf_dir):
+    """Exhaustive probing (n_probe = n_clusters) makes IVF exact: the
+    driver query's output must equal brute-force top-k regardless of
+    centroid placement — the property that justifies its SQL oracle."""
+    from custom_python_etl_data_connector_shivaask_username_spark.functions.vector import (
+        cosine,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ANN_QUERY_IDS,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    got = [
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    expected = []
+    for qid in ANN_QUERY_IDS:
+        qv = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q_emb")
+        )
+        top = (
+            emb.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(TOP_K)
+            .collect()
+        )
+        expected += [(qid, r["vec_id"], r["cos_sim"]) for r in top]
+    assert sorted(got) == sorted(expected)
+
+
+def test_kmeans_train_fraction_deterministic(spark):
+    """Hash-sampled training is rerun-stable and still recovers planted
+    blobs (the 100 TB path: bounded training scan, full-corpus assign)."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        _nearest_centroid,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    anchors = [rng.standard_normal(16) * 10 for _ in range(3)]
+    rows = []
+    for b, a in enumerate(anchors):
+        for i in range(60):
+            v = a + rng.standard_normal(16) * 0.3
+            rows.append((b * 100 + i, v.tolist(), b))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    c1 = kmeans_centroids(emb, n_clusters=3, iters=3, train_fraction=0.5)
+    c2 = kmeans_centroids(emb, n_clusters=3, iters=3, train_fraction=0.5)
+    assert c1 == c2  # deterministic sample, deterministic centroids
+    assigned = emb.select(
+        "label", _nearest_centroid(F.col("embedding"), c1).alias("cid")
+    ).collect()
+    by_label = {}
+    for r in assigned:
+        by_label.setdefault(r["label"], set()).add(r["cid"])
+    assert all(len(cells) == 1 for cells in by_label.values())
+    assert len({next(iter(c)) for c in by_label.values()}) == 3
+
+
+def test_q_lsh_suite_has_all_branches(spark, sf_dir):
+    rows = QUERIES["q_lsh_suite"](spark, sf_dir).collect()
+    branches = {r["branch"] for r in rows}
+    assert branches == {"lsh_pair", "lsh_ann", "signature"}
+    sig_rows = [r for r in rows if r["branch"] == "signature"]
+    assert all(r["detail"] and "|" in r["detail"] for r in sig_rows)
+
+
+def test_pair_join_big_block_guard(spark):
+    """A label above max_block routes through LSH sub-blocking: planted
+    identical vectors are still found (they co-bucket by construction)
+    and the guard demonstrably prunes the candidate space."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        similar_pairs_within_label_df,
+    )
+
+    rng = np.random.RandomState(3)
+    dup = rng.standard_normal(64)
+    rows = []
+    for i in range(400):  # one dominant label, mostly random vectors
+        v = dup if i in (10, 250) else rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    rows.append((1000, (dup / np.linalg.norm(dup)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+
+    guarded = similar_pairs_within_label_df(
+        emb, threshold=0.9, max_block=100
+    )
+    found = {(r["vec_a"], r["vec_b"]) for r in guarded.collect()}
+    assert (10, 250) in found  # identical vectors share every LSH bucket
+
+    # the guard prunes: bucketed candidates ≪ exact all-pairs
+    exact = similar_pairs_within_label_df(
+        emb, threshold=-1.1, max_block=10**9
+    )
+    bucketed = similar_pairs_within_label_df(
+        emb, threshold=-1.1, max_block=100
+    )
+    n_exact, n_bucketed = exact.count(), bucketed.count()
+    assert n_exact == 400 * 399 / 2 + 0  # label-1 singleton adds none
+    assert n_bucketed < n_exact / 10, (n_bucketed, n_exact)

@@ -99,7 +99,11 @@ def test_window_suite_shares_one_shuffle(spark, sf_dir):
 def test_minhash_shuffles_ids_not_shingles(spark, sf_dir):
     # the round-1 formulation carried shingle arrays through the band
     # explode; the rebuild must shuffle only fixed-width columns
-    df = QUERIES["q_near_dup_pairs_minhash"](spark, sf_dir)
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        q_near_dup_pairs_minhash,
+    )
+
+    df = q_near_dup_pairs_minhash(spark, sf_dir)
     plan = formatted_plan(df)
     exchange_lines = [
         line for line in plan.splitlines() if "Exchange" in line

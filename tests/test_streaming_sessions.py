@@ -76,3 +76,53 @@ def test_session_window_closes_on_gap(spark, tmp_path):
         for r in rows
     )
     assert sessions == [("10:00", 3), ("11:30", 1)]
+
+
+# --- ST7 forward API: transformWithStateInPandas ---------------------------
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_funnel_depth_helper():
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        funnel_depth,
+    )
+
+    assert funnel_depth(set()) == 0
+    assert funnel_depth({"view"}) == 1
+    assert funnel_depth({"view", "click"}) == 2
+    assert funnel_depth({"view", "click", "purchase"}) == 3
+    assert funnel_depth({"click", "purchase"}) == 0  # no contiguous prefix
+    assert funnel_depth({"view", "purchase"}) == 1
+
+
+def test_funnel_tws_twin(spark, sf_dir):
+    """The transformWithStateInPandas twin builds a valid plan; the
+    full stream runs (and must equal the applyInPandasWithState form)
+    only where protobuf exists — the API's state-server protocol
+    imports google.protobuf in the worker, absent in this container."""
+    import pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        funnel_depths_tws,
+        q_funnel_depths,
+    )
+
+    if not _protobuf_available():
+        pytest.skip("google.protobuf not installed; execution env-gated")
+    a = sorted(
+        (r["user_id"], r["funnel_depth"])
+        for r in funnel_depths_tws(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["funnel_depth"])
+        for r in q_funnel_depths(spark, sf_dir).collect()
+    )
+    assert a == b

@@ -20,16 +20,15 @@ on disk" and "tokens in the dataloader":
 Scale notes (100 TB): languages are few and skewed, so a
 ``Window.partitionBy(lang)`` cumsum is the classic skew case — the
 ``en`` partition is most of the corpus on one core. The selection here
-is therefore implemented as ``token_budget_select``: per-stratum range
-partitioning (``repartitionByRange(lang, priority)``) +
-``sortWithinPartitions`` + a partition prefix-sum (pass 1 computes the
-tiny per-(partition, stratum) token sums; pass 2 is a mapInPandas that
-adds each partition's exclusive offset to a local cumsum), which keeps
-each stratum parallel across partitions instead of single-tasked. The
-semantics are identical to the window cumsum (pinned by a
-result-equality test on a 90%-one-language fixture) and by the
-``q_curation_mix`` oracle. The final per-lang summary is a 5-row
-aggregate — broadcast territory.
+is therefore implemented as ``token_budget_select``: a lazy two-level
+prefix sum — range partitioning spreads each stratum over many
+ordered cells, a (stratum, partition-id) window cumsums each cell in
+parallel, and a metadata-scale offset frame (cell totals, exclusive
+per-stratum running sum) broadcasts back to reconstruct the exact
+global prefix. The semantics are identical to the window cumsum
+(pinned by a result-equality test on a 90%-one-language fixture) and
+by the ``q_curation_mix`` oracle. The final per-lang summary is a
+5-row aggregate, so its mixture-weight window is single-task-safe.
 """
 
 from __future__ import annotations
@@ -170,46 +169,49 @@ def token_budget_select(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Skew-safe per-stratum token-budget selection.
+    """Skew-safe per-stratum token-budget selection — lazy, pure JVM.
 
     Keeps, per stratum, the prefix of rows (ordered by ``tokens_col``
     desc, ``id_col`` asc) whose running token total fits the budget —
     the same semantics as a ``Window.partitionBy(strata_col)``
     cumulative sum, WITHOUT single-tasking each stratum. Strata are few
     and skewed (at 100 TB the ``en`` partition is most of the corpus),
-    so instead:
+    so the global cumsum is decomposed as a classic two-level prefix
+    sum over range-ordered cells:
 
     1. ``repartitionByRange(strata, tokens desc, id)`` spreads each
        stratum over many partitions while keeping its global order
-       across partition boundaries; ``sortWithinPartitions`` orders
-       rows inside each.
-    2. Pass 1 aggregates per-(partition, stratum) token sums — at most
-       ``partitions x strata`` rows, collected to the driver to compute
-       each partition's exclusive prefix offset (metadata-scale, like a
-       k-means centroid matrix; never corpus-scale).
-    3. Pass 2 is an Arrow-batched ``mapInPandas`` over the SAME sorted
-       partitioning: local cumsum per stratum + the partition's offset,
-       carrying running totals across Arrow batches, emitting rows
-       while ``offset + cumsum <= token_budget``.
+       contiguous across partition ids (``_pid``).
+    2. Cell cumsum: ``Window.partitionBy(strata, _pid)`` — every
+       (stratum, partition) cell is its own window partition, so the
+       corpus-scale sort/scan parallelizes over all cells; no cell
+       exceeds a shuffle partition.
+    3. Cell offsets: per-(strata, _pid) token sums (a metadata-scale
+       aggregate, ``partitions × strata`` rows) get an exclusive
+       per-stratum running sum via ``Window.partitionBy(strata)
+       .orderBy(_pid)`` — partitioned by the skewed key, but over the
+       tiny cell frame, never corpus rows.
+    4. Broadcast the offsets back onto the cells (null-safe equality,
+       so NULL strata form their own budgeted stratum) and keep rows
+       with ``cell_cum + offset <= budget``.
 
-    The partitioned frame is ``localCheckpoint``-ed (eager) before
-    pass 1: Spark's range partitioner samples with an RDD-id-derived
-    seed, so WITHOUT materialization the two jobs can draw different
-    boundaries (measured ~11% of rows switching partitions on a 400k
-    replica) and pass-1 offsets would apply to the wrong rows. The
-    checkpoint pins one physical partitioning for both passes and pays
-    the shuffle once instead of twice.
-
-    NULL strata are supported: partitioning/grouping uses an internal
-    sentinel-coalesced ``_stratum`` key so null-lang rows get their own
-    budget stratum instead of crashing the driver sort or being dropped
-    by pandas' default ``dropna``.
-
-    Note this operator is **eager** — calling it runs the shuffle +
-    pass-1 jobs immediately (offsets are frozen at build time). The
-    result carries ``df``'s columns unchanged.
+    Everything is ONE lazy plan, and the partitioned frame is
+    ``persist``-ed (MEMORY_AND_DISK) so the cell window and the offset
+    aggregate read the SAME materialized partitioning — ``_pid`` must
+    be identical for both readers, and Spark's range partitioner
+    samples boundaries with an RDD-lineage-derived seed, so two
+    *independent* evaluations of the exchange can disagree (measured
+    ~11% of rows switching partitions on a 400k replica in round 3).
+    One cached plan object means one shuffle, one boundary sample,
+    consistent pids — even if the two reader stages race, they share
+    the plan's single ShuffleDependency. The exact sampled boundaries
+    are immaterial (the two-level reconstruction is boundary-agnostic).
+    This replaced an eager localCheckpoint + collect + mapInPandas
+    two-pass (build-time jobs, a corpus materialization frozen at
+    build time, and an Arrow round trip — ~3x the runtime at sf0.1).
     """
-    import pandas as pd  # noqa: F401 — mapInPandas batches are pandas
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     if num_partitions is None:
         conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -217,58 +219,47 @@ def token_budget_select(
             num_partitions = int(conf)
         except (TypeError, ValueError):  # e.g. "auto" under Databricks AQE
             num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    # NULL-safe stratum key: \x00 prefix cannot collide with real values
-    # of the cast because we only ever group/partition on this column.
-    NULL_SENTINEL = "\x00<null>"
     order = [
-        F.col("_stratum").asc(),
+        F.col(strata_col).asc_nulls_first(),
         F.col(tokens_col).desc(),
         F.col(id_col).asc(),
     ]
     parted = (
-        df.withColumn(
-            "_stratum",
-            F.coalesce(F.col(strata_col).cast("string"), F.lit(NULL_SENTINEL)),
-        )
-        .repartitionByRange(num_partitions, *order)
-        .sortWithinPartitions(*order)
+        df.repartitionByRange(num_partitions, *order)
         .withColumn("_pid", F.spark_partition_id())
-        # eager materialization: ONE physical partitioning shared by the
-        # pass-1 aggregation and the pass-2 mapInPandas (range-partitioner
-        # sampling is not stable across jobs), and the shuffle runs once.
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # pass 1: tiny per-(partition, stratum) sums -> exclusive offsets
-    psums = parted.groupBy("_pid", "_stratum").agg(
-        F.sum(tokens_col).alias("_psum")
-    ).collect()
-    offsets: dict[tuple[int, str], int] = {}
-    running: dict[str, int] = {}
-    for r in sorted(psums, key=lambda r: (r["_stratum"], r["_pid"])):
-        key = r["_stratum"]
-        offsets[(r["_pid"], key)] = running.get(key, 0)
-        running[key] = running.get(key, 0) + r["_psum"]
+    w_cell = (
+        Window.partitionBy(strata_col, "_pid")
+        .orderBy(F.col(tokens_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = parted.withColumn("_cum", F.sum(tokens_col).over(w_cell))
 
-    out_schema = df.schema
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parted.groupBy(strata_col, "_pid")
+        .agg(F.sum(tokens_col).alias("_psum"))
+        .select(
+            F.col(strata_col).alias("_o_stratum"),
+            F.col("_pid").alias("_o_pid"),
+            F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
 
-    def select_fit(batches):
-        # one partition per call; Arrow may split it into several
-        # batches — carry per-stratum running totals across them
-        seen: dict[str, int] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            keep_parts = []
-            for stratum, g in pdf.groupby("_stratum", sort=False):
-                base = offsets.get((pid, stratum), 0) + seen.get(stratum, 0)
-                cum = g[tokens_col].cumsum() + base
-                keep_parts.append(g[cum <= token_budget])
-                seen[stratum] = seen.get(stratum, 0) + int(g[tokens_col].sum())
-            yield pd.concat(keep_parts).drop(columns=["_pid", "_stratum"])
-
-    return parted.mapInPandas(select_fit, out_schema)
+    joined = cells.join(
+        F.broadcast(offsets),
+        cells[strata_col].eqNullSafe(F.col("_o_stratum"))
+        & (cells["_pid"] == F.col("_o_pid")),
+    )
+    return joined.filter(
+        F.col("_cum") + F.col("_off") <= token_budget
+    ).select(*df.columns)
 
 
 def contamination_pairs(
@@ -359,30 +350,35 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if("keep").alias("n_sampled"),
     )
-    joined = base.join(sel, "lang", "left").select(
+    # explicit hint: sel is a per-lang aggregate (5 rows) but sits above
+    # window operators whose size estimate exceeds the auto threshold
+    joined = base.join(F.broadcast(sel), "lang", "left").select(
         "lang",
         "n_docs",
         "n_sampled",
         F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
         F.coalesce("tokens_selected", F.lit(0)).alias("tokens_selected"),
     )
-    # total selected-token mass via broadcast scalar, not an
-    # unpartitioned window (WindowExec would single-task it).
+    # total selected-token mass via an unpartitioned window OVER THE
+    # 5-ROW SUMMARY — safe at any corpus size because the input is the
+    # post-aggregation per-stratum frame (cardinality = #languages),
+    # and crucially a SINGLE plan reference: the earlier
+    # crossJoin(broadcast(joined.agg(...))) form referenced `joined`
+    # twice, re-executing the whole selection pipeline in one collect
+    # (measured ~0.9 s of the bench regression).
     # The mixture weight is emitted as integer parts-per-million so no
     # float ever enters the driver's hashed result (a rounded DOUBLE is
     # canonicalizer-fragile even when bit-identical to the oracle).
-    total = joined.agg(
-        F.sum("tokens_selected").alias("_total_tokens")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
     return (
-        joined.crossJoin(F.broadcast(total))
-        .withColumn(
+        joined.withColumn(
             "mix_weight_ppm",
             F.round(
                 F.col("tokens_selected") * F.lit(1000000.0)
-                / F.col("_total_tokens")
+                / F.sum("tokens_selected").over(w)
             ).cast("bigint"),
         )
-        .drop("_total_tokens")
         .orderBy("lang")
     )

@@ -357,24 +357,25 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the convergence flag in the update itself — the old
+        # form re-joined new vs old labels (an extra shuffle join +
+        # action per round just to detect the fixpoint)
+        stepped = (
             labels.join(prop, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("_ch").limit(1).count()
+        labels = stepped.drop("_ch")
         if changed == 0:
             break
     return labels
@@ -637,6 +638,7 @@ def char3_jaccard_edges(
     (``inter * den >= num * union``), so any ANSI engine picks the
     bit-identical edge set. Returns ``(id_a, id_b)`` with id_a < id_b.
     """
+    docs = spread_small_input(docs)
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(char_ngrams(F.col(text_col), 3)).alias("gram"),

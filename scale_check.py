@@ -69,10 +69,10 @@ def replicate(df: DataFrame, factor: int, id_cols: list[str],
 def _curation(docs: DataFrame):
     """The q_curation_mix shape over an arbitrary docs frame — sampling
     filter (map-side), then the PRODUCTION skew-safe selection
-    (``token_budget_select``: range-partitioned prefix-sum, strata
-    parallel across partitions) and a 5-row summary. Returned as a
-    thunk because the operator is eager (localCheckpoint + offset
-    collection run at build time and must be timed)."""
+    (``token_budget_select``: lazy two-level range/window prefix-sum,
+    strata parallel across cells) and a 5-row summary. Returned as a
+    thunk so any build-time cost an implementation has is always
+    inside the clock."""
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
         TOKEN_BUDGET,
         sample_bucket,

@@ -108,30 +108,50 @@ def test_token_budget_select_matches_window_form_on_skewed_fixture(spark):
     assert len(got) > 0
 
 
-def test_token_budget_select_carries_totals_across_arrow_batches(spark):
-    """Rows of one stratum spanning multiple Arrow batches within a
-    partition must not reset the running total."""
+def test_token_budget_select_exact_cutoff_across_partitions(spark):
+    """One stratum spanning several range partitions keeps exactly the
+    prefix that fits: cell cumsums + exclusive offsets reconstruct the
+    global running total across partition boundaries."""
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
         token_budget_select,
     )
 
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
-    try:
-        df = spark.createDataFrame(
-            [Row(lang="en", doc_id=i, tokens=10) for i in range(100)]
-        )
-        # budget fits exactly 25 docs; with per-batch resets every
-        # 10-row batch would restart the cumsum and keep everything
-        got = token_budget_select(df, 250, num_partitions=2).count()
-        assert got == 25
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    df = spark.createDataFrame(
+        [Row(lang="en", doc_id=i, tokens=10) for i in range(100)]
+    )
+    # budget fits exactly 25 docs; a per-partition reset would keep
+    # 25 docs per partition instead
+    got = token_budget_select(df, 250, num_partitions=4).count()
+    assert got == 25
 
 
-def test_curation_mix_plan_has_no_lang_window(spark, sf_dir):
-    """The registered query must not contain a Window partitioned only
-    by the skewed low-cardinality lang key (single task per language)."""
+def test_token_budget_select_null_stratum_kept(spark):
+    """NULL-lang rows form their own budgeted stratum (null-safe offset
+    join) instead of being dropped or crashing the offset sort."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        token_budget_select,
+    )
+
+    rows = [Row(lang=None, doc_id=i, tokens=100) for i in range(10)]
+    rows += [Row(lang="en", doc_id=100 + i, tokens=100) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, tokens LONG")
+    got = token_budget_select(df, 300, num_partitions=3).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # 3 docs of 100 tokens fit per stratum; ties break by doc_id asc
+    assert by_lang == {None: {0, 1, 2}, "en": {100, 101, 102}}
+
+
+def test_curation_mix_plan_skew_safe_windows(spark, sf_dir):
+    """Corpus-side windows must never partition on the skewed lang key
+    alone — every window spec naming lang must also involve the _pid
+    cell key (the per-cell cumsum, or the per-stratum offset sum over
+    the metadata-scale cell frame ordered by _pid). Both readers must
+    scan the ONE persisted range-partitioned relation — the cache is
+    what makes _pid consistent between them."""
+    import re
+
     from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
         formatted_plan,
     )
@@ -142,7 +162,18 @@ def test_curation_mix_plan_has_no_lang_window(spark, sf_dir):
 
     load_all()
     df = QUERIES["q_curation_mix"](spark, sf_dir)
-    assert "Window" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        if "lang" in spec:
+            assert "_pid" in spec, spec
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "cell window and offset aggregate must both read the persisted "
+        "range partitioning"
+    )
+    assert plan.count("Exchange rangepartitioning") <= 1, (
+        "a second independent range exchange would re-sample boundaries "
+        "and misalign _pid between the two readers"
+    )
 
 
 def test_contamination_flags_planted_copy(spark):

@@ -125,6 +125,48 @@ def test_token_budget_select_exact_cutoff_across_partitions(spark):
     assert got == 25
 
 
+def test_token_budget_select_matches_window_form_beyond_sampler(spark):
+    """250k-row skewed frame, far beyond the range partitioner's
+    ~100-rows-per-partition boundary sample: both readers of the
+    persisted exchange must see ONE set of sampled boundaries, or
+    cell offsets apply to the wrong rows (round 3 measured ~11% pid
+    drift when the exchange was evaluated twice). Exact set equality
+    with the per-stratum window cumsum is the pin."""
+    from pyspark.sql import Window
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        token_budget_select,
+    )
+
+    n = 250_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 == 0, F.lit("de"))
+        .otherwise(F.lit("en"))
+        .alias("lang"),
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 997 + 3).alias("tokens"),
+    )
+    budget = 40_000_000  # ~40% of the en stratum's token mass
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        r["doc_id"]
+        for r in df.withColumn("cum", F.sum("tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(df, budget, num_partitions=32).collect()
+    }
+    assert len(expected) > 50_000  # the cutoff is deep in the corpus
+    assert got == expected
+
+
 def test_token_budget_select_null_stratum_kept(spark):
     """NULL-lang rows form their own budgeted stratum (null-safe offset
     join) instead of being dropped or crashing the offset sort."""

@@ -712,13 +712,17 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``lsh_ann``: batched random-hyperplane LSH ANN top-k
       (recall ≥ 0.8 pinned);
     - ``signature``: per-doc SimHash / fingerprint / lang-ID table
-      (Hamming + stability + accuracy pins in tests).
+      (Hamming + stability + accuracy pins in tests);
+    - ``emb_dup``: embedding-cosine near-dup pairs (banded sign-LSH
+      candidates, exact cosine verify; recall/precision vs brute
+      force + giant-bucket star guard pinned in
+      tests/test_llm_dedup.py).
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
     canonicalizer cannot hash.
     """
-    from .llm_similarity import q_ann_lsh_topk
+    from .llm_similarity import embedding_near_dup_pairs, q_ann_lsh_topk
 
     pairs = q_near_dup_pairs_minhash(spark, sf_dir).select(
         F.lit("lsh_pair").alias("branch"),
@@ -744,6 +748,18 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.concat_ws("|", "fingerprint", "detected_lang").alias("detail"),
     )
-    return pairs.unionByName(ann).unionByName(sigs).orderBy(
-        "branch", "id_a", "id_b"
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_dup = embedding_near_dup_pairs(emb).select(
+        F.lit("emb_dup").alias("branch"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("cos_sim").alias("score"),
+        F.lit(None).cast("string").alias("detail"),
+    )
+    return (
+        pairs.unionByName(ann)
+        .unionByName(sigs)
+        .unionByName(emb_dup)
+        .orderBy("branch", "id_a", "id_b")
     )

@@ -281,6 +281,144 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_batch(emb, ANN_QUERY_IDS, TOP_K, probe_hamming=1)
 
 
+# --- embedding-cosine near-dup (dedup family, banded sign-LSH) ---------------
+
+#: banded sign-LSH layout for PAIR generation: b bands of r bits each.
+#: A pair colliding in ANY band becomes a candidate — the OR-
+#: amplification that single-bucket LSH lacks. At cos ≥ 0.95 the
+#: per-bit collision probability is 1 − acos(0.95)/π ≈ 0.90, so a
+#: band of 8 bits collides w.p. ≈ 0.43 and missing all 4 bands
+#: happens w.p. (1 − 0.43)⁴ ≈ 0.11 → ~0.89 recall before the
+#: Hamming-robustness of near-identical vectors is even counted.
+EMB_DUP_BANDS = 4
+EMB_DUP_BAND_BITS = 8
+_dup_rng = np.random.RandomState(7)
+EMB_DUP_PLANES: list[list[float]] = _dup_rng.standard_normal(
+    (EMB_DUP_BANDS * EMB_DUP_BAND_BITS, LSH_DIM)
+).tolist()
+NEAR_DUP_COSINE = 0.95
+#: cells larger than this emit star pairs (hub = min vec_id) instead of
+#: all pairs — b−1 edges, not b(b−1)/2. Greedy/CC dedup only needs
+#: connectivity to a surviving representative, so the cap trades pair
+#: ENUMERATION completeness for a linear bound, the same idiom as
+#: llm_dedup.near_dup_pairs' template-spam guard.
+MAX_EMB_BUCKET = 10_000
+
+
+def _band_bucket(emb_col, band: int) -> F.Column:
+    """Bucket id of one band: sign bits of its ``EMB_DUP_BAND_BITS``
+    hyperplane projections, packed into an int."""
+    bucket = F.lit(band << EMB_DUP_BAND_BITS)  # disjoint id spaces
+    for i in range(EMB_DUP_BAND_BITS):
+        plane = EMB_DUP_PLANES[band * EMB_DUP_BAND_BITS + i]
+        bucket = bucket + F.when(
+            dot(emb_col, lit_vector(plane)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    max_bucket: int = MAX_EMB_BUCKET,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs, verified exactly.
+
+    The dedup-family member over vectors (alongside exact hash,
+    MinHash-LSH, SimHash, and n-gram Jaccard over text): banded
+    random-hyperplane LSH proposes candidates, an exact cosine check
+    keeps only true near-dups. Returns ``(vec_a, vec_b, cos_sim)``
+    with ``vec_a < vec_b``, deterministic (seeded planes, no rand()).
+
+    Scale shape (100 TB): bucketing is map-only (sign bits of 32 fixed
+    projections); each vector fans out to ``EMB_DUP_BANDS`` (band,
+    bucket) cells — a constant-factor shuffle of fixed-width rows. The
+    cell space is tiny (bands × 2^bits ≤ 1024 cells), so per-cell
+    counts broadcast for free and oversized cells — the
+    all-vectors-identical pathology — fall back to star pairs around
+    the min-id hub, bounding every cell linear in its size. Candidate
+    verification is a codegen'd 64-dim dot product; duplicate
+    candidates from multi-band collisions collapse with one
+    ``dropDuplicates`` on the id pair (cos_sim is a function of the
+    pair, so the surviving row is unambiguous).
+    """
+    bands = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.explode(
+            F.array(
+                *[
+                    _band_bucket(F.col("embedding"), b)
+                    for b in range(EMB_DUP_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    counts = bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    sized = bands.join(F.broadcast(counts), "bucket")
+
+    def pairs_of(side: DataFrame, star: bool) -> DataFrame:
+        a = side
+        if star:
+            w = Window.partitionBy("bucket")
+            a = side.withColumn(
+                "_hub", F.min("vec_id").over(w)
+            ).filter(F.col("vec_id") == F.col("_hub")).drop("_hub")
+        left = a.select(
+            "bucket",
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+        )
+        right = side.select(
+            F.col("bucket").alias("bucket_b"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+        )
+        return left.join(
+            right,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+    small = pairs_of(sized.filter(F.col("_n") <= max_bucket), star=False)
+    big = pairs_of(sized.filter(F.col("_n") > max_bucket), star=True)
+    return (
+        small.unionByName(big)
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    max_bucket: int = MAX_EMB_BUCKET,
+) -> DataFrame:
+    """Drop cosine near-duplicate vectors, keeping the min-id survivor
+    of each near-dup CLUSTER (connected components over the verified
+    pair graph, so A~B~C collapses to one survivor even when A·C is
+    below threshold — same transitive semantics as the text-side
+    ``dedupe_near_cc``)."""
+    from .llm_dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(emb, threshold, max_bucket).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components(pairs, src="src", dst="dst")
+    survivors = labels.groupBy(F.col("component")).agg(
+        F.min("id").alias("_keep")
+    )
+    doomed = labels.join(
+        survivors, labels["id"] == survivors["_keep"], "left_anti"
+    ).select(F.col("id").alias("_drop"))
+    return emb.join(
+        doomed, emb["vec_id"] == F.col("_drop"), "left_anti"
+    )
+
+
 # --- L3 scale path #2: IVF (k-means coarse quantizer) -------------------------
 
 

@@ -495,9 +495,129 @@ def test_kmeans_train_fraction_deterministic(spark):
 def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     rows = QUERIES["q_lsh_suite"](spark, sf_dir).collect()
     branches = {r["branch"] for r in rows}
-    assert branches == {"lsh_pair", "lsh_ann", "signature"}
+    assert branches >= {"lsh_pair", "lsh_ann", "signature"}
+    assert branches <= {"lsh_pair", "lsh_ann", "signature", "emb_dup"}
     sig_rows = [r for r in rows if r["branch"] == "signature"]
     assert all(r["detail"] and "|" in r["detail"] for r in sig_rows)
+
+
+def test_embedding_near_dup_recall_and_precision_vs_brute_force(spark):
+    """Banded sign-LSH near-dup pairs vs the brute-force cosine pair
+    set on planted duplicate clusters: every reported pair is a true
+    pair (precision 1.0 — candidates are exactly verified) and recall
+    on the planted near-identical pairs is ≥ 0.9."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    planted = set()
+    for c in range(10):  # 10 clusters of 3 near-identical vectors
+        base = rng.standard_normal(64)
+        ids = [c * 3, c * 3 + 1, c * 3 + 2]
+        for i in ids:
+            v = base + 0.02 * rng.standard_normal(64)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        planted |= {(a, b) for a in ids for b in ids if a < b}
+    for i in range(100, 300):  # background noise, no near-dups
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    # brute-force truth
+    vecs = {i: np.array(v) for i, v in rows}
+    truth = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b
+        and round(
+            float(
+                vecs[a] @ vecs[b]
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            ),
+            6,
+        )
+        >= 0.95
+    }
+    assert got <= truth  # exact verification: no false positives
+    assert len(got & planted) / len(planted) >= 0.9, (
+        len(got & planted),
+        len(planted),
+    )
+
+
+def test_embedding_near_dup_giant_bucket_star_guard(spark):
+    """200 identical vectors with a small max_bucket: the cell takes
+    the star path (hub = min id), so pair count is linear in the cell,
+    yet dedup connectivity survives — embedding_dedup keeps exactly
+    one of the 200."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        embedding_dedup,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    dup = rng.standard_normal(64)
+    dup = (dup / np.linalg.norm(dup)).tolist()
+    rows = [(i, dup) for i in range(200)]
+    for i in range(200, 260):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    pairs = embedding_near_dup_pairs(emb, max_bucket=50).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert all(a == 0 for a, _ in got)  # star pairs anchor at the hub
+    assert len(got) == 199  # b-1 edges, not b(b-1)/2 = 19900
+
+    kept = embedding_dedup(emb, max_bucket=50).select("vec_id").collect()
+    kept_ids = {r["vec_id"] for r in kept}
+    assert 0 in kept_ids  # min-id survivor of the dup cluster
+    assert len(kept_ids & set(range(200))) == 1
+    assert set(range(200, 260)) <= kept_ids  # noise untouched
+
+
+def test_embedding_dedup_collapses_transitive_chain(spark):
+    """A~B and B~C above threshold but A·C below: CC still collapses
+    the chain to one survivor (min id)."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        embedding_dedup,
+    )
+
+    rng = np.random.RandomState(9)
+    a = rng.standard_normal(64)
+    a /= np.linalg.norm(a)
+    # rotate progressively: cos(a,b) ≈ cos(b,c) ≈ 0.97, cos(a,c) ≈ 0.88
+    perp = rng.standard_normal(64)
+    perp -= (perp @ a) * a
+    perp /= np.linalg.norm(perp)
+    theta = np.arccos(0.97)
+    b = np.cos(theta) * a + np.sin(theta) * perp
+    c = np.cos(2 * theta) * a + np.sin(2 * theta) * perp
+    rows = [
+        (1, a.tolist()),
+        (2, b.tolist()),
+        (3, c.tolist()),
+        (4, (rng.standard_normal(64) / 8).tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    kept = {
+        r["vec_id"]
+        for r in embedding_dedup(emb, threshold=0.95).collect()
+    }
+    assert kept == {1, 4}
 
 
 def test_pair_join_big_block_guard(spark):

@@ -209,6 +209,18 @@ def token_budget_select(
     This replaced an eager localCheckpoint + collect + mapInPandas
     two-pass (build-time jobs, a corpus materialization frozen at
     build time, and an Arrow round trip — ~3x the runtime at sf0.1).
+
+    ``persist`` (not ``localCheckpoint``) is deliberate for failure
+    semantics at cluster scale: a lost cached partition recomputes
+    from lineage through the SAME ShuffleDependency (boundaries are
+    sampled once per shuffle and stored in its partitioner, so the
+    recompute sees identical pids), whereas a truncated-lineage
+    checkpoint cannot recover lost partitions at all. The cache entry
+    lives until the session drops it (Spark's CacheManager holds
+    cached plans until unpersist/clearCache; memory evicts LRU, disk
+    spill is reclaimed at executor exit) — callers running many
+    selections in one long session can ``spark.catalog.clearCache()``
+    between batches.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window

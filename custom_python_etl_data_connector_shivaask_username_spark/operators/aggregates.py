@@ -140,13 +140,14 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A3 + A4-approx + A10: sketch/sample suite (rows-only) ----------------
 
 
-@query("q_approx_sketches")
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (HLL++ count distinct) + A4 approx percentiles (KLL/GK sketch)
     + A10 seeded Bernoulli sample — the bounded-memory statistics that
     replace their exact twins at 100 TB. Rows-only by design: sketch and
     RNG internals are engine-specific; accuracy bounds are pinned by
-    unit tests against the exact queries."""
+    unit tests against the exact queries. Driver-visible via the
+    ``sketch`` branch of ``q_lsh_suite`` (its registry slot was freed
+    for the oracle-checked ``q_embedding_near_dup``)."""
     ev = load_table(spark, sf_dir, "events")
     sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),

@@ -702,9 +702,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_lsh_suite")  # rows-only: every branch is hash-seed-dependent
 def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union of the three engine-specific (xxhash64-seeded)
-    surfaces, merged into ONE registry row to hold the registry within
-    the driver's 50-query check window without losing row visibility:
+    """Tagged union of the engine-specific (xxhash64-seeded / sketch /
+    sampled) surfaces, merged into ONE registry row to hold the
+    registry within the driver's 50-query check window without losing
+    row visibility:
 
     - ``lsh_pair``: MinHash-LSH near-dup candidate pairs
       (:func:`q_near_dup_pairs_minhash`; equivalence + planted-dup
@@ -716,7 +717,12 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``emb_dup``: embedding-cosine near-dup pairs (banded sign-LSH
       candidates, exact cosine verify; recall/precision vs brute
       force + giant-bucket star guard pinned in
-      tests/test_llm_dedup.py).
+      tests/test_llm_dedup.py; the same machinery is hash-checked at
+      a fixture-visible threshold by ``q_embedding_near_dup``);
+    - ``sketch``: A3/A4-approx/A10 bounded-memory statistics
+      (HLL++ distinct, KLL/GK percentiles, seeded Bernoulli sample)
+      unpivoted to (label=event_type, detail=metric, score=value);
+      accuracy vs the exact twins pinned in tests/test_aggregates.py.
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -757,9 +763,26 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("score"),
         F.lit(None).cast("string").alias("detail"),
     )
+    from .aggregates import q_approx_sketches
+
+    sketches = q_approx_sketches(spark, sf_dir).selectExpr(
+        "'sketch' AS branch",
+        "CAST(NULL AS LONG) AS id_a",
+        "CAST(NULL AS LONG) AS id_b",
+        "event_type AS label",
+        "stack(6,"
+        " 'approx_users', CAST(approx_users AS DOUBLE),"
+        " 'p50_approx', CAST(p50_approx AS DOUBLE),"
+        " 'p95_approx', CAST(p95_approx AS DOUBLE),"
+        " 'p99_approx', CAST(p99_approx AS DOUBLE),"
+        " 'sampled_count', CAST(sampled_count AS DOUBLE),"
+        " 'sampled_value', CAST(sampled_value AS DOUBLE)"
+        ") AS (detail, score)",
+    ).select("branch", "id_a", "id_b", "label", "score", "detail")
     return (
         pairs.unionByName(ann)
         .unionByName(sigs)
         .unionByName(emb_dup)
-        .orderBy("branch", "id_a", "id_b")
+        .unionByName(sketches)
+        .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

@@ -307,12 +307,15 @@ MAX_EMB_BUCKET = 10_000
 
 def _band_bucket(emb_col, band: int) -> F.Column:
     """Bucket id of one band: sign bits of its ``EMB_DUP_BAND_BITS``
-    hyperplane projections, packed into an int."""
+    hyperplane projections, packed into an int. The sign is taken on
+    the ROUND-9 dot (the IVF ``_nearest_centroid`` idiom) so any ANSI
+    engine evaluating the same literal planes lands on the same side
+    of every hyperplane."""
     bucket = F.lit(band << EMB_DUP_BAND_BITS)  # disjoint id spaces
     for i in range(EMB_DUP_BAND_BITS):
         plane = EMB_DUP_PLANES[band * EMB_DUP_BAND_BITS + i]
         bucket = bucket + F.when(
-            dot(emb_col, lit_vector(plane)) >= 0, F.lit(1 << i)
+            F.round(dot(emb_col, lit_vector(plane)), 9) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return bucket
 
@@ -390,6 +393,67 @@ def embedding_near_dup_pairs(
         .select("vec_a", "vec_b", "cos_sim")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+
+
+def _emb_dup_oracle(threshold: float) -> str:
+    """ANSI-SQL twin of ``embedding_near_dup_pairs`` (guard inactive):
+    the same 32 literal hyperplanes, the same round-9 sign buckets, a
+    same-band candidate join, exact round-6 cosine verification. Built
+    programmatically from ``EMB_DUP_PLANES`` so both engines read ONE
+    set of constants."""
+
+    def plane_sql(p: list[float]) -> str:
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    def band_expr(b: int) -> str:
+        bits = " + ".join(
+            "CASE WHEN ROUND(list_dot_product(e, "
+            f"{plane_sql(EMB_DUP_PLANES[b * EMB_DUP_BAND_BITS + i])}"
+            f"), 9) >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(EMB_DUP_BAND_BITS)
+        )
+        return f"({b * (1 << EMB_DUP_BAND_BITS)} + {bits})"
+
+    buckets = ", ".join(band_expr(b) for b in range(EMB_DUP_BANDS))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (SELECT vec_id, e, [{buckets}] AS bk FROM v)
+SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos_sim
+FROM b a JOIN b c
+  ON a.vec_id < c.vec_id AND len(list_intersect(a.bk, c.bk)) > 0
+WHERE ROUND(list_cosine_similarity(a.e, c.e), 6) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+#: registry threshold for q_embedding_near_dup — deliberately BELOW the
+#: production NEAR_DUP_COSINE: the fixture's embeddings are
+#: near-random (max pairwise cos ≈ 0.33), so at 0.95 the correct
+#: output is empty and the oracle would prove nothing. 0.3 yields a
+#: deterministic ~80-pair result through the identical machinery
+#: (banding, candidate join, verification); the production threshold's
+#: recall/precision behavior is pinned on planted clusters in
+#: tests/test_llm_dedup.py.
+EMB_DUP_REGISTRY_THRESHOLD = 0.3
+
+_EMB_DUP_ORACLE = _emb_dup_oracle(EMB_DUP_REGISTRY_THRESHOLD)
+
+
+@query("q_embedding_near_dup", oracle=_EMB_DUP_ORACLE)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, hash-checked end-to-end: the
+    driver verifies the full banded-LSH candidate machinery — 32
+    round-9 sign projections, any-band collision, exact round-6 cosine
+    — against a DuckDB twin built from the same plane constants. The
+    giant-cell star guard is inactive at fixture scale (cells ≪
+    ``MAX_EMB_BUCKET``) and is pinned separately by unit test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=EMB_DUP_REGISTRY_THRESHOLD
+    ).orderBy("vec_a", "vec_b")
 
 
 def embedding_dedup(

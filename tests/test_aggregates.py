@@ -8,6 +8,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+    q_approx_sketches,
+)
 from custom_python_etl_data_connector_shivaask_username_spark.registry import (
     QUERIES,
     load_all,
@@ -18,7 +21,9 @@ load_all()
 
 
 def _sketches(spark, sf_dir):
-    return QUERIES["q_approx_sketches"](spark, sf_dir).collect()
+    # no longer a standalone registry row (driver-visible via the
+    # 'sketch' branch of q_lsh_suite); pins run the operator directly
+    return q_approx_sketches(spark, sf_dir).collect()
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):

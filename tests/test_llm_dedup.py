@@ -495,10 +495,21 @@ def test_kmeans_train_fraction_deterministic(spark):
 def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     rows = QUERIES["q_lsh_suite"](spark, sf_dir).collect()
     branches = {r["branch"] for r in rows}
-    assert branches >= {"lsh_pair", "lsh_ann", "signature"}
-    assert branches <= {"lsh_pair", "lsh_ann", "signature", "emb_dup"}
+    # emb_dup may be empty at the production 0.95 threshold (the
+    # fixture has no true near-dups); all other branches must emit
+    assert branches >= {"lsh_pair", "lsh_ann", "signature", "sketch"}
+    assert branches <= {
+        "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup"
+    }
     sig_rows = [r for r in rows if r["branch"] == "signature"]
     assert all(r["detail"] and "|" in r["detail"] for r in sig_rows)
+    sk = [r for r in rows if r["branch"] == "sketch"]
+    assert {r["detail"] for r in sk} == {
+        "approx_users", "p50_approx", "p95_approx", "p99_approx",
+        "sampled_count", "sampled_value",
+    }
+    assert all(r["label"] is not None and r["score"] is not None
+               for r in sk if r["detail"] != "sampled_value")
 
 
 def test_embedding_near_dup_recall_and_precision_vs_brute_force(spark):

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..compat import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, spread_small_input
 
 CUTOFF = "1998-09-02"
 
@@ -43,7 +43,13 @@ ORDER BY l_returnflag, l_linestatus
 
 @query("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # The partial aggregation (8 exact-decimal accumulators/row) fuses
+    # into the scan stage, so its parallelism equals the scan's row-group
+    # count; spread_small_input unlocks every core when the input is a
+    # single row group (fixture artifact) and is a guarded no-op on any
+    # real multi-row-group dataset. Decimal exactness makes the result
+    # independent of the introduced row order.
+    li = spread_small_input(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..compat import dsum, sql_dsum
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, spread_small_input
 
 
 # --- J1 + J5: star-schema enrichment with broadcast dims ----------------
@@ -48,8 +48,15 @@ ORDER BY r_name, n_name
 
 @query("q_revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE)
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J5: lineitem⋈orders is the only real shuffle; all dims broadcast."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """J1/J5: lineitem⋈orders is the only real shuffle; all dims broadcast.
+
+    The fact side goes through ``spread_small_input``: with every dim
+    broadcast, the joins + partial agg all fuse into the lineitem scan
+    stage, so on a single-row-group fixture file the whole pipeline runs
+    one task wide. The spread is a guarded no-op on real multi-row-group
+    data; exact-decimal revenue makes results row-order-independent.
+    """
+    li = spread_small_input(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
     )

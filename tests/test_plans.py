@@ -29,8 +29,10 @@ def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
     schema = scan_schemas(df)[0]
     assert schema.count(":") == 7
     assert "l_orderkey" not in schema  # unused key pruned
-    # partial + final agg = exactly 1 data shuffle (plus the tiny sort)
-    assert count_exchanges(df) <= 2
+    # partial + final agg = exactly 1 data shuffle (plus the tiny sort,
+    # plus spread_small_input's local-only round-robin exchange — a
+    # guarded no-op on any multi-row-group input, see tables.py)
+    assert count_exchanges(df) <= 3
 
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir):

@@ -5,11 +5,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Methodology: one untimed warm run per query (JVM/codegen/parquet-footer
-warmup), then best-of-3 timed runs, each executing the query to
+warmup), then best-of-5 timed runs, each executing the query to
 completion (collect of the final result). Timings therefore measure
 steady-state query execution, not first-touch JIT or co-tenant
 scheduler noise (observed run-to-run variance on identical code is
-~30% without the min).
+~30% without the min; best-of-3 still let single-run outliers through,
+hence 5).
 """
 
 from __future__ import annotations
@@ -75,7 +76,7 @@ def main() -> None:
         fn = _resolve(name)
         fn(spark, sf_dir).collect()  # warm (plan + codegen + IO cache)
         best = float("inf")
-        for _ in range(3):  # best-of-3: steady-state time, not scheduler noise
+        for _ in range(5):  # best-of-5: steady-state time, not scheduler noise
             t0 = time.perf_counter()
             n = len(fn(spark, sf_dir).collect())
             best = min(best, time.perf_counter() - t0)

@@ -19,6 +19,8 @@ Three tiers, matching how this runs at increasing scale:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -305,15 +307,74 @@ NEAR_DUP_COSINE = 0.95
 MAX_EMB_BUCKET = 10_000
 
 
-def _band_bucket(emb_col, band: int) -> F.Column:
-    """Bucket id of one band: sign bits of its ``EMB_DUP_BAND_BITS``
-    hyperplane projections, packed into an int. The sign is taken on
-    the ROUND-9 dot (the IVF ``_nearest_centroid`` idiom) so any ANSI
-    engine evaluating the same literal planes lands on the same side
-    of every hyperplane."""
-    bucket = F.lit(band << EMB_DUP_BAND_BITS)  # disjoint id spaces
-    for i in range(EMB_DUP_BAND_BITS):
-        plane = EMB_DUP_PLANES[band * EMB_DUP_BAND_BITS + i]
+def emb_dup_config(
+    n_rows: int,
+    threshold: float = NEAR_DUP_COSINE,
+    recall: float = 0.9,
+    target_occupancy: int = 32,
+    seed: int = 7,
+) -> tuple[int, int, list[list[float]]]:
+    """Corpus-size-adaptive ``(bands, bits, planes)`` for the banded
+    sign-LSH below.
+
+    The pinned default (4 bands x 8 bits) has a FIXED 1024-cell space,
+    so mean cell occupancy — and with it candidate-pair generation,
+    which is quadratic in occupancy — grows linearly with the corpus:
+    right for fixture scale, wrong by x10^6 at 100 TB. The classic fix
+    is to hold occupancy constant instead:
+
+    - ``bits = log2(n / target_occupancy)`` keeps ~``target_occupancy``
+      vectors per cell at any corpus size (sign bits of independent
+      Gaussian projections split a non-degenerate corpus ~evenly);
+    - more bits lower per-band collision probability ``p^bits`` (p =
+      1 - acos(threshold)/pi, the Goemans-Williamson angle identity),
+      so ``bands`` is re-solved from the recall target:
+      ``1 - (1 - p^bits)^bands >= recall``.
+
+    Cost model: shuffle fan-out is ``n x bands`` fixed-width rows
+    (bands grows ~linearly in bits, i.e. ~log n), candidate
+    verification is ``bands x n x occupancy / 2`` dot products —
+    linear in n for constant occupancy. At n = 10^10 this yields
+    29 bits / 50 bands: a 5x10^8-cell space per band instead of 256.
+
+    Planes are derived from the same seeded generator as
+    ``EMB_DUP_PLANES`` — same n in, same config and planes out, on any
+    machine. The registry query pins the default config so its DuckDB
+    oracle (generated from the same constants) stays frozen.
+    """
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    bits = max(1, math.ceil(math.log2(max(n_rows, 2) / target_occupancy)))
+    p_band = p**bits
+    if p_band >= 1.0:
+        bands = 1
+    else:
+        bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band)))
+    planes = (
+        np.random.RandomState(seed)
+        .standard_normal((bands * bits, LSH_DIM))
+        .tolist()
+    )
+    return bands, bits, planes
+
+
+def _band_bucket(
+    emb_col,
+    band: int,
+    bits: int = EMB_DUP_BAND_BITS,
+    planes: list[list[float]] | None = None,
+) -> F.Column:
+    """Bucket id of one band: sign bits of its ``bits`` hyperplane
+    projections, packed into an int. The sign is taken on the ROUND-9
+    dot (the IVF ``_nearest_centroid`` idiom) so any ANSI engine
+    evaluating the same literal planes lands on the same side of every
+    hyperplane."""
+    if planes is None:
+        planes = EMB_DUP_PLANES
+    # LONG id space: band << bits exceeds int32 once bits ~28 (100 TB
+    # configs from emb_dup_config)
+    bucket = F.lit(band << bits).cast("long")  # disjoint id spaces
+    for i in range(bits):
+        plane = planes[band * bits + i]
         bucket = bucket + F.when(
             F.round(dot(emb_col, lit_vector(plane)), 9) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
@@ -324,6 +385,7 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = NEAR_DUP_COSINE,
     max_bucket: int = MAX_EMB_BUCKET,
+    config: tuple[int, int, list[list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, verified exactly.
 
@@ -333,65 +395,90 @@ def embedding_near_dup_pairs(
     keeps only true near-dups. Returns ``(vec_a, vec_b, cos_sim)``
     with ``vec_a < vec_b``, deterministic (seeded planes, no rand()).
 
-    Scale shape (100 TB): bucketing is map-only (sign bits of 32 fixed
-    projections); each vector fans out to ``EMB_DUP_BANDS`` (band,
-    bucket) cells — a constant-factor shuffle of fixed-width rows. The
-    cell space is tiny (bands × 2^bits ≤ 1024 cells), so per-cell
-    counts broadcast for free and oversized cells — the
-    all-vectors-identical pathology — fall back to star pairs around
-    the min-id hub, bounding every cell linear in its size. Candidate
-    verification is a codegen'd 64-dim dot product; duplicate
-    candidates from multi-band collisions collapse with one
-    ``dropDuplicates`` on the id pair (cos_sim is a function of the
-    pair, so the surviving row is unambiguous).
+    Scale shape (100 TB) — ids shuffle, vectors don't (the
+    ``near_dup_pairs`` idiom): the sign projections run exactly ONCE
+    per vector (map-only), fan out to ``bands`` fixed-width
+    (bucket, vec_id) rows, and the only corpus-wide exchange is that
+    id-pair shuffle. Candidate id pairs come from per-cell member
+    lists; oversized cells — the all-vectors-identical pathology —
+    emit star pairs around the min-id hub (b−1 edges, not b²/2),
+    exactly what greedy/CC dedup consumes. Embeddings are then joined
+    back ONLY for the candidates that survive
+    ``dropDuplicates`` — the verify cost is proportional to
+    candidates, never corpus, and no shuffle ever carries a vector
+    payload per band.
+
+    ``config`` overrides the pinned (bands, bits, planes) layout; pass
+    :func:`emb_dup_config` of the corpus size to hold cell occupancy —
+    and with it candidate generation per vector — constant at any
+    scale. The default stays the frozen 4x8 layout the registry oracle
+    is generated from.
     """
-    bands = emb.select(
+    n_bands, n_bits, planes = config or (
+        EMB_DUP_BANDS,
+        EMB_DUP_BAND_BITS,
+        EMB_DUP_PLANES,
+    )
+    sig = emb.select(
         F.col("vec_id"),
-        F.col("embedding"),
         F.explode(
             F.array(
                 *[
-                    _band_bucket(F.col("embedding"), b)
-                    for b in range(EMB_DUP_BANDS)
+                    _band_bucket(F.col("embedding"), b, n_bits, planes)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bucket"),
     )
-    counts = bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-    sized = bands.join(F.broadcast(counts), "bucket")
-
-    def pairs_of(side: DataFrame, star: bool) -> DataFrame:
-        a = side
-        if star:
-            w = Window.partitionBy("bucket")
-            a = side.withColumn(
-                "_hub", F.min("vec_id").over(w)
-            ).filter(F.col("vec_id") == F.col("_hub")).drop("_hub")
-        left = a.select(
-            "bucket",
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("emb_a"),
+    grouped = (
+        sig.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("members") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("members"), i + 1, F.size("members") - i),
+                lambda m: F.struct(
+                    F.element_at(F.col("members"), i).alias("vec_a"),
+                    m.alias("vec_b"),
+                ),
+            ),
         )
-        right = side.select(
-            F.col("bucket").alias("bucket_b"),
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("emb_b"),
+    )
+    star_pairs = F.transform(
+        F.slice(F.col("members"), 2, F.size("members") - 1),
+        lambda m: F.struct(
+            F.element_at(F.col("members"), 1).alias("vec_a"),
+            m.alias("vec_b"),
+        ),
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.when(F.size("members") <= max_bucket, all_pairs).otherwise(
+                    star_pairs
+                )
+            ).alias("p")
         )
-        return left.join(
-            right,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-    small = pairs_of(sized.filter(F.col("_n") <= max_bucket), star=False)
-    big = pairs_of(sized.filter(F.col("_n") > max_bucket), star=True)
+        .select("p.*")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    emb_a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    emb_b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
     return (
-        small.unionByName(big)
+        pairs.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
         .withColumn(
             "cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

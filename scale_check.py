@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, functions as F
 from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
     near_dup_pairs,
 )
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+    emb_dup_config,
+    embedding_near_dup_pairs,
+)
 from custom_python_etl_data_connector_shivaask_username_spark.session import get_spark
 from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
@@ -134,6 +138,28 @@ def main() -> None:
     lineitem = load_table(spark, SF_DIR, "lineitem")
     events = load_table(spark, SF_DIR, "events")
 
+    def _perturb_vec(df: DataFrame) -> DataFrame:
+        """Replica-dependent elementwise noise (|noise|/|v| ~ 0.6, so
+        replica-vs-original cosine lands ~0.86 — below the 0.95
+        near-dup bar). Without this, f identical copies of every
+        vector form 5k dense near-dup clusters and the pair OUTPUT
+        grows quadratically in f by construction (the same pathology
+        the text perturbation avoids). Seeded off vec_id, which is
+        already replica-offset, so the noise is deterministic."""
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda v, i: v
+                + 0.13
+                * (
+                    (F.abs(F.xxhash64(F.col("vec_id"), i)) % 2001)
+                    / F.lit(1000.0)
+                    - 1
+                ),
+            ),
+        )
+
     def cases(f: int) -> dict[str, DataFrame]:
         d = replicate(docs, f, ["doc_id"], perturb_text="text")
         e = replicate(emb, f, ["vec_id"])
@@ -163,6 +189,15 @@ def main() -> None:
                 .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
                 .groupBy("label")
                 .agg(F.sort_array(F.collect_list(F.struct("pos", "s", "n"))).alias("c"))
+            ),
+            # production path: emb_dup_config holds cell occupancy
+            # constant as the corpus grows (bits ~ log2 n, bands
+            # re-solved for recall), so candidate verification stays
+            # ~linear; the frozen 4x8 registry layout would instead
+            # grow candidates quadratically past ~10k vectors
+            "emb_near_dup_adaptive": embedding_near_dup_pairs(
+                _perturb_vec(e),
+                config=emb_dup_config(5000 * f),
             ),
             "curation_budget": _curation(d),
             "contamination_join": _contamination(d, docs),

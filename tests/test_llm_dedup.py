@@ -668,3 +668,84 @@ def test_pair_join_big_block_guard(spark):
     n_exact, n_bucketed = exact.count(), bucketed.count()
     assert n_exact == 400 * 399 / 2 + 0  # label-1 singleton adds none
     assert n_bucketed < n_exact / 10, (n_bucketed, n_exact)
+
+
+# --- corpus-size-adaptive banding (emb_dup_config) -------------------------
+
+
+def test_emb_dup_config_holds_occupancy_and_recall():
+    """The adaptive layout keeps mean cell occupancy in
+    (target/2, target] at every corpus size (candidate generation per
+    vector therefore constant), while the analytic recall bound
+    1-(1-p^bits)^bands stays >= the request. Same n -> same planes
+    (seeded), so the layout is reproducible across machines."""
+    import math
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        NEAR_DUP_COSINE,
+        emb_dup_config,
+    )
+
+    p = 1.0 - math.acos(NEAR_DUP_COSINE) / math.pi
+    for n in [100, 5_000, 80_000, 10**7, 10**10]:
+        bands, bits, planes = emb_dup_config(n)
+        occ = n / 2**bits
+        assert occ <= 32, (n, occ)
+        if n > 64:  # below that, bits floors at 1
+            assert occ > 16, (n, occ)
+        assert 1 - (1 - p**bits) ** bands >= 0.9, (n, bands, bits)
+        assert len(planes) == bands * bits and len(planes[0]) == 64
+    # deterministic: same n in, same planes out
+    assert emb_dup_config(80_000)[2] == emb_dup_config(80_000)[2]
+
+
+def test_embedding_near_dup_adaptive_config_recall(spark):
+    """The planted-cluster pin holds under an emb_dup_config layout
+    (coarser cells + re-solved band count at this n) — exact verify
+    keeps precision 1.0, OR-amplification keeps recall."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        emb_dup_config,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    planted = set()
+    for c in range(10):
+        base = rng.standard_normal(64)
+        ids = [c * 3, c * 3 + 1, c * 3 + 2]
+        for i in ids:
+            v = base + 0.02 * rng.standard_normal(64)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        planted |= {(a, b) for a in ids for b in ids if a < b}
+    for i in range(100, 300):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    cfg = emb_dup_config(len(rows))
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.95, config=cfg
+        ).collect()
+    }
+    vecs = {i: np.array(v) for i, v in rows}
+    truth = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b
+        and round(
+            float(
+                vecs[a] @ vecs[b]
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            ),
+            6,
+        )
+        >= 0.95
+    }
+    assert got <= truth  # exact verification: no false positives
+    assert len(got & planted) / len(planted) >= 0.9

@@ -184,15 +184,44 @@ LSH_PLANES: list[list[float]] = _rng.standard_normal(
 ).tolist()
 
 
-def lsh_bucket(emb_col) -> F.Column:
-    """Bucket id = sign-bit signature of ``LSH_BITS`` projections."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(LSH_PLANES):
+def lsh_bucket(emb_col, planes: list[list[float]] | None = None) -> F.Column:
+    """Bucket id = sign-bit signature of ``len(planes)`` projections
+    (default: the pinned ``LSH_BITS``-plane layout)."""
+    if planes is None:
+        planes = LSH_PLANES
+    bucket = F.lit(0).cast("long")  # LONG: adaptive layouts pass 30 bits
+    for i, plane in enumerate(planes):
         bit = F.when(dot(emb_col, lit_vector(plane)) >= 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         )
         bucket = bucket + bit
     return bucket
+
+
+def ann_lsh_config(
+    n_rows: int,
+    target_occupancy: int = 64,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Corpus-size-adaptive plane set for :func:`ann_topk_batch`.
+
+    The pinned ``LSH_BITS = 8`` layout has 256 buckets forever, so
+    per-query candidates — bucket occupancy times (bits + 1) probe
+    buckets — grow linearly with the corpus. Holding occupancy at
+    ``target_occupancy`` instead (``bits = log2(n / target)``, floored
+    at the pinned 8, capped at 30) keeps the probe-join cost per query
+    ~constant at any scale. Per-bit collision decays ~p^bits, so pair
+    wider layouts with ``probe_hamming=2`` (C(bits, 2) extra probe
+    buckets — still a broadcast-sized table) to hold recall. Planes derive
+    from the same seeded generator as ``LSH_PLANES`` — same n in, same
+    layout out, on any machine. (IVF — :func:`ivf_topk_batch` — stays
+    the primary 100 TB ANN path; this keeps the LSH variant honest at
+    scale too.)
+    """
+    bits = min(30, max(LSH_BITS, math.ceil(math.log2(max(n_rows, 2) / target_occupancy))))
+    return (
+        np.random.RandomState(seed).standard_normal((bits, LSH_DIM)).tolist()
+    )
 
 
 #: registry query set: a small batch of query vectors answered in ONE plan
@@ -204,6 +233,7 @@ def ann_topk_batch(
     query_vec_ids,
     k: int = TOP_K,
     probe_hamming: int = 1,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k for a SET of query vectors via a bucket-keyed
     join — the 100 TB shape (the single-query form re-scanned the corpus
@@ -215,9 +245,14 @@ def ann_topk_batch(
     are sparse. The probe table (queries x probes rows) broadcasts, the
     corpus streams through one hash join on the bucket id, and a
     per-query WindowGroupLimit keeps the top k. Candidates shrink
-    ~2^bits-fold vs brute force.
+    ~2^bits-fold vs brute force; pass ``planes=ann_lsh_config(n)`` to
+    hold bucket occupancy (and with it per-query candidates) constant
+    as the corpus grows instead of the pinned 256-bucket layout.
     """
-    base = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    if planes is None:
+        planes = LSH_PLANES
+    n_bits = len(planes)
+    base = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     queries = base.filter(
         F.col("vec_id").isin(*[int(i) for i in query_vec_ids])
     ).select(
@@ -229,7 +264,16 @@ def ann_topk_batch(
     if probe_hamming >= 1:
         probe_cols += [
             F.col("q_bucket").bitwiseXOR(F.lit(1 << i))
-            for i in range(LSH_BITS)
+            for i in range(n_bits)
+        ]
+    if probe_hamming >= 2:
+        # per-bit collision decays ~p^bits, so wider adaptive layouts
+        # need a wider probe radius to hold recall: radius 2 adds
+        # C(bits, 2) buckets — still a broadcast-sized probe table
+        probe_cols += [
+            F.col("q_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
         ]
     probes = queries.select(
         "q_id", "q_emb", F.explode(F.array(*probe_cols)).alias("bucket")

@@ -749,3 +749,54 @@ def test_embedding_near_dup_adaptive_config_recall(spark):
     }
     assert got <= truth  # exact verification: no false positives
     assert len(got & planted) / len(planted) >= 0.9
+
+
+def test_ann_lsh_config_holds_occupancy():
+    """Adaptive ANN layout: occupancy n/2^bits stays <= target at every
+    corpus size (floored at the pinned 8 bits, capped at 30), and the
+    plane set is seeded-deterministic."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ann_lsh_config,
+    )
+
+    for n in [300, 10**5, 10**7, 10**10, 10**13]:
+        planes = ann_lsh_config(n)
+        bits = len(planes)
+        assert 8 <= bits <= 30
+        if bits < 30:
+            assert n / 2**bits <= 64, (n, bits)
+        assert len(planes[0]) == 64
+    assert ann_lsh_config(10**7) == ann_lsh_config(10**7)
+
+
+def test_ann_batch_adaptive_planes_recall_with_hamming2(spark):
+    """A wide adaptive layout (bits for n=10^6) on the planted-cluster
+    fixture: Hamming-2 probing holds recall >= 0.8 where radius 1
+    would decay with the extra bits."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ann_lsh_config,
+        ann_topk_batch,
+    )
+
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal(64)
+    rows = [(0, (q / np.linalg.norm(q)).tolist(), 0)]
+    for i in range(1, 21):
+        v = q + 0.15 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    for i in range(21, 300):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    planes = ann_lsh_config(10**6)  # 14 bits: 16k buckets
+    assert len(planes) > 8
+    got = ann_topk_batch(
+        emb, [0], k=10, probe_hamming=2, planes=planes
+    ).collect()
+    hits = {r["vec_id"] for r in got}
+    recall = len([v for v in hits if 1 <= v <= 20]) / 10
+    assert recall >= 0.8, (recall, sorted(hits))

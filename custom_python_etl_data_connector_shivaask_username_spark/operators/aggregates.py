@@ -68,6 +68,12 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Order-independent stddev: exact sums + textbook identity. Streaming
     stddev implementations differ across engines and shuffle orders; this
     formulation is deterministic on any cluster size.
+
+    Deliberately NOT spread: the fused per-row work here (a handful of
+    decimal casts over 100k rows) is lighter than the round-robin
+    exchange spread_small_input would add — measured 1.07 s vs 1.44 s
+    at sf0.1. Spread pays only for heavy fused compute (q1's 8-way
+    decimal battery over 600k rows, chunking, shingling).
     """
     ev = load_table(spark, sf_dir, "events")
     big = F.col("value") > BIG_VALUE

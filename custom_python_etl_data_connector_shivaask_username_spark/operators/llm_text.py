@@ -31,7 +31,7 @@ from ..functions.text import (
     whitespace_tokens,
 )
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, spread_small_input
 
 # --- TF-IDF (includes raw term frequencies) -----------------------------------
 
@@ -62,6 +62,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast scalar via a J9 cross join (dim(1) x anything is the
     only safe cartesian shape at scale), so the plan is one word-keyed
     shuffle regardless of corpus size."""
+    # deliberately NOT spread: the word-keyed shuffle already
+    # parallelizes the aggregation, and the explode itself is cheap —
+    # an added round-robin exchange measured 0.62 s -> 1.07 s at sf0.1
     docs = load_table(spark, sf_dir, "documents")
     total = docs.agg(F.count(F.lit(1)).alias("total"))
     tf = (
@@ -143,7 +146,9 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex), quality metrics (length, punctuation ratio, mean word
     length, metadata consistency), the composite quality score with its
     keep/drop flag, and PII redaction (oracle-checked on synthesized
-    PII, since the fixture corpus contains none)."""
+    PII, since the fixture corpus contains none). Stays a zero-exchange
+    map-only plan (asserted in test_plans) — never spread: a pure
+    Project over the scan must not shuffle at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit("contact "),
@@ -207,8 +212,10 @@ ORDER BY doc_id, chunk_id
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: overlapping word-window chunks, one row per chunk — pure array
     HOFs + posexplode, no UDTF needed (the UDTF variant exists for the
-    §2.10 F5 surface; see streaming/udtf tests)."""
-    docs = load_table(spark, sf_dir, "documents")
+    §2.10 F5 surface; see streaming/udtf tests). Chunking fuses into
+    the scan stage; spread for single-row-group inputs (no-op
+    otherwise)."""
+    docs = spread_small_input(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",

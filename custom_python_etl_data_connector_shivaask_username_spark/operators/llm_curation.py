@@ -195,34 +195,29 @@ def token_budget_select(
        so NULL strata form their own budgeted stratum) and keep rows
        with ``cell_cum + offset <= budget``.
 
-    Everything is ONE lazy plan, and the partitioned frame is
-    ``persist``-ed (MEMORY_AND_DISK) so the cell window and the offset
-    aggregate read the SAME materialized partitioning — ``_pid`` must
-    be identical for both readers, and Spark's range partitioner
-    samples boundaries with an RDD-lineage-derived seed, so two
-    *independent* evaluations of the exchange can disagree (measured
-    ~11% of rows switching partitions on a 400k replica in round 3).
-    One cached plan object means one shuffle, one boundary sample,
-    consistent pids — even if the two reader stages race, they share
-    the plan's single ShuffleDependency. The exact sampled boundaries
-    are immaterial (the two-level reconstruction is boundary-agnostic).
-    This replaced an eager localCheckpoint + collect + mapInPandas
-    two-pass (build-time jobs, a corpus materialization frozen at
-    build time, and an Arrow round trip — ~3x the runtime at sf0.1).
-
-    ``persist`` (not ``localCheckpoint``) is deliberate for failure
-    semantics at cluster scale: a lost cached partition recomputes
-    from lineage through the SAME ShuffleDependency (boundaries are
-    sampled once per shuffle and stored in its partitioner, so the
-    recompute sees identical pids), whereas a truncated-lineage
-    checkpoint cannot recover lost partitions at all. The cache entry
-    lives until the session drops it (Spark's CacheManager holds
-    cached plans until unpersist/clearCache; memory evicts LRU, disk
-    spill is reclaimed at executor exit) — callers running many
-    selections in one long session can ``spark.catalog.clearCache()``
-    between batches.
+    Everything is ONE lazy plan with NO cache: ``_pid`` must be
+    identical for the cell window and the offset aggregate, and Spark's
+    range partitioner samples boundaries per exchange materialization,
+    so two *independent* materializations could disagree (measured ~11%
+    of rows switching partitions across separate jobs on a 400k replica
+    in round 3). But inside one plan the two readers' exchange subtrees
+    are canonically identical, so Spark materializes the range shuffle
+    exactly ONCE — the physical ``ReuseExchange`` rule when AQE is off,
+    adaptive shuffle-stage reuse when it is on (verified empirically in
+    both modes: the final adaptive plan shows ``ReusedExchange`` under
+    the second reader, and 6/6 trials match the single-window oracle;
+    pinned by ``tests/test_llm_curation.py``'s plan-reuse test). One
+    shuffle, one boundary sample, consistent pids, no double execution
+    — and nothing persists past the query, so long curation sessions
+    carry zero cache footprint (a round-4 ``persist`` achieved the same
+    single-materialization guarantee but parked the whole partitioned
+    corpus in the CacheManager until someone called ``clearCache``).
+    The exact sampled boundaries are immaterial (the two-level
+    reconstruction is boundary-agnostic). Failure semantics at cluster
+    scale: a lost shuffle output recomputes through the plan's single
+    ShuffleDependency, whose partitioner stores the already-sampled
+    boundaries — the recompute sees identical pids.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     if num_partitions is None:
@@ -236,10 +231,8 @@ def token_budget_select(
         F.col(tokens_col).desc(),
         F.col(id_col).asc(),
     ]
-    parted = (
-        df.repartitionByRange(num_partitions, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    parted = df.repartitionByRange(num_partitions, *order).withColumn(
+        "_pid", F.spark_partition_id()
     )
 
     w_cell = (

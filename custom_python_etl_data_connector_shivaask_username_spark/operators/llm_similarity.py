@@ -768,7 +768,7 @@ def ivf_topk_batch(
 #: per-query top-k regardless of where k-means placed the centroids —
 #: which is what lets an approximate index hash-check against an exact
 #: SQL oracle. Recall-vs-cost behavior at n_probe < n_clusters is
-#: pinned separately in tests/test_llm_similarity_ivf.py.
+#: pinned separately in tests/test_llm_dedup.py (IVF recall tests).
 IVF_CLUSTERS = 8
 IVF_ITERS = 2
 IVF_TRAIN_FRACTION = 0.5

@@ -7,9 +7,10 @@ and the driver contract all run with the same semantics:
   the 100 TB path relies on it, and it is harmless at test scale.
 - UTC session timezone — required for deterministic timestamp semantics
   against the DuckDB oracle (naive parquet timestamps).
-- ``nanosAsLong`` — the ``events`` fixture stores TIMESTAMP(NANOS) which
-  Spark cannot read natively; we read the raw int64 and convert in
-  ``tables.load_table``.
+- ``nanosAsLong`` — older ``events`` fixture generations stored
+  TIMESTAMP(NANOS), which Spark can read only as raw int64; the current
+  fixtures are TIMESTAMP(MICROS) (read natively), but the conf stays on
+  so ``tables.normalize_events_ts`` can adapt to either encoding.
 - Arrow enabled for every Python<->JVM batch boundary (pandas UDFs,
   toPandas) — the only acceptable way to cross that boundary at scale.
 """

@@ -42,32 +42,35 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..session import apply_runtime_confs
-
-#: events parquet physical schema — ts is TIMESTAMP(NANOS), which Spark
-#: reads only as LONG (nanosAsLong); converted right after the source.
-EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
+from ..tables import normalize_events_ts
 
 
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """S9/ST1 source: the events feed as an unbounded file stream."""
+    """S9/ST1 source: the events feed as an unbounded file stream.
+
+    ``readStream`` requires an explicit schema, and ``events.ts``'s
+    physical encoding has drifted across fixture generations
+    (TIMESTAMP(NANOS)-as-int64 vs native TIMESTAMP(MICROS)). Rather than
+    hard-code one generation, probe the batch reader's inferred schema
+    once (a footer-only metadata read, no data scan) and stream with
+    exactly that — then normalize through the same
+    ``tables.normalize_events_ts`` the batch loader uses, so stream and
+    batch can never disagree about event time.
+    """
     apply_runtime_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source requires a directory; the fixture is a single
     # parquet file inside sf_dir, so glob-filter it from the table dir
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(sf_dir)
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    # target=timestamp (not NTZ): watermarks require TIMESTAMP event time
+    return normalize_events_ts(reader.parquet(sf_dir), target="timestamp")
 
 
 def run_stream_to_df(

@@ -3,11 +3,14 @@
 The driver materializes the TPC-H-ish star schema + events stream +
 LLM-pipeline tables as parquet under ``/root/testdata/sf*/`` (TESTDATA.md).
 This module is the single point where those land as DataFrames, including
-the one physical-format quirk: ``events.ts`` is parquet TIMESTAMP(NANOS),
-unreadable by Spark natively, so we read it as int64
-(``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
-division (``ts div 1000`` — float division would lose sub-microsecond
-precision at 1.7e18 magnitudes).
+the one physical-format quirk: ``events.ts``'s parquet encoding has
+drifted across fixture generations — TIMESTAMP(NANOS) (readable by Spark
+only as int64 via ``spark.sql.legacy.parquet.nanosAsLong``), and currently
+TIMESTAMP(MICROS) (read natively as ``timestamp_ntz``). Rather than
+hard-code either generation, ``normalize_events_ts`` adapts to whatever
+physical type the scan yields and lands on ``TIMESTAMP_NTZ`` either way;
+both the batch loader and the streaming source
+(``streaming/pipeline.stream_events``) go through it.
 
 At 100 TB these reads stay exactly the same shape: the native vectorized
 parquet reader gives predicate pushdown, column pruning and row-group
@@ -41,16 +44,38 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Land ``events.ts`` on ``target`` whatever the parquet encoding.
+
+    - ``bigint``: TIMESTAMP(NANOS) read as raw int64 nanos via
+      ``nanosAsLong``; sub-µs digits are zero in the fixtures, so integer
+      µs conversion (``ts div 1000`` — float division would lose
+      precision at 1.7e18 magnitudes) is lossless.
+    - ``timestamp``/``timestamp_ntz``: TIMESTAMP(MICROS), read natively.
+
+    ``target`` is TIMESTAMP_NTZ for batch (matches the DuckDB oracle's
+    naive timestamps) and plain TIMESTAMP for streams — Spark watermarks
+    reject NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under
+    the engine-wide UTC session timezone the two types carry identical
+    wall-clock values, so batch and stream can never disagree about what
+    an event's time *is*; both sources (``load_table`` and
+    ``streaming/pipeline.stream_events``) go through this one function.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dt = "timestamp"
+    if dt != target:
+        df = df.withColumn("ts", F.col("ts").cast(target))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing physical-type quirks."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw int64 nanos; sub-µs digits are zero
-        # in the fixtures, so integer µs conversion is lossless.
-        df = df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-        )
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -127,11 +127,11 @@ def test_token_budget_select_exact_cutoff_across_partitions(spark):
 
 def test_token_budget_select_matches_window_form_beyond_sampler(spark):
     """250k-row skewed frame, far beyond the range partitioner's
-    ~100-rows-per-partition boundary sample: both readers of the
-    persisted exchange must see ONE set of sampled boundaries, or
-    cell offsets apply to the wrong rows (round 3 measured ~11% pid
-    drift when the exchange was evaluated twice). Exact set equality
-    with the per-stratum window cumsum is the pin."""
+    ~100-rows-per-partition boundary sample: both readers of the range
+    exchange must see ONE set of sampled boundaries, or cell offsets
+    apply to the wrong rows (round 3 measured ~11% pid drift when the
+    exchange was evaluated twice across jobs). Exact set equality with
+    the per-stratum window cumsum is the pin."""
     from pyspark.sql import Window
 
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
@@ -189,9 +189,9 @@ def test_curation_mix_plan_skew_safe_windows(spark, sf_dir):
     """Corpus-side windows must never partition on the skewed lang key
     alone — every window spec naming lang must also involve the _pid
     cell key (the per-cell cumsum, or the per-stratum offset sum over
-    the metadata-scale cell frame ordered by _pid). Both readers must
-    scan the ONE persisted range-partitioned relation — the cache is
-    what makes _pid consistent between them."""
+    the metadata-scale cell frame ordered by _pid). And the two readers
+    of the range partitioning must share ONE materialized shuffle —
+    exchange reuse, not a cache, is what makes _pid consistent."""
     import re
 
     from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
@@ -208,13 +208,37 @@ def test_curation_mix_plan_skew_safe_windows(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
         if "lang" in spec:
             assert "_pid" in spec, spec
-    assert plan.count("InMemoryTableScan") >= 2, (
-        "cell window and offset aggregate must both read the persisted "
-        "range partitioning"
+    assert "InMemoryTableScan" not in plan, (
+        "token_budget_select must not persist the corpus (round-4 cache "
+        "footprint); pid consistency comes from exchange reuse"
     )
-    assert plan.count("Exchange rangepartitioning") <= 1, (
-        "a second independent range exchange would re-sample boundaries "
-        "and misalign _pid between the two readers"
+
+
+def test_token_budget_select_reuses_one_range_exchange(spark):
+    """The cell window and the offset aggregate read canonically-equal
+    range-exchange subtrees; Spark must materialize that shuffle ONCE
+    (adaptive shuffle-stage reuse / ReuseExchange) — the single boundary
+    sample is what keeps _pid identical for both readers. Also pins that
+    nothing survives in the cache manager after execution."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        token_budget_select,
+    )
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 7 == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 97 + 3).alias("tokens"),
+    )
+    sel = token_budget_select(df, 200_000, num_partitions=8)
+    sel.collect()
+    final_plan = sel._jdf.queryExecution().executedPlan().toString()
+    final_section = final_plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final_section, (
+        "second range-exchange reader must reuse the first's shuffle "
+        "stage, or its independently-sampled boundaries misalign _pid"
+    )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "token_budget_select must leave nothing cached"
     )
 
 

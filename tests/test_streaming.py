@@ -18,6 +18,30 @@ from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline
 )
 
 
+def test_stream_batch_ts_range_agree(spark, sf_dir):
+    """Regression pin for the round-4 defect: the streaming source must
+    yield the SAME event times as the batch loader on the same fixture,
+    whatever physical ts encoding the fixture generation uses (nanos-as-
+    int64 vs native micros). A stale encoding assumption lands every
+    event in Jan-1970; min/max equality catches any such drift."""
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        run_stream_to_df,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    stream_range = run_stream_to_df(
+        stream_events(spark, sf_dir).selectExpr("CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    ).selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
+    batch_range = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("min(ts) AS lo", "max(ts) AS hi")
+        .collect()[0]
+    )
+    assert stream_range["lo"] == batch_range["lo"]
+    assert stream_range["hi"] == batch_range["hi"]
+    assert batch_range["lo"].year >= 2020  # not compressed into 1970
+
+
 def test_foreach_batch_connector_loop(spark, sf_dir, tmp_path):
     ev = stream_events(spark, sf_dir)
     foreach_batch_load(

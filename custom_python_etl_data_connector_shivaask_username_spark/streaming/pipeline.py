@@ -391,6 +391,44 @@ def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(out, "update").orderBy("user_id")
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Per-user funnel state machine on the ``transformWithStateInPandas``
+    processor interface. Module-scope (not nested in the builder) so the
+    transition logic is directly unit-testable against a fake handle even
+    where the state-server protocol cannot execute — see
+    tests/test_streaming_sessions.py's non-skipped handleInputRows tests,
+    which pin it batch-by-batch against the green ``q_funnel_depths``
+    semantics.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.seen = handle.getValueState("seen", "stages STRING")
+
+    def handleInputRows(self, key, rows, timerValues):
+        seen = (
+            set(self.seen.get()[0].split(","))
+            if self.seen.exists()
+            else set()
+        )
+        for pdf in rows:
+            seen.update(
+                t for t in pdf["event_type"] if t in FUNNEL_STAGES
+            )
+        self.seen.update((",".join(sorted(seen)),))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "funnel_depth": [funnel_depth(seen)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def funnel_depths_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST7 twin on the ``transformWithStateInPandas`` API (Spark 4's
     successor to ``applyInPandasWithState``: a ``StatefulProcessor``
@@ -408,37 +446,10 @@ def funnel_depths_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``google.protobuf`` in the Python worker; this container ships no
     protobuf, so execution crashes the worker here (same class of
     environment gap as the MongoDB sink / media codecs). The plan
-    builds and the processor logic is unit-tested directly;
-    tests/test_streaming_sessions.py runs the full stream only when
-    protobuf imports.
+    builds, and :class:`FunnelProcessor`'s transition logic is pinned
+    by non-skipped direct tests; tests/test_streaming_sessions.py runs
+    the full stream only when protobuf imports.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class FunnelProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self.seen = handle.getValueState("seen", "stages STRING")
-
-        def handleInputRows(self, key, rows, timerValues):
-            seen = (
-                set(self.seen.get()[0].split(","))
-                if self.seen.exists()
-                else set()
-            )
-            for pdf in rows:
-                seen.update(
-                    t for t in pdf["event_type"] if t in FUNNEL_STAGES
-                )
-            self.seen.update((",".join(sorted(seen)),))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "funnel_depth": [funnel_depth(seen)]}
-            )
-
-        def close(self) -> None:
-            pass
-
     ev = stream_events(spark, sf_dir)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)

@@ -103,6 +103,78 @@ def test_funnel_depth_helper():
     assert funnel_depth({"view", "purchase"}) == 1
 
 
+class _FakeValueState:
+    """Stands in for the TWS value-state handle so FunnelProcessor's
+    transition logic runs without the protobuf state-server protocol."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _drive_funnel(batches, key=(7,)):
+    """Run FunnelProcessor.handleInputRows over successive micro-batches
+    the way the streaming engine would: one call per batch, state carried
+    in the handle between calls; return the emitted depths in order."""
+    import pandas as pd
+
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        FunnelProcessor,
+    )
+
+    proc = FunnelProcessor()
+    proc.init(_FakeHandle())
+    emitted = []
+    for batch in batches:
+        pdfs = iter([pd.DataFrame({"event_type": batch})])
+        for out in proc.handleInputRows(key, pdfs, timerValues=None):
+            assert list(out["user_id"]) == [key[0]]
+            emitted.extend(out["funnel_depth"])
+    proc.close()
+    return emitted
+
+
+def test_funnel_processor_handle_input_rows_direct():
+    """Non-skipped ST7 forward-API pin: the processor's state transitions
+    match q_funnel_depths' green semantics batch-by-batch — depth is the
+    contiguous view→click→purchase prefix of all stages seen so far,
+    monotone across micro-batches, insensitive to stage arrival order."""
+    # stages arriving in order across batches: depth ratchets 1→2→3
+    assert _drive_funnel([["view"], ["click"], ["purchase"]]) == [1, 2, 3]
+    # out-of-order arrival: click before view yields 0, then the view
+    # completes the prefix (click remembered in state)
+    assert _drive_funnel([["click"], ["view"], ["purchase"]]) == [0, 2, 3]
+    # non-funnel events are ignored; duplicates don't regress depth
+    assert _drive_funnel(
+        [["error", "view", "view"], ["scroll"], ["purchase", "click"]]
+    ) == [1, 1, 3]
+    # a user who never views stays at depth 0 forever
+    assert _drive_funnel([["click", "purchase"], ["click"]]) == [0, 0]
+
+
+def test_funnel_processor_state_isolated_per_instance():
+    """Each processor instance owns its own named state via the handle —
+    no leakage between two groups processed by different instances."""
+    assert _drive_funnel([["view", "click", "purchase"]], key=(1,)) == [3]
+    assert _drive_funnel([["click"]], key=(2,)) == [0]
+
+
 def test_funnel_tws_twin(spark, sf_dir):
     """The transformWithStateInPandas twin builds a valid plan; the
     full stream runs (and must equal the applyInPandasWithState form)

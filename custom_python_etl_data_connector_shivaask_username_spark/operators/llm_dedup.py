@@ -697,6 +697,216 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X7: incremental dedup (new batch vs existing corpus) ------------------
+
+#: fixture split for the driver-visible query: every 5th doc (by id) is
+#: the "new batch", the rest the already-ingested corpus — a stable 20%
+#: increment at any scale factor. Capped like the cluster query so the
+#: DuckDB twin's gram join stays cheap while Spark runs the real path.
+INC_MAX_DOC_ID = 500
+INC_SPLIT_MOD = 5
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thr_num: int = CLUSTER_THR_NUM,
+    thr_den: int = CLUSTER_THR_DEN,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — without ever
+    re-pairing the corpus against itself.
+
+    The shape that matters at 100 TB: a daily increment is GBs while the
+    corpus is the whole lake, so any operator whose cost touches
+    corpus × corpus is dead on arrival. Every branch here is
+    increment-driven:
+
+    - ``exact_dup_corpus``: left-semi of increment content hashes
+      against the corpus hash set. The corpus side reduces to ONE
+      narrow column (in production a stored/bucketed hash index the
+      scan prunes to — the semi join never carries corpus text).
+    - ``exact_dup_batch``: min-id-survivor window WITHIN the increment
+      only (the increment is small; the window never sees corpus rows).
+    - ``near_dup_corpus``: exact char-3-gram Jaccard via the
+      inverted-index join of :func:`char3_jaccard_edges`, but CROSS
+      frame: increment grams probe corpus grams, so one row per shared
+      gram between a new doc and a corpus doc — candidates are
+      proportional to the increment's gram mass times per-gram corpus
+      frequency, never to corpus pairs. Docs already exact-matched are
+      excluded from the probe (they're decided; no gram fan-out for
+      them). In production the corpus gram index is precomputed once
+      and stored bucketed by gram hash; each batch only builds its own
+      side.
+    - ``kept``: everything else — the rows an ingestion pipeline
+      appends (the incremental-watermark source S12 is the upstream
+      that discovers them; see sources/incremental.py).
+
+    Returns one row per increment doc: ``(id_col, disposition)`` with
+    the priority exact_dup_corpus > exact_dup_batch > near_dup_corpus >
+    kept. Fully engine-portable (md5 + integer-ratio Jaccard), hence
+    oracle-checkable end to end.
+    """
+    inc_h = increment.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        F.md5(text_col).alias("h"),
+    )
+    corpus_h = corpus.select(F.md5(text_col).alias("h")).distinct()
+
+    exact_c = inc_h.join(corpus_h, "h", "left_semi").select(
+        "id", F.lit(True).alias("_exact_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    exact_b = (
+        inc_h.withColumn("_min_id", F.min("id").over(w))
+        .filter(F.col("id") != F.col("_min_id"))
+        .select("id", F.lit(True).alias("_exact_b"))
+    )
+
+    undecided = (
+        inc_h.join(exact_c, "id", "left_anti").join(exact_b, "id", "left_anti")
+    )
+    inc_g = undecided.select(
+        F.col("id").alias("inc_id"),
+        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
+    )
+    inc_n = undecided.select(
+        F.col("id").alias("inc_id"),
+        F.size(char_ngrams(F.col("text"), 3)).alias("inc_n"),
+    )
+    cor_g = corpus.select(
+        F.col(id_col).alias("cor_id"),
+        F.explode(char_ngrams(F.col(text_col), 3)).alias("gram"),
+    )
+    cor_n = corpus.select(
+        F.col(id_col).alias("cor_id"),
+        F.size(char_ngrams(F.col(text_col), 3)).alias("cor_n"),
+    )
+    near_c = (
+        inc_g.join(cor_g, "gram")
+        .groupBy("inc_id", "cor_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(inc_n), "inc_id")
+        .join(cor_n, "cor_id")
+        .filter(
+            F.col("inter") * thr_den
+            >= thr_num * (F.col("inc_n") + F.col("cor_n") - F.col("inter"))
+        )
+        .select(F.col("inc_id").alias("id"))
+        .distinct()
+        .withColumn("_near_c", F.lit(True))
+    )
+
+    return (
+        inc_h.select("id")
+        .join(exact_c, "id", "left")
+        .join(exact_b, "id", "left")
+        .join(near_c, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("_exact_c"), F.lit("exact_dup_corpus"))
+            .when(F.col("_exact_b"), F.lit("exact_dup_batch"))
+            .when(F.col("_near_c"), F.lit("near_dup_corpus"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+
+
+_INC_DEDUP_ORACLE = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, md5(text) AS h
+  FROM documents WHERE doc_id < {INC_MAX_DOC_ID}
+),
+corpus AS MATERIALIZED (
+  SELECT * FROM d WHERE doc_id % {INC_SPLIT_MOD} <> {INC_SPLIT_MOD - 1}
+),
+inc AS MATERIALIZED (
+  SELECT * FROM d WHERE doc_id % {INC_SPLIT_MOD} = {INC_SPLIT_MOD - 1}
+),
+exact_c AS MATERIALIZED (
+  SELECT DISTINCT i.doc_id FROM inc i JOIN corpus c ON i.h = c.h
+),
+exact_b AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS m FROM inc
+  ) WHERE doc_id <> m
+),
+undecided AS MATERIALIZED (
+  SELECT * FROM inc
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_c)
+    AND doc_id NOT IN (SELECT doc_id FROM exact_b)
+),
+gi AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(text) - 1, 2)),
+    i -> substring(text, CAST(i AS INT), 3)))) AS gram
+  FROM undecided
+),
+ni AS MATERIALIZED (
+  SELECT doc_id, length(list_distinct(list_transform(
+    range(1, greatest(length(text) - 1, 2)),
+    i -> substring(text, CAST(i AS INT), 3)))) AS n
+  FROM undecided
+),
+gc AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(text) - 1, 2)),
+    i -> substring(text, CAST(i AS INT), 3)))) AS gram
+  FROM corpus
+),
+nc AS MATERIALIZED (
+  SELECT doc_id, length(list_distinct(list_transform(
+    range(1, greatest(length(text) - 1, 2)),
+    i -> substring(text, CAST(i AS INT), 3)))) AS n
+  FROM corpus
+),
+near_c AS MATERIALIZED (
+  SELECT DISTINCT p.inc_id AS doc_id
+  FROM (
+    SELECT i.doc_id AS inc_id, c.doc_id AS cor_id, COUNT(*) AS inter
+    FROM gi i JOIN gc c ON i.gram = c.gram
+    GROUP BY 1, 2
+  ) p
+  JOIN ni ON ni.doc_id = p.inc_id
+  JOIN nc ON nc.doc_id = p.cor_id
+  WHERE p.inter * {CLUSTER_THR_DEN}
+        >= {CLUSTER_THR_NUM} * (ni.n + nc.n - p.inter)
+)
+SELECT i.doc_id,
+       CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_dup_corpus'
+            WHEN eb.doc_id IS NOT NULL THEN 'exact_dup_batch'
+            WHEN ncr.doc_id IS NOT NULL THEN 'near_dup_corpus'
+            ELSE 'kept' END AS disposition
+FROM inc i
+LEFT JOIN exact_c ec ON ec.doc_id = i.doc_id
+LEFT JOIN exact_b eb ON eb.doc_id = i.doc_id
+LEFT JOIN near_c ncr ON ncr.doc_id = i.doc_id
+ORDER BY i.doc_id
+"""
+
+
+@query("q_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 driver-visible: the incremental-ingest dedup decision for a
+    20% "new batch" of the documents table against the other 80% as the
+    standing corpus — every disposition branch hash-checked against a
+    DuckDB twin built from the same md5 + integer-ratio-Jaccard
+    constants. The fixture carries no exact duplicates, so the exact
+    branches are additionally pinned on planted data in
+    tests/test_llm_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INC_MAX_DOC_ID
+    )
+    docs = spread_small_input(docs)
+    corpus = docs.filter(F.col("doc_id") % INC_SPLIT_MOD != INC_SPLIT_MOD - 1)
+    increment = docs.filter(F.col("doc_id") % INC_SPLIT_MOD == INC_SPLIT_MOD - 1)
+    return incremental_dedup(corpus, increment).orderBy("doc_id")
+
+
 # --- merged rows-only registry entry (seed-dependent surfaces) -------------
 
 

@@ -80,7 +80,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J2 left outer -------------------------------------------------------
 
 _CUSTOMER_ORDER_COUNTS_ORACLE = """
-SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count,
+       COUNT(o_orderkey) > 0 AS has_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 ORDER BY c_custkey
@@ -89,21 +90,40 @@ ORDER BY c_custkey
 
 @query("q_customer_order_counts", oracle=_CUSTOMER_ORDER_COUNTS_ORACLE)
 def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: left outer keeps customers with zero orders (count = 0).
+    """J2+J3+J4 in one row per customer: left outer keeps customers with
+    zero orders (count = 0); ``has_orders`` is deliberately derived from
+    a left-SEMI ∪ left-ANTI union rather than ``order_count > 0``, so the
+    one query exercises all three join shapes (plan-asserted in
+    tests/test_plans.py — semi never duplicates the left side, anti is
+    the new-rows detection primitive upsert S7 builds on). The oracle
+    computes the same flag from the outer-join count — value-identical
+    by definition, which is exactly what makes the semi/anti derivation
+    checkable.
 
     Right outer is the operand-swapped mirror (`orders.join(cust,
     "right")` produces this exact plan with sides exchanged); the
     null-filling machinery for both directions at once is exercised by
     the full-outer query below.
+
+    (Merged from round 4's separate q_customer_order_presence row to
+    hold the registry at the driver's 50-query check window while
+    q_incremental_dedup takes the freed slot.)
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    counts = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("order_count"))
-        .orderBy("c_custkey")
     )
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit(True).alias("has_orders"))
+    without_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit(False).alias("has_orders"))
+    presence = with_orders.unionByName(without_orders)
+    return counts.join(presence, "c_custkey").orderBy("c_custkey")
 
 
 # --- J2 full outer -------------------------------------------------------
@@ -143,34 +163,6 @@ def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
-
-
-# --- J3 left semi + J4 left anti ----------------------------------------
-
-_CUSTOMER_ORDER_PRESENCE_ORACLE = """
-SELECT c_custkey,
-       EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         AS has_orders
-FROM customer
-ORDER BY c_custkey
-"""
-
-
-@query("q_customer_order_presence", oracle=_CUSTOMER_ORDER_PRESENCE_ORACLE)
-def q_customer_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3+J4: left semi (existence filter, never duplicates the left
-    side) and left anti (absence filter — also the new-rows detection
-    primitive for upsert, S7) as two tagged branches of one query. Both
-    physical joins are asserted in tests/test_plans.py."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    with_orders = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", F.lit(True).alias("has_orders"))
-    without_orders = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", F.lit(False).alias("has_orders"))
-    return with_orders.unionByName(without_orders).orderBy("c_custkey")
 
 
 # --- J6 range (theta) join ----------------------------------------------

@@ -800,3 +800,65 @@ def test_ann_batch_adaptive_planes_recall_with_hamming2(spark):
     hits = {r["vec_id"] for r in got}
     recall = len([v for v in hits if 1 <= v <= 20]) / 10
     assert recall >= 0.8, (recall, sorted(hits))
+
+
+def test_incremental_dedup_planted_dispositions(spark):
+    """Every disposition branch on planted data (the fixture has no
+    exact duplicates, so the driver row only exercises near/kept):
+    priority is exact_dup_corpus > exact_dup_batch > near_dup_corpus >
+    kept, and a corpus-exact doc's batch twin is ALSO corpus-exact
+    (priority, not the batch branch)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        incremental_dedup,
+    )
+
+    corpus_doc = "the quick brown fox jumps over the lazy dog again and again"
+    near_doc = "the quick brown fox jumps over the lazy dog again and agaiM"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=corpus_doc),
+            Row(doc_id=1, text="completely different corpus material here"),
+        ]
+    )
+    increment = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=corpus_doc),        # exact vs corpus
+            Row(doc_id=101, text=corpus_doc),        # ALSO exact vs corpus
+            Row(doc_id=102, text="batch twin xyzzy unique payload"),
+            Row(doc_id=103, text="batch twin xyzzy unique payload"),
+            Row(doc_id=104, text=near_doc),          # near (not exact) vs corpus
+            Row(doc_id=105, text="nothing like anything else at all"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["disposition"]
+        for r in incremental_dedup(corpus, increment).collect()
+    }
+    assert got == {
+        100: "exact_dup_corpus",
+        101: "exact_dup_corpus",  # priority over exact_dup_batch
+        102: "kept",              # min-id survivor of the batch pair
+        103: "exact_dup_batch",
+        104: "near_dup_corpus",
+        105: "kept",
+    }
+
+
+def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
+    """The operator's output is one row per INCREMENT doc — two corpus
+    docs that are exact duplicates of each other must not appear (the
+    corpus is settled; re-deduping it is the quadratic cost the
+    incremental shape exists to avoid)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        incremental_dedup,
+    )
+
+    dup = "corpus internal duplicate text that repeats verbatim"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text=dup), Row(doc_id=1, text=dup)]
+    )
+    increment = spark.createDataFrame(
+        [Row(doc_id=100, text="a brand new unrelated document")]
+    )
+    out = incremental_dedup(corpus, increment).collect()
+    assert [(r["doc_id"], r["disposition"]) for r in out] == [(100, "kept")]

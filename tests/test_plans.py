@@ -62,9 +62,12 @@ def test_global_sort_is_range_partitioned(spark, sf_dir):
 
 
 def test_semi_and_anti_join_shapes(spark, sf_dir):
-    plan = formatted_plan(QUERIES["q_customer_order_presence"](spark, sf_dir))
+    # has_orders is derived from a semi ∪ anti union (not order_count>0)
+    # precisely so the merged query keeps both physical shapes honest
+    plan = formatted_plan(QUERIES["q_customer_order_counts"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+    assert "LeftOuter" in plan  # J2 leg of the merged query
 
 
 def test_theta_join_keeps_small_side_broadcast(spark, sf_dir):

@@ -161,39 +161,36 @@ def sample_bucket(id_col: F.Column) -> F.Column:
     return (id_col % 100003) * F.lit(2654435761) % 100
 
 
-def token_budget_select(
+def two_level_prefix_sum(
     df: DataFrame,
-    token_budget: int,
-    strata_col: str = "lang",
-    tokens_col: str = "tokens",
-    id_col: str = "doc_id",
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+    strata_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Skew-safe per-stratum token-budget selection — lazy, pure JVM.
+    """Distributed INCLUSIVE running sum of ``value_col`` in
+    ``order_cols`` order (optionally per ``strata_col``) — lazy, pure
+    JVM, never a single-task window.
 
-    Keeps, per stratum, the prefix of rows (ordered by ``tokens_col``
-    desc, ``id_col`` asc) whose running token total fits the budget —
-    the same semantics as a ``Window.partitionBy(strata_col)``
-    cumulative sum, WITHOUT single-tasking each stratum. Strata are few
-    and skewed (at 100 TB the ``en`` partition is most of the corpus),
-    so the global cumsum is decomposed as a classic two-level prefix
-    sum over range-ordered cells:
+    A global ``Window.orderBy(...)`` cumsum — or a per-stratum one when
+    strata are few and skewed (at 100 TB the ``en`` partition is most
+    of the corpus) — funnels corpus rows through one task. The classic
+    fix is a two-level prefix sum over range-ordered cells:
 
-    1. ``repartitionByRange(strata, tokens desc, id)`` spreads each
-       stratum over many partitions while keeping its global order
-       contiguous across partition ids (``_pid``).
-    2. Cell cumsum: ``Window.partitionBy(strata, _pid)`` — every
-       (stratum, partition) cell is its own window partition, so the
-       corpus-scale sort/scan parallelizes over all cells; no cell
-       exceeds a shuffle partition.
-    3. Cell offsets: per-(strata, _pid) token sums (a metadata-scale
-       aggregate, ``partitions × strata`` rows) get an exclusive
-       per-stratum running sum via ``Window.partitionBy(strata)
-       .orderBy(_pid)`` — partitioned by the skewed key, but over the
-       tiny cell frame, never corpus rows.
+    1. ``repartitionByRange(strata?, *order)`` spreads the frame over
+       many partitions while keeping the global order contiguous
+       across partition ids (``_pid``).
+    2. Cell cumsum: ``Window.partitionBy(strata?, _pid)`` — every cell
+       is its own window partition, so the corpus-scale sort/scan
+       parallelizes over all cells; no cell exceeds a shuffle
+       partition.
+    3. Cell offsets: per-cell value sums (a metadata-scale aggregate,
+       ``partitions × strata`` rows) get an exclusive running sum via
+       ``Window.partitionBy(strata?).orderBy(_pid)`` — over the tiny
+       cell frame, never corpus rows.
     4. Broadcast the offsets back onto the cells (null-safe equality,
-       so NULL strata form their own budgeted stratum) and keep rows
-       with ``cell_cum + offset <= budget``.
+       so NULL strata form their own stream): ``out = cell_cum + off``.
 
     Everything is ONE lazy plan with NO cache: ``_pid`` must be
     identical for the cell window and the offset aggregate, and Spark's
@@ -208,8 +205,8 @@ def token_budget_select(
     the second reader, and 6/6 trials match the single-window oracle;
     pinned by ``tests/test_llm_curation.py``'s plan-reuse test). One
     shuffle, one boundary sample, consistent pids, no double execution
-    — and nothing persists past the query, so long curation sessions
-    carry zero cache footprint (a round-4 ``persist`` achieved the same
+    — and nothing persists past the query, so long sessions carry zero
+    cache footprint (a round-4 ``persist`` achieved the same
     single-materialization guarantee but parked the whole partitioned
     corpus in the CacheManager until someone called ``clearCache``).
     The exact sampled boundaries are immaterial (the two-level
@@ -217,6 +214,10 @@ def token_budget_select(
     scale: a lost shuffle output recomputes through the plan's single
     ShuffleDependency, whose partitioner stores the already-sampled
     boundaries — the recompute sees identical pids.
+
+    Returns ``df``'s columns plus ``out_col``. Consumers:
+    :func:`token_budget_select` (budget cutoff per stratum) and
+    :func:`pack_sequences` (global token offsets → training bins).
     """
     from pyspark.sql import Window
 
@@ -226,45 +227,133 @@ def token_budget_select(
             num_partitions = int(conf)
         except (TypeError, ValueError):  # e.g. "auto" under Databricks AQE
             num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    order = [
-        F.col(strata_col).asc_nulls_first(),
-        F.col(tokens_col).desc(),
-        F.col(id_col).asc(),
-    ]
-    parted = df.repartitionByRange(num_partitions, *order).withColumn(
+    strata = [strata_col] if strata_col else []
+    range_order = [F.col(c).asc_nulls_first() for c in strata] + list(order_cols)
+    parted = df.repartitionByRange(num_partitions, *range_order).withColumn(
         "_pid", F.spark_partition_id()
     )
 
     w_cell = (
-        Window.partitionBy(strata_col, "_pid")
-        .orderBy(F.col(tokens_col).desc(), F.col(id_col).asc())
+        Window.partitionBy(*strata, "_pid")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cells = parted.withColumn("_cum", F.sum(tokens_col).over(w_cell))
+    cells = parted.withColumn(out_col, F.sum(value_col).over(w_cell))
 
     w_off = (
-        Window.partitionBy(strata_col)
+        Window.partitionBy(*strata)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        parted.groupBy(strata_col, "_pid")
-        .agg(F.sum(tokens_col).alias("_psum"))
+        parted.groupBy(*strata, "_pid")
+        .agg(F.sum(value_col).alias("_psum"))
         .select(
-            F.col(strata_col).alias("_o_stratum"),
+            *[F.col(c).alias(f"_o_{c}") for c in strata],
             F.col("_pid").alias("_o_pid"),
             F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
         )
     )
 
-    joined = cells.join(
-        F.broadcast(offsets),
-        cells[strata_col].eqNullSafe(F.col("_o_stratum"))
-        & (cells["_pid"] == F.col("_o_pid")),
+    cond = cells["_pid"] == F.col("_o_pid")
+    if strata_col:
+        cond = cells[strata_col].eqNullSafe(F.col(f"_o_{strata_col}")) & cond
+    return (
+        cells.join(F.broadcast(offsets), cond)
+        .withColumn(out_col, F.col(out_col) + F.col("_off"))
+        .select(*df.columns, out_col)
     )
-    return joined.filter(
-        F.col("_cum") + F.col("_off") <= token_budget
-    ).select(*df.columns)
+
+
+def token_budget_select(
+    df: DataFrame,
+    token_budget: int,
+    strata_col: str = "lang",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-safe per-stratum token-budget selection — lazy, pure JVM.
+
+    Keeps, per stratum, the prefix of rows (ordered by ``tokens_col``
+    desc, ``id_col`` asc) whose running token total fits the budget —
+    the same semantics as a ``Window.partitionBy(strata_col)``
+    cumulative sum, WITHOUT single-tasking each stratum: the running
+    total comes from :func:`two_level_prefix_sum` (see its docstring
+    for the cell/offset decomposition and the exchange-reuse
+    consistency argument), and the selection is then one filter.
+    """
+    cum = two_level_prefix_sum(
+        df,
+        order_cols=[F.col(tokens_col).desc(), F.col(id_col).asc()],
+        value_col=tokens_col,
+        out_col="_cum",
+        strata_col=strata_col,
+        num_partitions=num_partitions,
+    )
+    return cum.filter(F.col("_cum") <= token_budget).select(*df.columns)
+
+
+#: training sequence length for the packing op (tokens per bin)
+SEQ_LEN = 2048
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = SEQ_LEN,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    stream_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """X16: GPT-style sequence packing — documents concatenated in
+    ``id_col`` order (per ``stream_col`` if given) and chunked into
+    fixed ``seq_len`` training bins, documents straddling boundaries.
+
+    This is the packing pretraining dataloaders actually use (concat
+    then split, no padding waste), and it reduces exactly to a global
+    prefix sum: with ``end = cumsum(tokens)`` and ``start = end -
+    tokens`` for each doc,
+
+    - ``start_bin  = start div seq_len``
+    - ``end_bin    = (end - 1) div seq_len``  (inclusive; > start_bin
+      iff the doc straddles)
+    - ``start_offset = start % seq_len``      (position inside its
+      first bin)
+
+    All integer arithmetic on the exact running total, so any engine
+    agrees bit-for-bit. The prefix sum is :func:`two_level_prefix_sum`
+    — one range shuffle, cells cumsum in parallel, metadata-scale
+    offsets broadcast back — so packing a 100 TB corpus never
+    single-tasks, and the output is *assignment metadata* (doc → bin
+    coordinates), not materialized bins: the dataloader (or a
+    downstream groupBy ``start_bin``) slices text lazily. Rows with
+    ``tokens <= 0`` are filtered (a zero-token doc occupies no bin).
+
+    Returns ``df``'s columns plus ``(start_bin, end_bin,
+    start_offset)``. Deterministic for a fixed ``id_col`` order;
+    semantics pinned equal to the single-window form and to bin-mass
+    invariants (every bin except the last holds exactly ``seq_len``
+    tokens) in tests/test_llm_curation.py.
+    """
+    cum = two_level_prefix_sum(
+        df.filter(F.col(tokens_col) > 0),
+        order_cols=[F.col(id_col).asc()],
+        value_col=tokens_col,
+        out_col="_end",
+        strata_col=stream_col,
+        num_partitions=num_partitions,
+    )
+    # `div` (integer division) keeps bin math exact at any corpus size —
+    # float floor() would wobble past 2^53 total tokens
+    return cum.withColumn(
+        "_start", F.col("_end") - F.col(tokens_col)
+    ).select(
+        *df.columns,
+        F.expr(f"_start div {int(seq_len)}").alias("start_bin"),
+        F.expr(f"(_end - 1) div {int(seq_len)}").alias("end_bin"),
+        F.expr(f"_start % {int(seq_len)}").alias("start_offset"),
+    )
 
 
 def contamination_pairs(

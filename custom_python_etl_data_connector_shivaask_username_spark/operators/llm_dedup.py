@@ -697,7 +697,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X7: incremental dedup (new batch vs existing corpus) ------------------
+# --- X15: incremental dedup (new batch vs existing corpus) -----------------
 
 #: fixture split for the driver-visible query: every 5th doc (by id) is
 #: the "new batch", the rest the already-ingested corpus — a stable 20%
@@ -891,7 +891,7 @@ ORDER BY i.doc_id
 
 @query("q_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 driver-visible: the incremental-ingest dedup decision for a
+    """X15 driver-visible: the incremental-ingest dedup decision for a
     20% "new batch" of the documents table against the other 80% as the
     standing corpus — every disposition branch hash-checked against a
     DuckDB twin built from the same md5 + integer-ratio-Jaccard

@@ -395,3 +395,97 @@ def test_curate_corpus_contamination_uses_word_grams(spark):
     kept = {r["doc_id"] for r in out.collect()}
     assert 0 not in kept  # verbatim inclusion dropped
     assert 1 in kept  # common-words-only doc survives (char-3 would flag it)
+
+
+def test_pack_sequences_matches_window_form(spark):
+    """The two-level prefix-sum packing equals the single-window form
+    exactly on a multi-partition frame — same bins, same offsets."""
+    from pyspark.sql import Window
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        pack_sequences,
+    )
+
+    n, L = 5_000, 128
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 90 + 10).alias("tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r["doc_id"]: (r["start_bin"], r["end_bin"], r["start_offset"])
+        for r in df.withColumn("_end", F.sum("tokens").over(w))
+        .withColumn("_start", F.col("_end") - F.col("tokens"))
+        .selectExpr(
+            "doc_id",
+            f"_start div {L} AS start_bin",
+            f"(_end - 1) div {L} AS end_bin",
+            f"_start % {L} AS start_offset",
+        )
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["start_bin"], r["end_bin"], r["start_offset"])
+        for r in pack_sequences(df, seq_len=L, num_partitions=16).collect()
+    }
+    assert got == expected
+
+
+def test_pack_sequences_bin_mass_and_straddle(spark):
+    """Structural packing invariants: every bin except the last carries
+    exactly seq_len tokens (no padding waste — the point of concat-and-
+    chunk packing), offsets are in [0, seq_len), docs straddle iff their
+    span crosses a boundary."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        pack_sequences,
+    )
+
+    L = 100
+    rows = [Row(doc_id=i, tokens=t) for i, t in enumerate([60, 60, 30, 100, 45, 5])]
+    # cum ends:  60, 120, 150, 250, 295, 300
+    out = {
+        r["doc_id"]: (r["start_bin"], r["end_bin"], r["start_offset"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows), seq_len=L, num_partitions=3
+        ).collect()
+    }
+    assert out == {
+        0: (0, 0, 0),    # [0, 60)
+        1: (0, 1, 60),   # [60, 120) straddles bins 0-1
+        2: (1, 1, 20),   # [120, 150)
+        3: (1, 2, 50),   # [150, 250) straddles bins 1-2
+        4: (2, 2, 50),   # [250, 295)
+        5: (2, 2, 95),   # [295, 300) exactly fills bin 2
+    }
+
+
+def test_pack_sequences_per_stream_and_zero_tokens(spark):
+    """Streams pack independently from offset 0; zero-token docs are
+    dropped (they occupy no bin)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        pack_sequences,
+    )
+
+    rows = [
+        Row(stream="a", doc_id=0, tokens=80),
+        Row(stream="a", doc_id=1, tokens=40),
+        Row(stream="b", doc_id=2, tokens=30),
+        Row(stream="b", doc_id=3, tokens=0),
+        Row(stream="b", doc_id=4, tokens=90),
+    ]
+    out = {
+        r["doc_id"]: (r["stream"], r["start_bin"], r["end_bin"], r["start_offset"])
+        for r in pack_sequences(
+            spark.createDataFrame(rows),
+            seq_len=100,
+            stream_col="stream",
+            num_partitions=2,
+        ).collect()
+    }
+    assert out == {
+        0: ("a", 0, 0, 0),
+        1: ("a", 0, 1, 80),   # straddles within stream a
+        2: ("b", 0, 0, 0),    # stream b restarts at offset 0
+        4: ("b", 0, 1, 30),
+    }
+    assert 3 not in out

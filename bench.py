@@ -44,6 +44,7 @@ HEADLINE: list[str] = [
     "q_etl_events_normalized",
     "q_ngram_overlap_pairs",
     "q_curation_mix",
+    "q_incremental_dedup",  # round 5: batch-vs-corpus dedup decision
 ]
 
 

@@ -121,3 +121,51 @@ def test_compaction_shrinks_files_keeps_data(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert checksum_before == checksum_after
     ev.unpersist()
+
+
+def test_zorder_narrows_minmax_on_both_dimensions(spark, tmp_path):
+    """The skipping argument, measured from the actual parquet footers:
+    a 1-D sort on x gives narrow per-file x-ranges but each file spans
+    ~the full y-range (no pruning on y filters); the Z-order layout
+    keeps BOTH dimensions' per-file ranges well under half the domain,
+    so min/max stats prune files for filters on either column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        write_zordered,
+    )
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 2654435761) % 1000).alias("y"),
+    )
+
+    linear = str(tmp_path / "linear")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+
+    def mean_coverage(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            spans.append((hi - lo) / 999.0)
+        return sum(spans) / len(spans)
+
+    # 1-D sort: x tight, y useless
+    assert mean_coverage(linear, "x") < 0.25
+    assert mean_coverage(linear, "y") > 0.8
+    # Z-order: both dimensions tight enough to skip most files
+    assert mean_coverage(zpath, "x") < 0.5
+    assert mean_coverage(zpath, "y") < 0.5

@@ -182,6 +182,75 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- heavy hitters: Misra-Gries summaries + exact verification pass -------
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 10, summary_size: int | None = None
+) -> DataFrame:
+    """Frequent items with EXACT final counts in two bounded passes —
+    the A3-family sketch for "which items dominate" (top talkers, spam
+    template ids, hot partition keys) where a full groupBy's keyspace
+    is the problem.
+
+    Pass 1 — per-partition Misra-Gries summaries via ``mapInPandas``:
+    each partition keeps at most ``summary_size`` (default ``4k``)
+    weighted counters, merged Arrow-batch-at-a-time with the mergeable-
+    summaries rule (add batch counts, then subtract the
+    (summary_size+1)-th largest weight and drop non-positives — Agarwal
+    et al.'s MERGEABLE form, vectorized; never a per-row Python loop).
+    Guarantee: any item with global count > n/(summary_size+1) exceeds
+    the per-partition threshold in at least one partition (pigeonhole),
+    so the UNION of partition summaries is a certified superset of the
+    true heavy hitters. Output is metadata-scale: ≤ summary_size rows
+    per partition, fixed-width.
+
+    Pass 2 — exact counts for candidates only: broadcast the candidate
+    set back as a semi-filter and run one exact aggregate over the
+    matching rows. Because pass-2 counts are exact and the candidate
+    set provably contains every item above the frequency bar, the
+    returned top-``k`` equals the true top-``k`` whenever the true
+    k-th item clears n/(summary_size+1) — which is why the default
+    summary is 4× k.
+
+    Two scans total, bounded memory everywhere, no shuffled keyspace:
+    the only wide op is the candidate-filtered aggregate whose key
+    cardinality is ≤ the candidate count. Returns ``(item, count)``
+    ordered by count desc, item asc, limited to ``k``.
+    """
+    import pandas as pd
+
+    m = summary_size or 4 * k
+
+    def mg_partition(batches):
+        counters: "pd.Series | None" = None
+        for pdf in batches:
+            batch = pdf[item_col].value_counts()
+            counters = batch if counters is None else counters.add(batch, fill_value=0)
+            if len(counters) > m:
+                cut = counters.nlargest(m + 1).iloc[-1]
+                counters = (counters - cut)[lambda s: s > 0]
+        if counters is None or counters.empty:
+            return
+        yield pd.DataFrame({"item": counters.index, "weight": counters.values})
+
+    schema_item_type = dict(df.dtypes)[item_col]
+    candidates = (
+        df.select(item_col)
+        .mapInPandas(mg_partition, f"item {schema_item_type}, weight DOUBLE")
+        .select("item")
+        .distinct()
+    )
+    exact = (
+        df.join(
+            F.broadcast(candidates), df[item_col] == candidates["item"], "left_semi"
+        )
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return exact.orderBy(F.col("count").desc(), F.col("item").asc()).limit(k)
+
+
 # --- A5: cube (all grouping sets; rollup is the gid-filtered subset) ------
 
 _CUBE_ORACLE = f"""

@@ -65,3 +65,54 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for k in exact:
         for a, e, tol in zip(approx[k], exact[k], tolerances):
             assert abs(a - e) <= max(2.0, tol * e), (k, approx[k], exact[k])
+
+
+def test_heavy_hitters_finds_planted_zipf_head(spark):
+    """Planted skew: 5 hot items dominate a 2000-key uniform tail. The
+    MG-candidates + exact-verify pipeline returns the true top-5 with
+    exact counts (bounded summaries can only widen the candidate set,
+    never corrupt a count)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    hot = {900_001: 5000, 900_002: 4000, 900_003: 3000, 900_004: 2000, 900_005: 1500}
+    df = spark.range(40_000).select((F.col("id") % 2000).alias("item"))
+    for item, n in hot.items():
+        df = df.unionAll(
+            spark.range(n).select(F.lit(item).cast("long").alias("item"))
+        )
+    df = df.repartition(8)  # hot items spread over every partition
+
+    got = [(r["item"], r["count"]) for r in heavy_hitters(df, "item", k=5).collect()]
+    assert got == sorted(hot.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_heavy_hitters_exact_counts_match_groupby(spark):
+    """Whatever the candidate set, returned counts are EXACT — equal to
+    the full groupBy's counts for the same items."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    df = spark.range(10_000).select(
+        ((F.col("id") * 2654435761) % 50).alias("item")
+    ).repartition(4)
+    exact = {
+        r["item"]: r["cnt"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in heavy_hitters(df, "item", k=10).collect():
+        assert r["count"] == exact[r["item"]]
+
+
+def test_heavy_hitters_string_items_and_small_data(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1, "item_s STRING"
+    )
+    got = [(r["item"], r["count"]) for r in heavy_hitters(df, "item_s", k=2).collect()]
+    assert got == [("a", 7), ("b", 3)]

@@ -747,6 +747,14 @@ def incremental_dedup(
     the priority exact_dup_corpus > exact_dup_batch > near_dup_corpus >
     kept. Fully engine-portable (md5 + integer-ratio Jaccard), hence
     oracle-checkable end to end.
+
+    Measured negative (round 5): folding the per-doc gram counts INTO
+    the exploded frames (carrying ``inc_n``/``cor_n`` through the gram
+    join + ``first()`` at the pair aggregate, saving two size-frame
+    joins) ran 4× SLOWER at sf0.01 (1.24 s → 5.3 s best-of-3): the
+    extra columns ride every row of the gram-join fan-out — by far the
+    widest intermediate — while the size frames they replace are
+    doc-cardinality broadcasts. Keep the narrow (id, gram) join.
     """
     inc_h = increment.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text"),

@@ -159,3 +159,68 @@ def test_token_budget_selection_is_monotone(spark, tokens, budget_lo, extra):
     assert small_ids <= big_ids
     assert small_mass <= budget_lo
     assert big_mass <= budget_lo + extra
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+    seq_len=st.integers(min_value=5, max_value=40),
+)
+@_settings
+def test_pack_sequences_conservation_laws(spark, tokens, seq_len):
+    """Packing invariants over arbitrary token lists: offsets in
+    [0, seq_len); consecutive docs abut exactly (next start = prev start
+    + prev tokens, bin-and-offset arithmetic agreeing); total bins =
+    ceil(total_tokens / seq_len)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, tokens=t) for i, t in enumerate(tokens)]
+    )
+    out = sorted(
+        (
+            (r["doc_id"], r["start_bin"], r["end_bin"], r["start_offset"])
+            for r in pack_sequences(df, seq_len=seq_len, num_partitions=3).collect()
+        )
+    )
+    total = sum(tokens)
+    # global position reconstruction: start = bin * L + offset
+    starts = [b * seq_len + off for _, b, _, off in out]
+    expected_starts = [sum(tokens[:i]) for i in range(len(tokens))]
+    assert starts == expected_starts
+    for (_, sb, eb, off), t in zip(out, tokens):
+        assert 0 <= off < seq_len
+        assert eb == (sb * seq_len + off + t - 1) // seq_len
+    n_bins = max(eb for _, _, eb, _ in out) + 1
+    assert n_bins == (total + seq_len - 1) // seq_len
+
+
+@given(
+    corpus_texts=st.lists(
+        st.text(alphabet="abcd ", min_size=8, max_size=30), min_size=1, max_size=6
+    ),
+    dup_idx=st.integers(min_value=0, max_value=5),
+)
+@_settings
+def test_incremental_dedup_exact_law(spark, corpus_texts, dup_idx):
+    """Law: a new doc whose text verbatim-equals ANY corpus doc is
+    exact_dup_corpus; a new doc with fresh text never is."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus_texts)]
+    )
+    dup_text = corpus_texts[dup_idx % len(corpus_texts)]
+    fresh_text = "zzzz qqqq wwww xxyy zz"  # alphabet disjoint from corpus
+    increment = spark.createDataFrame(
+        [Row(doc_id=100, text=dup_text), Row(doc_id=101, text=fresh_text)]
+    )
+    got = {
+        r["doc_id"]: r["disposition"]
+        for r in incremental_dedup(corpus, increment).collect()
+    }
+    assert got[100] == "exact_dup_corpus"
+    assert got[101] == "kept"

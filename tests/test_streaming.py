@@ -312,3 +312,64 @@ def test_metrics_listener_captures_batches(spark, sf_dir):
     assert n_types > 0
     assert collector.total_rows() > 0
     assert any(m.batch_duration_ms >= 0 for m in collector.metrics)
+
+
+def test_multibatch_incremental_agg_equals_batch(spark, tmp_path):
+    """The fixture oracles run availableNow over ONE file (a single
+    micro-batch). This pin splits the real sf0.001 events table into 4
+    files and streams them one micro-batch each (maxFilesPerTrigger=1):
+    the incrementally-maintained tumbling aggregation must finish equal
+    to the one-shot batch groupBy — state handoff across micro-batches,
+    not just within one."""
+    import glob
+    import shutil
+
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        run_stream_to_df,
+        tumbling_counts,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+        normalize_events_ts,
+    )
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    in_dir = str(tmp_path / "in")
+    staging = str(tmp_path / "staging")
+    # 4 files, split by an id hash so every micro-batch spans the full
+    # time range (worst case for watermark-ordered state: nothing is
+    # droppable, every batch updates old windows)
+    src.withColumn("_part", F.pmod(F.xxhash64("event_id"), F.lit(4))).repartition(
+        4, "_part"
+    ).drop("_part").write.parquet(staging)
+    import os
+
+    os.makedirs(in_dir)
+    for i, f in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        shutil.move(f, f"{in_dir}/f{i}.parquet")
+
+    raw = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = run_stream_to_df(
+        tumbling_counts(normalize_events_ts(raw, target="timestamp")),
+        "complete",
+    )
+    got = {
+        (r["window"]["start"], r["event_type"]): r["event_count"]
+        for r in stream.collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): r["event_count"]
+        for r in src.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .selectExpr("w.start AS ws", "event_type", "event_count")
+        .collect()
+    }
+    assert len(got) > 100  # the sf0.001 fixture spans ~30 days of hours
+    assert got == expected

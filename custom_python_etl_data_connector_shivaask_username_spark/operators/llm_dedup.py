@@ -193,6 +193,33 @@ def minhash_signature_agg(
     )
 
 
+def band_triples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Map-only LSH banding: each doc to ``BANDS`` fixed-width
+    ``(id, band_id, bucket)`` rows — the only thing that ever shuffles
+    (or persists, see :func:`build_minhash_index`) in the MinHash
+    family. Signature via :func:`minhash_signature_agg` (single
+    traversal, no shuffle); band hashes built from ONE reference to the
+    signature so projection collapse cannot re-execute the aggregate
+    per band."""
+    rows_per_band = F.lit(ROWS_PER_BAND)
+    sig = spread_small_input(docs).filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        minhash_signature_agg(
+            word_shingles(F.col(text_col), shingle_n)
+        ).alias("sig"),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda i: F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, ROWS_PER_BAND)),
+    )
+    return sig.select("id", F.posexplode(bands).alias("band_id", "bucket"))
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -222,20 +249,7 @@ def near_dup_pairs(
     proportional to candidates, not corpus, and the only corpus-wide
     exchange left is the (band_id, bucket, id) triple shuffle.
     """
-    rows_per_band = F.lit(ROWS_PER_BAND)
-    sig = spread_small_input(docs).filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        minhash_signature_agg(
-            word_shingles(F.col(text_col), shingle_n)
-        ).alias("sig"),
-    )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(BANDS - 1)),
-        lambda i: F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, ROWS_PER_BAND)),
-    )
-    ids = sig.select(
-        "id", F.posexplode(bands).alias("band_id", "bucket")
-    )
+    ids = band_triples(docs, id_col, text_col, shingle_n)
 
     grouped = (
         ids.groupBy("band_id", "bucket")
@@ -821,6 +835,82 @@ def incremental_dedup(
             .otherwise(F.lit("kept"))
             .alias("disposition"),
         )
+    )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The STORED form of a standing corpus for incremental near-dedup:
+    its ``(band_id, bucket, id)`` LSH triples — ~8 fixed-width rows per
+    document, independent of document size (the 100 TB corpus's index
+    is ~200 B/doc ≈ 5 TB, a routine table).
+
+    Write it once per corpus generation — in production bucketed by
+    ``(band_id, bucket)`` (``sources/bucketing.py``) so every future
+    probe join co-locates without a corpus-side shuffle. Each new batch
+    then pays :func:`probe_minhash_index`: signature cost for ITS OWN
+    docs only; corpus text is touched only for verified candidates.
+    This is the production complement of :func:`incremental_dedup`'s
+    oracle-checkable char-3-gram form.
+    """
+    return band_triples(corpus, id_col, text_col, shingle_n)
+
+
+def probe_minhash_index(
+    index: DataFrame,
+    corpus_text: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (increment doc, corpus doc) via a stored index —
+    never re-pairing or re-signing the corpus.
+
+    Scale shape: the increment maps to its own band triples (map-only,
+    ∝ batch size); the candidate join keys on ``(band_id, bucket)``
+    and therefore only reads index buckets the increment touches
+    (partition-pruned when the index is bucketed/sorted on the key);
+    exact-Jaccard verification joins text for the candidate ids only —
+    increment side from the batch, corpus side a semi-filtered point
+    lookup. Nothing in the plan is proportional to corpus pairs.
+
+    Returns ``(inc_id, cor_id, jaccard_sim)`` with sim ≥ threshold.
+    """
+    inc_triples = band_triples(increment, id_col, text_col, shingle_n).select(
+        F.col("id").alias("inc_id"), "band_id", "bucket"
+    )
+    cand = (
+        inc_triples.join(index, ["band_id", "bucket"])
+        .select("inc_id", F.col("id").alias("cor_id"))
+        .dropDuplicates(["inc_id", "cor_id"])
+    )
+    inc_text = increment.select(
+        F.col(id_col).alias("inc_id"), F.col(text_col).alias("_t_inc")
+    )
+    cor_text = corpus_text.select(
+        F.col(id_col).alias("cor_id"), F.col(text_col).alias("_t_cor")
+    )
+    return (
+        cand.join(inc_text, "inc_id")
+        .join(cor_text, "cor_id")
+        .withColumn(
+            "jaccard_sim",
+            F.round(
+                jaccard(
+                    word_shingles(F.col("_t_inc"), shingle_n),
+                    word_shingles(F.col("_t_cor"), shingle_n),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("inc_id", "cor_id", "jaccard_sim")
     )
 
 

@@ -37,7 +37,9 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+    build_minhash_index,
     near_dup_pairs,
+    probe_minhash_index,
 )
 from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
     emb_dup_config,
@@ -158,6 +160,58 @@ def main() -> None:
     for name, by_f in results.items():
         exp = math.log(by_f[FACTOR] / by_f[1]) / math.log(FACTOR)
         print(json.dumps({"op": name, "sf1_scaling_exponent": round(exp, 3)}))
+
+    # --- incremental near-dedup: the cost must follow the INCREMENT, not
+    # the corpus. Index is built and stored ONCE per corpus (untimed, as
+    # in production); probes are timed against it from disk.
+    for cname, corpus_dir in (("sf0.1", SF_DIR), ("sf1.0", OUT_DIR)):
+        ipath = f"{OUT_DIR}/minhash_index_{cname}.parquet"
+        if args.regen or not os.path.isdir(ipath):
+            build_minhash_index(docs_at(corpus_dir)).write.mode(
+                "overwrite"
+            ).parquet(ipath)
+    def fresh_increment(f: int) -> DataFrame:
+        """A batch with NO near-dups against either corpus: every word
+        carries a tag absent from all corpus generations, so shingle
+        sets are disjoint and only chance band collisions survive.
+        Isolates pure probe cost — a replicate()-perturbed increment
+        would plant same-tag twins against the sf1.0 corpus and measure
+        that data pathology instead (first run of this harness did)."""
+        base = docs_at(SF_DIR).filter(F.col("doc_id") % 4 == 0)  # 25% slice
+        rep = replicate(base, f, ["doc_id"])
+        words = F.split(F.col("text"), " ")
+        return rep.withColumn(
+            "text",
+            F.concat_ws(
+                " ", F.transform(words, lambda w: F.concat(w, F.lit("zq")))
+            ),
+        )
+
+    probe_times = {}
+    for cname, corpus_dir in (("sf0.1", SF_DIR), ("sf1.0", OUT_DIR)):
+        index = spark.read.parquet(f"{OUT_DIR}/minhash_index_{cname}.parquet")
+        corpus = docs_at(corpus_dir)
+        for inc_factor in (1, 10):
+            inc = fresh_increment(inc_factor)
+            build = lambda: probe_minhash_index(  # noqa: E731
+                index, corpus, inc, threshold=0.5
+            )
+            timed(build)  # warm
+            secs = min(timed(build), timed(build))
+            probe_times[(cname, inc_factor)] = secs
+            print(json.dumps({
+                "op": "incremental_probe", "corpus": cname,
+                "increment_factor": inc_factor, "sec": round(secs, 3),
+            }))
+    inc_exp = math.log(
+        probe_times[("sf1.0", 10)] / probe_times[("sf1.0", 1)]
+    ) / math.log(10)
+    corpus_ratio = probe_times[("sf1.0", 10)] / probe_times[("sf0.1", 10)]
+    print(json.dumps({
+        "op": "incremental_probe",
+        "increment_scaling_exponent": round(inc_exp, 3),
+        "corpus_x10_cost_ratio": round(corpus_ratio, 2),
+    }))
     spark.stop()
 
 

@@ -862,3 +862,84 @@ def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
     )
     out = incremental_dedup(corpus, increment).collect()
     assert [(r["doc_id"], r["disposition"]) for r in out] == [(100, "kept")]
+
+
+def test_minhash_index_probe_finds_cross_batch_near_dups(spark, tmp_path):
+    """Production incremental near-dedup: the corpus's LSH index is
+    written to parquet ONCE, a later batch probes it from disk — the
+    planted near-dup of a corpus doc is found, corpus-corpus pairs are
+    never emitted, and unrelated batch docs pass clean."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the quiet river bank")
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),  # internal corpus dup: must NOT pair
+            Row(doc_id=2, text="entirely different corpus text about "
+                               "spark shuffles and parquet footers"),
+        ]
+    )
+    idx_path = str(tmp_path / "minhash_index")
+    build_minhash_index(corpus).write.parquet(idx_path)  # stored once
+
+    increment = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=base.replace("naps", "sleeps")),  # near-dup
+            Row(doc_id=101, text="fresh unrelated content about nothing "
+                                 "previously ingested at all whatsoever"),
+        ]
+    )
+    index = spark.read.parquet(idx_path)
+    got = probe_minhash_index(index, corpus, increment, threshold=0.5).collect()
+    pairs = {(r["inc_id"], r["cor_id"]) for r in got}
+    assert (100, 0) in pairs and (100, 1) in pairs  # hits both copies
+    assert all(p[0] >= 100 for p in pairs), "corpus-corpus pair leaked"
+    assert not any(p[0] == 101 for p in pairs)
+    for r in got:
+        assert r["jaccard_sim"] >= 0.5
+
+
+def test_minhash_index_probe_agrees_with_batch_near_dup_pairs(spark):
+    """Index-probe results equal the full near_dup_pairs run restricted
+    to (increment, corpus) pairs — the incremental path loses nothing."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        build_minhash_index,
+        near_dup_pairs,
+        probe_minhash_index,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten eleven",
+        "unrelated words entirely here nothing shared with others",
+    ]
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    increment = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=texts[0].replace("kappa", "sigma")),
+            Row(doc_id=101, text=texts[2]),
+        ]
+    )
+    thr = 0.5
+    via_index = {
+        (r["inc_id"], r["cor_id"], r["jaccard_sim"])
+        for r in probe_minhash_index(
+            build_minhash_index(corpus), corpus, increment, threshold=thr
+        ).collect()
+    }
+    both = corpus.unionByName(increment)
+    via_batch = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["jaccard_sim"])
+        for r in near_dup_pairs(both, threshold=thr).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)  # cross pairs only
+    }
+    assert via_index == via_batch
+    assert len(via_index) >= 2

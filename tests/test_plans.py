@@ -150,3 +150,18 @@ def test_curation_mix_no_sortmergejoin(spark, sf_dir):
     df = QUERIES["q_curation_mix"](spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("SortMergeJoin") == 0  # tiny summaries broadcast
+
+
+def test_incremental_dedup_plan_shapes(spark, sf_dir):
+    """X15's scale contract in the plan: no cartesian anywhere; the only
+    joins allowed to be corpus-bound (SortMergeJoin) are the gram
+    inverted-index probes — every doc-cardinality frame (hash sets,
+    gram counts, disposition flags) broadcasts; exact branches use
+    semi/anti, never row-duplicating joins. (Counts are from the
+    static plan; AQE further collapses SMJs at runtime.)"""
+    plan = formatted_plan(QUERIES["q_incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 10
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

@@ -632,6 +632,32 @@ def _nearest_centroid(emb_col, centroids: list[tuple[int, list[float]]]) -> F.Co
     return F.element_at(cids, idx)
 
 
+def _nearest_centroid_l2(
+    emb_col, centroids: list[tuple[int, list[float]]]
+) -> F.Column:
+    """Euclidean-nearest centroid id: argmin ‖x−c‖² computed as
+    argmax (2·x·c − ‖c‖²) — the ‖x‖² term is constant per row and
+    drops out, so the expression stays the same literal-centroid dot
+    template as :func:`_nearest_centroid`, just shifted by the
+    (driver-computed) centroid norms. PQ trains/encodes with THIS
+    metric: a product quantizer minimizes reconstruction error, and a
+    max-dot assignment would pick large-projection centroids over
+    close ones."""
+    sims = F.array(
+        *[
+            F.round(
+                2.0 * dot(emb_col, lit_vector(vec))
+                - float(sum(x * x for x in vec)),
+                9,
+            )
+            for _, vec in centroids
+        ]
+    )
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    idx = F.array_position(sims, F.array_max(sims)).cast("int")
+    return F.element_at(cids, idx)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_clusters: int = 16,
@@ -639,6 +665,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_fraction: float | None = None,
+    metric: str = "dot",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's iterations in pure DataFrame ops.
 
@@ -669,10 +696,11 @@ def kmeans_centroids(
         .limit(n_clusters)
         .collect()
     )
+    assign_fn = _nearest_centroid_l2 if metric == "l2" else _nearest_centroid
     centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
     for _ in range(iters):
         assigned = emb.select(
-            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+            assign_fn(F.col(vec_col), centroids).alias("cid"),
             F.posexplode(vec_col).alias("pos", "v"),
         )
         means = (
@@ -858,4 +886,130 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val")
         )
         .orderBy("label", "pos")
+    )
+
+
+# --- X18: product quantization (PQ) — compressed ANN at 100 TB -------------
+
+PQ_M = 8   #: subspaces (codes per vector)
+PQ_K = 16  #: centroids per subspace codebook (4-bit codes)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` contiguous
+    subspaces and run the SAME DataFrame Lloyd's as the IVF coarse
+    quantizer (:func:`kmeans_centroids`) independently per subspace —
+    with ``metric="l2"``, because a product quantizer minimizes
+    reconstruction error (max-dot assignment would pick
+    large-projection centroids over close ones).
+
+    Returns ``codebooks[mi][c]`` = centroid subvector: an
+    ``m × k × (d/m)`` matrix, KBs at any corpus size — driver/broadcast
+    material, like every other codebook in this engine. Training cost
+    is ``m`` bounded k-means runs over a (hash-deterministic) sample;
+    at 100 TB pass ``train_fraction`` so each run scans ~1e5-1e6 rows.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
+    books = []
+    for mi in range(m):
+        sliced = emb.select(
+            F.col(id_col), F.slice(vec_col, mi * sub + 1, sub).alias(vec_col)
+        )
+        cents = kmeans_centroids(
+            sliced,
+            n_clusters=k,
+            iters=iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            train_fraction=train_fraction,
+            metric="l2",
+        )
+        books.append([vec for _, vec in cents])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes — map-only, literal
+    codebooks, one L2-argmin expression per subspace (the
+    :func:`_nearest_centroid_l2` idiom on a slice).
+
+    The stored index is ``(id, codes array<int>)``: with the default
+    8×16 layout that is 8 codes (4 bits of information each) replacing
+    64 floats — the 100 TB fleet keeps the WHOLE index hot where raw
+    vectors would spill (float32 64-dim = 256 B/vec vs ≤ 8 B/vec
+    encoded; parquet dictionary encoding realizes most of the 32×).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _nearest_centroid_l2(
+                F.slice(vec_col, mi * sub + 1, sub),
+                list(enumerate(codebooks[mi])),
+            )
+            for mi in range(m)
+        ]
+    )
+    return emb.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; each database vector is its reconstruction.
+
+    The driver precomputes the ``m × k`` lookup table
+    ``LUT[mi][c] = query_sub(mi) · codebook[mi][c]`` (tiny, enters the
+    plan as a literal), so the per-row score is ``m`` array lookups and
+    adds — no vector arithmetic touches the scan, and the plan is the
+    same zero-shuffle scan + TakeOrderedAndProject as exact top-k,
+    only over an index 32× smaller. Returns ``(id_col, approx_score)``
+    ordered desc; ties break by id for determinism.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            round(
+                sum(
+                    query_vec[mi * sub + j] * c[j] for j in range(sub)
+                ),
+                9,
+            )
+            for c in codebooks[mi]
+        ]
+        for mi in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = None
+    for mi in range(m):
+        term = F.element_at(
+            F.element_at(lut_lit, mi + 1),
+            F.element_at(F.col("codes"), mi + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        codes_df.select(F.col(id_col), F.round(score, 6).alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -168,6 +168,53 @@ def foreach_batch_load_idempotent(
     return path
 
 
+def stream_upsert(
+    sdf: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """CDC apply loop (ST1 + S7 composed): maintain a keyed parquet
+    table from a stream of row versions — the "sync an API's mutable
+    entities into the lake" pattern the reference's poll loop implies
+    (README.md:13 "audits or updates").
+
+    Each micro-batch first collapses to its LATEST version per key
+    (row_number over ``order_col`` desc — the window partitions on the
+    full key, and a batch holds at most a trigger's worth of rows, so
+    no skew concern), then MERGEs via ``sinks.upsert_parquet``: the
+    incoming keys broadcast into an anti-join, the standing table never
+    shuffles. Across batches, arrival order wins — exactly the
+    semantics of applying a CDC feed in commit order.
+
+    Restart safety: foreachBatch is at-least-once; a replayed batch
+    re-upserts the SAME (key, version) rows, and the anti-join merge is
+    idempotent for identical inputs — the table converges to the same
+    state, the no-transaction-log analogue of MERGE-based CDC apply.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.sinks import upsert_parquet
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upsert_parquet(batch_df.sparkSession, latest, path, keys, stamp=False)
+
+    q = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # --- ST2+ST5+ST6: dedup'd tumbling window aggregation ------------------------
 
 _TUMBLING_ORACLE = """

@@ -373,3 +373,58 @@ def test_multibatch_incremental_agg_equals_batch(spark, tmp_path):
     }
     assert len(got) > 100  # the sf0.001 fixture spans ~30 days of hours
     assert got == expected
+
+
+def test_stream_upsert_cdc_apply(spark, tmp_path):
+    """CDC apply: two micro-batches of row versions with overlapping
+    keys converge the keyed table to last-writer-wins — within a batch
+    the highest order_col version applies; across batches the later
+    batch replaces the earlier."""
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        stream_upsert,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # batch 1: keys 1,2 (key 1 has two versions inside the batch)
+    _write_stream_file(
+        spark,
+        [
+            (10, _us("2024-01-01 10:00:00"), 1, "v1", 1.0, "{}"),
+            (11, _us("2024-01-01 10:05:00"), 1, "v2", 2.0, "{}"),
+            (12, _us("2024-01-01 10:00:00"), 2, "v1", 1.0, "{}"),
+        ],
+        f"{in_dir}/f1.parquet",
+    )
+    time.sleep(1.1)
+    # batch 2: key 2 updated, key 3 inserted
+    _write_stream_file(
+        spark,
+        [
+            (20, _us("2024-01-01 11:00:00"), 2, "v2", 9.0, "{}"),
+            (21, _us("2024-01-01 11:00:00"), 3, "v1", 5.0, "{}"),
+        ],
+        f"{in_dir}/f2.parquet",
+    )
+    raw = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    table = str(tmp_path / "entities")
+    stream_upsert(
+        raw, table, keys=["user_id"], order_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = {
+        r["user_id"]: (r["event_type"], r["value"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert rows == {
+        1: ("v2", 2.0),  # in-batch latest version won
+        2: ("v2", 9.0),  # later batch replaced earlier
+        3: ("v1", 5.0),  # insert
+    }

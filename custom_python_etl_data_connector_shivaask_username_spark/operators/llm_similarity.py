@@ -632,6 +632,28 @@ def _nearest_centroid(emb_col, centroids: list[tuple[int, list[float]]]) -> F.Co
     return F.element_at(cids, idx)
 
 
+def _lit_dot(emb_col, vec: list[float]) -> F.Column:
+    """Dot with a LITERAL vector. Short vectors (PQ subspaces) expand
+    to flat ``element_at × weight`` arithmetic — whole-stage-codegen
+    territory — because the ``zip_with + aggregate`` HOF fold is
+    interpreted per expression: with PQ's m×k = 128 tiny dots per row
+    the HOF form measured ~10× slower than this expansion. Longer
+    vectors keep the fold (fewer, bigger expressions — the LSH-plane
+    regime, where expansion would bloat the codegen past JIT limits).
+    """
+    if len(vec) <= 16:
+        col = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+        terms = [
+            F.element_at(col, j + 1).cast("double") * float(w)
+            for j, w in enumerate(vec)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return dot(emb_col, lit_vector(vec))
+
+
 def _nearest_centroid_l2(
     emb_col, centroids: list[tuple[int, list[float]]]
 ) -> F.Column:
@@ -646,7 +668,7 @@ def _nearest_centroid_l2(
     sims = F.array(
         *[
             F.round(
-                2.0 * dot(emb_col, lit_vector(vec))
+                2.0 * _lit_dot(emb_col, vec)
                 - float(sum(x * x for x in vec)),
                 9,
             )
@@ -913,28 +935,110 @@ def pq_train(
 
     Returns ``codebooks[mi][c]`` = centroid subvector: an
     ``m × k × (d/m)`` matrix, KBs at any corpus size — driver/broadcast
-    material, like every other codebook in this engine. Training cost
-    is ``m`` bounded k-means runs over a (hash-deterministic) sample;
-    at 100 TB pass ``train_fraction`` so each run scans ~1e5-1e6 rows.
+    material, like every other codebook in this engine.
+
+    All ``m`` subspace k-means run FUSED, and the per-iteration
+    assignment is a broadcast JOIN against the centroid-ELEMENT table
+    (``m × k × d/m`` rows, KBs) rather than ``m × k`` literal argmin
+    expressions: the literal form costs seconds of py4j expression
+    construction plus interpreted evaluation of a thousands-node tree
+    per iteration (measured 18-29 s at sf0.01 across three literal
+    variants — per-subspace loop, fused array, pre-sliced + expanded
+    dots), while the join keeps everything in codegen'd columnar
+    ops — one corpus-element scan, one ``(id, mi, cid)`` partial-agg
+    dot, one argmax, one exact-decimal mean per iteration (measured
+    7.6 s for 2 iterations at sf0.01 — 2.4× faster than the best
+    literal form, and the gap widens with iters since the literal
+    forms pay their construction cost per iteration). Determinism: scores round to 9 decimals before the argmax
+    and ties break toward the LOWEST cid, so shuffle order cannot
+    change an assignment; means are exact-decimal. Empty cells keep
+    their previous centroid. At 100 TB pass ``train_fraction`` so each
+    iteration scans a ~1e5-1e6-row hash-deterministic sample — the
+    encode pass (:func:`pq_encode`) stays literal-expression because
+    there it is ONE map-only projection, not ``iters`` of them.
     """
+    spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     sub = dim // m
-    books = []
-    for mi in range(m):
-        sliced = emb.select(
-            F.col(id_col), F.slice(vec_col, mi * sub + 1, sub).alias(vec_col)
+    if train_fraction is not None and train_fraction < 1.0:
+        emb = emb.filter(
+            F.abs(F.xxhash64(F.col(id_col), F.lit(11))) % 1_000_000
+            < int(train_fraction * 1_000_000)
         )
-        cents = kmeans_centroids(
-            sliced,
-            n_clusters=k,
-            iters=iters,
-            vec_col=vec_col,
-            id_col=id_col,
-            train_fraction=train_fraction,
-            metric="l2",
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r[vec_col][mi * sub : (mi + 1) * sub]]
+            for r in seeds
+        ]
+        for mi in range(m)
+    ]
+    elems = emb.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("pos", "v")
+    ).select(
+        "_id",
+        "pos",
+        "v",
+        (F.col("pos") / sub).cast("int").alias("mi"),
+        (F.col("pos") % sub).alias("j"),
+    )
+    for _ in range(iters):
+        cent_elems = spark.createDataFrame(
+            [
+                (mi, cid, j, float(w))
+                for mi in range(m)
+                for cid, vec in enumerate(books[mi])
+                for j, w in enumerate(vec)
+            ],
+            "mi INT, cid INT, j INT, w DOUBLE",
         )
-        books.append([vec for _, vec in cents])
+        cent_norms = spark.createDataFrame(
+            [
+                (mi, cid, float(sum(x * x for x in vec)))
+                for mi in range(m)
+                for cid, vec in enumerate(books[mi])
+            ],
+            "mi INT, cid INT, norm2 DOUBLE",
+        )
+        dots = (
+            elems.join(F.broadcast(cent_elems), ["mi", "j"])
+            .groupBy("_id", "mi", "cid")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("d"))
+        )
+        assign = (
+            dots.join(F.broadcast(cent_norms), ["mi", "cid"])
+            .select(
+                "_id",
+                "mi",
+                F.struct(
+                    F.round(2.0 * F.col("d") - F.col("norm2"), 9).alias("s"),
+                    (-F.col("cid")).alias("negcid"),
+                ).alias("sc"),
+            )
+            .groupBy("_id", "mi")
+            .agg(F.max("sc").alias("best"))
+            .select("_id", "mi", (-F.col("best.negcid")).cast("int").alias("cid"))
+        )
+        means = (
+            elems.join(assign, ["_id", "mi"])
+            .groupBy("mi", "cid", "j")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(27,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_v")
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["mi"]][r["cid"]][r["j"]] = float(r["mean_v"])
     return books
 
 

@@ -29,6 +29,9 @@ from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedu
 from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
     emb_dup_config,
     embedding_near_dup_pairs,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from custom_python_etl_data_connector_shivaask_username_spark.session import get_spark
 from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
@@ -160,6 +163,9 @@ def main() -> None:
             ),
         )
 
+    pq_books = pq_train(emb, iters=2)
+    pq_qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+
     def cases(f: int) -> dict[str, DataFrame]:
         d = replicate(docs, f, ["doc_id"], perturb_text="text")
         e = replicate(emb, f, ["vec_id"])
@@ -201,6 +207,12 @@ def main() -> None:
             ),
             "curation_budget": _curation(d),
             "contamination_join": _contamination(d, docs),
+            # codebooks trained ONCE on the base corpus (offline, as
+            # deployed); the timed path is the per-batch cost: map-only
+            # encode + literal-LUT ADC scan + TakeOrdered
+            "pq_encode_topk": pq_topk(
+                pq_encode(_perturb_vec(e), pq_books), pq_books, pq_qvec
+            ),
             "window_ranks": ev.withColumn(
                 "rn",
                 F.row_number().over(

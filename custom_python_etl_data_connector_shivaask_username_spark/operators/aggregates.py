@@ -225,7 +225,9 @@ def heavy_hitters(
     def mg_partition(batches):
         counters: "pd.Series | None" = None
         for pdf in batches:
-            batch = pdf[item_col].value_counts()
+            # dropna=False: NULL is a legal item (often the most
+            # frequent one in dirty data) and must be able to win
+            batch = pdf[item_col].value_counts(dropna=False)
             counters = batch if counters is None else counters.add(batch, fill_value=0)
             if len(counters) > m:
                 cut = counters.nlargest(m + 1).iloc[-1]
@@ -243,12 +245,17 @@ def heavy_hitters(
     )
     exact = (
         df.join(
-            F.broadcast(candidates), df[item_col] == candidates["item"], "left_semi"
+            # null-safe equality: a NULL candidate must match NULL rows
+            F.broadcast(candidates),
+            df[item_col].eqNullSafe(candidates["item"]),
+            "left_semi",
         )
         .groupBy(F.col(item_col).alias("item"))
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    return exact.orderBy(F.col("count").desc(), F.col("item").asc()).limit(k)
+    return exact.orderBy(
+        F.col("count").desc(), F.col("item").asc_nulls_first()
+    ).limit(k)
 
 
 # --- A5: cube (all grouping sets; rollup is the gid-filtered subset) ------

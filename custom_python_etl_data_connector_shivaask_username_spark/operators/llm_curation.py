@@ -213,7 +213,10 @@ def two_level_prefix_sum(
     reconstruction is boundary-agnostic). Failure semantics at cluster
     scale: a lost shuffle output recomputes through the plan's single
     ShuffleDependency, whose partitioner stores the already-sampled
-    boundaries — the recompute sees identical pids.
+    boundaries — the recompute sees identical pids. Deployments that
+    disable BOTH reuse mechanisms (``spark.sql.exchange.reuse=false``
+    with AQE off) get the round-4 persist as a guarded fallback —
+    cache footprint over silent misalignment.
 
     Returns ``df``'s columns plus ``out_col``. Consumers:
     :func:`token_budget_select` (budget cutoff per stratum) and
@@ -227,11 +230,25 @@ def two_level_prefix_sum(
             num_partitions = int(conf)
         except (TypeError, ValueError):  # e.g. "auto" under Databricks AQE
             num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    conf = df.sparkSession.conf
+    reuse_ok = (
+        conf.get("spark.sql.exchange.reuse", "true") == "true"
+        or conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    )
     strata = [strata_col] if strata_col else []
     range_order = [F.col(c).asc_nulls_first() for c in strata] + list(order_cols)
     parted = df.repartitionByRange(num_partitions, *range_order).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if not reuse_ok:
+        # exotic deployment with BOTH reuse mechanisms disabled: nothing
+        # guarantees one materialization of the range exchange, so two
+        # readers could see different sampled boundaries (~11% pid drift
+        # measured in round 3). Fall back to the round-4 persist — cache
+        # footprint over silent corruption.
+        from pyspark import StorageLevel
+
+        parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
 
     w_cell = (
         Window.partitionBy(*strata, "_pid")

@@ -880,13 +880,33 @@ def probe_minhash_index(
     increment side from the batch, corpus side a semi-filtered point
     lookup. Nothing in the plan is proportional to corpus pairs.
 
+    Giant-bucket guard (the X9 template-spam pathology, mirrored from
+    :func:`near_dup_pairs`): an index bucket holding B ≫ 1 near-identical
+    corpus docs would turn every batch hit into B candidate
+    verifications. Buckets larger than ``MAX_BUCKET_PAIRS_SIZE``
+    collapse to their min-id representative — a batch doc near-dup of
+    the cluster still pairs (with the representative, the row greedy/CC
+    dedup keeps), while per-hit work stays O(1). Same recall trade as
+    the batch path's star pairs, pinned in tests.
+
     Returns ``(inc_id, cor_id, jaccard_sim)`` with sim ≥ threshold.
     """
     inc_triples = band_triples(increment, id_col, text_col, shingle_n).select(
         F.col("id").alias("inc_id"), "band_id", "bucket"
     )
+    sizes = index.groupBy("band_id", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("id").alias("_rep")
+    )
+    index_use = (
+        index.join(sizes, ["band_id", "bucket"])
+        .filter(
+            (F.col("_n") <= MAX_BUCKET_PAIRS_SIZE)
+            | (F.col("id") == F.col("_rep"))
+        )
+        .select("band_id", "bucket", "id")
+    )
     cand = (
-        inc_triples.join(index, ["band_id", "bucket"])
+        inc_triples.join(index_use, ["band_id", "bucket"])
         .select("inc_id", F.col("id").alias("cor_id"))
         .dropDuplicates(["inc_id", "cor_id"])
     )

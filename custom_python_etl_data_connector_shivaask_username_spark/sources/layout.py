@@ -99,10 +99,27 @@ def zorder_value(
     distinct cells per dimension, far finer than any file count.
     """
     assert bits * len(cols) <= 63, "z-value must fit a signed 64-bit long"
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "date", "timestamp", "timestamp_ntz",
+    }
+    for c in cols:
+        dt = dict(df.dtypes)[c].split("(")[0]
+        if dt not in numeric:
+            raise TypeError(
+                f"zorder column {c!r} has type {dt!r}; Z-ordering needs an "
+                f"ordered numeric/temporal domain — hash-cluster strings "
+                f"some other way (a hashed value has no range locality)"
+            )
     row = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
+    if any(row[f"mn_{c}"] is None for c in cols):
+        raise ValueError(
+            "zorder_value: empty input or all-NULL clustered column "
+            f"(min/max: { {c: row[f'mn_{c}'] for c in cols} })"
+        )
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
@@ -111,7 +128,14 @@ def zorder_value(
         scaled.append(
             F.least(
                 F.lit(top),
-                ((F.col(c).cast("double") - mn) / span * top).cast("long"),
+                (
+                    # NULL cells cluster at the low end of their dimension
+                    # instead of nulling the whole z-value (which would
+                    # destroy locality on every OTHER dimension too)
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - mn)
+                    / span
+                    * top
+                ).cast("long"),
             )
         )
     z = F.lit(0).cast("long")
@@ -139,6 +163,13 @@ def write_zordered(
     column's min/max narrow); the within-partition sort keeps row
     groups inside a file just as tight. One shuffle total — the same
     cost as any layout-controlled write.
+
+    Writes land in a staging dir then swap in via filesystem rename —
+    the primary use is OPTIMIZE-style re-clustering of an EXISTING
+    table (``write_zordered(spark.read.parquet(p), p, cols)``), where
+    a direct overwrite of a path the plan is still reading either
+    errors or destroys data mid-read (same discipline as
+    ``compact_partitions`` / ``sinks.upsert_parquet``).
     """
     z = zorder_value(df, cols, bits)
     arranged = df.withColumn("_z", z)
@@ -147,7 +178,19 @@ def write_zordered(
         if num_files
         else arranged.repartitionByRange("_z")
     )
-    arranged.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+    out = arranged.sortWithinPartitions("_z").drop("_z")
+    staging = path.rstrip("/") + "__zordering"
+    out.write.mode(mode).parquet(staging)
+    spark = df.sparkSession
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(staging), hconf
+    )
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(target, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), target):
+        raise IOError(f"rename {staging} -> {path} failed")
 
 
 def compact_partitions(

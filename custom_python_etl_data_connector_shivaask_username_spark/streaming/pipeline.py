@@ -192,13 +192,23 @@ def stream_upsert(
     re-upserts the SAME (key, version) rows, and the anti-join merge is
     idempotent for identical inputs — the table converges to the same
     state, the no-transaction-log analogue of MERGE-based CDC apply.
+    That argument requires the per-batch winner to be DETERMINISTIC:
+    CDC feeds routinely carry equal ``order_col`` values (same commit
+    timestamp), and a bare ``orderBy(order_col desc)`` would let
+    shuffle order pick the survivor — a replay could pick the other
+    tied row and the table would NOT converge. Ties therefore break on
+    a content hash of the full row (xxhash64 over every column, desc):
+    arbitrary but replay-stable.
     """
     from pyspark.sql import Window
 
     from ..sources.sinks import upsert_parquet
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(),
+            F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc(),
+        )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

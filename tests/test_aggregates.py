@@ -116,3 +116,19 @@ def test_heavy_hitters_string_items_and_small_data(spark):
     )
     got = [(r["item"], r["count"]) for r in heavy_hitters(df, "item_s", k=2).collect()]
     assert got == [("a", 7), ("b", 3)]
+
+
+def test_heavy_hitters_null_item_can_win(spark):
+    """NULL is a legal item (often the most frequent value in dirty
+    data): it must enter the summaries (dropna=False), survive the
+    null-safe semi join, and rank by its exact count."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    rows = [(None,)] * 60 + [("a",)] * 25 + [("b",)] * 15
+    df = spark.createDataFrame(rows, "item_s STRING").repartition(4)
+    got = [
+        (r["item"], r["count"]) for r in heavy_hitters(df, "item_s", k=3).collect()
+    ]
+    assert got == [(None, 60), ("a", 25), ("b", 15)]

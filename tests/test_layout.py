@@ -169,3 +169,48 @@ def test_zorder_narrows_minmax_on_both_dimensions(spark, tmp_path):
     # Z-order: both dimensions tight enough to skip most files
     assert mean_coverage(zpath, "x") < 0.5
     assert mean_coverage(zpath, "y") < 0.5
+
+
+def test_zorder_reclusters_existing_table_in_place(spark, tmp_path):
+    """OPTIMIZE-style use: read a table and z-order it back to the SAME
+    path — the staging + rename swap must make this safe (a direct
+    overwrite of a path still being read either errors or loses data)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        write_zordered,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(5000).select(
+        (F.col("id") % 100).alias("x"), ((F.col("id") * 7) % 100).alias("y")
+    )
+    df.write.parquet(path)
+    before = sorted((r["x"], r["y"]) for r in spark.read.parquet(path).collect())
+    write_zordered(spark.read.parquet(path), path, ["x", "y"], num_files=4)
+    after = sorted((r["x"], r["y"]) for r in spark.read.parquet(path).collect())
+    assert after == before  # same rows, new layout
+
+
+def test_zorder_rejects_strings_and_empty_handles_nulls(spark):
+    import pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        zorder_value,
+    )
+
+    # non-numeric column: loud TypeError, not a silent all-NULL z-value
+    s = spark.createDataFrame([("a", 1)], "name STRING, x LONG")
+    with pytest.raises(TypeError, match="range locality"):
+        zorder_value(s, ["name", "x"])
+    # empty input: loud ValueError (min/max undefined)
+    empty = spark.createDataFrame([], "x LONG, y LONG")
+    with pytest.raises(ValueError, match="empty input or all-NULL"):
+        zorder_value(empty, ["x", "y"])
+    # NULL cells cluster low in their dimension; other dimensions keep
+    # locality (the z-value itself is never NULL)
+    withnulls = spark.createDataFrame(
+        [(None, 10), (5, 20), (9, 30)], "x INT, y INT"
+    )
+    vals = withnulls.select(
+        zorder_value(withnulls, ["x", "y"]).alias("z")
+    ).collect()
+    assert all(r["z"] is not None for r in vals)

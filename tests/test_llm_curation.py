@@ -489,3 +489,46 @@ def test_pack_sequences_per_stream_and_zero_tokens(spark):
         4: ("b", 0, 1, 30),
     }
     assert 3 not in out
+
+
+def test_prefix_sum_persist_fallback_when_reuse_disabled(spark):
+    """Exotic deployment guard: with BOTH exchange-reuse mechanisms off
+    nothing guarantees one materialization of the range shuffle, so the
+    operator must fall back to persist — and stay correct."""
+    from pyspark.sql import Window
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        token_budget_select,
+    )
+
+    prev_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = spark.range(30_000).select(
+            F.when(F.col("id") % 5 == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 2654435761) % 97 + 3).alias("tokens"),
+        )
+        budget = 100_000
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(F.col("tokens").desc(), F.col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expected = {
+            r["doc_id"]
+            for r in df.withColumn("c", F.sum("tokens").over(w))
+            .filter(F.col("c") <= budget)
+            .collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in token_budget_select(df, budget, num_partitions=8).collect()
+        }
+        assert got == expected and len(got) > 100
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev_reuse)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.catalog.clearCache()

@@ -1021,3 +1021,28 @@ def test_pq_topk_plan_is_scan_plus_takeordered(spark):
     df = pq_topk(pq_encode(emb, books), books, qvec, k=5)
     assert has_node(df, "TakeOrderedAndProject")
     assert count_exchanges(df) == 0
+
+
+def test_probe_minhash_index_giant_bucket_guard(spark):
+    """Template-spam in the INDEX: 80 identical corpus docs collapse to
+    their min-id representative at probe time — a near-dup batch doc
+    still pairs (with the representative), but candidate fan-out per
+    hit is O(1), not O(bucket)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    spam = ("identical template boilerplate that repeats verbatim in "
+            "every copy of this viral document again and again forever")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=spam) for i in range(80)]
+    )
+    increment = spark.createDataFrame(
+        [Row(doc_id=500, text=spam.replace("forever", "always"))]
+    )
+    got = probe_minhash_index(
+        build_minhash_index(corpus), corpus, increment, threshold=0.5
+    ).collect()
+    pairs = {(r["inc_id"], r["cor_id"]) for r in got}
+    assert pairs == {(500, 0)}  # representative only, not 80 pairs

@@ -428,3 +428,40 @@ def test_stream_upsert_cdc_apply(spark, tmp_path):
         2: ("v2", 9.0),  # later batch replaced earlier
         3: ("v1", 5.0),  # insert
     }
+
+
+def test_stream_upsert_tied_versions_replay_stable(spark, tmp_path):
+    """Two versions of one key with EQUAL order_col (same commit ts, a
+    routine CDC shape): the winner must be content-deterministic so an
+    at-least-once replay converges — two independent runs over the same
+    input pick the identical survivor."""
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        stream_upsert,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _write_stream_file(
+        spark,
+        [
+            (30, _us("2024-01-01 10:00:00"), 7, "left", 1.0, "{}"),
+            (30, _us("2024-01-01 10:00:00"), 7, "right", 2.0, "{}"),
+        ],
+        f"{in_dir}/f1.parquet",
+    )
+    raw_schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    winners = []
+    for run in ("a", "b"):
+        raw = spark.readStream.schema(raw_schema).parquet(in_dir)
+        table = str(tmp_path / f"entities_{run}")
+        stream_upsert(
+            raw, table, keys=["user_id"], order_col="event_id",
+            checkpoint_dir=str(tmp_path / f"ckpt_{run}"),
+        )
+        rows = spark.read.parquet(table).collect()
+        assert len(rows) == 1
+        winners.append((rows[0]["event_type"], rows[0]["value"]))
+    assert winners[0] == winners[1]

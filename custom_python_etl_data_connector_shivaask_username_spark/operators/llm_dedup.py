@@ -1055,6 +1055,10 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (HLL++ distinct, KLL/GK percentiles, seeded Bernoulli sample)
       unpivoted to (label=event_type, detail=metric, score=value);
       accuracy vs the exact twins pinned in tests/test_aggregates.py.
+    - ``heavy``: X17 Misra-Gries + exact-verify heavy hitters over
+      event_type (exactness/zipf pins in tests/test_aggregates.py);
+    - ``pq``: X18 product-quantization ADC top-10 (train→encode→LUT
+      scan end-to-end; recall pins in this file's pq tests).
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -1111,10 +1115,47 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'sampled_value', CAST(sampled_value AS DOUBLE)"
         ") AS (detail, score)",
     ).select("branch", "id_a", "id_b", "label", "score", "detail")
+    # heavy: X17 Misra-Gries + exact verify over event_type (5 distinct
+    # values with distinct counts in the fixtures — fully deterministic,
+    # unlike a near-uniform key where tie-adjacent candidates vary)
+    from .aggregates import heavy_hitters
+    from ..tables import load_table as _lt
+
+    heavy = heavy_hitters(_lt(spark, sf_dir, "events"), "event_type", k=5).select(
+        F.lit("heavy").alias("branch"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.col("count").alias("id_b"),
+        F.col("item").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit("heavy_hitter").alias("detail"),
+    )
+    # pq: X18 product quantization — codebooks from one training
+    # iteration (rows-only evidence of the full train→encode→ADC path;
+    # recall quality at iters=3 is pinned in tests, not here)
+    from .llm_similarity import pq_encode, pq_topk, pq_train
+
+    emb_pq = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb_pq, iters=1)
+    qvec = [
+        float(x)
+        for x in emb_pq.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    pq = pq_topk(
+        pq_encode(emb_pq.filter(F.col("vec_id") != 0), books), books, qvec, k=10
+    ).select(
+        F.lit("pq").alias("branch"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("approx_score").alias("score"),
+        F.lit("pq_adc").alias("detail"),
+    )
     return (
         pairs.unionByName(ann)
         .unionByName(sigs)
         .unionByName(emb_dup)
         .unionByName(sketches)
+        .unionByName(heavy)
+        .unionByName(pq)
         .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

@@ -497,10 +497,17 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     branches = {r["branch"] for r in rows}
     # emb_dup may be empty at the production 0.95 threshold (the
     # fixture has no true near-dups); all other branches must emit
-    assert branches >= {"lsh_pair", "lsh_ann", "signature", "sketch"}
-    assert branches <= {
-        "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup"
+    assert branches >= {
+        "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq"
     }
+    assert branches <= {
+        "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
+        "heavy", "pq",
+    }
+    heavy = [r for r in rows if r["branch"] == "heavy"]
+    assert len(heavy) == 5 and all(r["id_b"] > 0 for r in heavy)
+    pq = [r for r in rows if r["branch"] == "pq"]
+    assert len(pq) == 10 and all(r["score"] is not None for r in pq)
     sig_rows = [r for r in rows if r["branch"] == "signature"]
     assert all(r["detail"] and "|" in r["detail"] for r in sig_rows)
     sk = [r for r in rows if r["branch"] == "sketch"]

@@ -1117,3 +1117,120 @@ def pq_topk(
         .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- X20: IVF-PQ — coarse cells + residual codes (the FAISS IVFADC shape) --
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    coarse_iters: int = 3,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
+):
+    """Build the two-level compressed index: an IVF coarse quantizer
+    (L2 cells) plus PQ codebooks trained on RESIDUALS (vector − its
+    cell centroid) — residual distributions are far tighter than raw
+    vectors, which is why IVFADC beats flat PQ at equal code budget.
+
+    Returns ``(coarse, books, codes_df)``: the centroid list, the
+    residual codebooks (both driver/broadcast KBs), and the stored
+    index ``(id, cell, codes)`` — one int + m codes per vector. The
+    whole build is the existing machinery composed: literal-centroid
+    assignment (map-only), a ``zip_with`` residual subtraction against
+    the per-row centroid literal, :func:`pq_train`'s broadcast-join
+    Lloyd's, :func:`pq_encode`'s map-only coding. Write ``codes_df``
+    sorted by ``cell`` and probes prune row groups on the cell column.
+    """
+    coarse = kmeans_centroids(
+        emb,
+        n_clusters,
+        coarse_iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        train_fraction=train_fraction,
+        metric="l2",
+    )
+    cent_arr = F.array(*[lit_vector(vec) for _, vec in coarse])
+    residuals = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _nearest_centroid_l2(F.col(vec_col), coarse).alias("cell"),
+        )
+        .withColumn("_cent", F.element_at(cent_arr, F.col("cell") + 1))
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("_cent"), lambda x, y: x - y
+            ).alias(vec_col),
+        )
+    )
+    books = pq_train(
+        residuals, m=m, k=k, iters=pq_iters, vec_col=vec_col, id_col=id_col
+    )
+    codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
+    codes_df = residuals.select(id_col, "cell").join(codes, id_col)
+    return coarse, books, codes_df
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = TOP_K,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: probe the ``n_probe`` cells nearest the query,
+    score candidates as ``q·centroid_cell + q·reconstruct(residual)``
+    — the first term is a per-cell literal constant, the second the
+    same driver LUT as :func:`pq_topk` (valid across cells because the
+    LUT depends only on the query and the shared residual codebooks).
+
+    Plan shape: ``cell IN (probe set)`` is an ordinary pushable filter
+    over the stored index (row-group pruning when the index is written
+    cell-sorted), then m array lookups + adds and one
+    TakeOrderedAndProject. Nothing shuffles; candidates shrink
+    ``n_clusters/n_probe``-fold versus flat PQ at the same recall
+    target on clustered data.
+    """
+    q_cent = [
+        (cid, sum(a * b for a, b in zip(query_vec, vec)))
+        for cid, vec in coarse
+    ]
+    probe = sorted(q_cent, key=lambda t: -t[1])[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    cell_dot = F.element_at(
+        F.array(*[F.lit(round(d, 9)) for _, d in sorted(q_cent)]),
+        F.col("cell") + 1,
+    )
+    m = len(books)
+    sub = len(books[0][0])
+    lut = [
+        [
+            round(sum(query_vec[mi * sub + j] * c[j] for j in range(sub)), 9)
+            for c in books[mi]
+        ]
+        for mi in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = cell_dot
+    for mi in range(m):
+        score = score + F.element_at(
+            F.element_at(lut_lit, mi + 1),
+            F.element_at(F.col("codes"), mi + 1) + 1,
+        )
+    return (
+        codes_df.filter(F.col("cell").isin(probe_ids))
+        .select(F.col(id_col), F.round(score, 6).alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1053,3 +1053,63 @@ def test_probe_minhash_index_giant_bucket_guard(spark):
     ).collect()
     pairs = {(r["inc_id"], r["cor_id"]) for r in got}
     assert pairs == {(500, 0)}  # representative only, not 80 pairs
+
+
+def test_ivfpq_recall_and_candidate_pruning(spark):
+    """IVFADC end-to-end on planted blobs: probing 4/8 cells recovers
+    >= 80% of the true top-10, and the candidate scan shrinks to the
+    probed cells (the point of the coarse level)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = _blob_fixture(spark)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    db = emb.filter(F.col("vec_id") != 0)
+    coarse, books, codes_df = ivfpq_build(
+        db, n_clusters=8, coarse_iters=3, pq_iters=2
+    )
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(codes_df, coarse, books, qvec, k=10, n_probe=4).collect()
+    }
+    recall = len([v for v in got if 1 <= v <= 20]) / 10
+    assert recall >= 0.8, (recall, sorted(got))
+    # candidate pruning: probed cells hold well under the full corpus
+    n_total = codes_df.count()
+    probe_ids = sorted(
+        (cid for cid, _ in coarse),
+        key=lambda cid: -sum(
+            a * b for a, b in zip(qvec, dict(coarse)[cid])
+        ),
+    )[:4]
+    n_cand = codes_df.filter(F.col("cell").isin(probe_ids)).count()
+    assert n_cand < n_total  # strictly prunes
+    assert n_cand >= 10  # but keeps enough to answer top-10
+
+
+def test_ivfpq_index_is_storable_and_cell_filter_pushes_down(spark, tmp_path):
+    """The codes index round-trips through parquet and the probe's cell
+    filter reaches the scan (PushedFilters: In(cell, ...)) — row-group
+    pruning when the index is written cell-sorted."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+        pushed_filters,
+    )
+
+    emb = _blob_fixture(spark, n_noise=80, n_cluster=10)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    coarse, books, codes_df = ivfpq_build(
+        emb, n_clusters=4, coarse_iters=1, pq_iters=1
+    )
+    path = str(tmp_path / "ivfpq_index")
+    codes_df.repartitionByRange(2, "cell").sortWithinPartitions("cell").write.parquet(path)
+    stored = spark.read.parquet(path)
+    df = ivfpq_topk(stored, coarse, books, qvec, k=5, n_probe=2)
+    pushed = " ".join(pushed_filters(df))
+    assert "cell" in pushed, pushed
+    assert len(df.collect()) == 5

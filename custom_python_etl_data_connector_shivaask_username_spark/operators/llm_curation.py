@@ -54,6 +54,7 @@ def curate_corpus(
     contamination_threshold: float = 0.5,
     rates_pct: dict[str, int] | None = None,
     token_budget: int = TOKEN_BUDGET,
+    pack_seq_len: int | None = None,
 ) -> DataFrame:
     """The end-to-end curation pipeline, composed from this engine's
     operators in production order:
@@ -64,9 +65,13 @@ def curate_corpus(
     4. benchmark-contamination removal (broadcast n-gram containment vs
        ``bench_docs``, when given);
     5. deterministic stratified sampling per language;
-    6. per-language token-budget selection (skew-safe prefix-sum).
+    6. per-language token-budget selection (skew-safe prefix-sum);
+    7. optionally (``pack_seq_len``), sequence packing of the selection
+       into fixed training bins (:func:`pack_sequences`, per-language
+       streams) — the hand-off shape a pretraining dataloader consumes.
 
-    Returns the curated docs frame (original columns + ``tokens``).
+    Returns the curated docs frame (original columns + ``tokens``; with
+    packing also ``start_bin``/``end_bin``/``start_offset``).
     Every stage is individually oracle- or pin-tested; this function
     pins their composition. Stage order matters at scale: the map-only
     quality filter runs FIRST so every shuffle downstream moves only
@@ -113,7 +118,13 @@ def curate_corpus(
     # 6. token budget per language — skew-safe partition prefix-sum,
     # not a single-task-per-language window
     kept = kept.withColumn("tokens", token_count(F.col("text"))).drop("_h")
-    return token_budget_select(kept, token_budget)
+    selected = token_budget_select(kept, token_budget)
+
+    # 7. optional: pack the selection into fixed training sequences,
+    # one packing stream per language (bins never mix strata)
+    if pack_seq_len is not None:
+        return pack_sequences(selected, seq_len=pack_seq_len, stream_col="lang")
+    return selected
 
 _CURATION_MIX_ORACLE = f"""
 WITH scored AS (

@@ -532,3 +532,42 @@ def test_prefix_sum_persist_fallback_when_reuse_disabled(spark):
         spark.conf.set("spark.sql.exchange.reuse", prev_reuse)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.catalog.clearCache()
+
+
+def test_curate_corpus_with_packing_stage(spark):
+    """Stage 7: the curated selection packs into per-language training
+    bins — every survivor gets bin coordinates, streams never mix, and
+    each language's first doc starts at (bin 0, offset 0)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        curate_corpus,
+    )
+
+    rows = [
+        Row(doc_id=i, lang="en",
+            text=" ".join(f"w{i}x{j}" for j in range(30)))
+        for i in range(6)
+    ] + [
+        Row(doc_id=100 + i, lang="de",
+            text=" ".join(f"d{i}y{j}" for j in range(20)))
+        for i in range(3)
+    ]
+    out = curate_corpus(
+        spark.createDataFrame(rows),
+        rates_pct={"en": 100, "de": 100},
+        min_quality=0.0,
+        token_budget=10_000,
+        pack_seq_len=25,
+    ).collect()
+    assert out and {"start_bin", "end_bin", "start_offset"} <= set(out[0].asDict())
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de"}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        assert (rs[0]["start_bin"], rs[0]["start_offset"]) == (0, 0)
+        # positions chain: next start = prev start + prev tokens
+        pos = 0
+        for r in rs:
+            assert r["start_bin"] * 25 + r["start_offset"] == pos
+            pos += r["tokens"]

@@ -1156,8 +1156,25 @@ def ivfpq_build(
         train_fraction=train_fraction,
         metric="l2",
     )
+    residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
+    books = pq_train(
+        residuals, m=m, k=k, iters=pq_iters, vec_col=vec_col, id_col=id_col
+    )
+    codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
+    codes_df = residuals.select(id_col, "cell").join(codes, id_col)
+    return coarse, books, codes_df
+
+
+def _ivfpq_residuals(
+    emb: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only ``(id, cell, residual)``: L2 cell assignment + zip_with
+    subtraction against the per-row centroid literal."""
     cent_arr = F.array(*[lit_vector(vec) for _, vec in coarse])
-    residuals = (
+    return (
         emb.select(
             F.col(id_col),
             F.col(vec_col),
@@ -1172,12 +1189,22 @@ def ivfpq_build(
             ).alias(vec_col),
         )
     )
-    books = pq_train(
-        residuals, m=m, k=k, iters=pq_iters, vec_col=vec_col, id_col=id_col
-    )
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode NEW vectors against an existing IVF-PQ index's coarse
+    centroids + codebooks (the incremental-ingest path: the index grows
+    per batch without retraining) — assignment, residual, PQ codes, all
+    map-only. Returns ``(id, cell, codes)``."""
+    residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
     codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
-    codes_df = residuals.select(id_col, "cell").join(codes, id_col)
-    return coarse, books, codes_df
+    return residuals.select(id_col, "cell").join(codes, id_col)
 
 
 def ivfpq_topk(

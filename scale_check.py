@@ -163,8 +163,26 @@ def main() -> None:
             ),
         )
 
-    pq_books = pq_train(emb, iters=2)
-    pq_qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    # offline index builds (untimed, as deployed) — skipped when the ops
+    # filter excludes their consumers so a targeted run stays snappy
+    pq_wanted = not only or "pq_encode_topk" in only
+    ivfpq_wanted = not only or "ivfpq_search" in only
+    pq_books = pq_train(emb, iters=2) if pq_wanted else None
+    pq_qvec = (
+        [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+        if (pq_wanted or ivfpq_wanted)
+        else None
+    )
+    if ivfpq_wanted:
+        from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+            ivfpq_build,
+            ivfpq_encode,
+            ivfpq_topk,
+        )
+
+        ivfpq_coarse, ivfpq_books, _ = ivfpq_build(
+            emb, n_clusters=16, coarse_iters=2, pq_iters=2
+        )
 
     def cases(f: int) -> dict[str, DataFrame]:
         d = replicate(docs, f, ["doc_id"], perturb_text="text")
@@ -210,8 +228,33 @@ def main() -> None:
             # codebooks trained ONCE on the base corpus (offline, as
             # deployed); the timed path is the per-batch cost: map-only
             # encode + literal-LUT ADC scan + TakeOrdered
-            "pq_encode_topk": pq_topk(
-                pq_encode(_perturb_vec(e), pq_books), pq_books, pq_qvec
+            **(
+                {
+                    "pq_encode_topk": pq_topk(
+                        pq_encode(_perturb_vec(e), pq_books), pq_books, pq_qvec
+                    )
+                }
+                if pq_wanted
+                else {}
+            ),
+            # IVFADC over a replicated corpus: assignment + residual
+            # encode (map-only, the incremental-ingest ivfpq_encode
+            # path) then the cell-pruned ADC search — coarse/codebook
+            # literals come from the untimed base-corpus build
+            **(
+                {
+                    "ivfpq_search": ivfpq_topk(
+                        ivfpq_encode(
+                            _perturb_vec(e), ivfpq_coarse, ivfpq_books
+                        ),
+                        ivfpq_coarse,
+                        ivfpq_books,
+                        pq_qvec,
+                        n_probe=4,
+                    )
+                }
+                if ivfpq_wanted
+                else {}
             ),
             "window_ranks": ev.withColumn(
                 "rn",

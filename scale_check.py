@@ -278,9 +278,10 @@ def main() -> None:
             print(json.dumps({"op": name, "factor": f, "sec": round(secs, 3)}))
 
     lo, hi = factors[0], factors[-1]
-    for name, by_f in results.items():
-        exp = math.log(by_f[hi] / by_f[lo]) / math.log(hi / lo)
-        print(json.dumps({"op": name, "scaling_exponent": round(exp, 3)}))
+    if hi > lo:  # a single-factor run is a smoke, not a fit
+        for name, by_f in results.items():
+            exp = math.log(by_f[hi] / by_f[lo]) / math.log(hi / lo)
+            print(json.dumps({"op": name, "scaling_exponent": round(exp, 3)}))
     spark.stop()
 
 

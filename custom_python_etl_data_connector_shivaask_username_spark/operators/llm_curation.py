@@ -504,3 +504,80 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+# --- X16 sequence packing: driver-checked oracle row --------------------------
+
+#: seq_len for the registry row — short enough that sf0.01's ~500 docs
+#: straddle many bin boundaries (SEQ_LEN=2048 would leave most bins
+#: single-digit and under-test the straddle arithmetic)
+PACK_SEQ_LEN = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(length(string_split(text, ' ')) AS INT) AS tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tokens,
+         CAST(SUM(tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS e
+  FROM t WHERE tokens > 0
+),
+s AS (
+  SELECT doc_id, tokens,
+         CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS e
+  FROM t WHERE tokens > 0
+)
+SELECT 'global' AS branch, doc_id, tokens,
+       (e - tokens) // {PACK_SEQ_LEN} AS start_bin,
+       (e - 1) // {PACK_SEQ_LEN} AS end_bin,
+       (e - tokens) % {PACK_SEQ_LEN} AS start_offset
+FROM g
+UNION ALL
+SELECT 'per_lang', doc_id, tokens,
+       (e - tokens) // {PACK_SEQ_LEN},
+       (e - 1) // {PACK_SEQ_LEN},
+       (e - tokens) % {PACK_SEQ_LEN}
+FROM s
+ORDER BY branch, doc_id
+"""
+
+
+@query("q_pack_sequences", oracle=_PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 as a driver-checked row (round-6 promotion — packing shipped
+    in round 5 with unit pins only): GPT-style sequence packing over
+    ``documents``, both the single-stream and the per-``lang``
+    multi-stream form as tagged branches of one result.
+
+    The oracle is the plain single-window cumsum in DuckDB — exactly
+    the semantics :func:`pack_sequences` reproduces with its two-level
+    prefix sum (one range exchange, no single-task stratum), so a green
+    hash here pins the distributed decomposition against the textbook
+    window form on top of the existing unit invariants (bin mass,
+    token conservation, window equality).
+
+    Token definition matches ``q_curation_mix`` (``split(text, ' ')``
+    size): cross-engine exact, and never zero on this fixture, so the
+    ``tokens > 0`` packing filter is exercised as a no-op on both
+    sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("tokens")
+    )
+    out_cols = [
+        "doc_id", "tokens", "start_bin", "end_bin", "start_offset"
+    ]
+    packed_global = pack_sequences(toks, seq_len=PACK_SEQ_LEN).select(
+        F.lit("global").alias("branch"), *out_cols
+    )
+    packed_stream = pack_sequences(
+        toks, seq_len=PACK_SEQ_LEN, stream_col="lang"
+    ).select(F.lit("per_lang").alias("branch"), *out_cols)
+    return packed_global.unionByName(packed_stream).orderBy(
+        "branch", "doc_id"
+    )

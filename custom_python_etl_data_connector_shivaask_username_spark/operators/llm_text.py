@@ -32,6 +32,7 @@ from ..functions.text import (
 )
 from ..registry import query
 from ..tables import load_table, spread_small_input
+from .scalars import STRING_ORACLE_COLS, string_feature_cols
 
 # --- TF-IDF (includes raw term frequencies) -----------------------------------
 
@@ -133,7 +134,8 @@ SELECT doc_id,
            || CAST(1000000 + doc_id AS VARCHAR) || '999 re: '
            || substring(text, 1, 30),
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
-         '\\+?\\d[\\d().\\s-]{{7,}}\\d', '[PHONE]', 'g') AS scrubbed
+         '\\+?\\d[\\d().\\s-]{{7,}}\\d', '[PHONE]', 'g') AS scrubbed,
+{STRING_ORACLE_COLS}
 FROM scored
 ORDER BY doc_id
 """
@@ -146,9 +148,13 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex), quality metrics (length, punctuation ratio, mean word
     length, metadata consistency), the composite quality score with its
     keep/drop flag, and PII redaction (oracle-checked on synthesized
-    PII, since the fixture corpus contains none). Stays a zero-exchange
-    map-only plan (asserted in test_plans) — never spread: a pure
-    Project over the scan must not shuffle at any scale."""
+    PII, since the fixture corpus contains none). Also carries the
+    §2.8 string + hash family (:func:`scalars.string_feature_cols` —
+    folded here in round 6: same table, same per-row map-only shape,
+    same ``doc_id`` key, frees a registry slot under the 50-row cap).
+    Stays a zero-exchange map-only plan (asserted in test_plans) —
+    never spread: a pure Project over the scan must not shuffle at any
+    scale."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit("contact "),
@@ -175,6 +181,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"),
         (quality >= 0.5).alias("keep"),
         scrub_pii(payload).alias("scrubbed"),
+        *string_feature_cols(),
     )
 
 

@@ -80,11 +80,24 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J2 left outer -------------------------------------------------------
 
 _CUSTOMER_ORDER_COUNTS_ORACLE = """
-SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count,
-       COUNT(o_orderkey) > 0 AS has_orders
+SELECT 'customer_orders' AS branch,
+       c_custkey AS key, c_name AS name,
+       COUNT(o_orderkey) AS order_count,
+       COUNT(o_orderkey) > 0 AS flag_a,
+       CAST(NULL AS BOOLEAN) AS flag_b
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
-ORDER BY c_custkey
+UNION ALL
+SELECT 'nation_presence',
+       COALESCE(c.k, s.k),
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT),
+       (c.k IS NOT NULL),
+       (s.k IS NOT NULL)
+FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier) s
+  ON c.k = s.k
+ORDER BY branch, key
 """
 
 
@@ -103,11 +116,19 @@ def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Right outer is the operand-swapped mirror (`orders.join(cust,
     "right")` produces this exact plan with sides exchanged); the
     null-filling machinery for both directions at once is exercised by
-    the full-outer query below.
+    the ``nation_presence`` branch.
 
-    (Merged from round 4's separate q_customer_order_presence row to
-    hold the registry at the driver's 50-query check window while
-    q_incremental_dedup takes the freed slot.)
+    Tagged-union suite (round 6): the former ``q_nation_presence`` row
+    (J2 full outer over distinct key sets) rides along as branch
+    ``nation_presence``, NULL-padded into the shared schema — branch,
+    key, name, order_count, flag_a, flag_b — where the customer branch
+    reads (custkey, c_name, count, has_orders, NULL) and the nation
+    branch (nationkey, NULL, NULL, has_customer, has_supplier). Same
+    consolidation move as round 4's presence merge: holds the registry
+    at the driver's 50-query check window while ``q_pack_sequences`` /
+    ``q_cdc_upsert`` take the freed slots. Both branch plans keep their
+    pinned join shapes (semi+anti+left-outer and full-outer — the union
+    is plan-transparent, asserted in tests/test_plans.py).
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -123,26 +144,38 @@ def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", F.lit(False).alias("has_orders"))
     presence = with_orders.unionByName(without_orders)
-    return counts.join(presence, "c_custkey").orderBy("c_custkey")
+    customer_branch = (
+        counts.join(presence, "c_custkey")
+        .select(
+            F.lit("customer_orders").alias("branch"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            "order_count",
+            F.col("has_orders").alias("flag_a"),
+            F.lit(None).cast("boolean").alias("flag_b"),
+        )
+    )
+    nation_branch = nation_presence(spark, sf_dir).select(
+        F.lit("nation_presence").alias("branch"),
+        F.col("nationkey").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("long").alias("order_count"),
+        F.col("has_customer").alias("flag_a"),
+        F.col("has_supplier").alias("flag_b"),
+    )
+    return customer_branch.unionByName(nation_branch).orderBy(
+        "branch", "key"
+    )
 
 
-# --- J2 full outer -------------------------------------------------------
-
-_NATION_PRESENCE_ORACLE = """
-SELECT
-  COALESCE(c.k, s.k) AS nationkey,
-  (c.k IS NOT NULL) AS has_customer,
-  (s.k IS NOT NULL) AS has_supplier
-FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
-FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier) s
-  ON c.k = s.k
-ORDER BY nationkey
-"""
+# --- J2 full outer (branch builder for the suite above) -------------------
 
 
-@query("q_nation_presence", oracle=_NATION_PRESENCE_ORACLE)
-def q_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: full outer over distinct key sets from both sides."""
+def nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer over distinct key sets from both sides.
+
+    Registry evidence rides in ``q_customer_order_counts``'s
+    ``nation_presence`` branch (round-6 fold, see that docstring)."""
     c = (
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_nationkey").alias("k"))

@@ -1,8 +1,13 @@
-"""Scalar function surface (SURVEY.md §2.8) — four registry queries.
+"""Scalar function surface (SURVEY.md §2.8) — three registry queries
+plus the string family folded into ``q_doc_profile``.
 
 Family map:
-- string + hash/id → ``q_string_functions`` (hashes are the dedup/upsert
-  keys of S7/L1, so they live with the string family they digest).
+- string + hash/id → :func:`string_feature_cols`, evidenced through
+  ``q_doc_profile`` (same per-row map-only pass over ``documents``,
+  same ``doc_id`` key — folded there in round 6 to hold the registry at
+  the driver's 50-query check window while ``q_pack_sequences`` /
+  ``q_cdc_upsert`` take the freed slots; hashes are the dedup/upsert
+  keys of S7/L1).
 - date/time + math + conditional → ``q_scalar_suite`` (one per-row pass
   over ``orders``: timestamp fields, price arithmetic, CASE logic).
 - array + higher-order functions → ``q_array_functions``.
@@ -30,10 +35,11 @@ from ..tables import load_table
 
 # --- strings + hashes --------------------------------------------------------
 
-_STRING_ORACLE = r"""
-SELECT
-  doc_id,
-  LENGTH(text) AS text_len,
+#: SQL twins of :func:`string_feature_cols`, spliced into the
+#: ``q_doc_profile`` oracle's final SELECT (same documents row, same
+#: doc_id key). Kept adjacent to the Spark expressions so the pairs
+#: stay reviewable side by side.
+STRING_ORACLE_COLS = r"""
   UPPER(lang) AS lang_upper,
   SUBSTRING(text, 1, 12) AS prefix12,
   CAST(REGEXP_EXTRACT(source, 'src(\d+)', 1) AS INT) AS src_num,
@@ -46,24 +52,20 @@ SELECT
     AS devoweled,
   LENGTH(STRING_SPLIT(text, ' ')) AS word_count,
   md5(text) AS text_md5,
-  sha256(text) AS text_sha256
-FROM documents
-ORDER BY doc_id
-"""
+  sha256(text) AS text_sha256"""
 
 
-@query("q_string_functions", oracle=_STRING_ORACLE)
-def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 string + hash families in one per-row pass.
+def string_feature_cols() -> list:
+    """§2.8 string + hash families as unbound per-row columns over
+    ``documents`` (text/lang/source), oracle-checked through
+    ``q_doc_profile``.
 
     Content hashes (md5/sha2) are the dedup/upsert keys (S7/L1);
     xxhash64/monotonically_increasing_id are Spark-internal (used for
-    bucketing, never in oracle outputs).
+    bucketing, never in oracle outputs). ``text_len`` is deliberately
+    absent — ``q_doc_profile`` already emits it.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("text_len"),
+    return [
         F.upper("lang").alias("lang_upper"),
         F.substring("text", 1, 12).alias("prefix12"),
         F.regexp_extract("source", r"src(\d+)", 1)
@@ -80,7 +82,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("word_count"),
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
-    )
+    ]
 
 
 # --- date/time + math + conditional ------------------------------------------

@@ -49,6 +49,7 @@ def upsert_parquet(
     path: str,
     keys: list[str],
     stamp: bool = True,
+    version_col: str | None = None,
 ) -> None:
     """S7: update-or-insert keyed on a natural id.
 
@@ -56,6 +57,20 @@ def upsert_parquet(
     the incoming batch, and atomically overwrites. The anti-join
     broadcast-hints the (typically small) incoming batch so the big
     existing side never shuffles.
+
+    With ``version_col`` set (X19 CDC apply), the merge is
+    **last-writer-wins by version** instead of by arrival: a standing
+    row is only replaced when the incoming row's version is >= — so
+    out-of-order batch delivery (a replayed or reordered CDC feed)
+    converges to the same table as in-order delivery, and the final
+    state is exactly ``arg_max(row, version)`` per key — the DuckDB-
+    expressible contract ``q_cdc_upsert`` hash-checks. Scale shape:
+    only rows whose key appears in the batch are contested; they union
+    with the (collapsed) batch and one window over ≤ 2×batch rows picks
+    winners — the standing table still never shuffles (anti/semi joins
+    against the broadcast key set). Version ties go to the incoming row
+    (``_src`` desc), which makes re-delivery of an identical batch
+    idempotent.
     """
     if stamp:
         new_df = add_ingest_ts(new_df)
@@ -64,10 +79,28 @@ def upsert_parquet(
     except Exception:
         new_df.write.mode("overwrite").parquet(path)
         return
-    kept = existing.join(
-        F.broadcast(new_df.select(*keys).distinct()), on=keys, how="left_anti"
-    )
-    merged = kept.unionByName(new_df, allowMissingColumns=True)
+    batch_keys = F.broadcast(new_df.select(*keys).distinct())
+    kept = existing.join(batch_keys, on=keys, how="left_anti")
+    if version_col is None:
+        merged = kept.unionByName(new_df, allowMissingColumns=True)
+    else:
+        from pyspark.sql import Window
+
+        contested = existing.join(batch_keys, on=keys, how="left_semi")
+        candidates = contested.withColumn(
+            "_src", F.lit(0)
+        ).unionByName(
+            new_df.withColumn("_src", F.lit(1)), allowMissingColumns=True
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(), F.col("_src").desc()
+        )
+        winners = (
+            candidates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        merged = kept.unionByName(winners, allowMissingColumns=True)
     # parquet cannot overwrite in place while reading itself: write the
     # merged table ONCE to a staging dir, then swap directories with a
     # filesystem rename (metadata-only on HDFS/local — never a second

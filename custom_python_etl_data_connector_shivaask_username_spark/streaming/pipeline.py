@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..session import apply_runtime_confs
-from ..tables import normalize_events_ts
+from ..tables import load_table, normalize_events_ts
 
 
 def stream_events(
@@ -174,6 +174,7 @@ def stream_upsert(
     keys: list[str],
     order_col: str,
     checkpoint_dir: str,
+    version_aware: bool = False,
 ) -> None:
     """CDC apply loop (ST1 + S7 composed): maintain a keyed parquet
     table from a stream of row versions — the "sync an API's mutable
@@ -199,6 +200,16 @@ def stream_upsert(
     tied row and the table would NOT converge. Ties therefore break on
     a content hash of the full row (xxhash64 over every column, desc):
     arbitrary but replay-stable.
+
+    ``version_aware=True`` upgrades arrival-order to version-order
+    semantics: the cross-batch MERGE keeps whichever of
+    (standing row, incoming row) carries the higher ``order_col``
+    (see ``sinks.upsert_parquet(version_col=...)``), so the final
+    table equals ``arg_max(row, order_col)`` per key for ANY batch
+    arrival order — the form a file-source CDC feed needs, where
+    micro-batch order follows file listing order, not commit order.
+    Default stays arrival-order (the commit-ordered-feed contract the
+    round-5 convergence pins cover).
     """
     from pyspark.sql import Window
 
@@ -214,7 +225,14 @@ def stream_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        upsert_parquet(batch_df.sparkSession, latest, path, keys, stamp=False)
+        upsert_parquet(
+            batch_df.sparkSession,
+            latest,
+            path,
+            keys,
+            stamp=False,
+            version_col=order_col if version_aware else None,
+        )
 
     q = (
         sdf.writeStream.foreachBatch(apply_batch)
@@ -223,6 +241,63 @@ def stream_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+# --- X19 CDC upsert: driver-checked oracle row --------------------------------
+
+_CDC_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
+@query("q_cdc_upsert", oracle=_CDC_ORACLE)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 as a driver-checked row (round-6 promotion — CDC upsert
+    shipped in round 5 with unit pins only): the events feed replayed
+    as a CDC stream of entity versions — key ``user_id``, version
+    ``event_id`` (unique and monotone in the fixture, so the final
+    table is SQL-expressible) — applied by :func:`stream_upsert` in
+    four real micro-batches into a keyed parquet table.
+
+    The feed is written as four range-partitioned files and streamed
+    with ``maxFilesPerTrigger=1``; the file source makes NO commit-
+    order promise across those files, which is exactly why the apply
+    loop runs ``version_aware=True``: last-writer-wins **by version**
+    converges to ``arg_max(row, event_id)`` per key under any batch
+    order — the contract the DuckDB ``QUALIFY row_number() ... = 1``
+    oracle hash-checks. Scratch dirs (feed + checkpoint + table) are
+    per-call temp dirs and stay on disk until process exit — the
+    returned frame reads the final table lazily, so nothing may delete
+    it before the driver collects.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    feed_dir = f"{base}/feed"
+    table_path = f"{base}/entities"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(4, "event_id").write.parquet(feed_dir)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    stream_upsert(
+        sdf,
+        table_path,
+        keys=["user_id"],
+        order_col="event_id",
+        checkpoint_dir=f"{base}/ckpt",
+        version_aware=True,
+    )
+    return (
+        spark.read.parquet(table_path)
+        .select("user_id", "event_id", "ts", "event_type", "value", "props")
+        .orderBy("user_id")
+    )
 
 
 # --- ST2+ST5+ST6: dedup'd tumbling window aggregation ------------------------

@@ -164,6 +164,44 @@ def test_upsert_parquet(spark, tmp_path):
     assert not os.path.exists(path + "__staging")
 
 
+def test_upsert_parquet_version_aware_out_of_order(spark, tmp_path):
+    """X19 contract: with version_col, batch ARRIVAL order is irrelevant —
+    the table converges to arg_max(row, version) per key, so applying
+    the newest batch first and an older batch second must NOT let the
+    older row overwrite (the arrival-order mode would)."""
+    path = str(tmp_path / "cdc_raw")
+    newer = spark.createDataFrame(
+        [(1, 5, "v5"), (2, 7, "v7")], "id INT, ver INT, payload STRING"
+    )
+    older = spark.createDataFrame(
+        [(1, 3, "v3"), (3, 1, "v1")], "id INT, ver INT, payload STRING"
+    )
+    upsert_parquet(
+        spark, newer, path, keys=["id"], stamp=False, version_col="ver"
+    )
+    upsert_parquet(
+        spark, older, path, keys=["id"], stamp=False, version_col="ver"
+    )
+    final = {
+        r["id"]: (r["ver"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert final == {1: (5, "v5"), 2: (7, "v7"), 3: (1, "v1")}
+    # version tie: incoming wins (idempotent re-delivery), and an equal-
+    # version replay of identical rows leaves the table unchanged
+    replay = spark.createDataFrame(
+        [(1, 5, "v5-replayed")], "id INT, ver INT, payload STRING"
+    )
+    upsert_parquet(
+        spark, replay, path, keys=["id"], stamp=False, version_col="ver"
+    )
+    final2 = {
+        r["id"]: r["payload"] for r in spark.read.parquet(path).collect()
+    }
+    assert final2[1] == "v5-replayed"
+    assert final2[2] == "v7" and final2[3] == "v1"
+
+
 def test_rest_datasource_partitions_clamped(stub, spark):
     """num_partitions > max_pages must not fetch pages past the cap."""
     if not register_rest_datasource(spark):

@@ -68,6 +68,7 @@ def test_semi_and_anti_join_shapes(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "LeftOuter" in plan  # J2 leg of the merged query
+    assert "FullOuter" in plan  # nation_presence branch (round-6 fold)
 
 
 def test_theta_join_keeps_small_side_broadcast(spark, sf_dir):

@@ -172,6 +172,29 @@ def sample_bucket(id_col: F.Column) -> F.Column:
     return (id_col % 100003) * F.lit(2654435761) % 100
 
 
+#: frames persisted by two_level_prefix_sum's no-exchange-reuse fallback
+#: (never populated on default configs); drained by
+#: release_prefix_sum_fallback_cache()
+_FALLBACK_PERSISTED: list = []
+
+
+def release_prefix_sum_fallback_cache() -> int:
+    """Unpersist every frame the no-reuse fallback pinned; returns the
+    count released. A no-op (0) unless the session runs with BOTH
+    ``spark.sql.exchange.reuse=false`` and AQE disabled. Call after the
+    consuming action — the cached frame must outlive the selection
+    query that reads it, so the library cannot release it eagerly."""
+    n = 0
+    while _FALLBACK_PERSISTED:
+        frame = _FALLBACK_PERSISTED.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def two_level_prefix_sum(
     df: DataFrame,
     order_cols: list,
@@ -227,7 +250,11 @@ def two_level_prefix_sum(
     boundaries — the recompute sees identical pids. Deployments that
     disable BOTH reuse mechanisms (``spark.sql.exchange.reuse=false``
     with AQE off) get the round-4 persist as a guarded fallback —
-    cache footprint over silent misalignment.
+    cache footprint over silent misalignment; those frames are tracked,
+    and a long session on such a deployment should call
+    :func:`release_prefix_sum_fallback_cache` after consuming each
+    selection (otherwise repeated selections accumulate
+    MEMORY_AND_DISK entries until ``spark.catalog.clearCache()``).
 
     Returns ``df``'s columns plus ``out_col``. Consumers:
     :func:`token_budget_select` (budget cutoff per stratum) and
@@ -260,6 +287,7 @@ def two_level_prefix_sum(
         from pyspark import StorageLevel
 
         parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
+        _FALLBACK_PERSISTED.append(parted)
 
     w_cell = (
         Window.partitionBy(*strata, "_pid")

@@ -1233,7 +1233,18 @@ def ivfpq_topk(
         (cid, sum(a * b for a, b in zip(query_vec, vec)))
         for cid, vec in coarse
     ]
-    probe = sorted(q_cent, key=lambda t: -t[1])[:n_probe]
+    # probe-cell ranking must match the ASSIGNMENT geometry: vectors
+    # were binned by L2 argmin (_nearest_centroid_l2), so rank cells by
+    # the same shifted dot 2·q·c − ‖c‖² (argmin‖q−c‖² ⇔ argmax of
+    # that). Raw q·c would let large-norm centroids crowd the probe set
+    # on non-normalized data and silently cost recall; q·c itself is
+    # still the right *scoring* term below (ADC reconstructs q·x).
+    cent_sq = {
+        cid: sum(v * v for v in vec) for cid, vec in coarse
+    }
+    probe = sorted(
+        q_cent, key=lambda t: -(2.0 * t[1] - cent_sq[t[0]])
+    )[:n_probe]
     probe_ids = [cid for cid, _ in probe]
     cell_dot = F.element_at(
         F.array(*[F.lit(round(d, 9)) for _, d in sorted(q_cent)]),

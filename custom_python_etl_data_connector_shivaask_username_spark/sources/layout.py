@@ -103,6 +103,20 @@ def zorder_value(
         "tinyint", "smallint", "int", "bigint", "float", "double",
         "decimal", "date", "timestamp", "timestamp_ntz",
     }
+
+    def as_double(c: str, dt: str) -> "F.Column":
+        # temporal types refuse a direct double cast (DATATYPE_MISMATCH);
+        # convert through their integer epoch representation instead —
+        # unix_date for DATE, epoch micros for timestamps (NTZ via a
+        # session-tz cast: the same expression feeds min/max AND the
+        # per-row value, so any tz shift cancels in the normalization)
+        if dt == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
+    col_exprs = {}
     for c in cols:
         dt = dict(df.dtypes)[c].split("(")[0]
         if dt not in numeric:
@@ -111,9 +125,10 @@ def zorder_value(
                 f"ordered numeric/temporal domain — hash-cluster strings "
                 f"some other way (a hashed value has no range locality)"
             )
+        col_exprs[c] = as_double(c, dt)
     row = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(col_exprs[c]).alias(f"mn_{c}") for c in cols],
+        *[F.max(col_exprs[c]).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     if any(row[f"mn_{c}"] is None for c in cols):
         raise ValueError(
@@ -132,7 +147,7 @@ def zorder_value(
                     # NULL cells cluster at the low end of their dimension
                     # instead of nulling the whole z-value (which would
                     # destroy locality on every OTHER dimension too)
-                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - mn)
+                    (F.coalesce(col_exprs[c], F.lit(mn)) - mn)
                     / span
                     * top
                 ).cast("long"),

@@ -214,3 +214,29 @@ def test_zorder_rejects_strings_and_empty_handles_nulls(spark):
         zorder_value(withnulls, ["x", "y"]).alias("z")
     ).collect()
     assert all(r["z"] is not None for r in vals)
+
+
+def test_zorder_temporal_columns(spark):
+    """DATE/TIMESTAMP are advertised in the numeric allowlist but refuse
+    a direct double cast — they must route through epoch integers
+    (unix_date / unix_micros), and z-ordering on (date, numeric) must
+    produce monotone z-values along the date dimension."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "2024-01-01 00:00:00", 1),
+         ("2024-06-01", "2024-06-01 12:00:00", 2),
+         ("2024-12-31", "2024-12-31 23:59:59", 3)],
+        "d STRING, t STRING, x INT",
+    ).selectExpr("CAST(d AS DATE) d", "CAST(t AS TIMESTAMP) t", "x")
+    rows = (
+        df.select("x", zorder_value(df, ["d", "t"]).alias("z"))
+        .orderBy("x")
+        .collect()
+    )
+    assert all(r["z"] is not None for r in rows)
+    # date+timestamp advance together here, so z must be strictly monotone
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs) and len(set(zs)) == 3

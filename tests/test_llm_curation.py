@@ -528,6 +528,15 @@ def test_prefix_sum_persist_fallback_when_reuse_disabled(spark):
             for r in token_budget_select(df, budget, num_partitions=8).collect()
         }
         assert got == expected and len(got) > 100
+        # the fallback tracks what it pinned; the release hook drains it
+        # (the round-5 leak: repeated selections accumulated cache
+        # entries with no unpersist path short of clearCache)
+        from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+            release_prefix_sum_fallback_cache,
+        )
+
+        assert release_prefix_sum_fallback_cache() >= 1
+        assert release_prefix_sum_fallback_cache() == 0  # idempotent drain
     finally:
         spark.conf.set("spark.sql.exchange.reuse", prev_reuse)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

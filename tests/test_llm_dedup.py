@@ -1113,3 +1113,72 @@ def test_ivfpq_index_is_storable_and_cell_filter_pushes_down(spark, tmp_path):
     pushed = " ".join(pushed_filters(df))
     assert "cell" in pushed, pushed
     assert len(df.collect()) == 5
+
+
+def test_char3_df_cap_bounds_hot_gram_blowup_and_preserves_edges(spark):
+    """Round-6 scale guard: a corpus-wide boilerplate substring makes its
+    grams 'hot' (df = all docs). Uncapped, the inverted-index self-join
+    fans each hot gram out to ~docs²/2 rows; with the DF cap those grams
+    leave candidate generation but still count EXACTLY toward every
+    emitted edge via the per-doc hot-gram arrays — so the edge set is
+    identical, and here that equivalence is only achievable through the
+    compensation (the boilerplate is most of each doc's gram set, so an
+    uncompensated drop would push every planted pair below threshold)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        char3_jaccard_edges,
+        char_ngrams,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again "
+    import hashlib
+
+    rows = []
+    for i in range(60):
+        # cores are per-i hex digests (wide gram alphabet), so docs from
+        # DIFFERENT pairs sit far under the 0.7 bar (measured max cross
+        # J = 0.38, planted J = 0.985; digit-only cores collided so hard
+        # that cross pairs became genuine edges); docs within a pair
+        # share the whole core. Compensation is load-bearing here: the
+        # planted pairs' cold-only intersection fails the threshold
+        # (670 < 959 on this corpus), so an uncompensated DF drop would
+        # lose every planted edge.
+        h1 = hashlib.md5(f"core{i}".encode()).hexdigest()
+        h2 = hashlib.md5(f"more{i}".encode()).hexdigest()
+        core = f"unique content block {h1} {h2} end"
+        rows.append((i, boiler + core))
+        rows.append((1000 + i, boiler + core + " x"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    tau = 40  # 120 docs share every boilerplate gram -> df 120 > tau
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
+    )
+    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfc.filter(F.col("df") > tau)
+    assert hot.count() > 30  # the planted boilerplate really is hot
+
+    def join_rows(g):
+        a = g.select(F.col("id").alias("id_a"), "gram")
+        b = g.select(F.col("id").alias("id_b"), "gram")
+        return a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).count()
+
+    uncapped_rows = join_rows(grams)
+    capped_rows = join_rows(
+        grams.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
+    )
+    # the bound that matters at 100x: candidate-join input collapses
+    # once hot grams leave (here >20x; at corpus scale the gap is docs/τ)
+    assert capped_rows * 20 < uncapped_rows
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in char3_jaccard_edges(docs, max_gram_df=tau).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in char3_jaccard_edges(docs, max_gram_df=10**9).collect()
+    }
+    assert capped == uncapped
+    planted = {(i, 1000 + i) for i in range(60)}
+    assert planted <= capped

@@ -118,6 +118,36 @@ def upsert_parquet(
         raise IOError(f"rename {staging} -> {path} failed")
 
 
+def mongodb_write_config(
+    connector_name: str,
+    database: str,
+    uri: str,
+    mode: str = "append",
+    upsert_keys: list[str] | None = None,
+) -> tuple[str, dict[str, str]]:
+    """Option wiring for the MongoDB Spark Connector write — pure, so
+    the contract is testable without a Mongo server or the connector
+    jar (tests/test_connector.py pins collection naming, modes and the
+    upsert idFieldList against the reference's sink behavior,
+    /root/reference/README.md:24,28-29).
+
+    Returns ``(save_mode, options)``: the collection is always
+    ``{connector}_raw`` (README.md:28); with ``upsert_keys`` the write
+    becomes a keyed replace (``operationType=update`` +
+    ``idFieldList`` — the connector's MERGE), otherwise a plain insert
+    in the given save mode.
+    """
+    options = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": f"{connector_name}{RAW_SUFFIX}",
+    }
+    if upsert_keys:
+        options["operationType"] = "update"
+        options["idFieldList"] = ",".join(upsert_keys)
+    return mode, options
+
+
 def write_mongodb(
     df: DataFrame,
     connector_name: str,
@@ -129,20 +159,18 @@ def write_mongodb(
     """S6/S7 MongoDB adapter (reference's literal sink, README.md:24).
 
     Requires the MongoDB Spark Connector on the classpath; raises a clear
-    error here because this environment ships no MongoDB.
+    error here because this environment ships no MongoDB. The option
+    contract lives in :func:`mongodb_write_config` (tested without the
+    connector).
     """
-    writer = (
-        add_ingest_ts(df)
-        .write.format("mongodb")
-        .mode(mode)
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", f"{connector_name}{RAW_SUFFIX}")
+    save_mode, options = mongodb_write_config(
+        connector_name, database, uri, mode, upsert_keys
     )
-    if upsert_keys:
-        writer = writer.option("operationType", "update").option(
-            "idFieldList", ",".join(upsert_keys)
-        )
+    writer = (
+        add_ingest_ts(df).write.format("mongodb").mode(save_mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
     try:
         writer.save()
     except Exception as ex:  # pragma: no cover - no Mongo in this env

@@ -320,3 +320,47 @@ def test_run_connector_quarantines_corrupt(stub, spark, tmp_path):
     assert "_ingested_at" in q.columns
     # the quarantined payload is the full original record, auditable
     assert "item_1" in q.orderBy("raw").collect()[0]["raw"]
+
+
+def test_mongodb_write_config_contract():
+    """The reference's literal sink (README.md:24,28-29): one collection
+    per connector named {name}_raw, append for inserts, operationType=
+    update + idFieldList for keyed upserts. Pinned here without a Mongo
+    server — the pure config builder IS the adapter's contract."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.sinks import (
+        mongodb_write_config,
+    )
+
+    uri = "mongodb://localhost:27017"
+    mode, opts = mongodb_write_config("testapi", "etl", uri)
+    assert mode == "append"
+    assert opts["collection"] == "testapi_raw"
+    assert opts["database"] == "etl"
+    assert opts["connection.uri"] == uri
+    assert "operationType" not in opts and "idFieldList" not in opts
+
+    mode, opts = mongodb_write_config(
+        "testapi", "etl", uri, mode="overwrite"
+    )
+    assert mode == "overwrite"
+
+    mode, opts = mongodb_write_config(
+        "testapi", "etl", uri, upsert_keys=["id", "region"]
+    )
+    assert opts["operationType"] == "update"
+    assert opts["idFieldList"] == "id,region"
+    assert opts["collection"] == "testapi_raw"
+
+
+def test_write_mongodb_raises_clearly_without_connector(spark):
+    """Env without the connector jar: a clear NotImplementedError
+    pointing at the parquet sinks, not an opaque Py4J stack."""
+    import pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.sinks import (
+        write_mongodb,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    with pytest.raises(NotImplementedError, match="parquet"):
+        write_mongodb(df, "testapi", "etl", "mongodb://localhost:27017")

@@ -2,11 +2,14 @@
 
 Media are opaque ``BINARY`` columns + a typed metadata struct; all
 per-blob compute is Arrow-batched ``mapInPandas`` so bytes cross the
-JVM↔Python boundary once per batch, never per row. The actual codecs
-(image decode, resize, audio frames) are STUBS here — the container has
-no media libraries — but the Spark-side contract (schema, batch shape,
-partitioning) is real and tested, and a library-backed decoder drops in
-by replacing one function.
+JVM↔Python boundary once per batch, never per row. Image decode is
+REAL when Pillow is importable (optional dependency — see
+``decode_image`` / ``decode_image_dims``) and a clearly-raised
+``NotImplementedError`` otherwise; the remaining codecs (resize,
+audio/video demux) stay deterministic stand-ins in this container, but
+the Spark-side contract (schema, batch shape, partitioning) is real
+and tested, and a library-backed decoder drops in by replacing one
+function.
 
 100 TB notes: blobs ride the scan (binaryFile source or parquet BINARY);
 feature extraction is a map-only stage, so it scales with executors and
@@ -70,17 +73,88 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """Codec stub: replace with PIL/libvips in a real deployment.
+try:  # optional dependency: real image decode when present
+    from PIL import Image as _PIL_IMAGE  # type: ignore
+except ImportError:  # pragma: no cover - exercised via decode tests' skip
+    _PIL_IMAGE = None
 
-    Raises by design — the container ships no image libraries; callers
-    wanting runnable pipelines use extract_features (codec-free) or pass
-    ``fake=True`` shims at the operator level.
-    """
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/libvips) not present "
-        "in this environment; the Spark plumbing around it is real"
+
+def decode_image(content: bytes) -> "object":
+    """Decode one image blob — REAL via Pillow when importable
+    (optional-import, round 6), a clearly-raised NotImplementedError
+    otherwise (this container ships no media libraries; callers wanting
+    codec-free pipelines use extract_features).
+
+    Returns a loaded ``PIL.Image.Image`` (``load()`` forces the full
+    decode so corrupt blobs fail HERE, not lazily inside a downstream
+    transform)."""
+    if _PIL_IMAGE is None:
+        raise NotImplementedError(
+            "image decode requires Pillow (or swap in libvips); not "
+            "present in this environment — the Spark plumbing around it "
+            "is real, see decode_image_dims/extract_features"
+        )
+    import io
+
+    img = _PIL_IMAGE.open(io.BytesIO(content))
+    img.load()
+    return img
+
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def decode_image_dims(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """L10 decode stage: blob → (width, height, mode, format) via a real
+    Pillow decode inside Arrow-batched ``mapInPandas`` — the same batch
+    shape as extract_features, so swapping the codec never touches the
+    Spark plan. Raises up front (driver-side) when Pillow is absent
+    rather than exploding per-task on the executors."""
+    if _PIL_IMAGE is None:
+        raise NotImplementedError(
+            "decode_image_dims requires Pillow; not present in this "
+            "environment (test is skip-marked accordingly)"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[content_col]):
+                with Image.open(io.BytesIO(bytes(blob))) as img:
+                    img.load()
+                    out.append(
+                        (
+                            int(mid),
+                            int(img.width),
+                            int(img.height),
+                            img.mode,
+                            img.format or "",
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mode", "format"],
+            )
+
+    cols = media.select(
+        F.col("meta.media_id").alias("media_id"), F.col(content_col)
     )
+    return cols.mapInPandas(batches, IMAGE_DIMS_SCHEMA)
 
 
 def extract_features(media: DataFrame, content_col: str = "content") -> DataFrame:

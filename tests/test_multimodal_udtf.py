@@ -51,7 +51,14 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
 
 
 def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError, match="codec"):
+    # superseded by the optional-import pair at the bottom of this file:
+    # with Pillow absent the stub raises; with Pillow present decode is
+    # real and pinned by the PNG round-trip test
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.llm_multimodal as mm
+
+    if mm._PIL_IMAGE is not None:
+        pytest.skip("Pillow installed; decode is real here")
+    with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"\x89PNG")
 
 
@@ -116,3 +123,64 @@ def test_page_range_udtf(spark):
         (2, 10, 19),
         (3, 20, 24),
     ]
+
+
+def test_decode_image_real_pillow_roundtrip(spark):
+    """L10 decode with a REAL codec: generate PNGs with Pillow in-test,
+    run them through the decode_image_dims mapInPandas stage, and check
+    dimensions/mode/format survive the decode. Skips where Pillow is
+    not installed (this container) — the stub path below still runs."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_multimodal import (
+        decode_image,
+        decode_image_dims,
+    )
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, png_bytes(32, 16, (255, 0, 0))),
+        (2, png_bytes(8, 64, (0, 255, 0))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id LONG, content BINARY"
+    ).select(
+        "content",
+        F.struct(
+            F.col("media_id"),
+            F.lit("image/png").alias("kind"),
+            F.length("content").cast("long").alias("declared_bytes"),
+            F.lit("test").alias("source"),
+        ).alias("meta"),
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["mode"], r["format"])
+        for r in decode_image_dims(media).collect()
+    }
+    assert got == {1: (32, 16, "RGB", "PNG"), 2: (8, 64, "RGB", "PNG")}
+    img = decode_image(png_bytes(5, 7, (0, 0, 255)))
+    assert (img.width, img.height) == (5, 7)
+
+
+def test_decode_image_raises_clearly_without_pillow():
+    """Without Pillow both decode entry points raise NotImplementedError
+    driver-side (never an executor-side explosion)."""
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.llm_multimodal as mm
+
+    if mm._PIL_IMAGE is not None:
+        import pytest
+
+        pytest.skip("Pillow installed; stub path not reachable")
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_image(b"\x89PNG")

@@ -488,18 +488,47 @@ ORDER BY user_id
 """
 
 
+def tws_runtime_available() -> bool:
+    """Can ``transformWithStateInPandas`` actually EXECUTE here? The
+    API's state-server protocol imports ``google.protobuf`` inside the
+    Python worker; a Spark-4 install without protobuf builds the plan
+    and then crashes the worker, so the probe tests the one dependency
+    that separates plan-valid from runnable (this container: absent)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 @query("q_funnel_depths", oracle=_FUNNEL_ORACLE)
 def q_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST7: per-user funnel state machine via ``applyInPandasWithState``
-    — the arbitrary-stateful escape hatch for logic no windowed agg
-    expresses. State = the set of funnel stages seen so far; output =
-    how deep in view→click→purchase the user has progressed.
+    """ST7: per-user funnel state machine — ``transformWithStateInPandas``
+    (Spark 4's forward stateful API: named state vars, timers, TTL) by
+    DEFAULT where the runtime can execute it, with the
+    ``applyInPandasWithState`` form as the fallback (round-6 promotion;
+    previously the legacy form held the slot and tws was a twin).
+    Both forms run the same per-user machine: state = the set of funnel
+    stages seen so far; output = how deep in view→click→purchase the
+    user has progressed. Parity is pinned in
+    tests/test_streaming_sessions.py (result-equality where tws runs;
+    transition-logic equality against a fake handle everywhere).
 
     Depth over a bounded replay is order-free (it only needs stage
     membership), so plain SQL CAN pin the state machine's final answer
     even though the incremental state transitions are beyond SQL — the
     strongest check an arbitrary stateful op admits.
     """
+    if tws_runtime_available():
+        return funnel_depths_tws(spark, sf_dir)
+    return funnel_depths_apiws(spark, sf_dir)
+
+
+def funnel_depths_apiws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 fallback form on ``applyInPandasWithState`` (one opaque state
+    tuple per key) — the API that exists back to Spark 3.4, kept as the
+    execution path where the tws state-server runtime is unavailable."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = stream_events(spark, sf_dir)
@@ -568,9 +597,9 @@ def funnel_depths_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     state tuple). Same per-user funnel machine, same answers — pinned
     equal to :func:`q_funnel_depths` in tests/test_streaming_sessions.
 
-    Not a registry row (the applyInPandasWithState form holds the ST7
-    slot); this exists so a user on the forward API has a worked
-    example. Requires the RocksDB state store provider (the API
+    Holds the ST7 registry slot through ``q_funnel_depths`` wherever
+    :func:`tws_runtime_available` (round-6 promotion); the
+    applyInPandasWithState form is the fallback execution path. Requires the RocksDB state store provider (the API
     rejects the default HDFS-backed provider), set only for the
     bounded run and restored after.
 

@@ -187,6 +187,14 @@ def test_funnel_tws_twin(spark, sf_dir):
         q_funnel_depths,
     )
 
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        funnel_depths_apiws,
+        tws_runtime_available,
+    )
+
+    # the registry row dispatches on the same probe this test gates on,
+    # so the driver can never be routed onto a path that won't execute
+    assert tws_runtime_available() == _protobuf_available()
     if not _protobuf_available():
         pytest.skip("google.protobuf not installed; execution env-gated")
     a = sorted(
@@ -195,6 +203,6 @@ def test_funnel_tws_twin(spark, sf_dir):
     )
     b = sorted(
         (r["user_id"], r["funnel_depth"])
-        for r in q_funnel_depths(spark, sf_dir).collect()
+        for r in funnel_depths_apiws(spark, sf_dir).collect()
     )
     assert a == b

@@ -45,6 +45,7 @@ HEADLINE: list[str] = [
     "q_ngram_overlap_pairs",
     "q_curation_mix",
     "q_incremental_dedup",  # round 5: batch-vs-corpus dedup decision
+    "q_pack_sequences",  # round 6: prefix-sum sequence packing
 ]
 
 
@@ -73,16 +74,18 @@ def main() -> None:
     names = [n for n in HEADLINE if _resolve(n) is not None]
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
         fn = _resolve(name)
         fn(spark, sf_dir).collect()  # warm (plan + codegen + IO cache)
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(5):  # best-of-5: steady-state time, not scheduler noise
             t0 = time.perf_counter()
             n = len(fn(spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 4))
             assert n >= 0
-        timings[name] = round(best, 4)
+        timings[name] = min(runs)
+        samples[name] = runs
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -91,6 +94,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # all 5 per-query wall-times (chronological) so
+                # round-over-round deltas separate from co-tenant noise
+                # without a re-run; headline numbers stay the minima
+                "samples": samples,
                 "sf": sf,
             }
         )

@@ -1272,3 +1272,147 @@ def ivfpq_topk(
         .orderBy(F.col("approx_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- IVF-PQ index lifecycle: delete / compact / drift-retrain -----------------
+
+
+def ivfpq_delete(
+    codes_df: DataFrame, delete_ids, id_col: str = "vec_id"
+) -> DataFrame:
+    """Lifecycle: logically remove vectors from the stored index.
+
+    ``delete_ids`` is a one-column DataFrame or an iterable of ids. The
+    delete is an anti-join against the broadcast id set — the index side
+    (the 100 TB side) never shuffles, same MERGE discipline as
+    ``sinks.upsert_parquet``. The result is a lazily-filtered view; make
+    it durable (and restore cell-sorted row-group pruning) with
+    :func:`ivfpq_compact`."""
+    spark = codes_df.sparkSession
+    if not isinstance(delete_ids, DataFrame):
+        delete_ids = spark.createDataFrame(
+            [(int(i),) for i in delete_ids], f"{id_col} LONG"
+        )
+    dels = delete_ids.select(F.col(delete_ids.columns[0]).alias(id_col))
+    return codes_df.join(F.broadcast(dels), id_col, "left_anti")
+
+
+def ivfpq_compact(
+    spark: SparkSession,
+    path: str,
+    delete_ids=None,
+    ingest_codes: DataFrame | None = None,
+    num_files: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lifecycle: rewrite the stored index at ``path`` cell-sorted,
+    applying pending deletes and/or appending a freshly encoded batch
+    (:func:`ivfpq_encode` output) in one pass.
+
+    Appends and deletes degrade the layout the probe's pushdown relies
+    on (``cell IN (...)`` prunes row groups only while files are
+    cell-clustered); compaction restores ``repartitionByRange(cell) +
+    sortWithinPartitions(cell)`` and swaps the directory atomically
+    (``sinks.atomic_replace_parquet`` — staging + metadata rename, the
+    table is never half-replaced and never copied twice). One range
+    shuffle of (id, cell, codes) rows — fixed-width, no vectors.
+    Returns the compacted index frame."""
+    from ..sources.sinks import atomic_replace_parquet
+
+    idx = spark.read.parquet(path)
+    if delete_ids is not None:
+        idx = ivfpq_delete(idx, delete_ids, id_col)
+    if ingest_codes is not None:
+        idx = idx.unionByName(ingest_codes)
+    n_files = num_files or max(
+        2, spark.sparkContext.defaultParallelism // 4
+    )
+    arranged = idx.repartitionByRange(
+        n_files, F.col("cell"), F.col(id_col)
+    ).sortWithinPartitions("cell", id_col)
+    atomic_replace_parquet(spark, arranged, path)
+    return spark.read.parquet(path)
+
+
+def ivfpq_reconstruction_mse(
+    emb: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean squared reconstruction error of the index's quantizers over
+    ``emb`` — THE drift statistic: encode each vector with the frozen
+    (coarse, books), reconstruct ``centroid + concat(codebook words)``,
+    and average ‖x − x̂‖². Pure map + one scalar agg (the codebooks ride
+    as literals exactly like the search LUT), so it is cheap enough to
+    run per ingest batch. Drift in the ingest distribution shows up as
+    this number rising against the value recorded at build time."""
+    residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
+    codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
+    joined = residuals.join(codes, id_col)
+    books_lit = F.array(
+        *[
+            F.array(*[lit_vector(word) for word in book])
+            for book in books
+        ]
+    )
+    # residual_hat = concat over subspaces of the coded codebook word
+    m = len(books)
+    hat = F.concat(
+        *[
+            F.element_at(
+                F.element_at(books_lit, mi + 1),
+                F.element_at(F.col("codes"), mi + 1) + 1,
+            )
+            for mi in range(m)
+        ]
+    )
+    err = F.aggregate(
+        F.zip_with(F.col(vec_col), hat, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    row = joined.select(F.avg(err).alias("mse")).collect()[0]
+    return float(row["mse"])
+
+
+def ivfpq_drift_retrain(
+    emb_batch: DataFrame,
+    emb_all: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    baseline_mse: float,
+    drift_factor: float = 1.5,
+    n_clusters: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **build_kwargs,
+):
+    """Lifecycle: retrain WHEN the quantizers have drifted, not on a
+    clock. The incoming batch's reconstruction MSE under the frozen
+    index is compared against ``baseline_mse`` (recorded at build
+    time); past ``drift_factor``× the index is rebuilt from
+    ``emb_all`` (full re-encode — codes from different codebook
+    generations cannot share one ADC scan), otherwise everything is
+    left untouched.
+
+    Returns ``(coarse, books, codes_df_or_None, retrained, batch_mse)``
+    — ``codes_df`` is only materialized on retrain; on the no-drift
+    path the caller keeps encoding against the existing index
+    (:func:`ivfpq_encode`). Rebuild-equivalence and trigger behavior
+    pinned in tests/test_llm_dedup.py."""
+    batch_mse = ivfpq_reconstruction_mse(
+        emb_batch, coarse, books, vec_col, id_col
+    )
+    if batch_mse <= drift_factor * baseline_mse:
+        return coarse, books, None, False, batch_mse
+    n = n_clusters or len(coarse)
+    new_coarse, new_books, codes_df = ivfpq_build(
+        emb_all,
+        n_clusters=n,
+        vec_col=vec_col,
+        id_col=id_col,
+        **build_kwargs,
+    )
+    return new_coarse, new_books, codes_df, True, batch_mse

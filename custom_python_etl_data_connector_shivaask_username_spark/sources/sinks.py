@@ -101,12 +101,23 @@ def upsert_parquet(
             .drop("_rn", "_src")
         )
         merged = kept.unionByName(winners, allowMissingColumns=True)
-    # parquet cannot overwrite in place while reading itself: write the
-    # merged table ONCE to a staging dir, then swap directories with a
-    # filesystem rename (metadata-only on HDFS/local — never a second
-    # copy of the data, which at 100 TB would double the merge cost)
+    atomic_replace_parquet(spark, merged, path)
+
+
+def atomic_replace_parquet(
+    spark: SparkSession, df: DataFrame, path: str
+) -> None:
+    """Replace the parquet table at ``path`` with ``df`` even when the
+    plan for ``df`` is READING ``path``.
+
+    Parquet cannot overwrite in place while reading itself: write the
+    result ONCE to a staging dir, then swap directories with a
+    filesystem rename (metadata-only on HDFS/local — never a second
+    copy of the data, which at 100 TB would double every merge/compact).
+    Shared by :func:`upsert_parquet` and the ANN index lifecycle
+    (``llm_similarity.ivfpq_compact``)."""
     staging = path.rstrip("/") + "__staging"
-    merged.write.mode("overwrite").parquet(staging)
+    df.write.mode("overwrite").parquet(staging)
     hconf = spark._jsc.hadoopConfiguration()
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(

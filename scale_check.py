@@ -173,9 +173,11 @@ def main() -> None:
         if (pq_wanted or ivfpq_wanted)
         else None
     )
-    if ivfpq_wanted:
+    compact_wanted = not only or "ivfpq_compact" in only
+    if ivfpq_wanted or compact_wanted:
         from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
             ivfpq_build,
+            ivfpq_compact,
             ivfpq_encode,
             ivfpq_topk,
         )
@@ -183,6 +185,25 @@ def main() -> None:
         ivfpq_coarse, ivfpq_books, _ = ivfpq_build(
             emb, n_clusters=16, coarse_iters=2, pq_iters=2
         )
+    compact_dir = None
+    if compact_wanted:
+        import tempfile
+
+        compact_dir = tempfile.mkdtemp(prefix="scale_ivfpq_")
+
+    def _compact_case(f: int):
+        e = replicate(emb, f, ["vec_id"])
+        path = f"{compact_dir}/idx_x{f}"
+        ivfpq_encode(
+            _perturb_vec(e), ivfpq_coarse, ivfpq_books
+        ).write.mode("overwrite").parquet(path)
+
+        def build() -> DataFrame:
+            return ivfpq_compact(
+                spark, path, delete_ids=list(range(100)), num_files=16
+            )
+
+        return build
 
     def cases(f: int) -> dict[str, DataFrame]:
         d = replicate(docs, f, ["doc_id"], perturb_text="text")
@@ -254,6 +275,16 @@ def main() -> None:
                     )
                 }
                 if ivfpq_wanted
+                else {}
+            ),
+            # lifecycle: compact a DEGRADED store (row-order encode
+            # dump, so cell clustering must be rebuilt) while applying
+            # 100 deletes — one fixed-width range shuffle + atomic swap;
+            # the store is prepared untimed above so the clock holds
+            # only the compaction itself (plus re-reading its output)
+            **(
+                {"ivfpq_compact": _compact_case(f)}
+                if compact_wanted
                 else {}
             ),
             "window_ranks": ev.withColumn(

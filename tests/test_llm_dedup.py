@@ -1182,3 +1182,108 @@ def test_char3_df_cap_bounds_hot_gram_blowup_and_preserves_edges(spark):
     assert capped == uncapped
     planted = {(i, 1000 + i) for i in range(60)}
     assert planted <= capped
+
+
+def test_ivfpq_lifecycle_delete_ingest_compact_rebuild_equivalence(
+    spark, tmp_path
+):
+    """Round-6 lifecycle: build → incremental ingest → delete → compact
+    must land the index in EXACTLY the state a fresh encode of the
+    surviving corpus produces under the same frozen quantizers — and
+    the compacted store keeps the cell-filter pushdown the probe's
+    row-group pruning depends on."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivfpq_build,
+        ivfpq_compact,
+        ivfpq_delete,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+        pushed_filters,
+    )
+
+    emb = _blob_fixture(spark, n_noise=120, n_cluster=15)
+    base = emb.filter(F.col("vec_id") <= 100)
+    batch = emb.filter(F.col("vec_id") > 100)
+    coarse, books, codes_df = ivfpq_build(
+        base, n_clusters=4, coarse_iters=2, pq_iters=1
+    )
+    path = str(tmp_path / "ivfpq_index")
+    codes_df.repartitionByRange(2, "cell").sortWithinPartitions(
+        "cell"
+    ).write.parquet(path)
+
+    # incremental ingest (append degrades layout) + deletes, one compact
+    new_codes = ivfpq_encode(batch, coarse, books)
+    delete_ids = [1, 2, 3, 50]
+    compacted = ivfpq_compact(
+        spark,
+        path,
+        delete_ids=delete_ids,
+        ingest_codes=new_codes,
+        num_files=2,
+    )
+
+    survivors = emb.filter(~F.col("vec_id").isin(delete_ids))
+    fresh = ivfpq_encode(survivors, coarse, books)
+    to_set = lambda df: {
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    }
+    assert to_set(compacted) == to_set(fresh)
+
+    # deleted ids can never be answered; pushdown survives the compact
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    res = ivfpq_topk(compacted, coarse, books, qvec, k=10, n_probe=4)
+    got = {r["vec_id"] for r in res.collect()}
+    assert not (got & set(delete_ids))
+    assert "cell" in " ".join(pushed_filters(res))
+    # delete alone is a lazy view and already excludes the ids
+    only_del = ivfpq_delete(spark.read.parquet(path), [4, 5])
+    assert not (
+        {r["vec_id"] for r in only_del.collect()} & {4, 5}
+    )
+
+
+def test_ivfpq_drift_trigger_and_retrain(spark):
+    """The drift statistic must stay flat on same-distribution batches
+    (no retrain) and trip on a shifted distribution (retrain), and the
+    retrained quantizers must actually fit the drifted data better."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivfpq_build,
+        ivfpq_drift_retrain,
+        ivfpq_reconstruction_mse,
+    )
+
+    emb = _blob_fixture(spark, n_noise=150, n_cluster=15)
+    coarse, books, _ = ivfpq_build(
+        emb, n_clusters=4, coarse_iters=2, pq_iters=1
+    )
+    baseline = ivfpq_reconstruction_mse(emb, coarse, books)
+    assert baseline > 0
+
+    # same distribution: a disjoint-id copy of the corpus' own vectors
+    same = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+    c2, b2, codes2, retrained, mse_same = ivfpq_drift_retrain(
+        same, emb, coarse, books, baseline, drift_factor=1.5,
+        coarse_iters=2, pq_iters=1,
+    )
+    assert not retrained and codes2 is None
+    assert (c2, b2) == (coarse, books)
+    assert mse_same <= 1.5 * baseline
+
+    # drifted: large constant offset pushes vectors off every centroid
+    drifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(3.0))
+    ).withColumn("vec_id", F.col("vec_id") + 20_000)
+    c3, b3, codes3, retrained3, mse_drift = ivfpq_drift_retrain(
+        drifted, drifted, coarse, books, baseline, drift_factor=1.5,
+        coarse_iters=2, pq_iters=1,
+    )
+    assert retrained3 and codes3 is not None
+    assert mse_drift > 1.5 * baseline
+    refit = ivfpq_reconstruction_mse(drifted, c3, b3)
+    assert refit < mse_drift

@@ -40,13 +40,26 @@ def davg(col: Column | str, alias: str) -> Column:
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) AS {alias}"
+    """DuckDB twin of :func:`dsum`.
+
+    The double conversion detours through VARCHAR: DuckDB's direct
+    DECIMAL→DOUBLE cast is NOT correctly rounded (it divides the
+    mantissa by 10^scale in binary FP), while Spark's
+    BigDecimal.doubleValue IS — measured at the sf1.0 sweep, where the
+    ×10 sum_charge total (~2.8e10) landed one ulp apart
+    (…94159 vs …941593) and the 6-decimal round no longer absorbed it
+    (ulp ≈ 3.7e-6 at that magnitude). VARCHAR→DOUBLE uses strtod's
+    correct rounding, so both engines emit the nearest double of the
+    identical exact decimal at ANY magnitude."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS VARCHAR)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    """DuckDB twin of :func:`davg`."""
+    """DuckDB twin of :func:`davg` (VARCHAR detour: see sql_dsum)."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS VARCHAR)"
+        f" AS DOUBLE) / COUNT({expr}) AS {alias}"
     )

@@ -231,3 +231,128 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_id", "chunk_text"),
         )
     )
+
+
+# --- intra-document repetition (Gopher/Rae-style repetition filters) ----------
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics — the Rae et al. (Gopher) family
+    of repetition filters a pretraining pipeline runs beside the
+    quality score (L8): repeated lines/words/n-grams are the strongest
+    single signal of boilerplate and templated spam.
+
+    Emits, per doc:
+    - ``dup_line_frac``    — 1 − distinct/total over lines,
+    - ``dup_line_char_frac`` — fraction of characters living in lines
+      that occur more than once (catches short-but-huge repeated lines
+      the count-based fraction underweights),
+    - ``dup_word_frac``    — 1 − distinct/total over words,
+    - ``dup_3gram_frac``   — 1 − distinct/total over word 3-grams (the
+      n the Gopher paper found most discriminative mid-range),
+    - ``top_word_frac``    — occurrences of the modal word / words.
+
+    100 TB shape: every metric is array algebra over the row's own
+    tokens (split / sort_array / array_distinct / aggregate with a
+    struct accumulator) — pure whole-stage-codegen, zero exchanges,
+    zero UDFs; composes with ``q_doc_profile``'s keep flag as one
+    map-only pass.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+
+    def dup_frac(arr):
+        total = F.size(arr)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(arr)) / total
+        )
+
+    def ngrams(arr, n):
+        count = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        )
+
+    # chars inside duplicated lines: an occurrence is duplicated iff it
+    # equals its neighbor in the sorted array (runs of length >= 2)
+    sorted_lines = F.sort_array(lines)
+    n_lines = F.size(sorted_lines)
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+            lambda i: F.when(
+                (
+                    (i > 1)
+                    & (
+                        F.element_at(sorted_lines, i)
+                        == F.element_at(sorted_lines, i - 1)
+                    )
+                )
+                | (
+                    (i < n_lines)
+                    & (
+                        F.element_at(sorted_lines, i)
+                        == F.element_at(sorted_lines, i + 1)
+                    )
+                ),
+                F.length(F.element_at(sorted_lines, i)),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+
+    # modal word count via one pass over the sorted words: accumulator
+    # (prev word, current run, best run) — no explode, no shuffle
+    sorted_words = F.sort_array(words)
+    top_run = F.aggregate(
+        sorted_words,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+    n_words = F.size(words)
+    return docs.select(
+        F.col(id_col),
+        F.round(dup_frac(lines), 6).alias("dup_line_frac"),
+        F.round(
+            F.when(total_line_chars <= 0, F.lit(0.0)).otherwise(
+                dup_line_chars / total_line_chars
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.round(dup_frac(words), 6).alias("dup_word_frac"),
+        F.round(
+            F.when(n_words < 3, F.lit(0.0)).otherwise(
+                dup_frac(ngrams(words, 3))
+            ),
+            6,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.when(n_words <= 0, F.lit(0.0)).otherwise(top_run / n_words), 6
+        ).alias("top_word_frac"),
+    )

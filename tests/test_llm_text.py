@@ -91,3 +91,65 @@ def test_chunk_text_covers_all_words(spark):
     assert seen == set(words)
     assert len(chunks[0].split()) == 20
     assert len(chunks[-1].split()) == 2
+
+
+def test_repetition_profile_planted_docs(spark):
+    """Gopher-style repetition filters: planted repetitive docs score
+    high on exactly the metric their pathology targets; clean prose
+    scores ~0 on all of them. Hand-computed expectations."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_text import (
+        repetition_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # clean: 6 distinct words, distinct lines
+            (1, "alpha beta gamma\ndelta epsilon zeta"),
+            # repeated line: line 'spam spam' twice out of 3 lines
+            (2, "spam and ham\nbuy now today\nbuy now today"),
+            # repeated phrase: 'the best offer' 3x -> dup 3-grams
+            (3, "the best offer the best offer the best offer"),
+            # modal word domination
+            (4, "yes yes yes yes no"),
+            (5, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()
+    }
+    clean = got[1]
+    assert clean["dup_line_frac"] == 0.0
+    assert clean["dup_line_char_frac"] == 0.0
+    assert clean["dup_word_frac"] == 0.0
+    assert clean["dup_3gram_frac"] == 0.0
+    assert abs(clean["top_word_frac"] - 1 / 6) < 1e-6
+
+    dup_lines = got[2]
+    assert abs(dup_lines["dup_line_frac"] - 1 / 3) < 1e-6
+    # 2 of 3 lines are the duplicated 13-char 'buy now today'
+    assert abs(dup_lines["dup_line_char_frac"] - 26 / 38) < 1e-6
+
+    phrase = got[3]
+    # 9 words, 3 distinct -> dup_word 2/3; 7 3-grams, 3 distinct -> 4/7
+    assert abs(phrase["dup_word_frac"] - 2 / 3) < 1e-6
+    assert abs(phrase["dup_3gram_frac"] - 4 / 7) < 2e-6
+
+    modal = got[4]
+    assert abs(modal["top_word_frac"] - 4 / 5) < 1e-6
+    # empty doc: every metric 0, no division blowup
+    assert all(v == 0.0 for k, v in got[5].items() if k != "doc_id")
+
+
+def test_repetition_profile_is_map_only(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_text import (
+        repetition_profile,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    df = repetition_profile(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map: zero shuffles at any scale
+    assert df.count() > 0

@@ -59,18 +59,32 @@ def stream_events(
     ``tables.normalize_events_ts`` the batch loader uses, so stream and
     batch can never disagree about event time.
     """
+    import os
+
     apply_runtime_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file-stream source requires a directory; the fixture is a single
-    # parquet file inside sf_dir, so glob-filter it from the table dir
-    reader = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    base = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(base).schema
+    # the file-stream source requires a directory. Two fixture layouts
+    # exist: the driver's single FILE {sf_dir}/events.parquet (glob it
+    # out of the table dir) and a real table DIRECTORY of part files
+    # (sf1.0 sweep and any production slice — stream the dir itself;
+    # the single-file glob would match no files and silently yield an
+    # EMPTY stream, which is exactly how the round-6 sf1.0 sweep caught
+    # this).
+    if os.path.isdir(base):
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        src = base
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", "events.parquet"
+        )
+        src = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # target=timestamp (not NTZ): watermarks require TIMESTAMP event time
-    return normalize_events_ts(reader.parquet(sf_dir), target="timestamp")
+    return normalize_events_ts(reader.parquet(src), target="timestamp")
 
 
 def run_stream_to_df(

@@ -1,9 +1,12 @@
 """Aggregation depth (SURVEY.md §2.4 A1-A10) — six registry queries.
 
 Component map (every §2.4 operator has a green-row home):
-- A1 hash group-by, A2 exact count distinct, A8 conditional agg, and
-  exact-moment stats → ``q_event_type_stats`` (one grouped pass).
-- A4 exact percentiles → ``q_value_percentiles``.
+- A1 hash group-by, A2 exact count distinct, A8 conditional agg,
+  exact-moment stats, and A4 exact percentiles → ``q_event_type_stats``
+  (one grouped pass; percentiles folded in round 6 — same table, same
+  ``event_type`` key, frees a registry slot under the 50-row cap for
+  ``q_lm_quality``; the standalone builder ``q_value_percentiles``
+  remains for tests/composition).
 - A3 approx count distinct + A4 approx percentiles + A10 seeded sample
   → ``q_approx_sketches`` (rows-only by design: HLL/KLL/RNG internals
   are engine-specific; statistical behavior pinned in unit tests).
@@ -53,7 +56,10 @@ SELECT
   CAST(COUNT(*) FILTER (WHERE value > {BIG_VALUE}) AS BIGINT) AS big_events,
   {sql_dsum(f'CASE WHEN value > {BIG_VALUE} THEN value ELSE 0 END',
             'big_value_total')},
-  {sql_davg(f'CASE WHEN value > {BIG_VALUE} THEN value END', 'avg_big_value')}
+  {sql_davg(f'CASE WHEN value > {BIG_VALUE} THEN value END', 'avg_big_value')},
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -62,8 +68,10 @@ ORDER BY event_type
 
 @query("q_event_type_stats", oracle=_EVENT_TYPE_STATS_ORACLE)
 def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A2+A8: two-phase hash agg; count-distinct expands then
-    re-aggregates; CASE-guarded sums/avgs ride the same pass.
+    """A1+A2+A8 (+A4 exact percentiles, folded round 6): two-phase hash
+    agg; count-distinct expands then re-aggregates; CASE-guarded
+    sums/avgs and the interpolated-percentile sort ride the same pass
+    (one grouped exchange total).
 
     Order-independent stddev: exact sums + textbook identity. Streaming
     stddev implementations differ across engines and shuffle orders; this
@@ -82,6 +90,7 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     n = F.count("value")
+    pct = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -100,7 +109,16 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "big_value_total",
             ),
             davg(F.when(big, F.col("value")), "avg_big_value"),
+            pct.alias("_p"),
         )
+        .withColumns(
+            {
+                "p50": F.round(F.col("_p")[0], 6),
+                "p95": F.round(F.col("_p")[1], 6),
+                "p99": F.round(F.col("_p")[2], 6),
+            }
+        )
+        .drop("_p")
         .orderBy("event_type")
     )
 
@@ -119,10 +137,13 @@ ORDER BY event_type
 """
 
 
-@query("q_value_percentiles", oracle=_VALUE_PERCENTILES_ORACLE)
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: exact interpolated percentiles (both engines sort + lerp).
 
+    Driver-visible as the ``p50/p95/p99`` columns of
+    ``q_event_type_stats`` since round 6 (same grouped pass; this
+    standalone builder stays for unit tests and composition —
+    ``_VALUE_PERCENTILES_ORACLE`` above remains its DuckDB twin).
     Exact `percentile` (not approx) keeps the oracle meaningful; at
     100 TB the same query ships as `percentile_approx` (see
     q_approx_sketches) where a bounded-memory sketch replaces the

@@ -118,35 +118,62 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W3 + W4(moving): event deltas and trailing average ----------------------
 
-_EVENT_DELTAS_ORACLE = """
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+_EVENT_DELTAS_ORACLE = f"""
+WITH base AS (
+  SELECT
+    event_id,
+    user_id,
+    ts,
+    LAG(ts) OVER w AS prev_ts,
+    epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us,
+    LEAD(event_type) OVER w AS next_type,
+    CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wf AS DOUBLE)
+      / COUNT(value) OVER wf AS moving_avg_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
 SELECT
   event_id,
   user_id,
-  LAG(ts) OVER w AS prev_ts,
-  epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS delta_us,
-  LEAD(event_type) OVER w AS next_type,
-  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER wf AS DOUBLE)
-    / COUNT(value) OVER wf AS moving_avg_value
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-       wf AS (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+  prev_ts,
+  delta_us,
+  next_type,
+  moving_avg_value,
+  SUM(CASE
+        WHEN prev_ts IS NULL OR delta_us > {SESSION_GAP_US}
+        THEN 1 ELSE 0
+      END) OVER wc AS session_seq
+FROM base
+WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
 
 @query("q_event_deltas", oracle=_EVENT_DELTAS_ORACLE)
 def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3+W4: inter-event gaps in exact integer microseconds (no float
-    time math, no unit-boundary semantics to disagree on) plus a 7-row
-    trailing average with an exact-decimal numerator — both frames share
-    the one user_id shuffle and ordering."""
+    """W3+W4 (+batch gap-sessionization, folded round 6): inter-event
+    gaps in exact integer microseconds (no float time math, no
+    unit-boundary semantics to disagree on), a 7-row trailing average
+    with an exact-decimal numerator, and the classic lag-then-cumsum
+    session assignment (``session_seq`` — a new session starts at the
+    first event or after a >30 min silence; the batch twin of ST4's
+    ``session_window``, see tests/test_windows equivalence pin). All
+    three frames share the one user_id shuffle and ordering."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(-6, 0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
     # session tz is UTC, so NTZ -> TZ cast is the identity wall time
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_micros = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    session_start = prev_micros.isNull() | (
+        (micros - prev_micros) > SESSION_GAP_US
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -157,6 +184,9 @@ def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,6)")).over(wf).cast("double")
             / F.count("value").over(wf)
         ).alias("moving_avg_value"),
+        F.sum(F.when(session_start, 1).otherwise(0))
+        .over(wc)
+        .alias("session_seq"),
     )
 
 

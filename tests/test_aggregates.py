@@ -57,7 +57,7 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     }
     exact = {
         r["event_type"]: (r["p50"], r["p95"], r["p99"])
-        for r in QUERIES["q_value_percentiles"](spark, sf_dir).collect()
+        for r in QUERIES["q_event_type_stats"](spark, sf_dir).collect()
     }
     # p99 at tiny group sizes (~200 rows at sf0.001) lands on a neighboring
     # order statistic in a heavy tail — wide tolerance there is expected.

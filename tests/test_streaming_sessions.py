@@ -206,3 +206,38 @@ def test_funnel_tws_twin(spark, sf_dir):
         for r in funnel_depths_apiws(spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_batch_sessionization_matches_session_window(spark, sf_dir):
+    """Cross-formulation equivalence: the lag-then-cumsum session
+    assignment folded into q_event_deltas (round 6) and the native
+    session_window aggregation (ST4's operator, run here in batch mode)
+    must induce the same per-user session count on the fixture — the
+    two standard renderings of 30-min gap sessionization agree."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.windows import (
+        q_event_deltas,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        SESSION_GAP_MIN,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    deltas = q_event_deltas(spark, sf_dir)
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in deltas.groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"))
+        .collect()
+    }
+    native = {
+        r["user_id"]: r["n_sessions"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    }
+    assert batch == native

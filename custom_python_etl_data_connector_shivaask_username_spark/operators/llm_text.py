@@ -17,7 +17,7 @@ shuffle for the corpus stats'.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -119,6 +119,46 @@ scored AS (
            + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.4 END
           ) / 3.0, 6) AS quality
   FROM base
+),
+rep_wl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> length(w) > 0) AS rwords,
+         list_filter(string_split_regex(text, '\\n'),
+                     l -> length(trim(l)) > 0) AS rlines
+  FROM documents
+),
+rep_w AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(rwords) AS w FROM rep_wl)
+  GROUP BY doc_id, w
+),
+rep_wstat AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS d_words, MAX(c) AS top_run
+  FROM rep_w GROUP BY doc_id
+),
+rep_l AS (
+  SELECT doc_id, line, length(line) AS chars, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(rlines) AS line FROM rep_wl)
+  GROUP BY doc_id, line
+),
+rep_lstat AS (
+  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS d_lines,
+         SUM(chars * c) AS total_line_chars,
+         SUM(CASE WHEN c > 1 THEN chars * c ELSE 0 END) AS dup_line_chars
+  FROM rep_l GROUP BY doc_id
+),
+rep_g AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, length(rwords) - 1),
+                      i -> array_to_string(rwords[i:i+2], ' '))) AS gram
+        FROM rep_wl WHERE length(rwords) >= 3)
+  GROUP BY doc_id, gram
+),
+rep_gstat AS (
+  SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS d_grams
+  FROM rep_g GROUP BY doc_id
 )
 SELECT doc_id,
        length(text) AS text_len,
@@ -135,8 +175,27 @@ SELECT doc_id,
            || substring(text, 1, 30),
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
          '\\+?\\d[\\d().\\s-]{{7,}}\\d', '[PHONE]', 'g') AS scrubbed,
-{STRING_ORACLE_COLS}
+{STRING_ORACLE_COLS},
+       ROUND(CASE WHEN COALESCE(rep_lstat.n_lines, 0) = 0 THEN 0.0
+             ELSE 1.0 - rep_lstat.d_lines / CAST(rep_lstat.n_lines AS DOUBLE)
+             END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN COALESCE(rep_lstat.total_line_chars, 0) <= 0 THEN 0.0
+             ELSE rep_lstat.dup_line_chars
+                  / CAST(rep_lstat.total_line_chars AS DOUBLE)
+             END, 6) AS dup_line_char_frac,
+       ROUND(CASE WHEN COALESCE(rep_wstat.n_words, 0) = 0 THEN 0.0
+             ELSE 1.0 - rep_wstat.d_words / CAST(rep_wstat.n_words AS DOUBLE)
+             END, 6) AS dup_word_frac,
+       ROUND(CASE WHEN COALESCE(rep_wstat.n_words, 0) < 3 THEN 0.0
+             ELSE 1.0 - rep_gstat.d_grams / CAST(rep_gstat.n_grams AS DOUBLE)
+             END, 6) AS dup_3gram_frac,
+       ROUND(CASE WHEN COALESCE(rep_wstat.n_words, 0) <= 0 THEN 0.0
+             ELSE rep_wstat.top_run / CAST(rep_wstat.n_words AS DOUBLE)
+             END, 6) AS top_word_frac
 FROM scored
+LEFT JOIN rep_wstat USING (doc_id)
+LEFT JOIN rep_lstat USING (doc_id)
+LEFT JOIN rep_gstat USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -151,7 +210,11 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII, since the fixture corpus contains none). Also carries the
     §2.8 string + hash family (:func:`scalars.string_feature_cols` —
     folded here in round 6: same table, same per-row map-only shape,
-    same ``doc_id`` key, frees a registry slot under the 50-row cap).
+    same ``doc_id`` key, frees a registry slot under the 50-row cap)
+    and the Gopher repetition filters
+    (:func:`repetition_metric_cols` — dup line/word/3-gram fractions,
+    modal-word share; DuckDB twin rebuilds them set-wise via
+    unnest+GROUP BY while Spark stays pure array algebra).
     Stays a zero-exchange map-only plan (asserted in test_plans) —
     never spread: a pure Project over the scan must not shuffle at any
     scale."""
@@ -182,6 +245,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality >= 0.5).alias("keep"),
         scrub_pii(payload).alias("scrubbed"),
         *string_feature_cols(),
+        *repetition_metric_cols(F.col("text")),
     )
 
 
@@ -236,35 +300,16 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- intra-document repetition (Gopher/Rae-style repetition filters) ----------
 
 
-def repetition_profile(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-document repetition metrics — the Rae et al. (Gopher) family
-    of repetition filters a pretraining pipeline runs beside the
-    quality score (L8): repeated lines/words/n-grams are the strongest
-    single signal of boilerplate and templated spam.
-
-    Emits, per doc:
-    - ``dup_line_frac``    — 1 − distinct/total over lines,
-    - ``dup_line_char_frac`` — fraction of characters living in lines
-      that occur more than once (catches short-but-huge repeated lines
-      the count-based fraction underweights),
-    - ``dup_word_frac``    — 1 − distinct/total over words,
-    - ``dup_3gram_frac``   — 1 − distinct/total over word 3-grams (the
-      n the Gopher paper found most discriminative mid-range),
-    - ``top_word_frac``    — occurrences of the modal word / words.
-
-    100 TB shape: every metric is array algebra over the row's own
-    tokens (split / sort_array / array_distinct / aggregate with a
-    struct accumulator) — pure whole-stage-codegen, zero exchanges,
-    zero UDFs; composes with ``q_doc_profile``'s keep flag as one
-    map-only pass.
-    """
+def repetition_metric_cols(text_col: Column) -> list[Column]:
+    """The five Gopher repetition metrics as aliased columns (see
+    :func:`repetition_profile` for semantics). Exposed separately so
+    ``q_doc_profile`` folds them into its one map-only pass (round 6 —
+    the driver-visible home of this operator family)."""
     words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
     )
     lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+        F.split(text_col, "\n"), lambda l: F.length(F.trim(l)) > 0
     )
 
     def dup_frac(arr):
@@ -336,8 +381,7 @@ def repetition_profile(
     )
 
     n_words = F.size(words)
-    return docs.select(
-        F.col(id_col),
+    return [
         F.round(dup_frac(lines), 6).alias("dup_line_frac"),
         F.round(
             F.when(total_line_chars <= 0, F.lit(0.0)).otherwise(
@@ -355,4 +399,33 @@ def repetition_profile(
         F.round(
             F.when(n_words <= 0, F.lit(0.0)).otherwise(top_run / n_words), 6
         ).alias("top_word_frac"),
+    ]
+
+
+def repetition_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics — the Rae et al. (Gopher) family
+    of repetition filters a pretraining pipeline runs beside the
+    quality score (L8): repeated lines/words/n-grams are the strongest
+    single signal of boilerplate and templated spam.
+
+    Emits, per doc:
+    - ``dup_line_frac``    — 1 − distinct/total over lines,
+    - ``dup_line_char_frac`` — fraction of characters living in lines
+      that occur more than once (catches short-but-huge repeated lines
+      the count-based fraction underweights),
+    - ``dup_word_frac``    — 1 − distinct/total over words,
+    - ``dup_3gram_frac``   — 1 − distinct/total over word 3-grams (the
+      n the Gopher paper found most discriminative mid-range),
+    - ``top_word_frac``    — occurrences of the modal word / words.
+
+    100 TB shape: every metric is array algebra over the row's own
+    tokens (split / sort_array / array_distinct / aggregate with a
+    struct accumulator) — pure whole-stage-codegen, zero exchanges,
+    zero UDFs; composes with ``q_doc_profile``'s keep flag as one
+    map-only pass (and is folded into that registry row since round 6).
+    """
+    return docs.select(
+        F.col(id_col), *repetition_metric_cols(F.col(text_col))
     )

@@ -46,6 +46,7 @@ HEADLINE: list[str] = [
     "q_curation_mix",
     "q_incremental_dedup",  # round 5: batch-vs-corpus dedup decision
     "q_pack_sequences",  # round 6: prefix-sum sequence packing
+    "q_lm_quality",  # round 6: corpus bigram-LM quality scoring
 ]
 
 

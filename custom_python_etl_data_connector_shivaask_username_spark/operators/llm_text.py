@@ -297,6 +297,147 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X21: corpus n-gram LM quality scoring (CCNet-style) ----------------------
+
+#: add-k smoothing constant — a power of two, so ``count + LM_ALPHA`` and
+#: ``count + LM_ALPHA * V`` are exact in double and both engines compute
+#: the identical probability ratio (the only transcendental step, LN, is
+#: then rounded to 9 decimals before the exact decimal sum).
+LM_ALPHA = 0.5
+
+#: keep docs whose mean bigram log-probability is above this — the
+#: fixture corpus scores -3.6..-3.3 (measured at sf0.01 and sf0.001)
+#: while planted token soup lands below -6 (see
+#: tests/test_llm_text.py::test_lm_quality_separates_token_soup), so
+#: -4.5 keeps every organic doc and drops adversarial outliers.
+LM_KEEP_THRESHOLD = -4.5
+
+_LM_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> length(w) > 0) AS words
+  FROM documents
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(words) AS w FROM toks)
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(words)),
+                i -> array_to_string(words[i:i+1], ' '))) AS gram
+  FROM toks WHERE length(words) >= 2
+),
+model AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY gram
+),
+ctx AS (
+  SELECT split_part(gram, ' ', 1) AS w1, SUM(c2) AS c1
+  FROM model GROUP BY 1
+),
+scored AS (
+  SELECT big.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(CAST(SUM(CAST(
+             ROUND(LN((model.c2 + {LM_ALPHA})
+                      / (ctx.c1 + {LM_ALPHA} * (SELECT v FROM vocab))), 9)
+             AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS s
+  FROM big
+  JOIN model USING (gram)
+  JOIN ctx ON ctx.w1 = split_part(big.gram, ' ', 1)
+  GROUP BY big.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       ROUND(s.s, 6) AS avg_logprob,
+       COALESCE(ROUND(s.s, 6) >= {LM_KEEP_THRESHOLD}, FALSE) AS lm_keep
+FROM documents d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("q_lm_quality", oracle=_LM_QUALITY_ORACLE)
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: n-gram language-model quality scoring (the CCNet/C4 recipe
+    rendered relational): train an add-k-smoothed bigram model ON the
+    corpus itself, then score every document by its mean bigram
+    log-probability. Low scores flag token soup, boilerplate, and
+    wrong-language text that per-row heuristics (L8) miss, because the
+    signal is corpus-relative, not absolute.
+
+    P(w2|w1) = (c(w1 w2) + a) / (c(w1 ·) + a·V), a = 0.5, V = |vocab|.
+
+    Determinism: counts are exact ints; the smoothed ratio is computed
+    in identical double ops in both engines; LN (the one transcendental)
+    is rounded to 9 decimals, decimal-summed exactly (order-free on any
+    cluster size), and the mean is rounded to 6.
+
+    100 TB shape: three gram-keyed shuffles (count model, context
+    marginals, probe join) + one doc_id agg — all linear, no driver
+    state; the vocabulary size rides along as a broadcast 1-row scalar
+    (the guarded-J9 idiom). At scale the model table is itself large, so
+    the probe stays a shuffle join on the gram key (never broadcast);
+    production variants hash grams to 64-bit keys and prune the model to
+    top-M grams with a backoff floor — same plan shape, smaller state.
+    """
+    return lm_quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def lm_quality_scores(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_lm_quality` on an arbitrary (doc_id, text) frame
+    — separated so tests can plant token-soup documents."""
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    toks = docs.select("doc_id", words.alias("words"))
+    vocab = toks.select(F.explode("words").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("words") - 1),
+        lambda i: F.concat_ws(" ", F.slice("words", i, 2)),
+    )
+    big = toks.filter(F.size("words") >= 2).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    model = big.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
+    ctx = model.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
+    logp = F.log(
+        (F.col("c2") + F.lit(LM_ALPHA))
+        / (F.col("c1") + F.lit(LM_ALPHA) * F.col("v"))
+    )
+    scored = (
+        big.join(model, "gram")
+        .withColumn("w1", w1)
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.round(logp, 9).cast("decimal(27,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("s"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round("s", 6).alias("avg_logprob"),
+            F.coalesce(
+                F.round("s", 6) >= LM_KEEP_THRESHOLD, F.lit(False)
+            ).alias("lm_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- intra-document repetition (Gopher/Rae-style repetition filters) ----------
 
 

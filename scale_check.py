@@ -33,6 +33,9 @@ from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_simi
     pq_topk,
     pq_train,
 )
+from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_text import (
+    lm_quality_scores,
+)
 from custom_python_etl_data_connector_shivaask_username_spark.session import get_spark
 from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
@@ -245,6 +248,10 @@ def main() -> None:
                 config=emb_dup_config(5000 * f),
             ),
             "curation_budget": _curation(d),
+            # corpus bigram LM: model + marginals + probe join all scale
+            # with corpus tokens (the perturbation also grows the vocab,
+            # as real corpus growth would)
+            "lm_quality": lm_quality_scores(d),
             "contamination_join": _contamination(d, docs),
             # codebooks trained ONCE on the base corpus (offline, as
             # deployed); the timed path is the per-batch cost: map-only

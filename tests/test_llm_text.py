@@ -153,3 +153,56 @@ def test_repetition_profile_is_map_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map: zero shuffles at any scale
     assert df.count() > 0
+
+
+def test_lm_quality_separates_token_soup(spark):
+    """Planted separation: natural-ish English (repeating common
+    phrases, so its bigrams are corpus-supported) must score far above
+    a token-soup doc whose bigrams never repeat — and the -4.5 keep
+    threshold must split them."""
+    import random
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_text import (
+        LM_KEEP_THRESHOLD,
+        lm_quality_scores,
+    )
+
+    rng = random.Random(7)
+    phrases = [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine every single day",
+        "practice makes perfect when you practice every day",
+    ]
+    natural = [
+        (i, " ".join(rng.choice(phrases) for _ in range(12)))
+        for i in range(40)
+    ]
+    # token soup: unique 12-char gibberish words, no bigram ever repeats
+    soup_words = [
+        "".join(rng.choice("bcdfghjklmnpqrstvwxz") for _ in range(12))
+        for _ in range(400)
+    ]
+    soup = [(100 + i, " ".join(soup_words[i * 40 : (i + 1) * 40])) for i in range(10)]
+    docs = spark.createDataFrame(natural + soup, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm_quality_scores(docs).collect()}
+    nat_scores = [got[i]["avg_logprob"] for i, _ in natural]
+    soup_scores = [got[i]["avg_logprob"] for i, _ in soup]
+    assert min(nat_scores) > max(soup_scores) + 2.0  # wide margin
+    assert all(got[i]["lm_keep"] for i, _ in natural)
+    assert not any(got[i]["lm_keep"] for i, _ in soup)
+    assert min(nat_scores) > LM_KEEP_THRESHOLD > max(soup_scores)
+
+
+def test_lm_quality_plan_shape(spark, sf_dir):
+    """No cartesian blowup: the only nested-loop is the broadcast 1-row
+    vocabulary scalar; everything else joins/aggregates on gram, w1, or
+    doc_id keys."""
+    from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+        QUERIES,
+    )
+
+    df = QUERIES["q_lm_quality"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the 1-row vocab scalar must ride a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,212 @@
+"""X22: continuous aggregates — hypertable-style incremental rollups.
+
+Maintain a materialized time-bucketed rollup of an append-heavy event
+feed as a partitioned parquet store of MERGEABLE PARTIALS
+(count / non-null count / exact-decimal sum / min / max per
+(bucket, event_type)), refreshed incrementally:
+
+- ``refresh_rollup(batch, store, batch_id)`` aggregates ONLY the batch
+  (one map-side-combined shuffle over batch rows — never a rescan of
+  history) and lands the partials under ``day=<d>/batch_id=<id>``
+  partitions via dynamic partition overwrite. A replayed batch carries
+  the same batch_id and replaces exactly its own partitions, so the
+  at-least-once delivery of a Structured Streaming ``foreachBatch``
+  loop converges: refresh is idempotent per (batch, batch_id) with no
+  read-modify-write of the store and no transaction log.
+- ``read_rollup`` merges partials to the user-facing aggregate (avg
+  finalized as exact-decimal sum / non-null count — the compat.py
+  determinism strategy, so the result is identical however many
+  batches the history happens to be split into).
+- ``cascade_rollup`` derives coarser resolutions (hour → day → …) by
+  re-aggregating the stored partials — no raw-event scan, the
+  continuous-aggregate cascade.
+- ``compact_rollup`` folds accumulated per-batch partials into one
+  partial row per (bucket, event_type) behind an atomic staged swap;
+  reads before and after are equivalent (pinned).
+
+100 TB shape: the store holds ``buckets x types`` partial rows —
+metadata-scale next to the raw feed — and a refresh shuffles only the
+batch's partials. Late data lands in whatever old day partition it
+belongs to without touching any other day (pinned by a
+files-untouched test). Read cost grows with uncompacted batch count,
+which is what ``compact_rollup`` bounds; at cluster scale run it on
+the same cadence as the X7 small-file compaction.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import DEC, sql_davg, sql_dsum
+from ..registry import query
+from ..sources.layout import atomic_swap, overwrite_partitions
+from ..tables import load_table
+
+#: partial-aggregate columns in the store, beside the grouping keys
+PARTIAL_COLS = ("cnt", "nval", "sum_dec", "min_value", "max_value")
+
+
+def rollup_partials(
+    events: DataFrame, resolution: str = "hour"
+) -> DataFrame:
+    """Mergeable partials per (time bucket, event_type) — commutative
+    and associative, so any batch split of the feed merges to the same
+    totals (sums are exact decimals, not order-dependent doubles)."""
+    return (
+        events.groupBy(
+            F.date_trunc(resolution, "ts").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("value").alias("nval"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("day", F.to_date("bucket_start"))
+    )
+
+
+def refresh_rollup(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    resolution: str = "hour",
+) -> None:
+    """Incremental refresh: batch partials land under
+    ``day=<d>/batch_id=<id>`` — dynamic overwrite touches exactly the
+    partitions this (batch, batch_id) owns, so sibling days AND other
+    batches' files are untouched bytes, and a replay of the same batch
+    under the same id is a no-op state-wise (idempotent)."""
+    parts = rollup_partials(batch, resolution).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    overwrite_partitions(parts, store_path, ["day", "batch_id"])
+
+
+def _merge_partials(parts: DataFrame, bucket: F.Column) -> DataFrame:
+    return parts.groupBy(
+        bucket.alias("window_start"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("event_count"),
+        F.sum("nval").alias("_nval"),
+        F.sum("sum_dec").alias("_sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def _finalize(merged: DataFrame) -> DataFrame:
+    return merged.select(
+        "window_start",
+        "event_type",
+        "event_count",
+        F.col("_sum_dec").cast("double").alias("total_value"),
+        (F.col("_sum_dec").cast("double") / F.col("_nval")).alias(
+            "avg_value"
+        ),
+        "min_value",
+        "max_value",
+    )
+
+
+def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+    """User-facing rollup: merge all stored partials and finalize."""
+    parts = spark.read.parquet(store_path)
+    return _finalize(_merge_partials(parts, F.col("bucket_start")))
+
+
+def cascade_rollup(
+    spark: SparkSession, store_path: str, resolution: str = "day"
+) -> DataFrame:
+    """Coarser resolution from the stored partials alone (the
+    continuous-aggregate cascade): re-bucket ``bucket_start`` and
+    merge — never a raw-event scan."""
+    parts = spark.read.parquet(store_path)
+    return _finalize(
+        _merge_partials(parts, F.date_trunc(resolution, "bucket_start"))
+    )
+
+
+def compact_rollup(spark: SparkSession, store_path: str) -> None:
+    """Fold per-batch partials into ONE partial row per
+    (bucket, event_type) under ``batch_id=-1``, swapped in atomically.
+    Bounded work: the store is buckets x types x batches rows. Reads
+    are equivalent before and after (pinned); subsequent refreshes
+    keep appending fresh batch ids beside the compacted base."""
+    parts = spark.read.parquet(store_path)
+    folded = (
+        parts.groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("nval").alias("nval"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("day", F.to_date("bucket_start"))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    staging = store_path.rstrip("/") + "__compacting"
+    (
+        folded.repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day", "batch_id")
+        .parquet(staging)
+    )
+    atomic_swap(spark, staging, store_path)
+
+
+# --- X22 driver-checked row ---------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       {sql_dsum('value', 'total_value')},
+       {sql_davg('value', 'avg_value')},
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@query("q_rollup_incremental", oracle=_ROLLUP_ORACLE)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 end-to-end: the events feed applied as THREE incremental
+    refreshes — an early-time batch, a late-time batch, and a
+    held-back "late data" slice (every 37th event withheld from its
+    natural time batch, arriving last into old buckets) — followed by
+    a REPLAY of batch 1 under its original id (at-least-once
+    delivery) and a store compaction. The returned hourly rollup must
+    equal a direct one-pass GROUP BY over all events (the DuckDB
+    oracle): merge-correctness, late-data routing, replay idempotency,
+    and compaction equivalence are all inside the hash check.
+
+    Scratch dirs are per-call temp dirs; the returned frame reads the
+    final store lazily, so nothing may delete it before collection.
+    """
+    base = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    store = f"{base}/rollup_store"
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    mid = lo + (hi - lo) / 2
+    late = F.col("event_id") % 37 == 0
+    batches = [
+        ev.filter(~late & (F.col("ts") < F.lit(mid))),
+        ev.filter(~late & (F.col("ts") >= F.lit(mid))),
+        ev.filter(late),
+    ]
+    for i, b in enumerate(batches):
+        refresh_rollup(b, store, batch_id=i)
+    refresh_rollup(batches[0], store, batch_id=0)  # replayed delivery
+    compact_rollup(spark, store)
+    return read_rollup(spark, store).orderBy("window_start", "event_type")

@@ -61,6 +61,7 @@ def load_all() -> None:
         llm_text,
         pricing,
         relational,
+        rollup,
         scalars,
         setops,
         sorting,

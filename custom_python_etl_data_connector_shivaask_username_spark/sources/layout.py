@@ -227,6 +227,14 @@ def compact_partitions(
     write_partitioned(
         merged, staging, partition_cols, files_per_partition, mode="overwrite"
     )
+    atomic_swap(spark, staging, path)
+
+
+def atomic_swap(spark: SparkSession, staging: str, path: str) -> None:
+    """Replace ``path`` with ``staging`` via filesystem rename — the
+    metadata-only commit step shared by every staged rewrite (table
+    compaction, rollup-store compaction). On HDFS/local rename is
+    atomic; object stores need their own commit protocol."""
     hconf = spark._jsc.hadoopConfiguration()
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(

@@ -48,17 +48,37 @@ def test_top_k_never_fully_sorts(spark, sf_dir):
     # offset+limit pagination still collapses to TakeOrderedAndProject —
     # per-partition heaps of (offset+limit) rows, offset dropped at the
     # driver merge; a full sort never materializes
-    df = QUERIES["q_top_orders_page"](spark, sf_dir)
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.sorting import (
+        q_top_orders_page,
+    )
+
+    df = q_top_orders_page(spark, sf_dir)
     assert has_node(df, "TakeOrderedAndProject")
     assert count_exchanges(df) == 0
 
 
 def test_global_sort_is_range_partitioned(spark, sf_dir):
     # O1's scale shape: sampled range boundaries + per-partition sort
-    df = QUERIES["q_ordered_priorities"](spark, sf_dir)
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.sorting import (
+        q_ordered_priorities,
+    )
+
+    df = q_ordered_priorities(spark, sf_dir)
     plan = formatted_plan(df)
     assert "rangepartitioning" in plan.lower()
     assert has_node(df, "Sort")
+
+
+def test_sorting_suite_union_preserves_arm_shapes(spark, sf_dir):
+    # the round-6 fold must not cost either arm its physical shape:
+    # TakeOrderedAndProject (page) and rangepartitioning+Sort
+    # (global_sort) coexist under the Union, and the page arm adds no
+    # exchange (exactly 1 total: the range sort)
+    df = QUERIES["q_sorting_suite"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert "rangepartitioning" in plan.lower()
+    assert count_exchanges(df) == 1
 
 
 def test_semi_and_anti_join_shapes(spark, sf_dir):

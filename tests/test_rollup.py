@@ -1,0 +1,148 @@
+"""X22 continuous-aggregate pins: partition-touch isolation, replay
+idempotency, cascade correctness, compaction equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+    cascade_rollup,
+    compact_rollup,
+    read_rollup,
+    refresh_rollup,
+    rollup_partials,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 3, d, h, mi), f"u{i % 3}", t, v)
+            for i, (d, h, mi, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string, value double",
+    )
+
+
+def _snapshot(path):
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+
+
+def test_refresh_touches_only_its_partitions(spark, tmp_path):
+    store = str(tmp_path / "store")
+    day1 = [(1, 10, 0, "view", 1.0), (1, 10, 30, "click", 2.0)]
+    day2 = [(2, 9, 0, "view", 3.0)]
+    refresh_rollup(_events(spark, day1), store, batch_id=0)
+    before = _snapshot(store)
+    assert before, "batch 0 wrote files"
+    # a later batch entirely inside day 2 must not rewrite day 1 bytes
+    refresh_rollup(_events(spark, day2), store, batch_id=1)
+    after = _snapshot(store)
+    for f, mtime in before.items():
+        assert after[f] == mtime, f"day-1 file rewritten: {f}"
+    assert len(after) > len(before)
+
+
+def test_replay_same_batch_id_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = [(1, 10, 0, "view", 1.0), (1, 11, 0, "view", 5.0)]
+    refresh_rollup(_events(spark, rows), store, batch_id=0)
+    once = sorted(map(tuple, read_rollup(spark, store).collect()))
+    refresh_rollup(_events(spark, rows), store, batch_id=0)  # redelivery
+    twice = sorted(map(tuple, read_rollup(spark, store).collect()))
+    assert once == twice
+
+
+def test_incremental_equals_full_recompute_with_late_data(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = [
+        (1, 10, 0, "view", 1.0),
+        (1, 10, 45, "view", 3.0),
+        (2, 9, 0, "click", 2.0),
+        (3, 8, 15, "view", 7.0),
+    ]
+    all_ev = _events(spark, rows)
+    # day-3 batch first, then day 1-2, then a LATE arrival into day 1's
+    # 10:00 bucket — three refreshes against a store that already holds
+    # newer data
+    refresh_rollup(all_ev.filter("event_id = 3"), store, 0)
+    refresh_rollup(all_ev.filter("event_id IN (0, 2)"), store, 1)
+    refresh_rollup(all_ev.filter("event_id = 1"), store, 2)
+    got = sorted(map(tuple, read_rollup(spark, store).collect()))
+    # direct one-pass recompute
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        _finalize,
+        _merge_partials,
+    )
+
+    direct = sorted(
+        map(
+            tuple,
+            _finalize(
+                _merge_partials(
+                    rollup_partials(all_ev), F.col("bucket_start")
+                )
+            ).collect(),
+        )
+    )
+    assert got == direct
+
+
+def test_cascade_daily_equals_direct_daily(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = [
+        (1, 10, 0, "view", 1.0),
+        (1, 22, 0, "view", 3.0),
+        (2, 9, 0, "view", 2.0),
+    ]
+    all_ev = _events(spark, rows)
+    refresh_rollup(all_ev.filter("event_id < 2"), store, 0)
+    refresh_rollup(all_ev.filter("event_id >= 2"), store, 1)
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        _finalize,
+        _merge_partials,
+    )
+
+    got = sorted(
+        map(tuple, cascade_rollup(spark, store, "day").collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            _finalize(
+                _merge_partials(
+                    rollup_partials(all_ev, "day"), F.col("bucket_start")
+                )
+            ).collect(),
+        )
+    )
+    assert got == direct
+
+
+def test_compaction_preserves_reads_and_shrinks_store(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rows = [(1, 10, i, "view", float(i)) for i in range(6)]
+    ev = _events(spark, rows)
+    for i in range(3):
+        refresh_rollup(ev.filter(f"event_id % 3 = {i}"), store, i)
+    before = sorted(map(tuple, read_rollup(spark, store).collect()))
+    raw_rows_before = spark.read.parquet(store).count()
+    compact_rollup(spark, store)
+    after = sorted(map(tuple, read_rollup(spark, store).collect()))
+    raw_rows_after = spark.read.parquet(store).count()
+    assert before == after
+    assert raw_rows_after < raw_rows_before  # 3 partials -> 1 per bucket
+    # refresh keeps working against the compacted base
+    refresh_rollup(
+        _events(spark, [(2, 5, 0, "view", 9.0)]), store, 3
+    )
+    assert read_rollup(spark, store).filter(
+        "event_type = 'view'"
+    ).count() > 0

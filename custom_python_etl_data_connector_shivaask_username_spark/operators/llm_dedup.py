@@ -1122,6 +1122,9 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type (exactness/zipf pins in tests/test_aggregates.py);
     - ``pq``: X18 product-quantization ADC top-10 (train→encode→LUT
       scan end-to-end; recall pins in this file's pq tests).
+    - ``bpe``: X23 BPE tokenizer training — the learned merge list
+      (rank, pair, weighted freq) over the fixture corpus; exact merge
+      order and determinism pinned in tests/test_llm_bpe.py.
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -1213,6 +1216,29 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_score").alias("score"),
         F.lit("pq_adc").alias("detail"),
     )
+    # bpe: X23 tokenizer training — the learned merge list over the
+    # fixture corpus (deterministic: exact integer pair counts +
+    # lexicographic tie-break, pinned in tests/test_llm_bpe.py); the
+    # driver sees (rank, pair, weighted frequency) rows
+    from .llm_bpe import bpe_train
+
+    bpe_merges = bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=8, min_freq=2
+    )
+    bpe = spark.createDataFrame(
+        [
+            (i, a, b, float(pf))
+            for i, (a, b, pf) in enumerate(bpe_merges)
+        ],
+        "rank long, a string, b string, pair_freq double",
+    ).select(
+        F.lit("bpe").alias("branch"),
+        F.col("rank").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.concat_ws("+", "a", "b").alias("label"),
+        F.col("pair_freq").alias("score"),
+        F.lit("bpe_merge").alias("detail"),
+    )
     return (
         pairs.unionByName(ann)
         .unionByName(sigs)
@@ -1220,5 +1246,6 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sketches)
         .unionByName(heavy)
         .unionByName(pq)
+        .unionByName(bpe)
         .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

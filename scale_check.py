@@ -106,6 +106,20 @@ def _curation(docs: DataFrame):
     return build
 
 
+def _bpe_case(docs: DataFrame):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_bpe import (
+        bpe_train,
+    )
+
+    def build() -> DataFrame:
+        merges = bpe_train(docs, n_merges=8, min_freq=2)
+        return docs.sparkSession.createDataFrame(
+            merges, "a string, b string, pair_freq long"
+        )
+
+    return build
+
+
 def _contamination(train: DataFrame, base_docs: DataFrame) -> DataFrame:
     """Benchmark-contamination shape over the FULL replicated corpus:
     fixed small benchmark set (10 base docs) broadcast into the gram
@@ -252,6 +266,10 @@ def main() -> None:
             # with corpus tokens (the perturbation also grows the vocab,
             # as real corpus growth would)
             "lm_quality": lm_quality_scores(d),
+            # BPE training: ONE corpus-wide word-freq pass, then 8
+            # merge rounds on the vocab-sized table (built inside the
+            # clock via the thunk; returns the merge list as a frame)
+            "bpe_train": _bpe_case(d),
             "contamination_join": _contamination(d, docs),
             # codebooks trained ONCE on the base corpus (offline, as
             # deployed); the timed path is the per-batch cost: map-only

@@ -146,3 +146,64 @@ def test_compaction_preserves_reads_and_shrinks_store(spark, tmp_path):
     assert read_rollup(spark, store).filter(
         "event_type = 'view'"
     ).count() > 0
+
+
+def test_streaming_foreachbatch_drives_refresh(spark, tmp_path):
+    """X22 under its intended driver: a Structured Streaming
+    foreachBatch loop (availableNow, maxFilesPerTrigger=1 so each file
+    is one real micro-batch) calling refresh_rollup with the
+    engine-provided batch_id. The resulting store must read identically
+    to a one-shot batch rollup of the same events."""
+    import datetime as dtm
+
+    feed = str(tmp_path / "feed")
+    store = str(tmp_path / "store")
+    rows_a = [(0, dtm.datetime(2024, 3, 1, 10, 0), "u0", "view", 1.0)]
+    rows_b = [
+        (1, dtm.datetime(2024, 3, 1, 10, 30), "u1", "view", 3.0),
+        (2, dtm.datetime(2024, 3, 2, 9, 0), "u0", "click", 2.0),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id string, "
+        "event_type string, value double"
+    )
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda batch, bid: refresh_rollup(batch, store, batch_id=bid)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, read_rollup(spark, store).collect()))
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        _finalize,
+        _merge_partials,
+    )
+
+    direct = sorted(
+        map(
+            tuple,
+            _finalize(
+                _merge_partials(
+                    rollup_partials(spark.createDataFrame(rows_a + rows_b, schema)),
+                    F.col("bucket_start"),
+                )
+            ).collect(),
+        )
+    )
+    assert got == direct

@@ -409,17 +409,27 @@ def lm_quality_scores(docs: DataFrame) -> DataFrame:
         (F.col("c2") + F.lit(LM_ALPHA))
         / (F.col("c1") + F.lit(LM_ALPHA) * F.col("v"))
     )
-    scored = (
-        big.join(model, "gram")
-        .withColumn("w1", w1)
+    # finalize the per-gram log-prob on the VOCAB-sized model table
+    # (one small w1 join + the broadcast scalar), so the corpus-sized
+    # probe join carries a single ready column and the only big-frame
+    # exchanges are the gram agg (reused by the probe) + the doc agg —
+    # joining ctx onto every corpus bigram row instead measured
+    # 2.69 s vs 1.81 s best-of-3 at sf0.1
+    model_scored = (
+        model.withColumn("w1", w1)
         .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram", F.round(logp, 9).cast("decimal(27,9)").alias("logp9")
+        )
+    )
+    scored = (
+        big.join(model_scored, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             (
-                F.sum(F.round(logp, 9).cast("decimal(27,9)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum("logp9").cast("double") / F.count(F.lit(1))
             ).alias("s"),
         )
     )

@@ -88,3 +88,15 @@ def test_more_merges_never_increase_token_count(spark):
         )
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] < counts[0]  # merges actually compress
+
+
+def test_training_invariant_to_input_partitioning(spark):
+    """The merge list may not depend on how the corpus is split across
+    tasks — exact integer counts + lexicographic tie-break make the
+    argmax layout-free (the property that matters on 1000 executors)."""
+    docs = _docs(
+        spark, ["the cat sat on the mat", "a cat a mat", "the end"]
+    )
+    a = bpe_train(docs, n_merges=6, min_freq=1)
+    b = bpe_train(docs.repartition(7), n_merges=6, min_freq=1)
+    assert a == b

@@ -206,3 +206,22 @@ def test_lm_quality_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the 1-row vocab scalar must ride a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lm_quality_invariant_to_input_partitioning(spark):
+    """Scores may not depend on task layout: counts are exact ints and
+    the decimal-summed rounded log-probs are order-free, so any
+    repartitioning yields bit-identical rows."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_text import (
+        lm_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} alpha beta") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, lm_quality_scores(docs).collect()))
+    b = sorted(
+        map(tuple, lm_quality_scores(docs.repartition(11)).collect())
+    )
+    assert a == b

@@ -159,17 +159,28 @@ def bpe_encode(
 ) -> DataFrame:
     """(id, n_tokens, tokens_csv): corpus encoded with the learned
     merges — map-only Arrow batches, merge table broadcast in the
-    closure (KBs). tokens_csv keeps the driver-facing schema scalar."""
+    closure (KBs). tokens_csv keeps the driver-facing schema scalar.
+
+    Tokenization happens in SPARK expressions — the same
+    ``lower``/``\\s+``-split/non-empty-filter as ``word_freq_table`` —
+    before the rows reach Python, so encode-time words are identical
+    to the trained vocabulary by construction (round-6 review finding:
+    Python ``str.split()`` treats Unicode whitespace like NBSP as a
+    separator and ``str.lower()`` differs on locale chars, where Java
+    ``\\s`` and ``lower`` do not — tokenizing in two engines would
+    silently diverge on such corpora)."""
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
-    fields = [id_col, text_col]
+    words_col = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_n, out_tok = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            for did, words in zip(pdf[id_col], pdf["_words"]):
                 toks: list[str] = []
-                for w in str(text).lower().split():
-                    toks.extend(_encode_word(w, ranks))
+                for w in words:
+                    toks.extend(_encode_word(str(w), ranks))
                 out_ids.append(did)
                 out_n.append(len(toks))
                 out_tok.append(" ".join(toks))
@@ -177,6 +188,6 @@ def bpe_encode(
                 {id_col: out_ids, "n_tokens": out_n, "tokens": out_tok}
             )
 
-    return docs.select(*fields).mapInPandas(
-        encode, f"{id_col} long, n_tokens long, tokens string"
-    )
+    return docs.select(
+        F.col(id_col), words_col.alias("_words")
+    ).mapInPandas(encode, f"{id_col} long, n_tokens long, tokens string")

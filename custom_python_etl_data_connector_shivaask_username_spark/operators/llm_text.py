@@ -302,8 +302,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: add-k smoothing constant — a power of two, so ``count + LM_ALPHA`` and
 #: ``count + LM_ALPHA * V`` are exact in double and both engines compute
 #: the identical probability ratio (the only transcendental step, LN, is
-#: then rounded to 9 decimals before the exact decimal sum).
+#: then quantized to integer micro-log-probs before the exact sum).
 LM_ALPHA = 0.5
+
+#: per-gram log-probs are quantized to ``floor(logp * LM_QUANT + 0.5)``
+#: INTEGERS — pure binary double ops + an exact floor, identical in both
+#: engines — then summed exactly. Decimal ROUND is deliberately absent:
+#: Spark rounds the double's shortest decimal repr (BigDecimal HALF_UP)
+#: while DuckDB rounds the binary value, and the two disagree when a
+#: value lands exactly on a half boundary (the round-6 formulation
+#: flipped doc 3831 at the sf1.0 sweep: avg -4.0103135 → -4.010314 vs
+#: -4.010313). At 1e6 quantum a cross-engine LN ulp (~1e-15 rel) flips
+#: a gram's integer only with ~1e-8 probability per distinct gram.
+LM_QUANT = 1_000_000.0
 
 #: keep docs whose mean bigram log-probability is above this — the
 #: fixture corpus scores -3.6..-3.3 (measured at sf0.01 and sf0.001)
@@ -339,10 +350,11 @@ ctx AS (
 scored AS (
   SELECT big.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         CAST(CAST(SUM(CAST(
-             ROUND(LN((model.c2 + {LM_ALPHA})
-                      / (ctx.c1 + {LM_ALPHA} * (SELECT v FROM vocab))), 9)
-             AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS s
+         CAST(SUM(CAST(floor(
+             LN((model.c2 + {LM_ALPHA})
+                / (ctx.c1 + {LM_ALPHA} * (SELECT v FROM vocab)))
+             * {LM_QUANT} + 0.5) AS BIGINT)) AS DOUBLE)
+           / {LM_QUANT} / COUNT(*) AS s
   FROM big
   JOIN model USING (gram)
   JOIN ctx ON ctx.w1 = split_part(big.gram, ' ', 1)
@@ -350,8 +362,8 @@ scored AS (
 )
 SELECT d.doc_id,
        COALESCE(s.n_bigrams, 0) AS n_bigrams,
-       ROUND(s.s, 6) AS avg_logprob,
-       COALESCE(ROUND(s.s, 6) >= {LM_KEEP_THRESHOLD}, FALSE) AS lm_keep
+       s.s AS avg_logprob,
+       COALESCE(s.s >= {LM_KEEP_THRESHOLD}, FALSE) AS lm_keep
 FROM documents d
 LEFT JOIN scored s USING (doc_id)
 ORDER BY doc_id
@@ -371,8 +383,10 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: counts are exact ints; the smoothed ratio is computed
     in identical double ops in both engines; LN (the one transcendental)
-    is rounded to 9 decimals, decimal-summed exactly (order-free on any
-    cluster size), and the mean is rounded to 6.
+    is quantized to integer micro-log-probs (``LM_QUANT`` — pure binary
+    arithmetic + exact floor, never a decimal-string ROUND), summed as
+    exact integers (order-free on any cluster size), and the mean is
+    the identical correctly-rounded double division in both engines.
 
     100 TB shape: three gram-keyed shuffles (count model, context
     marginals, probe join) + one doc_id agg — all linear, no driver
@@ -420,7 +434,10 @@ def lm_quality_scores(docs: DataFrame) -> DataFrame:
         .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "gram", F.round(logp, 9).cast("decimal(27,9)").alias("logp9")
+            "gram",
+            F.floor(logp * LM_QUANT + F.lit(0.5))
+            .cast("long")
+            .alias("logp_q"),
         )
     )
     scored = (
@@ -429,7 +446,9 @@ def lm_quality_scores(docs: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             (
-                F.sum("logp9").cast("double") / F.count(F.lit(1))
+                F.sum("logp_q").cast("double")
+                / F.lit(LM_QUANT)
+                / F.count(F.lit(1))
             ).alias("s"),
         )
     )
@@ -439,10 +458,10 @@ def lm_quality_scores(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
-            F.round("s", 6).alias("avg_logprob"),
-            F.coalesce(
-                F.round("s", 6) >= LM_KEEP_THRESHOLD, F.lit(False)
-            ).alias("lm_keep"),
+            F.col("s").alias("avg_logprob"),
+            F.coalesce(F.col("s") >= LM_KEEP_THRESHOLD, F.lit(False)).alias(
+                "lm_keep"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -35,6 +35,8 @@ the same cadence as the X7 small-file compaction.
 
 from __future__ import annotations
 
+import json
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +73,20 @@ def rollup_partials(
     )
 
 
+#: underscore prefix → invisible to the parquet reader; records the
+#: highest batch_id already folded into the ``batch_id=-1`` base by
+#: compaction, so a post-compaction redelivery cannot double-count
+_FOLDED_SIDECAR = "_folded_watermark.json"
+
+
+def _folded_watermark(store_path: str) -> int:
+    try:
+        with open(os.path.join(store_path, _FOLDED_SIDECAR)) as fh:
+            return int(json.load(fh)["max_folded_batch_id"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
 def refresh_rollup(
     batch: DataFrame,
     store_path: str,
@@ -81,7 +97,16 @@ def refresh_rollup(
     ``day=<d>/batch_id=<id>`` — dynamic overwrite touches exactly the
     partitions this (batch, batch_id) owns, so sibling days AND other
     batches' files are untouched bytes, and a replay of the same batch
-    under the same id is a no-op state-wise (idempotent)."""
+    under the same id is a no-op state-wise (idempotent).
+
+    Redelivery AFTER a compaction folded this batch id away would
+    recreate its partitions beside the ``batch_id=-1`` base and double
+    count (round-6 review finding); the folded-watermark sidecar makes
+    that replay a skip instead — batch ids are monotone under the
+    Structured Streaming checkpoint contract, so ``id <= watermark``
+    precisely identifies already-folded deliveries."""
+    if batch_id <= _folded_watermark(store_path):
+        return  # this delivery's rows already live in the compacted base
     parts = rollup_partials(batch, resolution).withColumn(
         "batch_id", F.lit(batch_id)
     )
@@ -137,8 +162,14 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
     (bucket, event_type) under ``batch_id=-1``, swapped in atomically.
     Bounded work: the store is buckets x types x batches rows. Reads
     are equivalent before and after (pinned); subsequent refreshes
-    keep appending fresh batch ids beside the compacted base."""
+    keep appending fresh batch ids beside the compacted base, while
+    redeliveries of folded ids are skipped via the watermark sidecar
+    (pinned: replay-after-compaction does not double-count)."""
     parts = spark.read.parquet(store_path)
+    max_id = parts.agg(F.max("batch_id")).first()[0]
+    watermark = max(
+        _folded_watermark(store_path), int(max_id if max_id is not None else -1)
+    )
     folded = (
         parts.groupBy("bucket_start", "event_type")
         .agg(
@@ -158,6 +189,8 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
         .partitionBy("day", "batch_id")
         .parquet(staging)
     )
+    with open(os.path.join(staging, _FOLDED_SIDECAR), "w") as fh:
+        json.dump({"max_folded_batch_id": watermark}, fh)
     atomic_swap(spark, staging, store_path)
 
 
@@ -190,9 +223,14 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and compaction equivalence are all inside the hash check.
 
     Scratch dirs are per-call temp dirs; the returned frame reads the
-    final store lazily, so nothing may delete it before collection.
+    final store lazily, so the dir must outlive collection — cleanup is
+    deferred to interpreter exit (atexit), not leaked across rounds.
     """
+    import atexit
+    import shutil
+
     base = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     store = f"{base}/rollup_store"
     ev = load_table(spark, sf_dir, "events")
     lo, hi = ev.agg(

@@ -118,7 +118,11 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W3 + W4(moving): event deltas and trailing average ----------------------
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+#: 30-minute inactivity gap — single source of truth for BOTH the batch
+#: sessionization here and streaming ST4 (pipeline.py imports it), so
+#: the two renderings cannot silently diverge.
+SESSION_GAP_MIN = 30
+SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 _EVENT_DELTAS_ORACLE = f"""
 WITH base AS (
@@ -161,9 +165,13 @@ def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-boundary semantics to disagree on), a 7-row trailing average
     with an exact-decimal numerator, and the classic lag-then-cumsum
     session assignment (``session_seq`` — a new session starts at the
-    first event or after a >30 min silence; the batch twin of ST4's
-    ``session_window``, see tests/test_windows equivalence pin). All
-    three frames share the one user_id shuffle and ordering."""
+    first event or after a silence STRICTLY longer than the 30-min
+    gap; ``>`` not ``>=`` because native ``session_window`` MERGES an
+    event arriving at exactly ``last_ts + gap`` — verified empirically
+    by the exact-gap boundary pin in tests/test_streaming_sessions.py,
+    so the batch twin agrees at the boundary, not just on gap-free
+    fixtures. All three frames share the one user_id shuffle and
+    ordering."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(-6, 0)

@@ -196,16 +196,7 @@ def write_zordered(
     out = arranged.sortWithinPartitions("_z").drop("_z")
     staging = path.rstrip("/") + "__zordering"
     out.write.mode(mode).parquet(staging)
-    spark = df.sparkSession
-    hconf = spark._jsc.hadoopConfiguration()
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(staging), hconf
-    )
-    target = jvm.org.apache.hadoop.fs.Path(path)
-    fs.delete(target, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), target):
-        raise IOError(f"rename {staging} -> {path} failed")
+    atomic_swap(df.sparkSession, staging, path)
 
 
 def compact_partitions(

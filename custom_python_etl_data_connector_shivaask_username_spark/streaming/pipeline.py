@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.windows import SESSION_GAP_MIN
 from ..registry import query
 from ..session import apply_runtime_confs
 from ..tables import load_table, normalize_events_ts
@@ -284,12 +285,16 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the contract the DuckDB ``QUALIFY row_number() ... = 1``
     oracle hash-checks. Scratch dirs (feed + checkpoint + table) are
     per-call temp dirs and stay on disk until process exit — the
-    returned frame reads the final table lazily, so nothing may delete
-    it before the driver collects.
+    returned frame reads the final table lazily, so the dir must
+    outlive collection — cleanup is deferred to interpreter exit
+    (atexit), not leaked across rounds.
     """
+    import atexit
+    import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     feed_dir = f"{base}/feed"
     table_path = f"{base}/entities"
     ev = load_table(spark, sf_dir, "events")
@@ -419,7 +424,9 @@ def q_stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ST4: session windows ------------------------------------------------------
 
-SESSION_GAP_MIN = 30
+# SESSION_GAP_MIN is imported from operators/windows.py (single source
+# of truth shared with the batch twin q_event_deltas.session_seq; see
+# the >= boundary doctrine there)
 
 _SESSION_ORACLE = f"""
 WITH marked AS (

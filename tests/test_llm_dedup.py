@@ -498,12 +498,17 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     # emb_dup may be empty at the production 0.95 threshold (the
     # fixture has no true near-dups); all other branches must emit
     assert branches >= {
-        "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq"
+        "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq",
+        "bpe",
     }
     assert branches <= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
-        "heavy", "pq",
+        "heavy", "pq", "bpe",
     }
+    bpe = [r for r in rows if r["branch"] == "bpe"]
+    assert bpe and all(
+        r["label"] and "+" in r["label"] and r["score"] >= 2 for r in bpe
+    )
     heavy = [r for r in rows if r["branch"] == "heavy"]
     assert len(heavy) == 5 and all(r["id_b"] > 0 for r in heavy)
     pq = [r for r in rows if r["branch"] == "pq"]

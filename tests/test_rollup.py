@@ -207,3 +207,27 @@ def test_streaming_foreachbatch_drives_refresh(spark, tmp_path):
         )
     )
     assert got == direct
+
+
+def test_replay_after_compaction_does_not_double_count(spark, tmp_path):
+    """At-least-once hazard the folded-watermark sidecar closes: batch
+    N's write completes, compaction folds it into the batch_id=-1
+    base, THEN the checkpoint-uncommitted batch N is redelivered. The
+    redelivery must be skipped (its rows already live in the base);
+    a genuinely new batch id past the watermark still applies."""
+    store = str(tmp_path / "store")
+    b0 = _events(spark, [(1, 10, 0, "view", 1.0)])
+    b1 = _events(spark, [(1, 11, 0, "view", 5.0)])
+    refresh_rollup(b0, store, batch_id=0)
+    refresh_rollup(b1, store, batch_id=1)
+    before = sorted(map(tuple, read_rollup(spark, store).collect()))
+    compact_rollup(spark, store)
+    refresh_rollup(b1, store, batch_id=1)  # redelivery of a folded batch
+    after = sorted(map(tuple, read_rollup(spark, store).collect()))
+    assert after == before
+    refresh_rollup(
+        _events(spark, [(2, 9, 0, "click", 2.0)]), store, batch_id=2
+    )
+    assert (
+        read_rollup(spark, store).filter("event_type = 'click'").count() == 1
+    )

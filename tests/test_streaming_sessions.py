@@ -241,3 +241,68 @@ def test_batch_sessionization_matches_session_window(spark, sf_dir):
         .collect()
     }
     assert batch == native
+
+
+def test_session_boundary_exact_gap_agrees_with_session_window(spark):
+    """Boundary doctrine, verified against the engine rather than
+    assumed: native session_window MERGES an event arriving at EXACTLY
+    last_ts + gap (measured here — a round-6 review claimed the window
+    was half-open and the batch rule should be >=; this pin records the
+    actual closed-end behavior), and one microsecond past the gap opens
+    a new session. The batch lag-cumsum rule must therefore use
+    STRICT > to agree at both boundaries."""
+    import datetime as dtm
+
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        SESSION_GAP_MIN,
+    )
+
+    t0 = dtm.datetime(2024, 5, 1, 12, 0, 0)
+    gap = dtm.timedelta(minutes=SESSION_GAP_MIN)
+    rows = [
+        # user a: second event exactly at the boundary -> MERGED
+        (1, t0, "a", "view", 1.0),
+        (2, t0 + gap, "a", "view", 1.0),
+        # user b: 1 us PAST the gap -> 2 sessions
+        (3, t0, "b", "view", 1.0),
+        (4, t0 + gap + dtm.timedelta(microseconds=1), "b", "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, "
+        "event_type string, value double",
+    )
+    native = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert native == {"a": 1, "b": 2}  # closed-end merge at exactly +gap
+
+    from pyspark.sql import Window
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.windows import (
+        SESSION_GAP_US,
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    micros = F.unix_micros(F.col("ts"))
+    prev = F.unix_micros(F.lag("ts").over(w))
+    seq = F.sum(
+        F.when(prev.isNull() | ((micros - prev) > SESSION_GAP_US), 1)
+        .otherwise(0)
+    ).over(wc)
+    batch = {
+        r["user_id"]: r["n"]
+        for r in ev.select("user_id", seq.alias("session_seq"))
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n"))
+        .collect()
+    }
+    assert batch == native

@@ -1125,6 +1125,11 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bpe``: X23 BPE tokenizer training — the learned merge list
       (rank, pair, weighted freq) over the fixture corpus; exact merge
       order and determinism pinned in tests/test_llm_bpe.py.
+    - ``semdedup``: X24 semantic dedup (k-means cells + within-cell
+      cosine + CC survivors) at the production 0.95 bar — dropped-id
+      rows (zero on the near-random fixture = no false positives) +
+      a kept-count summary row; planted-group accuracy and
+      brute-force equivalence pinned in tests/test_llm_dedup.py.
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -1216,6 +1221,33 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_score").alias("score"),
         F.lit("pq_adc").alias("detail"),
     )
+    # semdedup: X24 semantic dedup at the production 0.95 bar — like
+    # the emb_dup branch, the near-random fixture yields ZERO dropped
+    # rows (no false positives is the assertion); the kept-count row
+    # keeps the branch visible and pins corpus size minus drops.
+    # Accuracy on planted duplicate groups is pinned in
+    # tests/test_llm_dedup.py (incl. brute-force equivalence).
+    from .llm_similarity import semantic_dedup
+
+    sem_kept = semantic_dedup(emb, threshold=0.95, n_clusters=8)
+    sem_dropped = emb.join(sem_kept, "vec_id", "left_anti").select(
+        F.lit("semdedup").alias("branch"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit("dropped@0.95").alias("detail"),
+    )
+    sem_summary = sem_kept.agg(
+        F.count(F.lit(1)).alias("_kept")
+    ).select(
+        F.lit("semdedup").alias("branch"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.col("_kept").alias("id_b"),
+        F.lit("kept_count").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit("semdedup@0.95").alias("detail"),
+    )
     # bpe: X23 tokenizer training — the learned merge list over the
     # fixture corpus (deterministic: exact integer pair counts +
     # lexicographic tie-break, pinned in tests/test_llm_bpe.py); the
@@ -1247,5 +1279,7 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(heavy)
         .unionByName(pq)
         .unionByName(bpe)
+        .unionByName(sem_dropped)
+        .unionByName(sem_summary)
         .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

@@ -630,6 +630,66 @@ def embedding_dedup(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    n_clusters: int = 16,
+    iters: int = 3,
+    train_fraction: float | None = None,
+    max_cell: int = MAX_LABEL_BLOCK,
+) -> DataFrame:
+    """X24 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means-clustering the embedding space and
+    removing cosine near-duplicates WITHIN each learned cluster,
+    keeping the min-id survivor of each duplicate group.
+
+    Pure composition of audited pieces: the IVF coarse quantizer
+    (:func:`kmeans_centroids`, L2 metric, hash-seeded deterministic
+    init, bounded driver contract) provides the cells; the L4
+    label-blocked pair join (:func:`similar_pairs_within_label_df`,
+    with its big-block LSH sub-blocking guard) provides within-cell
+    duplicate pairs with the cell as the blocking label; connected
+    components + min-id survivor give the same transitive keep
+    semantics as :func:`embedding_dedup` / ``dedupe_near_cc``.
+
+    vs the sign-LSH near-dup path: random hyperplanes bucket by
+    PROJECTION (recall depends on bit layout); SemDeDup buckets by
+    LEARNED data density, so semantically clustered duplicates
+    co-locate even when random projections would split them — the
+    trade is a training pass and deliberately missing CROSS-cluster
+    duplicates (by the paper's construction, duplicates of interest
+    are intra-cluster). 100 TB shape: training on a ``train_fraction``
+    hash-sample, assignment map-only against broadcast-literal
+    centroids, pair space bounded by cell sizes and sub-blocked past
+    ``max_cell``. Fully deterministic end-to-end (no rand(); pinned).
+    """
+    from .llm_dedup import connected_components
+
+    cents = kmeans_centroids(
+        emb,
+        n_clusters=n_clusters,
+        iters=iters,
+        metric="l2",
+        train_fraction=train_fraction,
+    )
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        _nearest_centroid_l2(F.col("embedding"), cents).alias("label"),
+    )
+    pairs = similar_pairs_within_label_df(cells, threshold, max_cell).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    labels = connected_components(pairs, src="src", dst="dst")
+    survivors = labels.groupBy(F.col("component")).agg(
+        F.min("id").alias("_keep")
+    )
+    doomed = labels.join(
+        survivors, labels["id"] == survivors["_keep"], "left_anti"
+    ).select(F.col("id").alias("_drop"))
+    return emb.join(doomed, emb["vec_id"] == F.col("_drop"), "left_anti")
+
+
 # --- L3 scale path #2: IVF (k-means coarse quantizer) -------------------------
 
 

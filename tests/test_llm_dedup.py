@@ -499,12 +499,20 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     # fixture has no true near-dups); all other branches must emit
     assert branches >= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq",
-        "bpe",
+        "bpe", "semdedup",
     }
     assert branches <= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
-        "heavy", "pq", "bpe",
+        "heavy", "pq", "bpe", "semdedup",
     }
+    sem = [r for r in rows if r["branch"] == "semdedup"]
+    kept = [r for r in sem if r["label"] == "kept_count"]
+    assert len(kept) == 1
+    # kept + dropped partitions the corpus exactly
+    dropped = [r for r in sem if r["detail"] == "dropped@0.95"]
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert kept[0]["id_b"] + len(dropped) == total
     bpe = [r for r in rows if r["branch"] == "bpe"]
     assert bpe and all(
         r["label"] and "+" in r["label"] and r["score"] >= 2 for r in bpe
@@ -1292,3 +1300,109 @@ def test_ivfpq_drift_trigger_and_retrain(spark):
     assert mse_drift > 1.5 * baseline
     refit = ivfpq_reconstruction_mse(drifted, c3, b3)
     assert refit < mse_drift
+
+
+# --- X24 SemDeDup -----------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    """Two tight duplicate groups in different regions of an 8-dim
+    space + unique singletons; returns (df, expected_survivor_ids)."""
+    import math
+
+    def unit(vals):
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = []
+    base_a = [1.0, 2.0, 0.5, -1.0, 0.0, 3.0, 1.5, -0.5]
+    base_b = [-2.0, 0.5, 1.0, 2.5, -1.5, 0.0, 0.5, 2.0]
+    for i in range(8):  # group A: ids 0..7, tiny deterministic jitter
+        rows.append((i, unit([v + 0.001 * ((i * 7 + j) % 5) for j, v in enumerate(base_a)])))
+    for i in range(8):  # group B: ids 100..107
+        rows.append((100 + i, unit([v + 0.001 * ((i * 3 + j) % 7) for j, v in enumerate(base_b)])))
+    for i in range(12):  # singletons: orthogonal-ish unique directions
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 3) % 8] = -1.0 - 0.2 * i
+        rows.append((200 + i, unit(v)))
+    df = spark.createDataFrame(
+        [(i, vec, 0) for i, vec in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    expected = {0, 100} | {200 + i for i in range(12)}
+    return df, expected
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        semantic_dedup,
+    )
+
+    df, expected = _semdedup_fixture(spark)
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.98, n_clusters=4).collect()
+    }
+    assert kept == expected  # min-id survivor per group, singletons intact
+
+
+def test_semantic_dedup_single_cluster_equals_brute_force(spark):
+    """With n_clusters=1 every pair is considered, so the result must
+    equal a brute-force python union-find dedup at the same rounded
+    threshold — the cluster routing may only LIMIT, never corrupt."""
+    import math
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        semantic_dedup,
+    )
+
+    df, _ = _semdedup_fixture(spark)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    parent = {i: i for i in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if cos(rows[a], rows[b]) >= 0.98:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    brute = {i for i in ids if find(i) == i}
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.98, n_clusters=1).collect()
+    }
+    assert kept == brute
+
+
+def test_semantic_dedup_deterministic(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        semantic_dedup,
+    )
+
+    df, _ = _semdedup_fixture(spark)
+    a = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.98, n_clusters=4).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df.repartition(5), threshold=0.98, n_clusters=4
+        ).collect()
+    )
+    assert a == b

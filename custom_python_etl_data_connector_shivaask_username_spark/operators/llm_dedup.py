@@ -1130,6 +1130,10 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       rows (zero on the near-random fixture = no false positives) +
       a kept-count summary row; planted-group accuracy and
       brute-force equivalence pinned in tests/test_llm_dedup.py.
+    - ``qclf``: X25 seeded quality classifier (HashingTF + MLlib
+      logistic regression, bootstrap seeds) scoring every doc;
+      separation + rank-stability pinned in
+      tests/test_llm_classifier.py.
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -1248,6 +1252,39 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.lit("semdedup@0.95").alias("detail"),
     )
+    # qclf: X25 seeded quality classifier — the GPT-3-recipe bootstrap:
+    # positives = the corpus's top-40 heuristic-quality docs, negatives
+    # = deterministic synthetic token soup (sha2 hex re-worded), score
+    # every doc with the trained model. Scores rounded to 6 (LBFGS
+    # layout jitter ~1e-12, documented); separation/rank-stability
+    # pinned in tests/test_llm_classifier.py.
+    from ..functions.text import quality_score
+    from .llm_classifier import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents")
+    pos_seed = (
+        corpus.withColumn("_q", quality_score(F.col("text")))
+        .orderBy(F.desc("_q"), "doc_id")
+        .limit(40)
+        .select("text")
+    )
+    neg_seed = corpus.orderBy("doc_id").limit(40).select(
+        F.trim(
+            F.regexp_replace(F.sha2(F.col("text"), 256), "(.{8})", "$1 ")
+        ).alias("text")
+    )
+    clf = quality_classifier_train(pos_seed, neg_seed)
+    qclf = quality_classifier_score(corpus, clf).select(
+        F.lit("qclf").alias("branch"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("clf_keep").cast("string").alias("label"),
+        F.col("quality_prob").alias("score"),
+        F.lit("quality_clf").alias("detail"),
+    )
     # bpe: X23 tokenizer training — the learned merge list over the
     # fixture corpus (deterministic: exact integer pair counts +
     # lexicographic tie-break, pinned in tests/test_llm_bpe.py); the
@@ -1281,5 +1318,6 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe)
         .unionByName(sem_dropped)
         .unionByName(sem_summary)
+        .unionByName(qclf)
         .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

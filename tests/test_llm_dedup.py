@@ -499,18 +499,25 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     # fixture has no true near-dups); all other branches must emit
     assert branches >= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq",
-        "bpe", "semdedup",
+        "bpe", "semdedup", "qclf",
     }
     assert branches <= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
-        "heavy", "pq", "bpe", "semdedup",
+        "heavy", "pq", "bpe", "semdedup", "qclf",
     }
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    qclf = [r for r in rows if r["branch"] == "qclf"]
+    # every corpus doc is scored, probabilities are valid, and the
+    # bootstrap separates at least the seed-quality mass from junk
+    assert len(qclf) == load_table(spark, sf_dir, "documents").count()
+    assert all(0.0 <= r["score"] <= 1.0 for r in qclf)
+    assert any(r["label"] == "true" for r in qclf)
     sem = [r for r in rows if r["branch"] == "semdedup"]
     kept = [r for r in sem if r["label"] == "kept_count"]
     assert len(kept) == 1
     # kept + dropped partitions the corpus exactly
     dropped = [r for r in sem if r["detail"] == "dropped@0.95"]
-    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
     total = load_table(spark, sf_dir, "embeddings").count()
     assert kept[0]["id_b"] + len(dropped) == total
     bpe = [r for r in rows if r["branch"] == "bpe"]

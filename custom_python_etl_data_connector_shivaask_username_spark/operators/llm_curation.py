@@ -55,11 +55,18 @@ def curate_corpus(
     rates_pct: dict[str, int] | None = None,
     token_budget: int = TOKEN_BUDGET,
     pack_seq_len: int | None = None,
+    lm_keep_threshold: float | None = None,
+    clf_model=None,
+    clf_keep_threshold: float = 0.5,
 ) -> DataFrame:
     """The end-to-end curation pipeline, composed from this engine's
     operators in production order:
 
     1. quality filter (map-only heuristics, `functions.text.quality_score`);
+       1b. optionally (``lm_keep_threshold``), the X21 corpus-LM score
+       gate (:func:`llm_text.lm_quality_scores` — corpus-relative junk
+       the per-row heuristics miss); 1c. optionally (``clf_model``, a
+       trained X25 classifier), the learned seed-classifier gate;
     2. exact dedup (one content-hash shuffle, min-id survivor);
     3. transitive near-dedup (MinHash-LSH pairs → connected components);
     4. benchmark-contamination removal (broadcast n-gram containment vs
@@ -85,6 +92,32 @@ def curate_corpus(
 
     # 1. quality gate — map-only, prunes before any shuffle
     kept = docs.filter(quality_score(F.col("text")) >= min_quality)
+
+    # 1b. corpus-LM gate (X21): trained on the heuristic survivors, so
+    # already-dropped junk cannot pollute the model's marginals
+    if lm_keep_threshold is not None:
+        from .llm_text import lm_quality_scores
+
+        lm_ok = (
+            lm_quality_scores(kept)
+            .filter(F.col("avg_logprob") >= lm_keep_threshold)
+            .select("doc_id")
+        )
+        kept = kept.join(lm_ok, "doc_id", "left_semi")
+
+    # 1c. learned classifier gate (X25): caller-trained seed model,
+    # map-only scoring with the model broadcast
+    if clf_model is not None:
+        from .llm_classifier import quality_classifier_score
+
+        clf_ok = (
+            quality_classifier_score(
+                kept, clf_model, keep_threshold=clf_keep_threshold
+            )
+            .filter(F.col("clf_keep"))
+            .select("doc_id")
+        )
+        kept = kept.join(clf_ok, "doc_id", "left_semi")
 
     # 2. exact dedup — min doc_id survives per content hash
     h = kept.groupBy(F.md5("text").alias("_h")).agg(

@@ -1233,7 +1233,13 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_llm_dedup.py (incl. brute-force equivalence).
     from .llm_similarity import semantic_dedup
 
-    sem_kept = semantic_dedup(emb, threshold=0.95, n_clusters=8)
+    # max_cell=2000: at the sf1.0 sweep's 50k vectors the 8 learned
+    # cells hold ~6k rows each — above this cap they LSH-sub-block, so
+    # the suite's quadratic term stays bounded at any sweep scale
+    # (sf0.01 cells are ~60 rows and take the exact path unchanged)
+    sem_kept = semantic_dedup(
+        emb, threshold=0.95, n_clusters=8, max_cell=2000
+    )
     sem_dropped = emb.join(sem_kept, "vec_id", "left_anti").select(
         F.lit("semdedup").alias("branch"),
         F.col("vec_id").alias("id_a"),

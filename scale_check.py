@@ -120,6 +120,24 @@ def _bpe_case(docs: DataFrame):
     return build
 
 
+def _semdedup_case(emb: DataFrame, factor: int):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        semantic_dedup,
+    )
+
+    def build() -> DataFrame:
+        return semantic_dedup(
+            emb,
+            threshold=0.95,
+            n_clusters=8,
+            iters=2,
+            max_cell=2000,
+            train_fraction=min(1.0, 1.0 / factor),
+        )
+
+    return build
+
+
 def _contamination(train: DataFrame, base_docs: DataFrame) -> DataFrame:
     """Benchmark-contamination shape over the FULL replicated corpus:
     fixed small benchmark set (10 base docs) broadcast into the gram
@@ -270,6 +288,10 @@ def main() -> None:
             # merge rounds on the vocab-sized table (built inside the
             # clock via the thunk; returns the merge list as a frame)
             "bpe_train": _bpe_case(d),
+            # SemDeDup end-to-end (training + assignment + bounded
+            # within-cell pairs + CC) — max_cell keeps cells
+            # sub-blocked as the corpus grows
+            "semantic_dedup": _semdedup_case(_perturb_vec(e), f),
             "contamination_join": _contamination(d, docs),
             # codebooks trained ONCE on the base corpus (offline, as
             # deployed); the timed path is the per-batch cost: map-only

@@ -580,3 +580,61 @@ def test_curate_corpus_with_packing_stage(spark):
         for r in rs:
             assert r["start_bin"] * 25 + r["start_offset"] == pos
             pos += r["tokens"]
+
+
+def test_curate_corpus_lm_and_classifier_gates(spark):
+    """Round-6 optional stages, one planted defect each: a token-soup
+    doc that PASSES the length/punct heuristics but fails the
+    corpus-LM gate (its bigrams never repeat), and a planted spam doc
+    the caller-trained classifier drops; clean docs survive both."""
+    import random
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_classifier import (
+        quality_classifier_train,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        curate_corpus,
+    )
+
+    rng = random.Random(5)
+    phrases = [
+        "the quick brown fox jumps over the lazy dog every day",
+        "a cat watches from the warm windowsill in the sun",
+        "practice makes perfect when you repeat it again and again",
+    ]
+    clean = [
+        Row(
+            doc_id=i,
+            lang="en",
+            text=" ".join(rng.choice(phrases) for _ in range(10)),
+        )
+        for i in range(12)
+    ]
+    # long, letter-only, word-shaped -> heuristics pass; bigrams unique
+    soup_words = [
+        "".join(rng.choice("bcdfghjklmnpqrstvw") for _ in range(10))
+        for _ in range(60)
+    ]
+    soup = Row(doc_id=50, lang="en", text=" ".join(soup_words))
+    spam_text = "buy cheap pills now " * 15
+    spam = Row(doc_id=60, lang="en", text=spam_text.strip())
+
+    docs = spark.createDataFrame(clean + [soup, spam])
+    clf = quality_classifier_train(
+        spark.createDataFrame([Row(text=r["text"]) for r in clean[:6]]),
+        spark.createDataFrame(
+            [Row(text=("order viagra discount " * (10 + i)).strip()) for i in range(6)]
+        ),
+    )
+    out = curate_corpus(
+        docs,
+        near_dup_threshold=0.99,  # clean docs share phrases; not the target here
+        rates_pct={"en": 100},
+        token_budget=1_000_000,
+        lm_keep_threshold=-6.0,
+        clf_model=clf,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 50 not in kept  # token soup: heuristics passed, LM gate dropped
+    assert 60 not in kept  # spam: classifier gate dropped
+    assert kept & set(range(12))  # clean mass survives both gates

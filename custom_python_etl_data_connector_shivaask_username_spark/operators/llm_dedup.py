@@ -1134,6 +1134,9 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       logistic regression, bootstrap seeds) scoring every doc;
       separation + rank-stability pinned in
       tests/test_llm_classifier.py.
+    - ``drift``: X26 distribution-drift monitor — PSI of the late half
+      of the events feed against a histogram frozen on the early half;
+      band pins + layout-free determinism in tests/test_drift.py.
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -1258,6 +1261,38 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.lit("semdedup@0.95").alias("detail"),
     )
+    # drift: X26 distribution-drift monitor — reference histogram
+    # frozen on the early half of the events feed (by event_id), PSI of
+    # the late half against it; deterministic (quantized-LN + decimal
+    # sum, pinned layout-free in tests/test_drift.py)
+    from ..tables import load_table as _ltd
+    from .drift import drift_psi, freeze_histogram
+
+    ev_all = _ltd(spark, sf_dir, "events")
+    mid_id = ev_all.agg(
+        F.percentile_approx("event_id", 0.5, 10000).alias("m")
+    ).first()["m"]
+    spec, ref_shares = freeze_histogram(
+        ev_all.filter(F.col("event_id") <= mid_id).select(
+            F.col("value").alias("v")
+        ),
+        "v",
+        n_buckets=10,
+    )
+    drift = drift_psi(
+        ev_all.filter(F.col("event_id") > mid_id).select(
+            F.col("value").alias("v")
+        ),
+        spec,
+        ref_shares,
+    ).select(
+        F.lit("drift").alias("branch"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("status").alias("label"),
+        F.col("psi").alias("score"),
+        F.lit("psi_value_late_vs_early").alias("detail"),
+    )
     # qclf: X25 seeded quality classifier — the GPT-3-recipe bootstrap:
     # positives = the corpus's top-40 heuristic-quality docs, negatives
     # = deterministic synthetic token soup (sha2 hex re-worded), score
@@ -1325,5 +1360,6 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sem_dropped)
         .unionByName(sem_summary)
         .unionByName(qclf)
+        .unionByName(drift)
         .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

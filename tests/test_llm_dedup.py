@@ -499,12 +499,15 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     # fixture has no true near-dups); all other branches must emit
     assert branches >= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq",
-        "bpe", "semdedup", "qclf",
+        "bpe", "semdedup", "qclf", "drift",
     }
     assert branches <= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
-        "heavy", "pq", "bpe", "semdedup", "qclf",
+        "heavy", "pq", "bpe", "semdedup", "qclf", "drift",
     }
+    drift = [r for r in rows if r["branch"] == "drift"]
+    assert len(drift) == 1 and drift[0]["score"] is not None
+    assert drift[0]["label"] in ("stable", "drifting", "action")
     from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
     qclf = [r for r in rows if r["branch"] == "qclf"]

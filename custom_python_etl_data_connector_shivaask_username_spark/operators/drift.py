@@ -49,6 +49,11 @@ def freeze_histogram(
     lo, hi = ref.agg(
         F.min(col).alias("lo"), F.max(col).alias("hi")
     ).first()
+    if lo is None:
+        raise ValueError(
+            f"cannot freeze a histogram on '{col}': reference frame has "
+            "no non-null rows"
+        )
     spec = {
         "col": col,
         "lo": float(lo),

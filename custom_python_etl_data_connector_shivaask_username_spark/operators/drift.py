@@ -91,7 +91,11 @@ def _bucket_shares(df: DataFrame, spec: dict, share_col: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "bucket",
-            (F.coalesce("_c", F.lit(0)) / F.col("_total")).alias(share_col),
+            # try_divide: an EMPTY batch has total 0; NULL shares (not
+            # an ANSI DIVIDE_BY_ZERO crash) flow to the no_data status
+            F.try_divide(
+                F.coalesce("_c", F.lit(0)), F.col("_total")
+            ).alias(share_col),
         )
     )
 
@@ -126,8 +130,15 @@ def drift_psi(
         .select(F.round("psi", 6).alias("psi"))
         .select(
             "psi",
-            F.when(F.col("psi") < PSI_STABLE, "stable")
-            .when(F.col("psi") < PSI_ACTION, "drifting")
+            # no_data first: an EMPTY batch (idle ingest tick) yields
+            # 0/0 -> NULL shares -> NULL psi, and a bare otherwise()
+            # chain would mislabel that NULL as an 'action' alarm
+            # (round-6 review finding). Bands are [0,0.1) stable,
+            # [0.1,0.25] drifting, >0.25 action — <= on the upper
+            # bound so an exact 0.25 reads as the docstring says.
+            F.when(F.col("psi").isNull(), "no_data")
+            .when(F.col("psi") < PSI_STABLE, "stable")
+            .when(F.col("psi") <= PSI_ACTION, "drifting")
             .otherwise("action")
             .alias("status"),
         )

@@ -169,9 +169,15 @@ def similar_pairs_within_label_df(
         )
 
     small = pair_join(base.filter(F.col("_n") <= max_block), [])
+    # sub-block planes must match the ACTUAL embedding dimension — the
+    # pinned 64-dim planes null-pad any other width and collapse every
+    # row into bucket 0, silently voiding the max_block bound (round-6
+    # review finding). One 1-row probe job per call, negligible.
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    planes = planes_for_dim(dim_row["d"]) if dim_row else None
     big = pair_join(
         base.filter(F.col("_n") > max_block).withColumn(
-            "bucket", lsh_bucket(F.col("embedding"))
+            "bucket", lsh_bucket(F.col("embedding"), planes)
         ),
         ["bucket"],
     )
@@ -198,6 +204,21 @@ _rng = np.random.RandomState(42)
 LSH_PLANES: list[list[float]] = _rng.standard_normal(
     (LSH_BITS, LSH_DIM)
 ).tolist()
+
+
+def planes_for_dim(dim: int, bits: int = LSH_BITS, seed: int = 42) -> list[list[float]]:
+    """Seeded hyperplanes matching an ARBITRARY embedding dimension.
+
+    The pinned :data:`LSH_PLANES` are 64-dim; ``dot`` is a ``zip_with``
+    fold that null-pads mismatched lengths, so bucketing a non-64-dim
+    column with them yields NULL projections → every sign test falls to
+    0 → every row lands in bucket 0 and any sub-blocking built on it is
+    silently inert (round-6 review finding). Callers that cannot pin
+    the dimension derive their planes here — same seeded generator,
+    same layout for the same (dim, bits) on any machine."""
+    if dim == LSH_DIM and bits == LSH_BITS and seed == 42:
+        return LSH_PLANES
+    return np.random.RandomState(seed).standard_normal((bits, dim)).tolist()
 
 
 def lsh_bucket(emb_col, planes: list[list[float]] | None = None) -> F.Column:
@@ -619,12 +640,10 @@ def embedding_dedup(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     labels = connected_components(pairs, src="src", dst="dst")
-    survivors = labels.groupBy(F.col("component")).agg(
-        F.min("id").alias("_keep")
+    # component IS the smallest reachable id — drop every relabeled row
+    doomed = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_drop")
     )
-    doomed = labels.join(
-        survivors, labels["id"] == survivors["_keep"], "left_anti"
-    ).select(F.col("id").alias("_drop"))
     return emb.join(
         doomed, emb["vec_id"] == F.col("_drop"), "left_anti"
     )
@@ -680,13 +699,13 @@ def semantic_dedup(
     pairs = similar_pairs_within_label_df(cells, threshold, max_cell).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
+    # component IS the smallest reachable id (connected_components'
+    # contract), so the non-survivors are exactly the relabeled rows —
+    # the same one-line idiom dedupe_near_cc uses
     labels = connected_components(pairs, src="src", dst="dst")
-    survivors = labels.groupBy(F.col("component")).agg(
-        F.min("id").alias("_keep")
+    doomed = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_drop")
     )
-    doomed = labels.join(
-        survivors, labels["id"] == survivors["_keep"], "left_anti"
-    ).select(F.col("id").alias("_drop"))
     return emb.join(doomed, emb["vec_id"] == F.col("_drop"), "left_anti")
 
 

@@ -74,3 +74,14 @@ def test_psi_bit_stable_under_repartitioning(spark):
 
 def _bucket_shuffled(shares):
     return shares.repartition(3)
+
+
+def test_empty_batch_reads_no_data_not_action(spark):
+    """An idle ingest tick (empty micro-batch) must not page anyone:
+    psi is NULL and status says no_data, never 'action'."""
+    ref = _vals(spark, range(100))
+    spec, shares = freeze_histogram(ref, "v", n_buckets=5)
+    empty = spark.createDataFrame([], "v double")
+    row = drift_psi(empty, spec, shares).first()
+    assert row["psi"] is None
+    assert row["status"] == "no_data"

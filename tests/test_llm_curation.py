@@ -615,26 +615,51 @@ def test_curate_corpus_lm_and_classifier_gates(spark):
         "".join(rng.choice("bcdfghjklmnpqrstvw") for _ in range(10))
         for _ in range(60)
     ]
+    # measured scores on this corpus: clean -1.05..-0.97, spam -1.56,
+    # soup -3.47 — the -2.5 gate sits between spam and soup, so the LM
+    # drop is attributable to soup alone
     soup = Row(doc_id=50, lang="en", text=" ".join(soup_words))
-    spam_text = "buy cheap pills now " * 15
+    spam_text = "buy cheap pills now best discount offer " * 12
     spam = Row(doc_id=60, lang="en", text=spam_text.strip())
 
     docs = spark.createDataFrame(clean + [soup, spam])
+    # negative seeds SHARE the spam vocabulary (buy/cheap/pills/
+    # discount/offer) so the verdict rides on learned token weights,
+    # not the fitted intercept's sign (review finding)
+    neg_texts = [
+        "buy cheap pills online now " * (8 + i) for i in range(3)
+    ] + ["best discount offer buy now cheap " * (8 + i) for i in range(3)]
     clf = quality_classifier_train(
         spark.createDataFrame([Row(text=r["text"]) for r in clean[:6]]),
-        spark.createDataFrame(
-            [Row(text=("order viagra discount " * (10 + i)).strip()) for i in range(6)]
-        ),
+        spark.createDataFrame([Row(text=t.strip()) for t in neg_texts]),
     )
-    out = curate_corpus(
-        docs,
-        near_dup_threshold=0.99,  # clean docs share phrases; not the target here
+    common = dict(
+        near_dup_threshold=0.99,  # clean docs share phrases; not the target
         rates_pct={"en": 100},
         token_budget=1_000_000,
-        lm_keep_threshold=-6.0,
-        clf_model=clf,
+    )
+    # control: with BOTH gates off, every other stage keeps the planted
+    # docs — so the drops below are attributable to the gates alone
+    control = {r["doc_id"] for r in curate_corpus(docs, **common).collect()}
+    assert 50 in control and 60 in control
+
+    out = curate_corpus(
+        docs, **common, lm_keep_threshold=-2.5, clf_model=clf
     )
     kept = {r["doc_id"] for r in out.collect()}
     assert 50 not in kept  # token soup: heuristics passed, LM gate dropped
     assert 60 not in kept  # spam: classifier gate dropped
     assert kept & set(range(12))  # clean mass survives both gates
+    # per-gate attribution: each gate alone drops exactly its target
+    lm_only = {
+        r["doc_id"]
+        for r in curate_corpus(docs, **common, lm_keep_threshold=-2.5).collect()
+    }
+    assert 50 not in lm_only and 60 in lm_only
+    clf_only = {
+        r["doc_id"]
+        for r in curate_corpus(docs, **common, clf_model=clf).collect()
+    }
+    # (soup doc 50's clf score is intercept-dominated — unseen vocab —
+    # so only the targeted drop is asserted for the clf-only branch)
+    assert 60 not in clf_only and clf_only & set(range(12))

@@ -1416,3 +1416,35 @@ def test_semantic_dedup_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_label_block_sub_blocking_works_at_any_dimension(spark):
+    """The big-block LSH sub-block must BUCKET, not no-op, when the
+    embedding dimension differs from the pinned 64 (the 64-dim planes
+    null-pad other widths and collapse everything into bucket 0 —
+    round-6 review finding). 8-dim fixture, max_cell forced tiny:
+    semantic dedup still keeps exactly one survivor per planted group
+    (near-identical vectors co-bucket with probability 1), and the
+    dim-matched planes spread DISTINCT vectors over >1 bucket."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        lsh_bucket,
+        planes_for_dim,
+        semantic_dedup,
+    )
+
+    df, expected = _semdedup_fixture(spark)
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.98, n_clusters=2, max_cell=4
+        ).collect()
+    }
+    assert kept == expected
+    buckets = {
+        r["b"]
+        for r in df.select(
+            lsh_bucket(F.col("embedding"), planes_for_dim(8)).alias("b")
+        ).collect()
+    }
+    assert len(buckets) > 1  # dim-matched planes genuinely partition
+    assert None not in buckets

@@ -445,6 +445,84 @@ def pack_sequences(
     )
 
 
+def export_packed_shards(
+    packed: DataFrame,
+    path: str,
+    n_shards: int,
+    seq_len: int = SEQ_LEN,
+    id_col: str = "doc_id",
+) -> dict:
+    """X27: the dataloader handoff — write a (globally) packed corpus
+    as ``shard=<s>`` parquet partitions with contiguous, near-equal bin
+    ranges, boundary-straddling docs DUPLICATED into every shard their
+    span touches (each shard is self-contained: a loader reconstructs
+    all of its bins without reading a neighbor), rows sorted
+    ``(start_bin, start_offset)`` inside each shard, and a
+    ``_manifest.json`` recording per-shard bin ranges / row / token
+    totals.
+
+    Shard assignment is pure integer arithmetic on bin ids (no
+    ``rand()``, rerun/retry-stable): ``shard(b) = b·n_shards div
+    n_bins``; a doc lands in shards ``shard(start_bin) ..
+    shard(end_bin)`` — exactly one for non-straddlers. Expects GLOBAL
+    bins (``pack_sequences`` without ``stream_col``); for per-stream
+    packing, export each stream into its own directory.
+
+    100 TB shape: one shard-keyed shuffle + in-partition sort (the
+    standard layout-controlled write); the duplicated boundary rows
+    are at most one doc per shard boundary. The manifest is
+    shards-many rows — driver-scale. Returns the manifest dict.
+    """
+    import json as _json
+    import os as _os
+
+    n_bins = int(
+        packed.agg(F.max("end_bin").alias("m")).first()["m"] or 0
+    ) + 1
+    shard_of_start = F.expr(f"start_bin * {n_shards} div {n_bins}")
+    shard_of_end = F.expr(f"end_bin * {n_shards} div {n_bins}")
+    sharded = packed.withColumn(
+        "shard",
+        F.explode(F.sequence(shard_of_start, shard_of_end)),
+    )
+    (
+        sharded.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "start_bin", "start_offset", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest_rows = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("tokens").alias("tokens"),
+            F.min("start_bin").alias("first_bin"),
+            F.max("end_bin").alias("last_bin"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "n_bins": n_bins,
+        "seq_len": seq_len,
+        "shards": [
+            {
+                "shard": int(r["shard"]),
+                "rows": int(r["rows"]),
+                "tokens": int(r["tokens"]),
+                "first_bin": int(r["first_bin"]),
+                "last_bin": int(r["last_bin"]),
+            }
+            for r in manifest_rows
+        ],
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,

@@ -663,3 +663,80 @@ def test_curate_corpus_lm_and_classifier_gates(spark):
     # (soup doc 50's clf score is intercept-dominated — unseen vocab —
     # so only the targeted drop is asserted for the clf-only branch)
     assert 60 not in clf_only and clf_only & set(range(12))
+
+
+def test_export_packed_shards_contract(spark, tmp_path):
+    """X27 dataloader handoff: shards hold contiguous near-equal bin
+    ranges, every non-straddler lands exactly once, boundary
+    straddlers are duplicated into each shard they touch (so each
+    shard reconstructs its bins alone), rows are (start_bin,
+    start_offset)-sorted within a shard, and the manifest totals
+    agree with the data. Rerun-deterministic."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        export_packed_shards,
+        pack_sequences,
+    )
+
+    seq_len = 100
+    # 40 docs with varied token counts -> ~14 bins across 4 shards
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, tokens=20 + (i * 37) % 60) for i in range(40)]
+    )
+    packed = pack_sequences(docs, seq_len=seq_len)
+    path = str(tmp_path / "shards")
+    manifest = export_packed_shards(
+        packed, path, n_shards=4, seq_len=seq_len
+    )
+
+    out = spark.read.parquet(path)
+    rows = out.collect()
+    pk = {r["doc_id"]: r for r in packed.collect()}
+    n_bins = manifest["n_bins"]
+
+    def shard_of(b):
+        return b * 4 // n_bins
+
+    # exact multiplicity: one copy per shard the doc's span touches
+    from collections import Counter
+
+    copies = Counter(r["doc_id"] for r in rows)
+    for d, p in pk.items():
+        expected = shard_of(p["end_bin"]) - shard_of(p["start_bin"]) + 1
+        assert copies[d] == expected, (d, copies[d], expected)
+    assert any(v > 1 for v in copies.values())  # fixture does straddle
+
+    # shard ranges are contiguous and partition the bin space
+    shards = manifest["shards"]
+    assert [s["shard"] for s in shards] == [0, 1, 2, 3]
+    for s in shards:
+        for r in (r for r in rows if r["shard"] == s["shard"]):
+            assert shard_of(r["start_bin"]) <= s["shard"] <= shard_of(
+                r["end_bin"]
+            )
+
+    # self-containment: within each shard, reconstruct every bin fully
+    # owned by the shard and check it holds exactly seq_len tokens
+    for s in shards:
+        owned = [
+            b for b in range(n_bins - 1) if shard_of(b) == s["shard"]
+        ]  # (last global bin may be ragged; excluded)
+        fill = dict.fromkeys(owned, 0)
+        for r in (r for r in rows if r["shard"] == s["shard"]):
+            start = r["start_bin"] * seq_len + r["start_offset"]
+            end = start + r["tokens"]
+            for b in fill:
+                lo, hi = b * seq_len, (b + 1) * seq_len
+                fill[b] += max(0, min(end, hi) - max(start, lo))
+        assert all(v == seq_len for v in fill.values()), fill
+
+    # manifest totals agree with the written data
+    assert sum(s["rows"] for s in shards) == len(rows)
+
+    # rerun determinism: same manifest, same row multiset
+    manifest2 = export_packed_shards(
+        packed, path + "_b", n_shards=4, seq_len=seq_len
+    )
+    assert manifest2 == manifest
+    rows2 = spark.read.parquet(path + "_b").collect()
+    key = lambda r: (r["shard"], r["doc_id"], r["start_bin"])
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))

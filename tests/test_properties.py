@@ -224,3 +224,67 @@ def test_incremental_dedup_exact_law(spark, corpus_texts, dup_idx):
     }
     assert got[100] == "exact_dup_corpus"
     assert got[101] == "kept"
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # day
+            st.integers(min_value=0, max_value=23),  # hour
+            st.sampled_from(["view", "click"]),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    split=st.lists(st.integers(min_value=0, max_value=2), min_size=24, max_size=24),
+)
+def test_rollup_merge_law_any_batch_split(spark, tmp_path_factory, vals, split):
+    """X22 algebra law: for ANY partition of the event set into (up to
+    3) refresh batches, in ANY order, the merged read equals the
+    one-shot rollup of all events — partials are commutative/
+    associative and exact, so the store cannot remember HOW history
+    arrived."""
+    import datetime as dtm
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        _finalize,
+        _merge_partials,
+        read_rollup,
+        refresh_rollup,
+        rollup_partials,
+    )
+
+    store = str(tmp_path_factory.mktemp("rollup_prop") / "store")
+    rows = [
+        (i, dtm.datetime(2024, 4, 1 + d, h), f"u{i % 2}", t, v)
+        for i, (d, h, t, v) in enumerate(vals)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id string, "
+        "event_type string, value double"
+    )
+    ev = spark.createDataFrame(rows, schema)
+    batches = [
+        [r for i, r in enumerate(rows) if split[i % len(split)] == b]
+        for b in range(3)
+    ]
+    for bid, batch_rows in enumerate(batches):
+        if batch_rows:
+            refresh_rollup(
+                spark.createDataFrame(batch_rows, schema), store, bid
+            )
+    got = sorted(map(tuple, read_rollup(spark, store).collect()))
+    direct = sorted(
+        map(
+            tuple,
+            _finalize(
+                _merge_partials(rollup_partials(ev), F.col("bucket_start"))
+            ).collect(),
+        )
+    )
+    assert got == direct

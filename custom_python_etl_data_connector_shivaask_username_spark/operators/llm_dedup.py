@@ -1241,7 +1241,7 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the suite's quadratic term stays bounded at any sweep scale
     # (sf0.01 cells are ~60 rows and take the exact path unchanged)
     sem_kept = semantic_dedup(
-        emb, threshold=0.95, n_clusters=8, max_cell=2000
+        emb, threshold=0.95, n_clusters=8, max_cell=2000, iters=2
     )
     sem_dropped = emb.join(sem_kept, "vec_id", "left_anti").select(
         F.lit("semdedup").alias("branch"),
@@ -1317,7 +1317,9 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.sha2(F.col("text"), 256), "(.{8})", "$1 ")
         ).alias("text")
     )
-    clf = quality_classifier_train(pos_seed, neg_seed)
+    # maxIter 15: the bootstrap seeds are trivially separable —
+    # full convergence adds driver-visible latency, not signal
+    clf = quality_classifier_train(pos_seed, neg_seed, max_iter=15)
     qclf = quality_classifier_score(corpus, clf).select(
         F.lit("qclf").alias("branch"),
         F.col("doc_id").alias("id_a"),

@@ -474,11 +474,38 @@ def export_packed_shards(
     shards-many rows — driver-scale. Returns the manifest dict.
     """
     import json as _json
-    import os as _os
 
     n_bins = int(
         packed.agg(F.max("end_bin").alias("m")).first()["m"] or 0
     ) + 1
+    # clamp: with fewer bins than requested shards, b·n div n_bins
+    # would leave shard-id gaps (missing shard= dirs a per-shard
+    # loader would crash on); the manifest records the EFFECTIVE count
+    n_shards = min(n_shards, n_bins)
+    # seq_len is a caller claim — validate it against the packing
+    # before writing it into the manifest a dataloader will slice by:
+    # a non-straddler must fit its bin, a straddler must overflow it
+    bad = (
+        packed.filter(
+            (
+                (F.col("end_bin") == F.col("start_bin"))
+                & (F.col("start_offset") + F.col("tokens") > seq_len)
+            )
+            | (
+                (F.col("end_bin") > F.col("start_bin"))
+                & (F.col("start_offset") + F.col("tokens") <= seq_len)
+            )
+            | (F.col("start_offset") >= seq_len)
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"seq_len={seq_len} is inconsistent with the packed frame "
+            "(bin spans don't match) — pass the seq_len the corpus was "
+            "packed with"
+        )
     shard_of_start = F.expr(f"start_bin * {n_shards} div {n_bins}")
     shard_of_end = F.expr(f"end_bin * {n_shards} div {n_bins}")
     sharded = packed.withColumn(
@@ -492,8 +519,12 @@ def export_packed_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    # aggregate the WRITTEN files, not the lineage: no second
+    # pack+explode pass, and the manifest describes the actual bytes
+    spark = packed.sparkSession
     manifest_rows = (
-        sharded.groupBy("shard")
+        spark.read.parquet(path)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("tokens").alias("tokens"),
@@ -518,8 +549,18 @@ def export_packed_shards(
             for r in manifest_rows
         ],
     }
-    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
-        _json.dump(manifest, fh, indent=1)
+    # Hadoop FS write so hdfs:///s3a:// paths work like local ones
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), hconf
+    )
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_manifest.json"),
+        True,
+    )
+    out.write(bytearray(_json.dumps(manifest, indent=1).encode("utf-8")))
+    out.close()
     return manifest
 
 

@@ -173,7 +173,11 @@ def similar_pairs_within_label_df(
     # pinned 64-dim planes null-pad any other width and collapse every
     # row into bucket 0, silently voiding the max_block bound (round-6
     # review finding). One 1-row probe job per call, negligible.
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim_row = (
+        emb.select(F.size("embedding").alias("d"))
+        .filter(F.col("d").isNotNull())
+        .first()
+    )
     planes = planes_for_dim(dim_row["d"]) if dim_row else None
     big = pair_join(
         base.filter(F.col("_n") > max_block).withColumn(
@@ -256,9 +260,9 @@ def ann_lsh_config(
     scale too.)
     """
     bits = min(30, max(LSH_BITS, math.ceil(math.log2(max(n_rows, 2) / target_occupancy))))
-    return (
-        np.random.RandomState(seed).standard_normal((bits, LSH_DIM)).tolist()
-    )
+    # one seeded generator for every plane consumer (value-identical to
+    # the previous inline RandomState call, incl. the pinned layout)
+    return planes_for_dim(LSH_DIM, bits, seed)
 
 
 #: registry query set: a small batch of query vectors answered in ONE plan

@@ -740,3 +740,28 @@ def test_export_packed_shards_contract(spark, tmp_path):
     rows2 = spark.read.parquet(path + "_b").collect()
     key = lambda r: (r["shard"], r["doc_id"], r["start_bin"])
     assert sorted(map(key, rows2)) == sorted(map(key, rows))
+
+
+def test_export_packed_shards_validates_and_clamps(spark, tmp_path):
+    """seq_len is validated against the packing (a wrong claim raises
+    instead of poisoning the manifest a loader slices by), and more
+    shards than bins clamps to one shard per bin - no shard-id gaps."""
+    import json
+    import pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        export_packed_shards,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, tokens=30) for i in range(10)]
+    )
+    packed = pack_sequences(docs, seq_len=100)  # 3 bins
+    with pytest.raises(ValueError, match="seq_len"):
+        export_packed_shards(packed, str(tmp_path / "x"), 2, seq_len=2048)
+    m = export_packed_shards(packed, str(tmp_path / "y"), 8, seq_len=100)
+    assert m["n_shards"] == m["n_bins"] == 3  # clamped, no gaps
+    assert [s["shard"] for s in m["shards"]] == [0, 1, 2]
+    on_disk = json.load(open(str(tmp_path / "y" / "_manifest.json")))
+    assert on_disk == m

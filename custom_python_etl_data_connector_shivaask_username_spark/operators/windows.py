@@ -147,10 +147,13 @@ SELECT
   delta_us,
   next_type,
   moving_avg_value,
-  SUM(CASE
+  -- CAST: DuckDB's windowed integer SUM widens to HUGEINT, which the
+  -- driver's value-hash encodes differently from Spark's BIGINT even
+  -- when every value is identical (round-6 red row). Pin the width.
+  CAST(SUM(CASE
         WHEN prev_ts IS NULL OR delta_us > {SESSION_GAP_US}
         THEN 1 ELSE 0
-      END) OVER wc AS session_seq
+      END) OVER wc AS BIGINT) AS session_seq
 FROM base
 WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -522,9 +522,9 @@ def export_packed_shards(
     # aggregate the WRITTEN files, not the lineage: no second
     # pack+explode pass, and the manifest describes the actual bytes
     spark = packed.sparkSession
+    written = spark.read.parquet(path)
     manifest_rows = (
-        spark.read.parquet(path)
-        .groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("tokens").alias("tokens"),
@@ -534,10 +534,26 @@ def export_packed_shards(
         .orderBy("shard")
         .collect()
     )
+    # corpus-level DISTINCT totals: per-shard rows/tokens count each
+    # boundary-straddling doc once per shard it touches (by design —
+    # shards are self-contained), so summing shards over-counts; a
+    # consumer wanting true corpus size reads these instead
+    corpus_row = (
+        written.dropDuplicates([id_col])
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("tokens").alias("tokens"),
+        )
+        .first()
+    )
     manifest = {
         "n_shards": n_shards,
         "n_bins": n_bins,
         "seq_len": seq_len,
+        # distinct-doc corpus totals; per-shard rows/tokens below
+        # include one copy per shard a straddler touches
+        "corpus_rows": int(corpus_row["rows"]),
+        "corpus_tokens": int(corpus_row["tokens"] or 0),
         "shards": [
             {
                 "shard": int(r["shard"]),
@@ -550,17 +566,13 @@ def export_packed_shards(
         ],
     }
     # Hadoop FS write so hdfs:///s3a:// paths work like local ones
-    hconf = spark._jsc.hadoopConfiguration()
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        jvm.java.net.URI.create(path), hconf
+    from ..sources.layout import fs_write_text
+
+    fs_write_text(
+        spark,
+        f"{path.rstrip('/')}/_manifest.json",
+        _json.dumps(manifest, indent=1),
     )
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_manifest.json"),
-        True,
-    )
-    out.write(bytearray(_json.dumps(manifest, indent=1).encode("utf-8")))
-    out.close()
     return manifest
 
 

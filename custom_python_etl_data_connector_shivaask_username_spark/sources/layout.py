@@ -235,3 +235,43 @@ def atomic_swap(spark: SparkSession, staging: str, path: str) -> None:
     fs.delete(target, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), target):
         raise IOError(f"rename {staging} -> {path} failed")
+
+
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text/JSON sidecar through the Hadoop FileSystem
+    API, so the same code path serves file://, hdfs:// and s3a://
+    stores — the manifest pattern every staged-store writer shares
+    (Python ``open()`` would silently target a bogus local path on any
+    non-local store)."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), spark._jsc.hadoopConfiguration()
+    )
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    out.write(bytearray(content.encode("utf-8")))
+    out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text sidecar through the Hadoop FileSystem API;
+    ``None`` if the file does not exist (first run). Same URI coverage
+    as :func:`fs_write_text`."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), spark._jsc.hadoopConfiguration()
+    )
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        reader.close()

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+    exact_percentiles_twopass,
     q_approx_sketches,
 )
 from custom_python_etl_data_connector_shivaask_username_spark.registry import (
@@ -132,3 +133,61 @@ def test_heavy_hitters_null_item_can_win(spark):
         (r["item"], r["count"]) for r in heavy_hitters(df, "item_s", k=3).collect()
     ]
     assert got == [(None, 60), ("a", 25), ("b", 15)]
+
+
+# --- exact_percentiles_twopass: bounded-memory A4 (round 7) ---------------
+
+
+def test_twopass_percentiles_match_builtin_percentile(spark, sf_dir):
+    """The bounded two-pass operator must return the identical
+    interpolated values as Spark's exact (unbounded-buffer)
+    ``percentile()`` on real data."""
+    ev = load_table(spark, sf_dir, "events")
+    builtin = {
+        (r["event_type"], q): r["p"][i]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("p"))
+        .collect()
+        for i, q in enumerate((0.5, 0.95, 0.99))
+    }
+    twopass = {
+        (r["event_type"], r["q"]): r["p"]
+        for r in exact_percentiles_twopass(
+            ev, "event_type", "value", (0.5, 0.95, 0.99)
+        ).collect()
+    }
+    assert set(twopass) == set(builtin)
+    for k, v in builtin.items():
+        assert abs(twopass[k] - v) <= 1e-9, (k, twopass[k], v)
+
+
+def test_twopass_percentiles_degenerate_and_tiny_groups(spark):
+    """All-equal group (one bucket, one distinct-value row), a 1-row
+    group (r=0 → lo==hi), and a 2-row group (pure interpolation)."""
+    rows = (
+        [("a", 7.0)] * 100
+        + [("b", 42.5)]
+        + [("c", 10.0), ("c", 20.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["q"]): r["p"]
+        for r in exact_percentiles_twopass(df, "g", "v", (0.5, 0.95)).collect()
+    }
+    assert got[("a", 0.5)] == 7.0 and got[("a", 0.95)] == 7.0
+    assert got[("b", 0.5)] == 42.5 and got[("b", 0.95)] == 42.5
+    # 2 rows: r = q*(2-1) = q → 10 + (20-10)*q
+    assert abs(got[("c", 0.5)] - 15.0) <= 1e-12
+    assert abs(got[("c", 0.95)] - 19.5) <= 1e-12
+
+
+def test_twopass_percentiles_null_values_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 3.0), ("a", None)],
+        "g string, v double",
+    )
+    got = {
+        r["q"]: r["p"]
+        for r in exact_percentiles_twopass(df, "g", "v", (0.5,)).collect()
+    }
+    assert abs(got[0.5] - 2.0) <= 1e-12

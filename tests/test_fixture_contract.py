@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_shivaask_username_spark.tables import (
     TABLES,
@@ -95,3 +96,28 @@ def test_event_times_are_in_fixture_era(spark, sf_dir):
     )
     assert row["lo"].year >= 2000, f"events.ts decoded into {row['lo']} — epoch-unit bug"
     assert row["hi"].year <= 2100
+
+
+def test_spread_small_input_not_fooled_by_many_tiny_files(spark, tmp_path):
+    """Round-6 advice: FileSourceScan bin-packs small files
+    (cost = size + openCostInBytes into maxPartitionBytes bins), so a
+    file count ≥ cores does NOT imply one scan task per core. An input
+    of cores+ tiny files must still take the exact .rdd probe and get
+    repartitioned, not short-circuit to a collapsed scan."""
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        spread_small_input,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    n_files = target + 2  # above the naive file-count bar, tiny files
+    base = spark.range(n_files).withColumn("v", F.col("id") * 2)
+    base.repartition(n_files).write.mode("overwrite").parquet(
+        str(tmp_path / "tiny")
+    )
+    df = spark.read.parquet(str(tmp_path / "tiny"))
+    assert len(df.inputFiles()) >= target  # the naive check would pass
+    scan_parts = df.rdd.getNumPartitions()
+    spread = spread_small_input(df)
+    assert spread.rdd.getNumPartitions() >= target
+    if scan_parts < target:  # bin-packing collapsed the raw scan
+        assert spread.rdd.getNumPartitions() > scan_parts

@@ -732,6 +732,13 @@ def test_export_packed_shards_contract(spark, tmp_path):
     # manifest totals agree with the written data
     assert sum(s["rows"] for s in shards) == len(rows)
 
+    # corpus-level DISTINCT totals: straddler copies counted once
+    # (per-shard sums over-count by exactly the extra copies)
+    per_doc_tokens = {r["doc_id"]: r["tokens"] for r in rows}
+    assert manifest["corpus_rows"] == len(per_doc_tokens)
+    assert manifest["corpus_tokens"] == sum(per_doc_tokens.values())
+    assert sum(s["rows"] for s in shards) > manifest["corpus_rows"]
+
     # rerun determinism: same manifest, same row multiset
     manifest2 = export_packed_shards(
         packed, path + "_b", n_shards=4, seq_len=seq_len

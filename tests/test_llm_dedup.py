@@ -700,6 +700,63 @@ def test_pair_join_big_block_guard(spark):
     assert n_bucketed < n_exact / 10, (n_bucketed, n_exact)
 
 
+def test_pair_join_guard_engages_exactly_at_boundary(spark):
+    """Boundary semantics of the MAX_LABEL_BLOCK guard (round 7): a
+    label of EXACTLY max_block rows stays on the exact all-pairs path
+    (threshold=-1.1 must return every pair), while max_block+1 rows
+    flips that label to LSH sub-blocking (strictly fewer candidate
+    pairs) — and planted identical vectors survive the flip."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        similar_pairs_within_label_df,
+    )
+
+    cap = 50
+    rng = np.random.RandomState(11)
+    dup = rng.standard_normal(64)
+    dup = (dup / np.linalg.norm(dup)).tolist()
+
+    def label_rows(n, label, base):
+        rows = []
+        for i in range(n):
+            v = rng.standard_normal(64)
+            rows.append((base + i, (v / np.linalg.norm(v)).tolist(), label))
+        # plant the dup pair on the first two ids
+        rows[0] = (rows[0][0], dup, label)
+        rows[1] = (rows[1][0], dup, label)
+        return rows
+
+    at_cap = spark.createDataFrame(
+        label_rows(cap, 0, 0), "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    over_cap = spark.createDataFrame(
+        label_rows(cap + 1, 0, 0),
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+
+    # == cap: exact branch → all n·(n−1)/2 pairs at threshold −1.1
+    n_at = similar_pairs_within_label_df(
+        at_cap, threshold=-1.1, max_block=cap
+    ).count()
+    assert n_at == cap * (cap - 1) // 2
+
+    # cap+1: sub-block branch → strictly fewer candidates than all-pairs
+    n_over = similar_pairs_within_label_df(
+        over_cap, threshold=-1.1, max_block=cap
+    ).count()
+    assert n_over < (cap + 1) * cap // 2, n_over
+
+    # recall at the flip: the planted identical pair co-buckets
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in similar_pairs_within_label_df(
+            over_cap, threshold=0.9, max_block=cap
+        ).collect()
+    }
+    assert (0, 1) in found
+
+
 # --- corpus-size-adaptive banding (emb_dup_config) -------------------------
 
 

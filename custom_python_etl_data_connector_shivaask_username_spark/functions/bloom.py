@@ -1,0 +1,139 @@
+"""Deterministic Bloom filter as a runtime row-level join filter.
+
+The standard 100 TB pattern this implements: a small/medium build side
+(an incoming batch's join keys) prunes a huge probe side (a standing
+corpus index) BEFORE the shuffle join, so index rows whose key cannot
+possibly match never leave the scan stage. Spark's optimizer injects
+this automatically in some shapes (``InjectRuntimeFilter``), but not
+through multi-step pipelines like the minhash probe — so the engine
+provides it as an explicit, composable primitive.
+
+Design constraints and choices:
+
+- **No false negatives, ever** — both sides derive bits from the same
+  seeded ``xxhash64(cols…, i)`` family, so a key present on the build
+  side always tests positive on the probe side. Equivalence under
+  pruning is therefore exact (pinned in tests), and false positives
+  only cost the work the downstream equi-join would have discarded
+  anyway.
+- **Distributed build, bounded driver state** — bit positions are
+  aggregated into 64-bit words by a ``bit_or`` hash agg (map-side
+  combined, at most ``m/64`` result rows); the driver materializes the
+  ``m/64``-long word array once (a ~2 MB array for a 1M-key batch at
+  16 bits/key) and re-broadcasts it as a 1-row frame, the engine's
+  scalar-join idiom (J9).
+- **JVM-side probe** — the membership test is pure built-in column
+  arithmetic (``xxhash64``/``pmod``/``shiftright``/bitwise AND), no
+  Python in the hot path, fully codegen-able.
+
+Sizing: ``m = next_pow2(bits_per_key · n)`` bits with ``k`` hashes;
+defaults (16 bits/key, k=6) give ~0.2% false positives — noise next
+to the exact join that follows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: defaults: ~0.2% FP at 16 bits/key with 6 hashes
+BLOOM_BITS_PER_KEY = 16
+BLOOM_HASHES = 6
+_MIN_BITS = 1 << 10
+#: refuse to build absurdly large filters (1 Gbit = 128 MB of words);
+#: past this the caller should sample keys or use a coarser filter
+_MAX_BITS = 1 << 30
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable built filter: the word array plus its hash layout."""
+
+    words: tuple[int, ...]  # m/64 signed 64-bit words
+    m: int  # filter size in bits (power of two)
+    k: int  # hash count
+    cols: tuple[str, ...]  # key columns, in hash order
+    n_keys: int  # distinct build keys (for observability)
+
+
+def _bit_exprs(cols: tuple[str, ...], m: int, k: int) -> list[F.Column]:
+    """The shared hash family: bit position ``i`` for a key is
+    ``pmod(xxhash64(cols…, i), m)`` — seeded by the literal index, so
+    build and probe agree on any machine/partitioning."""
+    return [
+        F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(m)) for i in range(k)
+    ]
+
+
+def build_bloom(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    n_hashes: int = BLOOM_HASHES,
+) -> BloomFilter:
+    """Build a Bloom filter over the distinct ``cols`` tuples of ``df``.
+
+    One distinct + one count + one ``bit_or`` word agg — all
+    map-side-combinable; the collected result is the word array
+    (≤ m/64 rows), never the keys.
+    """
+    keyed = df.select(*cols).distinct()
+    n = keyed.count()
+    m = _MIN_BITS
+    while m < bits_per_key * n and m < _MAX_BITS:
+        m <<= 1
+    bits = keyed.select(
+        F.explode(F.array(*_bit_exprs(tuple(cols), m, n_hashes))).alias(
+            "bit"
+        )
+    )
+    words = (
+        bits.select(
+            F.shiftright("bit", 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("m"))
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["m"]
+    return BloomFilter(
+        words=tuple(arr), m=m, k=n_hashes, cols=tuple(cols), n_keys=n
+    )
+
+
+def bloom_prune(df: DataFrame, bf: BloomFilter) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the filter (no false
+    negatives). The bitmap rides a broadcast 1-row frame; the test is
+    ``k`` word-lookup/AND expressions, all JVM-side."""
+    spark = df.sparkSession
+    bits_df = spark.createDataFrame(
+        [(list(bf.words),)], "_bf array<bigint>"
+    )
+    out = df.crossJoin(F.broadcast(bits_df))
+    cond = F.lit(True)
+    for i, h in enumerate(_bit_exprs(bf.cols, bf.m, bf.k)):
+        out = out.withColumn(f"_h{i}", h)
+        cond = cond & F.expr(
+            f"(element_at(_bf, CAST(shiftright(_h{i}, 6) AS INT) + 1)"
+            f" & shiftleft(1L, CAST(_h{i} % 64 AS INT))) != 0"
+        )
+    return (
+        out.filter(cond)
+        .drop("_bf", *[f"_h{i}" for i in range(bf.k)])
+    )
+
+
+def might_contain_keys(bf: BloomFilter, df: DataFrame) -> DataFrame:
+    """Diagnostic: tag each distinct key of ``df`` with its filter
+    verdict — used by tests to pin the no-false-negative guarantee and
+    measure the false-positive rate."""
+    keyed = df.select(*bf.cols).distinct()
+    kept = bloom_prune(keyed, bf).withColumn("_might", F.lit(True))
+    return keyed.join(kept, list(bf.cols), "left").select(
+        *bf.cols, F.coalesce("_might", F.lit(False)).alias("might_contain")
+    )

@@ -931,6 +931,7 @@ def probe_minhash_index(
     text_col: str = "text",
     threshold: float = 0.7,
     shingle_n: int = 3,
+    bloom_prefilter: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (increment doc, corpus doc) via a stored index —
     never re-pairing or re-signing the corpus.
@@ -942,6 +943,19 @@ def probe_minhash_index(
     exact-Jaccard verification joins text for the candidate ids only —
     increment side from the batch, corpus side a semi-filtered point
     lookup. Nothing in the plan is proportional to corpus pairs.
+
+    Bloom pre-join pruning (round 7): before anything touches the
+    index — including the giant-bucket sizes agg, which would
+    otherwise shuffle EVERY index row — a Bloom filter built over the
+    batch's ``(band_id, bucket)`` signatures (``functions/bloom.py``)
+    drops index rows whose bucket no batch doc hashed into. No false
+    negatives (same seeded hash family both sides — result equivalence
+    pinned), and since pruning is all-or-nothing per bucket key, the
+    surviving buckets' sizes (and thus the star-guard decisions) are
+    unchanged. Measured on fixtures: ~97% of index rows never leave
+    the scan stage (SCALE.md). This is the standard runtime row-filter
+    a 100 TB standing corpus needs when the batch is too big to
+    broadcast its key set exactly.
 
     Giant-bucket guard (the X9 template-spam pathology, mirrored from
     :func:`near_dup_pairs`): an index bucket holding B ≫ 1 near-identical
@@ -957,6 +971,11 @@ def probe_minhash_index(
     inc_triples = band_triples(increment, id_col, text_col, shingle_n).select(
         F.col("id").alias("inc_id"), "band_id", "bucket"
     )
+    if bloom_prefilter:
+        from ..functions.bloom import bloom_prune, build_bloom
+
+        bf = build_bloom(inc_triples, ["band_id", "bucket"])
+        index = bloom_prune(index, bf)
     sizes = index.groupBy("band_id", "bucket").agg(
         F.count(F.lit(1)).alias("_n"), F.min("id").alias("_rep")
     )

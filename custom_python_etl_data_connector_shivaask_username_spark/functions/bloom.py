@@ -78,6 +78,14 @@ def build_bloom(
     One distinct + one count + one ``bit_or`` word agg — all
     map-side-combinable; the collected result is the word array
     (≤ m/64 rows), never the keys.
+
+    Cost ceiling, out loud: at the ``_MAX_BITS`` cap (2^30 bits) the
+    word array is 128 MB, collected to the driver once and re-broadcast
+    to every executor by ``bloom_prune`` — that is the deliberate upper
+    bound of this design, reached at ~67M build keys with the default
+    16 bits/key. Past it the filter saturates (FP rate rises) rather
+    than grow; callers with larger key sets should sample keys or
+    partition the filter.
     """
     keyed = df.select(*cols).distinct()
     n = keyed.count()
@@ -109,23 +117,33 @@ def build_bloom(
 def bloom_prune(df: DataFrame, bf: BloomFilter) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (no false
     negatives). The bitmap rides a broadcast 1-row frame; the test is
-    ``k`` word-lookup/AND expressions, all JVM-side."""
+    ``k`` word-lookup/AND expressions, all JVM-side.
+
+    Working-column names are collision-checked against ``df.columns``
+    (round 8): a caller frame that already carries ``_bf``/``_h0`` no
+    longer hits an ambiguous-column analysis error or loses its column
+    to the trailing drop.
+    """
     spark = df.sparkSession
+    suffix, n = "", 0
+    existing = set(df.columns)
+    while {f"_bf{suffix}", *(f"_h{i}{suffix}" for i in range(bf.k))} & existing:
+        n += 1
+        suffix = f"_{n}"
+    bfc = f"_bf{suffix}"
+    hc = [f"_h{i}{suffix}" for i in range(bf.k)]
     bits_df = spark.createDataFrame(
-        [(list(bf.words),)], "_bf array<bigint>"
+        [(list(bf.words),)], f"{bfc} array<bigint>"
     )
     out = df.crossJoin(F.broadcast(bits_df))
     cond = F.lit(True)
     for i, h in enumerate(_bit_exprs(bf.cols, bf.m, bf.k)):
-        out = out.withColumn(f"_h{i}", h)
+        out = out.withColumn(hc[i], h)
         cond = cond & F.expr(
-            f"(element_at(_bf, CAST(shiftright(_h{i}, 6) AS INT) + 1)"
-            f" & shiftleft(1L, CAST(_h{i} % 64 AS INT))) != 0"
+            f"(element_at({bfc}, CAST(shiftright({hc[i]}, 6) AS INT) + 1)"
+            f" & shiftleft(1L, CAST({hc[i]} % 64 AS INT))) != 0"
         )
-    return (
-        out.filter(cond)
-        .drop("_bf", *[f"_h{i}" for i in range(bf.k)])
-    )
+    return out.filter(cond).drop(bfc, *hc)
 
 
 def might_contain_keys(bf: BloomFilter, df: DataFrame) -> DataFrame:

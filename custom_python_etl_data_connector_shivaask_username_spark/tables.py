@@ -116,8 +116,19 @@ def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> Data
     target = min_partitions or sc.defaultParallelism
 
     def _bytes_conf(key: str, default: int) -> int:
-        # values come back suffixed ("134217728b", "128m", ...)
-        units = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3}
+        # values come back suffixed in both one- and two-letter forms
+        # ("134217728b", "128m", "128mb", "1gb", ...) — strip the whole
+        # trailing alpha run, not just one char (round 8: a user-set
+        # "1gb" maxPartitionBytes used to silently fall back to 128 MB,
+        # firing the file-count short-circuit below its threshold)
+        units = {
+            "": 1, "b": 1,
+            "k": 1024, "kb": 1024,
+            "m": 1024**2, "mb": 1024**2,
+            "g": 1024**3, "gb": 1024**3,
+            "t": 1024**4, "tb": 1024**4,
+            "p": 1024**5, "pb": 1024**5,
+        }
         try:
             raw = (
                 spark._jsparkSession.sessionState()
@@ -126,10 +137,8 @@ def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> Data
                 .strip()
                 .lower()
             )
-            mult = 1
-            if raw and raw[-1] in units:
-                mult, raw = units[raw[-1]], raw[:-1]
-            return int(raw) * mult
+            num = raw.rstrip("bkmgtp")
+            return int(num) * units[raw[len(num):]]
         except Exception:
             return default
 

@@ -191,3 +191,105 @@ def test_twopass_percentiles_null_values_ignored(spark):
         for r in exact_percentiles_twopass(df, "g", "v", (0.5,)).collect()
     }
     assert abs(got[0.5] - 2.0) <= 1e-12
+
+
+def test_twopass_percentiles_wide_range_bounded_driver(spark):
+    """Round-8 hardening (round-7 verdict finding #1): a column spanning
+    ≥1e9 must NOT collect range-many histogram rows — the adaptive
+    bucket geometry (min/max pre-agg → width = range/max_buckets) keeps
+    the pass-1 driver collect ≤ (max_buckets+2) × groups and the answer
+    exact."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators import aggregates as agg
+
+    # two groups, values spanning 2e9, irregular spacing so buckets are
+    # unevenly occupied and interpolation lands between distinct values
+    rows = [("a", float(i) * 2_000_000.0 + (i % 7)) for i in range(1001)]
+    rows += [("b", float(i * i) * 181.0 - 1e9) for i in range(800)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.5, 0.95, 0.99)
+    builtin = {
+        (r["g"], q): r["p"][i]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.5D, 0.95D, 0.99D))").alias("p"))
+        .collect()
+        for i, q in enumerate(qs)
+    }
+    got = {
+        (r["g"], r["q"]): r["p"]
+        for r in exact_percentiles_twopass(df, "g", "v", qs).collect()
+    }
+    assert set(got) == set(builtin)
+    for k, v in builtin.items():
+        # exact order statistics → agreement to relative ulp scale
+        assert abs(got[k] - v) <= 1e-6 * max(1.0, abs(v)), (k, got[k], v)
+    # the boundedness pin itself: collected histogram rows stay under
+    # the geometric cap despite the 2e9 value range
+    assert agg.LAST_TWOPASS_STATS["hist_rows"] <= (agg.MAX_PCT_BUCKETS + 2) * 2
+    assert agg.LAST_TWOPASS_STATS["bucket_width"] > 1.0  # adapted, not 1.0
+
+
+def test_twopass_percentiles_explicit_width_is_rebucketed(spark):
+    """An explicit bucket_width that would explode the histogram
+    (range/width ≫ max_buckets) is re-derived instead of honored —
+    the driver bound holds for every call site."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators import aggregates as agg
+
+    rows = [("a", float(i) * 1e6) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["q"]: r["p"]
+        for r in exact_percentiles_twopass(
+            df, "g", "v", (0.5,), bucket_width=1e-3, max_buckets=1024
+        ).collect()
+    }
+    assert abs(got[0.5] - (1999e6 / 2)) <= 1e-3
+    assert agg.LAST_TWOPASS_STATS["hist_rows"] <= 1024 + 2
+    # a sane explicit width (within 4×max_buckets buckets) is honored
+    exact_percentiles_twopass(
+        df, "g", "v", (0.5,), bucket_width=1e6, max_buckets=4096
+    ).collect()
+    assert agg.LAST_TWOPASS_STATS["bucket_width"] == 1e6
+
+
+def test_twopass_percentiles_null_group_key_and_nan_values(spark):
+    """ADVICE r7 (medium): NULL group keys are a legitimate group
+    (matched null-safely in pass 2); NaN values are dropped like NULLs
+    (floor(NaN) would land in a null bucket and break rank lookup)."""
+    rows = [
+        (None, 1.0), (None, 2.0), (None, 3.0),
+        ("a", 10.0), ("a", float("nan")), ("a", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["q"]): r["p"]
+        for r in exact_percentiles_twopass(df, "g", "v", (0.5,)).collect()
+    }
+    assert abs(got[(None, 0.5)] - 2.0) <= 1e-12
+    # NaN excluded → two values left → median interpolates to 20
+    assert abs(got[("a", 0.5)] - 20.0) <= 1e-12
+
+
+def test_event_type_stats_left_join_keeps_all_null_value_groups(spark):
+    """ADVICE r7: a group whose `value` column is entirely NULL must
+    still appear in the stats with NULL percentiles (LEFT join), not be
+    dropped by the pcts join."""
+    import os
+    import tempfile
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import q_event_type_stats
+
+    with tempfile.TemporaryDirectory() as d:
+        ev = spark.createDataFrame(
+            [
+                ("u1", "click", 5.0, "2024-01-01T00:00:00"),
+                ("u2", "click", 7.0, "2024-01-01T00:01:00"),
+                ("u3", "ghost", None, "2024-01-01T00:02:00"),
+            ],
+            "user_id string, event_type string, value double, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_type"]: r for r in q_event_type_stats(spark, d).collect()}
+        assert set(out) == {"click", "ghost"}
+        assert out["ghost"]["p50"] is None
+        assert out["ghost"]["event_count"] == 1
+        assert abs(out["click"]["p50"] - 6.0) <= 1e-9

@@ -11,6 +11,17 @@ steady-state query execution, not first-touch JIT or co-tenant
 scheduler noise (observed run-to-run variance on identical code is
 ~30% without the min; best-of-3 still let single-run outliers through,
 hence 5).
+
+Noise-floor canary (round 8): a FIXED reference kernel — a constant-size
+in-memory agg over ``spark.range`` with no I/O and no data dependence on
+sf — is timed best-of-5 immediately before and after the query loop and
+emitted as ``noise_floor`` in the JSON. The kernel is identical every
+round, so its wall-time moves ONLY with machine conditions (co-tenant
+load, CPU frequency, scheduler): round-over-round, compare
+``value / min(noise_floor.pre, noise_floor.post)`` (emitted as
+``value_per_canary``) to separate code regressions from machine drift —
+the round-7 headline read +13% on code that measured equal-or-faster
+side-by-side, provable then only by re-running both trees.
 """
 
 from __future__ import annotations
@@ -67,6 +78,27 @@ def _resolve(name):
     return None
 
 
+def _canary(spark) -> float:
+    """Fixed reference kernel: 48M-row modular-arithmetic agg across 32
+    tasks — CPU-bound, zero I/O, identical every round. One warm run,
+    then best-of-5 (same discipline as the queries)."""
+    def kernel():
+        [(s,)] = (
+            spark.range(0, 48_000_000, 1, 32)
+            .selectExpr("sum((id % 97) * 3) AS s")
+            .collect()
+        )
+        assert s == 6911996745  # fixed kernel => fixed answer
+
+    kernel()  # warm
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        kernel()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -74,6 +106,7 @@ def main() -> None:
     spark = get_spark("etl-spark-bench")
     names = [n for n in HEADLINE if _resolve(n) is not None]
 
+    canary_pre = _canary(spark)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in names:
@@ -87,7 +120,12 @@ def main() -> None:
             assert n >= 0
         timings[name] = min(runs)
         samples[name] = runs
+    canary_post = _canary(spark)
     total = round(sum(timings.values()), 4)
+    # min, not mean: the pre canary runs on a cold JVM (C2 still
+    # compiling scheduler paths) and reads ~2x high; min is the machine's
+    # steady-state speed, same discipline as the per-query best-of-5
+    canary = min(canary_pre, canary_post)
     print(
         json.dumps(
             {
@@ -99,6 +137,15 @@ def main() -> None:
                 # round-over-round deltas separate from co-tenant noise
                 # without a re-run; headline numbers stay the minima
                 "samples": samples,
+                # machine-drift canary: identical zero-I/O kernel every
+                # round; compare value_per_canary across rounds, not raw
+                # totals (see module docstring)
+                "noise_floor": {
+                    "pre": canary_pre,
+                    "post": canary_post,
+                    "kernel": "range48M_mod97_sum_32tasks",
+                },
+                "value_per_canary": round(total / canary, 2),
                 "sf": sf,
             }
         )

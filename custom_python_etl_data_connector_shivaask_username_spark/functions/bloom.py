@@ -114,36 +114,58 @@ def build_bloom(
     )
 
 
+def membership_expr(
+    bf: BloomFilter, bits_col: F.Column, keys: list[F.Column]
+) -> F.Column:
+    """The JVM-side membership test as a composable boolean Column:
+    ``keys`` MIGHT be in the filter whose word array is ``bits_col``.
+    Factored out (round 8) so callers can test membership inside array
+    lambdas / arbitrary expressions, not only via ``bloom_prune``'s
+    row filter. ``call_function`` is used for the variable-amount
+    shifts (the Python ``shiftleft``/``shiftright`` wrappers only take
+    int literals)."""
+    cond = F.lit(True)
+    for i in range(bf.k):
+        h = F.pmod(F.xxhash64(*keys, F.lit(i)), F.lit(bf.m))
+        word = F.element_at(
+            bits_col, F.shiftright(h, 6).cast("int") + F.lit(1)
+        )
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(h, F.lit(64)).cast("int"),
+        )
+        cond = cond & (word.bitwiseAND(mask) != F.lit(0))
+    return cond
+
+
 def bloom_prune(df: DataFrame, bf: BloomFilter) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (no false
     negatives). The bitmap rides a broadcast 1-row frame; the test is
     ``k`` word-lookup/AND expressions, all JVM-side.
 
-    Working-column names are collision-checked against ``df.columns``
-    (round 8): a caller frame that already carries ``_bf``/``_h0`` no
-    longer hits an ambiguous-column analysis error or loses its column
-    to the trailing drop.
+    The bitmap working-column name is collision-checked against
+    ``df.columns`` (round 8): a caller frame that already carries
+    ``_bf`` no longer hits an ambiguous-column analysis error or loses
+    its column to the trailing drop.
     """
     spark = df.sparkSession
-    suffix, n = "", 0
-    existing = set(df.columns)
-    while {f"_bf{suffix}", *(f"_h{i}{suffix}" for i in range(bf.k))} & existing:
+    bfc, n = "_bf", 0
+    while bfc in df.columns:
         n += 1
-        suffix = f"_{n}"
-    bfc = f"_bf{suffix}"
-    hc = [f"_h{i}{suffix}" for i in range(bf.k)]
+        bfc = f"_bf_{n}"
     bits_df = spark.createDataFrame(
         [(list(bf.words),)], f"{bfc} array<bigint>"
     )
-    out = df.crossJoin(F.broadcast(bits_df))
-    cond = F.lit(True)
-    for i, h in enumerate(_bit_exprs(bf.cols, bf.m, bf.k)):
-        out = out.withColumn(hc[i], h)
-        cond = cond & F.expr(
-            f"(element_at({bfc}, CAST(shiftright({hc[i]}, 6) AS INT) + 1)"
-            f" & shiftleft(1L, CAST({hc[i]} % 64 AS INT))) != 0"
+    return (
+        df.crossJoin(F.broadcast(bits_df))
+        .filter(
+            membership_expr(
+                bf, F.col(bfc), [F.col(c) for c in bf.cols]
+            )
         )
-    return out.filter(cond).drop(bfc, *hc)
+        .drop(bfc)
+    )
 
 
 def might_contain_keys(bf: BloomFilter, df: DataFrame) -> DataFrame:

@@ -583,6 +583,7 @@ def contamination_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_prefilter: bool = True,
 ) -> DataFrame:
     """Production contamination check: **word** n-gram containment.
 
@@ -594,30 +595,60 @@ def contamination_pairs(
     carries 8 bytes per benchmark gram, not the text. Returns
     (train_id, bench_id, containment) for pairs ≥ threshold.
 
+    ``bloom_prefilter`` (round 8, the X28 contract): the corpus side
+    explodes EVERY training doc's grams into the join — at 100 TB that
+    stream dwarfs the benchmark side by ~6 orders of magnitude, and if
+    the benchmark gram set ever exceeds the broadcast threshold the
+    join shuffles it all. A Bloom filter built over the benchmark gram
+    hashes drops non-colliding corpus grams map-side, inside the same
+    codegen stage as the explode — no false negatives (same seeded
+    hash family on both sides, pinned equivalent in tests), so only
+    grams that MIGHT match ever reach the join. Measured at the sf1.0
+    sweep: >95% of corpus gram rows pruned before the join (SCALE.md).
+    Costs two extra jobs on the small benchmark side (distinct count +
+    word agg); disable for tiny ad-hoc checks where that overhead
+    dominates.
+
     Docs with fewer than ``n`` words emit no grams at all: a 2-word
     benchmark doc would otherwise get bn=1 from a single short gram,
     and one accidental match would flag containment 1.0. Such docs
     can't be checked by n-gram containment and are skipped on both
     sides.
     """
+    tg = _gram_hashes(train, id_col, text_col, n, "train_id")
+    bg = _gram_hashes(bench, id_col, text_col, n, "bench_id")
+    if bloom_prefilter:
+        from ..functions.bloom import bloom_prune, build_bloom
+
+        tg = bloom_prune(tg, build_bloom(bg, ["gh"]))
+    bsize = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bn"))
+    return _containment_from_grams(tg, bg, bsize, threshold)
+
+
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """Distinct word-n-gram hashes per doc, exploded to (id, gh) rows
+    (module-level so tests can measure the Bloom prefilter's gram-row
+    reduction on the exact production frames)."""
     from ..functions.text import whitespace_tokens
 
-    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
-        words = whitespace_tokens(F.lower(F.col(text_col)))
-        grams = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
-            )
+    words = whitespace_tokens(F.lower(F.col(text_col)))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
         )
-        return (
-            df.filter(F.size(words) >= n)
-            .select(F.col(id_col).alias(out_id), F.explode(grams).alias("gh"))
-        )
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias(out_id), F.explode(grams).alias("gh"))
+    )
 
-    tg = gram_hashes(train, "train_id")
-    bg = gram_hashes(bench, "bench_id")
-    bsize = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bn"))
+
+def _containment_from_grams(
+    tg: DataFrame, bg: DataFrame, bsize: DataFrame, threshold: float
+) -> DataFrame:
     return (
         tg.join(F.broadcast(bg), "gh")
         .groupBy("train_id", "bench_id")

@@ -344,6 +344,55 @@ def test_word_ngram_contamination_selective(spark):
     assert got[0]["containment"] == 1.0
 
 
+def test_contamination_bloom_prefilter_exact_equivalence(spark, sf_dir):
+    """X28-contract pin for the round-8 contamination prefilter: the
+    Bloom-pruned path returns the IDENTICAL pair set and containment
+    values as the unpruned join (no false negatives by construction —
+    same seeded hash family on both sides), on real fixture text."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        contamination_pairs,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    # benchmark = 5 fixture docs verbatim -> guaranteed planted overlap
+    bench = docs.limit(5)
+    key = lambda rows: sorted(
+        (r["train_id"], r["bench_id"], r["containment"]) for r in rows
+    )
+    with_bloom = contamination_pairs(
+        docs, bench, n=8, threshold=0.3, bloom_prefilter=True
+    ).collect()
+    without = contamination_pairs(
+        docs, bench, n=8, threshold=0.3, bloom_prefilter=False
+    ).collect()
+    assert key(with_bloom) == key(without)
+    assert len(without) >= 5  # the planted verbatim copies were flagged
+
+
+def test_contamination_bloom_prefilter_prunes_gram_stream(spark, sf_dir):
+    """The pruning must BITE: on fixture docs vs a small benchmark, the
+    corpus gram rows surviving the Bloom filter are a small fraction of
+    the full explosion (the join-input reduction the prefilter buys)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.functions.bloom import (
+        bloom_prune,
+        build_bloom,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        _gram_hashes,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    bench = docs.limit(3)
+    tg = _gram_hashes(docs, "doc_id", "text", 8, "train_id")
+    bg = _gram_hashes(bench, "doc_id", "text", 8, "bench_id")
+    full = tg.count()
+    kept = bloom_prune(tg, build_bloom(bg, ["gh"])).count()
+    # 3 benchmark docs' grams ≈ 1.5% of 200 docs' grams + FP noise
+    assert kept < 0.25 * full, (kept, full)
+
+
 def test_contamination_skips_docs_shorter_than_n(spark):
     """A benchmark doc with fewer than n words emits NO grams (it would
     otherwise get bn=1 and a single accidental short-gram match flags

@@ -117,13 +117,25 @@ def refresh_rollup(
     count (round-6 review finding); the folded-watermark sidecar makes
     that replay a skip instead — batch ids are monotone under the
     Structured Streaming checkpoint contract, so ``id <= watermark``
-    precisely identifies already-folded deliveries."""
+    precisely identifies already-folded deliveries.
+
+    Write path (round 8): the partials land through the store's own
+    DataSource V2 writer (``sources/rollup_store.py``) — per-cell
+    staged files committed cell-by-cell on the driver, same layout and
+    isolation guarantees as dynamic partition overwrite but with an
+    explicit, inspectable commit protocol. Falls back to dynamic
+    overwrite if the runtime lacks the Python Data Source API."""
     if batch_id <= _folded_watermark(batch.sparkSession, store_path):
         return  # this delivery's rows already live in the compacted base
+    pcols = ["day", "batch_id"]
     parts = rollup_partials(batch, resolution).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    overwrite_partitions(parts, store_path, ["day", "batch_id"])
+    parts = parts.repartition(*[F.col(c) for c in pcols])
+    from ..sources.rollup_store import write_cells
+
+    if not write_cells(parts, store_path, pcols):
+        overwrite_partitions(parts, store_path, pcols)
 
 
 def _merge_partials(parts: DataFrame, bucket: F.Column) -> DataFrame:

@@ -231,3 +231,49 @@ def test_replay_after_compaction_does_not_double_count(spark, tmp_path):
     assert (
         read_rollup(spark, store).filter("event_type = 'click'").count() == 1
     )
+
+
+def test_refresh_uses_dsv2_writer_and_cleans_staging(spark, tmp_path):
+    """Round 8: the refresh path must actually go through the
+    rollup_store DataSource V2 writer in this runtime (pyspark>=4) —
+    otherwise every pin above silently exercises only the dynamic-
+    overwrite fallback — and a completed write leaves no staging dirs
+    behind in the store."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.rollup_store import (
+        register_rollup_store,
+    )
+
+    assert register_rollup_store(spark)  # API present => DSv2 is the path
+    store = str(tmp_path / "store")
+    refresh_rollup(
+        _events(spark, [(1, 10, 0, "view", 1.0), (2, 9, 0, "click", 2.0)]),
+        store,
+        batch_id=0,
+    )
+    leftovers = glob.glob(f"{store}/_staging_*")
+    assert leftovers == []
+    # layout is Spark-standard hive partitioning, partition-prunable
+    assert glob.glob(f"{store}/day=2024-03-01/batch_id=0/*.parquet")
+    assert glob.glob(f"{store}/day=2024-03-02/batch_id=0/*.parquet")
+    got = sorted(
+        map(tuple, read_rollup(spark, store).select("event_count").collect())
+    )
+    assert got == [(1,), (1,)]
+
+
+def test_dsv2_replay_replaces_cell_files_exactly(spark, tmp_path):
+    """A redelivered batch id replaces its OWN cell files (old files
+    gone, new ones in) while the other batch's cells keep identical
+    bytes — the per-cell commit contract."""
+    store = str(tmp_path / "store")
+    b0 = _events(spark, [(1, 10, 0, "view", 1.0)])
+    b1 = _events(spark, [(1, 11, 0, "click", 2.0)])
+    refresh_rollup(b0, store, batch_id=0)
+    refresh_rollup(b1, store, batch_id=1)
+    cell0_before = set(glob.glob(f"{store}/day=2024-03-01/batch_id=0/*.parquet"))
+    cell1_before = _snapshot(f"{store}/day=2024-03-01/batch_id=1")
+    refresh_rollup(b0, store, batch_id=0)  # replay
+    cell0_after = set(glob.glob(f"{store}/day=2024-03-01/batch_id=0/*.parquet"))
+    assert cell0_before.isdisjoint(cell0_after)  # old files replaced
+    assert _snapshot(f"{store}/day=2024-03-01/batch_id=1") == cell1_before
+    assert read_rollup(spark, store).count() == 2

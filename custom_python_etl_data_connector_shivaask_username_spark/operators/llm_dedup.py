@@ -1153,6 +1153,11 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       logistic regression, bootstrap seeds) scoring every doc;
       separation + rank-stability pinned in
       tests/test_llm_classifier.py.
+    - ``rerank``: X29 retrieve-k'-rerank-to-k (round 8) — IVF-PQ ADC
+      retrieves 50 candidates, the Arrow-batched exact-cosine scorer
+      reranks to 10 against the raw stored vectors; recall-vs-k'
+      monotonicity and pluggable-scorer plumbing pinned in
+      tests/test_llm_dedup.py.
     - ``drift``: X26 distribution-drift monitor — PSI of the late half
       of the events feed against a histogram frozen on the early half;
       band pins + layout-free determinism in tests/test_drift.py.
@@ -1246,6 +1251,34 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("label"),
         F.col("approx_score").alias("score"),
         F.lit("pq_adc").alias("detail"),
+    )
+    # rerank: X29 retrieve-k'-rerank-to-k over a stored IVF-PQ index —
+    # the two-stage serving shape (cheap wide retrieve, expensive
+    # narrow rerank); the reranked rank order is the driver-visible row
+    from .llm_similarity import ivfpq_build, ivfpq_topk_rerank
+
+    rr_coarse, rr_books, rr_codes = ivfpq_build(
+        emb_pq.filter(F.col("vec_id") != 0),
+        n_clusters=8,
+        coarse_iters=1,
+        pq_iters=1,
+    )
+    rerank = ivfpq_topk_rerank(
+        rr_codes,
+        rr_coarse,
+        rr_books,
+        emb_pq.filter(F.col("vec_id") != 0),
+        qvec,
+        k=10,
+        k_prime=50,
+        n_probe=4,
+    ).select(
+        F.lit("rerank").alias("branch"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("rerank_score").alias("score"),
+        F.lit("ivfpq_k50_rerank10").alias("detail"),
     )
     # semdedup: X24 semantic dedup at the production 0.95 bar — like
     # the emb_dup branch, the near-random fixture yields ZERO dropped
@@ -1377,6 +1410,7 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sketches)
         .unionByName(heavy)
         .unionByName(pq)
+        .unionByName(rerank)
         .unionByName(bpe)
         .unionByName(sem_dropped)
         .unionByName(sem_summary)

@@ -1525,3 +1525,120 @@ def ivfpq_drift_retrain(
         **build_kwargs,
     )
     return new_coarse, new_books, codes_df, True, batch_mse
+
+
+# --- X29: retrieve-k'-rerank-to-k over a stored ANN index ---------------------
+
+
+def cosine_rerank_scorer(query: "np.ndarray", cands: "np.ndarray") -> "np.ndarray":
+    """Default pairwise scorer: exact cosine of each candidate row
+    against the query (vectorized — one matmul per Arrow batch). The
+    recall pin compares reranked output against the exact brute-force
+    top-k under this same metric."""
+    qn = query / (np.linalg.norm(query) or 1.0)
+    norms = np.linalg.norm(cands, axis=1)
+    norms[norms == 0.0] = 1.0
+    return (cands @ qn) / norms
+
+
+#: rerank candidate sets are bounded metadata BY CONTRACT — the
+#: retrieve stage limits to k'; this cap turns a mis-use (passing an
+#: unlimited frame) into a loud error instead of a driver OOM
+MAX_RERANK_CANDIDATES = 100_000
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    scorer=cosine_rerank_scorer,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X29: second-stage rerank of a first-stage retrieval — the
+    standard two-tower/cross-encoder serving shape: a cheap index
+    (IVF-PQ/LSH) retrieves k' >> k candidates, then an expensive
+    pairwise scorer re-scores ONLY those k' and keeps the top k.
+    The compressed index's quantization error costs rank accuracy;
+    reranking against exact payloads (or a learned pairwise model)
+    buys it back without ever scanning the corpus with the expensive
+    scorer.
+
+    ``scorer`` is pluggable and Arrow-batched: a callable
+    ``(query: np.ndarray[d], cands: np.ndarray[b,d]) -> np.ndarray[b]``
+    applied inside ``mapInPandas`` — one vectorized call per Arrow
+    batch, never per row. The default is exact cosine (the metric of
+    the exact top-k baseline, so recall@k is directly measurable); a
+    cross-encoder would drop in as a callable that runs its model on
+    the batch (the plumbing — schema, batching, candidate pruning —
+    is identical and is what this operator pins).
+
+    100 TB shape: the candidate id set is collected (bounded by k' —
+    the retrieve stage's LIMIT; capped loudly at
+    ``MAX_RERANK_CANDIDATES``) and inlined as an ``isin`` filter, so
+    the payload scan prunes to the candidate rows via predicate
+    pushdown instead of joining the full corpus. The expensive scorer
+    touches exactly k' rows; the result is one
+    TakeOrderedAndProject of k rows.
+    """
+    ids = [r[0] for r in candidates.select(id_col).collect()]
+    if len(ids) > MAX_RERANK_CANDIDATES:
+        raise ValueError(
+            f"rerank got {len(ids)} candidates (> {MAX_RERANK_CANDIDATES}); "
+            f"the retrieve stage must LIMIT to k' — reranking is a "
+            f"candidate-set operator, not a corpus scan"
+        )
+    out_schema = f"{id_col} long, rerank_score double"
+    qv = [float(x) for x in query_vec]
+
+    def _score(batches):
+        import pandas as pd
+
+        q = np.asarray(qv, dtype="float64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "rerank_score": scorer(q, mat)}
+            )
+
+    return (
+        emb.filter(F.col(id_col).isin(ids))
+        .select(id_col, vec_col)
+        .mapInPandas(_score, schema=out_schema)
+        .select(id_col, F.round("rerank_score", 6).alias("rerank_score"))
+        .orderBy(F.col("rerank_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_topk_rerank(
+    codes_df: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    k_prime: int = 50,
+    n_probe: int = 4,
+    scorer=cosine_rerank_scorer,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retrieve-k'-rerank-to-k over the stored IVF-PQ index: ADC scan
+    retrieves ``k_prime`` approximate candidates (cell-pruned, see
+    :func:`ivfpq_topk`), then :func:`rerank_topk` re-scores them
+    against the raw stored vectors. Recall@k rises monotonically with
+    ``k_prime`` toward the exact top-k (pinned in
+    tests/test_llm_dedup.py) — the knob trades one cheap ADC scan's
+    breadth for exact-scorer work on k' rows."""
+    cands = ivfpq_topk(
+        codes_df, coarse, books, query_vec, k=k_prime,
+        n_probe=n_probe, id_col=id_col,
+    )
+    return rerank_topk(
+        cands, emb, query_vec, k=k, scorer=scorer, id_col=id_col
+    )

@@ -1505,3 +1505,121 @@ def test_label_block_sub_blocking_works_at_any_dimension(spark):
     }
     assert len(buckets) > 1  # dim-matched planes genuinely partition
     assert None not in buckets
+
+
+# --- X29: retrieve-k'-rerank-to-k ------------------------------------------
+
+
+def test_rerank_recall_vs_exact_rises_with_kprime(spark):
+    """X29 pin: reranking IVF-PQ retrievals with the exact cosine
+    scorer recovers the exact brute-force top-10 — recall@10 is
+    monotone in k' and hits 1.0 when k' spans the candidate pool the
+    index can return (quantization error only reorders WITHIN the
+    retrieved set; rerank removes exactly that error)."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivfpq_build,
+        ivfpq_topk_rerank,
+    )
+
+    emb = _blob_fixture(spark)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    db = emb.filter(F.col("vec_id") != 0)
+    # exact top-10 under cosine, computed independently in numpy
+    rows = db.collect()
+    q = np.asarray(qvec)
+    qn = q / np.linalg.norm(q)
+    sims = {
+        r["vec_id"]: float(
+            np.dot(r["embedding"], qn) / np.linalg.norm(r["embedding"])
+        )
+        for r in rows
+    }
+    exact10 = {
+        v for v, _ in sorted(sims.items(), key=lambda t: (-t[1], t[0]))[:10]
+    }
+    coarse, books, codes_df = ivfpq_build(
+        db, n_clusters=8, coarse_iters=3, pq_iters=2
+    )
+
+    def recall(k_prime):
+        got = {
+            r["vec_id"]
+            for r in ivfpq_topk_rerank(
+                codes_df, coarse, books, db, qvec,
+                k=10, k_prime=k_prime, n_probe=8,
+            ).collect()
+        }
+        return len(got & exact10) / 10
+
+    r10, r50, r_all = recall(10), recall(50), recall(300)
+    assert r10 <= r50 <= r_all, (r10, r50, r_all)
+    assert r50 >= 0.8, r50
+    # n_probe=8 probes every cell -> candidate pool is the full corpus;
+    # rerank over all of it IS the exact answer
+    assert r_all == 1.0, r_all
+
+
+def test_rerank_scorer_pluggable_and_arrow_batched(spark):
+    """The pairwise scorer is a drop-in callable applied to 2-D Arrow
+    batches (cross-encoder plumbing): a negative-L2 scorer produces the
+    L2 ranking, verified against numpy on the same candidate set."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        rerank_topk,
+    )
+
+    emb = _blob_fixture(spark, n_noise=40, n_cluster=10)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cands = emb.filter(F.col("vec_id") != 0).select("vec_id").limit(30)
+
+    def neg_l2(query, mat):
+        assert mat.ndim == 2, "scorer must receive a whole Arrow batch"
+        return -np.linalg.norm(mat - query, axis=1)
+
+    got = [
+        r["vec_id"]
+        for r in rerank_topk(
+            cands, emb, qvec, k=5, scorer=neg_l2
+        ).collect()
+    ]
+    ids = {r["vec_id"] for r in cands.collect()}
+    rows = [r for r in emb.collect() if r["vec_id"] in ids]
+    q = np.asarray(qvec)
+    want = [
+        r["vec_id"]
+        for r in sorted(
+            rows,
+            key=lambda r: (
+                round(float(np.linalg.norm(np.asarray(r["embedding"]) - q)), 6),
+                r["vec_id"],
+            ),
+        )
+    ][:5]
+    assert got == want
+
+
+def test_rerank_rejects_unbounded_candidate_sets(spark):
+    """Mis-use guard: a candidate frame past MAX_RERANK_CANDIDATES is a
+    loud error, not a silent driver OOM — rerank is a candidate-set
+    operator, the retrieve stage owns the LIMIT."""
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators import llm_similarity as sim
+
+    emb = _blob_fixture(spark, n_noise=40, n_cluster=5)
+    old = sim.MAX_RERANK_CANDIDATES
+    sim.MAX_RERANK_CANDIDATES = 10
+    try:
+        with _pytest.raises(ValueError, match="candidate-set operator"):
+            sim.rerank_topk(emb.select("vec_id"), emb, [0.0] * 64, k=5)
+    finally:
+        sim.MAX_RERANK_CANDIDATES = old

@@ -159,6 +159,71 @@ def mongodb_write_config(
     return mode, options
 
 
+def apply_mongo_operations(
+    collection, docs, upsert_keys: list[str] | None = None
+) -> int:
+    """The write-semantics kernel of the Mongo sink (round 8), factored
+    to run against ANY pymongo-compatible collection object — a real
+    ``pymongo`` collection, ``mongomock``, or the in-repo collection
+    double in tests/test_connector.py. Without ``upsert_keys`` it is a
+    plain ``insert_many``; with them each doc becomes a keyed
+    ``replace_one(filter=key-tuple, upsert=True)`` — exactly the
+    semantics the Spark connector's ``operationType=update`` +
+    ``idFieldList`` options request (the reference's MERGE,
+    README.md:24,28-29) and the same upsert contract
+    ``streaming/pipeline.upsert_parquet`` implements relationally.
+
+    This is the piece of S6 that is EXECUTABLE in this environment:
+    the JVM Spark connector write below needs a jar + server (absent
+    here, installs prohibited), but the per-document insert/upsert
+    semantics are pinned by executed tests against the double, and
+    the mongomock-gated round-trip in tests activates untouched the
+    day the env grows a pymongo-compatible client. Returns the number
+    of documents applied."""
+    docs = list(docs)
+    if not upsert_keys:
+        if docs:
+            collection.insert_many(docs)
+        return len(docs)
+    for d in docs:
+        collection.replace_one(
+            {k: d[k] for k in upsert_keys}, d, upsert=True
+        )
+    return len(docs)
+
+
+def write_mongodb_pymongo(
+    df: DataFrame,
+    connector_name: str,
+    database: str,
+    uri: str,
+    upsert_keys: list[str] | None = None,
+) -> None:
+    """S6 fallback path without the Spark connector jar: per-partition
+    ``pymongo`` writes through :func:`apply_mongo_operations` — the
+    reference's own client library (README.md:24), distributed. Each
+    partition opens one client; rows land via insert_many / keyed
+    replace_one. Env-blocked here (no pymongo, no server) but the
+    kernel it delegates to has executed coverage; see
+    :func:`apply_mongo_operations`."""
+    collection_name = f"{connector_name}{RAW_SUFFIX}"
+    keys = list(upsert_keys) if upsert_keys else None
+
+    def _write_partition(rows):
+        import pymongo  # env-blocked here; executes where installed
+
+        client = pymongo.MongoClient(uri)
+        try:
+            coll = client[database][collection_name]
+            apply_mongo_operations(
+                coll, (r.asDict(recursive=True) for r in rows), keys
+            )
+        finally:
+            client.close()
+
+    add_ingest_ts(df).foreachPartition(_write_partition)
+
+
 def write_mongodb(
     df: DataFrame,
     connector_name: str,

@@ -364,3 +364,80 @@ def test_write_mongodb_raises_clearly_without_connector(spark):
     df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
     with pytest.raises(NotImplementedError, match="parquet"):
         write_mongodb(df, "testapi", "etl", "mongodb://localhost:27017")
+
+
+class _CollectionDouble:
+    """Minimal pymongo-compatible collection: the two methods the sink
+    kernel uses, with real upsert semantics over an in-memory store —
+    what `apply_mongo_operations` executes against in this env."""
+
+    def __init__(self):
+        self.store: list[dict] = []
+
+    def insert_many(self, docs):
+        self.store.extend(dict(d) for d in docs)
+
+    def replace_one(self, flt, doc, upsert=False):
+        for i, existing in enumerate(self.store):
+            if all(existing.get(k) == v for k, v in flt.items()):
+                self.store[i] = dict(doc)
+                return
+        if upsert:
+            self.store.append(dict(doc))
+
+
+def test_apply_mongo_operations_insert_and_keyed_upsert():
+    """S6 executed-semantics pin (round 8): the factored write kernel —
+    plain insert without keys; keyed replace-or-insert with them
+    (the operationType=update + idFieldList contract)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.sinks import (
+        apply_mongo_operations,
+    )
+
+    coll = _CollectionDouble()
+    n = apply_mongo_operations(
+        coll, [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    )
+    assert n == 2 and len(coll.store) == 2
+
+    coll = _CollectionDouble()
+    apply_mongo_operations(coll, [{"id": 1, "v": "a"}], upsert_keys=["id"])
+    apply_mongo_operations(
+        coll,
+        [{"id": 1, "v": "a2"}, {"id": 3, "v": "c"}],
+        upsert_keys=["id"],
+    )
+    assert sorted((d["id"], d["v"]) for d in coll.store) == [
+        (1, "a2"),
+        (3, "c"),
+    ]
+    # multi-key upsert matches the full key tuple, not any one column
+    coll = _CollectionDouble()
+    apply_mongo_operations(
+        coll, [{"a": 1, "b": 1, "v": "x"}], upsert_keys=["a", "b"]
+    )
+    apply_mongo_operations(
+        coll, [{"a": 1, "b": 2, "v": "y"}], upsert_keys=["a", "b"]
+    )
+    assert len(coll.store) == 2
+
+
+def test_mongomock_roundtrip_when_available(spark):
+    """Full executed round-trip through write_mongodb_pymongo the day a
+    pymongo-compatible client exists in this env; pinned-skip until
+    then (mongomock absent as of 2026-08-14, installs prohibited —
+    SURVEY.md §8)."""
+    import pytest
+
+    mongomock = pytest.importorskip("mongomock")
+    import pymongo  # noqa: F401 — mongomock patches need the real shim
+
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.sinks import (
+        apply_mongo_operations,
+    )
+
+    client = mongomock.MongoClient()
+    coll = client["etl"]["testapi_raw"]
+    apply_mongo_operations(coll, [{"id": 1, "v": "a"}], upsert_keys=["id"])
+    apply_mongo_operations(coll, [{"id": 1, "v": "b"}], upsert_keys=["id"])
+    assert [d["v"] for d in coll.find({"id": 1})] == ["b"]

@@ -362,8 +362,16 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.when(big, F.col("value")), "avg_big_value"),
     )
     quant = F.floor(F.col("p") * PCT_QUANT + F.lit(0.5)) / PCT_QUANT
+    # explicit bucket_width: events.value spans ~600, so w=1 gives a
+    # ~600-bucket/group histogram (8x fewer collected rows than the
+    # adaptive 65k-bucket geometry, ~0.4 s at sf0.1). Safe because the
+    # operator's round-8 guard re-derives any width whose bucket count
+    # would exceed 4x max_buckets — a fixture change cannot reintroduce
+    # the wide-range driver hazard here.
     pcts = (
-        exact_percentiles_twopass(ev, "event_type", "value", _PCT_QS)
+        exact_percentiles_twopass(
+            ev, "event_type", "value", _PCT_QS, bucket_width=1.0
+        )
         .groupBy("event_type")
         .agg(
             *[

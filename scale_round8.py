@@ -160,9 +160,92 @@ def part_c_x30_tail(spark) -> dict:
     return out
 
 
+def part_d_zorder_skipping(spark) -> dict:
+    """Multi-column Z-order file-skipping proof at sf1.0 (SURVEY §8
+    candidate): the sf1.0 events table written (i) range-sorted on
+    ``value`` only and (ii) Z-ordered on ``(value, user_id)``; then a
+    selective BOX predicate on both columns is evaluated against the
+    parquet row-group footers — counting row groups whose min/max
+    stats OVERLAP the box, i.e. exactly what Spark's scan reads after
+    pushdown. 1-D layouts prune only their sort column; Z-order prunes
+    on both."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        write_zordered,
+    )
+
+    ev = load_table(spark, FULL_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # predicate bounds from QUANTILES of the actual data (the replica
+    # offsets make the user_id domain sparse — midpoint-of-min/max
+    # boxes can land between clusters and match nothing)
+    qs = ev.agg(
+        F.expr("percentile_approx(value, array(0.45D, 0.55D), 10000)").alias("v"),
+        F.expr("percentile_approx(user_id, array(0.45D, 0.55D), 10000)").alias("u"),
+    ).first()
+    v_lo, v_hi = float(qs["v"][0]), float(qs["v"][1])
+    u_lo, u_hi = int(qs["u"][0]), int(qs["u"][1])
+    linear = os.path.join(OUT_DIR, "events_linear")
+    zpath = os.path.join(OUT_DIR, "events_zorder")
+    (
+        ev.repartitionByRange(32, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1024 * 1024)
+        .parquet(linear)
+    )
+    write_zordered(ev, zpath, ["value", "user_id"], num_files=32)
+
+    preds = {
+        "value_slice": lambda: (F.col("value") >= v_lo) & (F.col("value") <= v_hi),
+        "user_slice": lambda: (F.col("user_id") >= u_lo) & (F.col("user_id") <= u_hi),
+        "box": lambda: (F.col("value") >= v_lo) & (F.col("value") <= v_hi)
+        & (F.col("user_id") >= u_lo) & (F.col("user_id") <= u_hi),
+    }
+    stat_preds = {
+        "value_slice": lambda sv, su: sv.min <= v_hi and sv.max >= v_lo,
+        "user_slice": lambda sv, su: su.min <= u_hi and su.max >= u_lo,
+        "box": lambda sv, su: sv.min <= v_hi and sv.max >= v_lo
+        and su.min <= u_hi and su.max >= u_lo,
+    }
+
+    def overlap(path, pred):
+        total, hit = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.row_group(0).column(ci).path_in_schema: ci
+                for ci in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                total += 1
+                sv = md.row_group(rg).column(idx["value"]).statistics
+                su = md.row_group(rg).column(idx["user_id"]).statistics
+                if pred(sv, su):
+                    hit += 1
+        return hit, total
+
+    out = {"bounds": [v_lo, v_hi, u_lo, u_hi]}
+    for pname in preds:
+        rows = {}
+        for tag, path in (("linear", linear), ("zorder", zpath)):
+            hit, total = overlap(path, stat_preds[pname])
+            out[f"{pname}_{tag}_rowgroups"] = f"{hit}/{total}"
+            rows[tag] = (
+                spark.read.parquet(path).filter(preds[pname]()).count()
+            )
+        assert rows["linear"] == rows["zorder"], rows  # same answer
+        out[f"{pname}_rows"] = rows["linear"]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--parts", default="a,b,c")
+    ap.add_argument("--parts", default="a,b,c,d")
     args = ap.parse_args()
     parts = set(args.parts.split(","))
     spark = get_spark("scale-round8")
@@ -176,6 +259,9 @@ def main() -> None:
     if "c" in parts:
         results["x30_tail"] = part_c_x30_tail(spark)
         print(json.dumps({"x30_tail": results["x30_tail"]}))
+    if "d" in parts:
+        results["zorder_sf1"] = part_d_zorder_skipping(spark)
+        print(json.dumps({"zorder_sf1": results["zorder_sf1"]}))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_R8.json")
     existing = {}
     if os.path.exists(path):

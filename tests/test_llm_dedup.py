@@ -499,11 +499,11 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     # fixture has no true near-dups); all other branches must emit
     assert branches >= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq",
-        "bpe", "semdedup", "qclf", "drift",
+        "bpe", "semdedup", "qclf", "drift", "rerank",
     }
     assert branches <= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
-        "heavy", "pq", "bpe", "semdedup", "qclf", "drift",
+        "heavy", "pq", "bpe", "semdedup", "qclf", "drift", "rerank",
     }
     drift = [r for r in rows if r["branch"] == "drift"]
     assert len(drift) == 1 and drift[0]["score"] is not None

@@ -49,6 +49,7 @@ from ..sources.layout import (
     fs_write_text,
     overwrite_partitions,
 )
+from ..sources.rollup_store import FOLDED_SIDECAR
 from ..tables import load_table
 
 #: partial-aggregate columns in the store, beside the grouping keys
@@ -79,8 +80,9 @@ def rollup_partials(
 
 #: underscore prefix → invisible to the parquet reader; records the
 #: highest batch_id already folded into the ``batch_id=-1`` base by
-#: compaction, so a post-compaction redelivery cannot double-count
-_FOLDED_SIDECAR = "_folded_watermark.json"
+#: compaction, so a post-compaction redelivery cannot double-count.
+#: Shared with the DSv2 writers (the X30 streaming sink honors it too).
+_FOLDED_SIDECAR = FOLDED_SIDECAR
 
 
 def _sidecar_path(store_path: str) -> str:

@@ -1,0 +1,333 @@
+"""X31: ANALYZE-style table statistics feeding a join-order planner.
+
+Spark's CBO can only reorder what the catalog has statistics for —
+path-based parquet reads (this engine's storage model, `tables.py:73`)
+have none, so a multi-way join is planned purely syntactically: the
+join tree the user wrote is the join tree that runs, and whether a dim
+broadcasts depends on file-size estimates alone. At 100 TB a
+wrong-ordered star join is the difference between shuffling the fact
+table once and shuffling an inflated intermediate twice.
+
+This module closes that gap the warehouse way (Selinger et al.,
+"Access Path Selection in a Relational Database Management System",
+SIGMOD 1979 — the public cost-model lineage every optimizer cites):
+
+- ``collect_table_stats`` — ONE aggregation pass over the table
+  computes row count plus per-column NDV (HyperLogLog++ via
+  ``approx_count_distinct``), min/max, and null count; on-disk bytes
+  come from the file index (metadata-only). Cost: one scan, mergeable
+  partials, no shuffle beyond the final 1-row agg — safe to run on the
+  largest table in the lake (sample first if even one scan is too
+  much; the estimates degrade gracefully).
+- ``write_stats_sidecar`` / ``read_stats_sidecar`` — persist next to
+  the data as ``_table_stats.json`` (underscore-prefixed: invisible to
+  parquet readers; Hadoop-FS I/O so hdfs:///s3:// stores behave like
+  local paths).
+- ``estimate_join_rows`` — the classic equi-join cardinality model
+  |L ⋈ R| = |L|·|R| / max(ndv(L.k), ndv(R.k)), with a containment
+  refinement from min/max when the key ranges barely overlap.
+- ``plan_join_tree`` — greedy left-deep join ordering over a join
+  graph: start from the cheapest edge, repeatedly fold in the
+  connected table that minimizes the estimated intermediate, and
+  attach an explicit ``broadcast()`` hint whenever the incoming
+  table's estimated bytes clear ``spark.sql.autoBroadcastJoinThreshold``.
+  The output is a plain DataFrame — Catalyst still picks physical
+  operators; the planner only contributes the order and the hints,
+  exactly the two decisions statistics-blind Spark gets wrong.
+
+The planner never invents a cartesian product: tables only join along
+declared edges, and a disconnected join graph raises instead of
+silently cross-joining.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.layout import fs_read_text, fs_write_text
+from ..tables import bytes_conf
+
+STATS_SIDECAR = "_table_stats.json"
+
+#: fallback estimated row width when on-disk size is unknown
+_DEFAULT_ROW_BYTES = 64
+
+#: column types whose NDV/min/max are collected (atomic, orderable)
+_STAT_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string", "boolean",
+)
+
+
+def _is_stat_type(dt: str) -> bool:
+    return dt in _STAT_TYPES or dt.startswith("decimal")
+
+
+def collect_table_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    path: str | None = None,
+    rsd: float = 0.05,
+) -> dict[str, Any]:
+    """One-pass ANALYZE: row count + per-column (ndv, min, max,
+    null_count) for every atomic column (or the requested subset), and
+    total on-disk bytes when the frame is a file scan. All aggregates
+    are mergeable partials — one scan, one 1-row result."""
+    cols = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and _is_stat_type(f.dataType.simpleString())
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for name, _ in cols:
+        aggs += [
+            F.approx_count_distinct(name, rsd).alias(f"__ndv__{name}"),
+            F.min(name).alias(f"__min__{name}"),
+            F.max(name).alias(f"__max__{name}"),
+            F.count(name).alias(f"__nn__{name}"),
+        ]
+    row = df.agg(*aggs).first().asDict()
+    n = row["__rows"]
+    size_bytes = None
+    try:
+        files = df.inputFiles()
+        if files:
+            sc = df.sparkSession.sparkContext
+            jvm = sc._jvm
+            conf = sc._jsc.hadoopConfiguration()
+            size_bytes = 0
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                size_bytes += (
+                    p.getFileSystem(conf).getFileStatus(p).getLen()
+                )
+    except Exception:
+        size_bytes = None
+    stats: dict[str, Any] = {
+        "row_count": n,
+        "size_bytes": size_bytes,
+        "columns": {},
+    }
+    for name, dt in cols:
+        stats["columns"][name] = {
+            "type": dt,
+            "ndv": row[f"__ndv__{name}"],
+            "min": row[f"__min__{name}"],
+            "max": row[f"__max__{name}"],
+            "null_count": n - row[f"__nn__{name}"],
+        }
+    if path is not None:
+        stats["path"] = path
+    return stats
+
+
+def write_stats_sidecar(
+    spark: SparkSession, path: str, stats: dict[str, Any]
+) -> None:
+    fs_write_text(
+        spark,
+        f"{path.rstrip('/')}/{STATS_SIDECAR}",
+        json.dumps(stats, default=str),
+    )
+
+
+def read_stats_sidecar(
+    spark: SparkSession, path: str
+) -> dict[str, Any] | None:
+    raw = fs_read_text(spark, f"{path.rstrip('/')}/{STATS_SIDECAR}")
+    return None if raw is None else json.loads(raw)
+
+
+def _ndv(stats: dict, col: str, default_rows: int) -> float:
+    c = stats.get("columns", {}).get(col)
+    if c and c.get("ndv"):
+        return max(1.0, float(c["ndv"]))
+    return max(1.0, float(default_rows))  # worst case: key is unique
+
+
+def _range(stats: dict, col: str):
+    c = stats.get("columns", {}).get(col)
+    if not c:
+        return None
+    lo, hi = c.get("min"), c.get("max")
+    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+        return float(lo), float(hi)
+    return None
+
+
+def estimate_join_rows(
+    left_stats: dict, lcol: str, right_stats: dict, rcol: str
+) -> float:
+    """Selinger equi-join cardinality: |L|·|R| / max(ndv_l, ndv_r),
+    scaled down by key-range containment when numeric min/max show the
+    domains barely overlap (a disjoint-range join estimates ~0 instead
+    of |L|·|R|/ndv)."""
+    nl = max(0, int(left_stats.get("row_count") or 0))
+    nr = max(0, int(right_stats.get("row_count") or 0))
+    if nl == 0 or nr == 0:
+        return 0.0
+    est = nl * nr / max(_ndv(left_stats, lcol, nl), _ndv(right_stats, rcol, nr))
+    rl, rr = _range(left_stats, lcol), _range(right_stats, rcol)
+    if rl and rr:
+        lo, hi = max(rl[0], rr[0]), min(rl[1], rr[1])
+        spans = (rl[1] - rl[0]) * (rr[1] - rr[0])
+        if hi < lo:
+            return 0.0
+        if spans > 0:
+            overlap = min(
+                1.0,
+                max(
+                    (hi - lo) / max(rl[1] - rl[0], 1e-12),
+                    (hi - lo) / max(rr[1] - rr[0], 1e-12),
+                ),
+            )
+            est *= overlap
+    return est
+
+
+def _est_bytes(stats: dict, est_rows: float) -> float:
+    """Estimated in-memory bytes for ``est_rows`` rows of this table:
+    measured bytes-per-row when the file index gave a size, else a
+    conservative default width."""
+    n = max(1, int(stats.get("row_count") or 1))
+    size = stats.get("size_bytes")
+    width = (size / n) if size else _DEFAULT_ROW_BYTES
+    return est_rows * max(width, 8.0)
+
+
+def plan_join_tree(
+    tables: dict[str, DataFrame],
+    edges: list[tuple[str, str, str, str]],
+    stats: dict[str, dict] | None = None,
+    how: str = "inner",
+    broadcast_threshold: int | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Greedy left-deep join ordering with stats-driven broadcast hints.
+
+    ``edges`` are ``(left_table, left_col, right_table, right_col)``
+    equi-join predicates; ``stats`` maps table name → the
+    ``collect_table_stats`` dict (missing entries are collected on the
+    fly — pass sidecar stats to keep planning metadata-only). Returns
+    the joined DataFrame and the chosen table order (for plan audits).
+
+    Order: start from the edge with the smallest estimated output,
+    then repeatedly fold in the edge-connected table minimizing the
+    next intermediate's estimated rows — the textbook greedy that gets
+    star and snowflake schemas right (dims first, fact once). Hints:
+    an incoming table whose estimated bytes are under
+    ``spark.sql.autoBroadcastJoinThreshold`` (or the override) joins
+    via ``F.broadcast``; anything larger is left to Catalyst/AQE.
+    """
+    if not edges:
+        raise ValueError("plan_join_tree needs at least one join edge")
+    unknown = {t for e in edges for t in (e[0], e[2])} - set(tables)
+    if unknown:
+        raise ValueError(f"edges reference unknown tables: {sorted(unknown)}")
+    spark = next(iter(tables.values())).sparkSession
+    stats = dict(stats or {})
+    for name in {t for e in edges for t in (e[0], e[2])}:
+        if name not in stats:
+            stats[name] = collect_table_stats(tables[name])
+    if broadcast_threshold is None:
+        broadcast_threshold = bytes_conf(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+        )
+
+    def edge_est(e):
+        return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
+
+    first = min(edges, key=edge_est)
+    # smaller side leads (it is the build side of everything after)
+    lname, lcol, rname, rcol = first
+    if stats[rname]["row_count"] < stats[lname]["row_count"]:
+        lname, lcol, rname, rcol = rname, rcol, lname, lcol
+
+    def maybe_broadcast(name: str, est_rows: float):
+        t = tables[name]
+        if (
+            broadcast_threshold > 0
+            and _est_bytes(stats[name], est_rows) <= broadcast_threshold
+        ):
+            return F.broadcast(t)
+        return t
+
+    joined = set()
+    order: list[str] = []
+    nl = stats[lname]["row_count"]
+    cur = maybe_broadcast(lname, nl) if nl else tables[lname]
+    cur_rows = float(max(0, nl or 0))
+    # per-column ndv of the accumulated intermediate: keyed by the
+    # owning table's column (equi-joins preserve key NDV upper bounds)
+    cur_stats = {"row_count": nl, "columns": dict(stats[lname]["columns"])}
+    joined.add(lname)
+    order.append(lname)
+
+    remaining = list(edges)
+    while remaining:
+        candidates = []
+        for e in remaining:
+            ln, lc, rn, rc = e
+            if ln in joined and rn not in joined:
+                candidates.append((e, rn, rc, lc))
+            elif rn in joined and ln not in joined:
+                candidates.append((e, ln, lc, rc))
+            elif ln in joined and rn in joined:
+                candidates.append((e, None, None, None))
+        if not candidates:
+            raise ValueError(
+                "join graph is disconnected: cannot reach "
+                f"{sorted({t for e in remaining for t in (e[0], e[2])} - joined)}"
+            )
+
+        def cand_est(c):
+            e, incoming, inc_col, cur_col = c
+            if incoming is None:
+                return -1.0  # residual predicate on already-joined tables: free
+            cur_stats["row_count"] = cur_rows
+            return estimate_join_rows(
+                cur_stats, cur_col, stats[incoming], inc_col
+            )
+
+        best = min(candidates, key=cand_est)
+        e, incoming, inc_col, cur_col = best
+        remaining.remove(e)
+        ln, lc, rn, rc = e
+        if incoming is None:
+            cur = cur.filter(
+                tables[ln][lc] == tables[rn][rc]
+            )
+            continue
+        est = cand_est(best)
+        cur = cur.join(
+            maybe_broadcast(incoming, stats[incoming]["row_count"]),
+            on=tables[ln][lc] == tables[rn][rc],
+            how=how,
+        )
+        cur_rows = est
+        for col, cstats in stats[incoming]["columns"].items():
+            cur_stats["columns"].setdefault(col, cstats)
+        joined.add(incoming)
+        order.append(incoming)
+    return cur, order
+
+
+def table_stats_report(stats: dict[str, Any]) -> str:
+    """Human-readable one-table summary (for logs / notebooks)."""
+    lines = [
+        f"rows={stats.get('row_count')} bytes={stats.get('size_bytes')}"
+    ]
+    for name, c in sorted(stats.get("columns", {}).items()):
+        nc = c.get("null_count", 0)
+        n = max(1, int(stats.get("row_count") or 1))
+        lines.append(
+            f"  {name} {c.get('type')}: ndv~{c.get('ndv')} "
+            f"range=[{c.get('min')}, {c.get('max')}] "
+            f"nulls={nc} ({100.0 * nc / n:.1f}%)"
+        )
+    return "\n".join(lines)

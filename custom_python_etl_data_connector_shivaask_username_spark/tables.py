@@ -79,6 +79,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """A Spark byte-valued conf as an int. Values come back suffixed in
+    both one- and two-letter forms ("134217728b", "128m", "128mb",
+    "1gb", ...) — strip the whole trailing alpha run, not just one char
+    (round 8: a user-set "1gb" maxPartitionBytes used to silently fall
+    back to the default, firing size heuristics below their
+    thresholds). Negative values (e.g. autoBroadcastJoinThreshold=-1,
+    "disabled") pass through."""
+    units = {
+        "": 1, "b": 1,
+        "k": 1024, "kb": 1024,
+        "m": 1024**2, "mb": 1024**2,
+        "g": 1024**3, "gb": 1024**3,
+        "t": 1024**4, "tb": 1024**4,
+        "p": 1024**5, "pb": 1024**5,
+    }
+    try:
+        raw = (
+            spark._jsparkSession.sessionState()
+            .conf()
+            .getConfString(key)
+            .strip()
+            .lower()
+        )
+        num = raw.rstrip("bkmgtp")
+        return int(num) * units[raw[len(num):]]
+    except Exception:
+        return default
+
+
 def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Fan a tiny input out across the cluster before expensive per-row
     work.
@@ -116,31 +146,7 @@ def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> Data
     target = min_partitions or sc.defaultParallelism
 
     def _bytes_conf(key: str, default: int) -> int:
-        # values come back suffixed in both one- and two-letter forms
-        # ("134217728b", "128m", "128mb", "1gb", ...) — strip the whole
-        # trailing alpha run, not just one char (round 8: a user-set
-        # "1gb" maxPartitionBytes used to silently fall back to 128 MB,
-        # firing the file-count short-circuit below its threshold)
-        units = {
-            "": 1, "b": 1,
-            "k": 1024, "kb": 1024,
-            "m": 1024**2, "mb": 1024**2,
-            "g": 1024**3, "gb": 1024**3,
-            "t": 1024**4, "tb": 1024**4,
-            "p": 1024**5, "pb": 1024**5,
-        }
-        try:
-            raw = (
-                spark._jsparkSession.sessionState()
-                .conf()
-                .getConfString(key)
-                .strip()
-                .lower()
-            )
-            num = raw.rstrip("bkmgtp")
-            return int(num) * units[raw[len(num):]]
-        except Exception:
-            return default
+        return bytes_conf(spark, key, default)
 
     try:
         mpb = _bytes_conf(

@@ -1,0 +1,172 @@
+"""X31 pins: one-pass ANALYZE stats correctness, sidecar roundtrip,
+Selinger join-cardinality estimates, and the greedy join-order planner
+(result equivalence, dims-before-fact order, stats-driven broadcast
+hints, no invented cartesians)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+    formatted_plan,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+    collect_table_stats,
+    estimate_join_rows,
+    plan_join_tree,
+    read_stats_sidecar,
+    table_stats_report,
+    write_stats_sidecar,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+
+def test_collect_stats_one_pass_correctness(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    stats = collect_table_stats(nation)
+    assert stats["row_count"] == nation.count()
+    assert stats["size_bytes"] and stats["size_bytes"] > 0
+    key = stats["columns"]["n_nationkey"]
+    assert key["min"] == 0 and key["max"] == stats["row_count"] - 1
+    assert key["null_count"] == 0
+    # HLL++ ndv within the requested 5% rsd (generous 3-sigma band)
+    assert abs(key["ndv"] - stats["row_count"]) <= max(
+        2, 0.15 * stats["row_count"]
+    )
+    # non-atomic columns are skipped, atomic ones all present
+    assert set(stats["columns"]) == {
+        f.name
+        for f in nation.schema.fields
+        if not f.dataType.simpleString().startswith(("array", "map", "struct"))
+    }
+    assert "ndv~" in table_stats_report(stats)
+
+
+def test_stats_sidecar_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "nation")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(path)
+    stats = collect_table_stats(spark.read.parquet(path), path=path)
+    write_stats_sidecar(spark, path, stats)
+    back = read_stats_sidecar(spark, path)
+    assert back["row_count"] == stats["row_count"]
+    assert back["columns"]["n_name"]["ndv"] == stats["columns"]["n_name"]["ndv"]
+    # underscore-prefixed sidecar is invisible to the parquet reader
+    assert spark.read.parquet(path).count() == stats["row_count"]
+    assert read_stats_sidecar(spark, str(tmp_path / "missing")) is None
+
+
+def test_estimate_join_rows_fk_and_disjoint(spark, sf_dir):
+    nation = collect_table_stats(load_table(spark, sf_dir, "nation"))
+    cust = collect_table_stats(load_table(spark, sf_dir, "customer"))
+    est = estimate_join_rows(nation, "n_nationkey", cust, "c_nationkey")
+    actual = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .count()
+    )
+    # FK join onto a key: estimate within 25% of truth
+    assert 0.75 * actual <= est <= 1.25 * actual
+    # disjoint numeric key ranges estimate ~0 (containment refinement)
+    shifted = {
+        "row_count": cust["row_count"],
+        "columns": {
+            "c_nationkey": {
+                **cust["columns"]["c_nationkey"],
+                "min": 10_000,
+                "max": 20_000,
+            }
+        },
+    }
+    assert estimate_join_rows(nation, "n_nationkey", shifted, "c_nationkey") == 0.0
+
+
+def _star(spark, sf_dir):
+    return {
+        "region": load_table(spark, sf_dir, "region"),
+        "nation": load_table(spark, sf_dir, "nation"),
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+    }
+
+
+_EDGES = [
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("region", "r_regionkey", "nation", "n_regionkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),
+]
+
+
+def test_plan_join_tree_star_schema(spark, sf_dir):
+    tables = _star(spark, sf_dir)
+    joined, order = plan_join_tree(tables, _EDGES)
+    # fact table enters LAST: every dim is already folded when orders
+    # arrives, so the fact is joined exactly once
+    assert order[-1] == "orders" and set(order) == set(tables)
+    naive = (
+        tables["region"]
+        .join(tables["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(tables["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(tables["orders"], F.col("c_custkey") == F.col("o_custkey"))
+    )
+    got = joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    want = naive.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # stats-driven hints: at this sf every dim clears the broadcast bar
+    plan = formatted_plan(joined)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_plan_join_tree_broadcast_threshold_respected(spark, sf_dir):
+    tables = _star(spark, sf_dir)
+    # disabled threshold → the planner adds NO broadcast hints of its own
+    joined, _ = plan_join_tree(tables, _EDGES, broadcast_threshold=-1)
+    assert "ResolvedHint" not in joined._jdf.queryExecution().analyzed().toString()
+    # tiny threshold → only tables that fit get the hint
+    joined2, _ = plan_join_tree(tables, _EDGES, broadcast_threshold=1)
+    assert (
+        "ResolvedHint"
+        not in joined2._jdf.queryExecution().analyzed().toString()
+    )
+    # generous threshold → the planner's OWN hints appear in the
+    # analyzed plan (not just Spark's file-size auto-broadcast)
+    joined3, _ = plan_join_tree(tables, _EDGES, broadcast_threshold=1 << 40)
+    assert (
+        "ResolvedHint"
+        in joined3._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_plan_join_tree_redundant_edge_becomes_filter(spark, sf_dir):
+    tables = _star(spark, sf_dir)
+    edges = _EDGES + [("nation", "n_nationkey", "customer", "c_nationkey")]
+    joined, order = plan_join_tree(tables, edges)
+    base, _ = plan_join_tree(tables, _EDGES)
+    assert joined.count() == base.count()
+    assert len(order) == len(tables)  # each table joined exactly once
+
+
+def test_plan_join_tree_rejects_disconnected_graph(spark, sf_dir):
+    tables = _star(spark, sf_dir)
+    with pytest.raises(ValueError, match="disconnected"):
+        plan_join_tree(
+            tables,
+            [
+                ("region", "r_regionkey", "nation", "n_regionkey"),
+                ("customer", "c_custkey", "orders", "o_custkey"),
+            ],
+        )
+    with pytest.raises(ValueError, match="unknown tables"):
+        plan_join_tree(
+            tables, [("region", "r_regionkey", "ghost", "g_key")]
+        )

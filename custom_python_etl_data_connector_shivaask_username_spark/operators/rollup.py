@@ -134,10 +134,18 @@ def refresh_rollup(
         "batch_id", F.lit(batch_id)
     )
     parts = parts.repartition(*[F.col(c) for c in pcols])
-    from ..sources.rollup_store import write_cells
+    from ..sources.rollup_store import COMMITS_DIR, write_cells
 
     if not write_cells(parts, store_path, pcols):
         overwrite_partitions(parts, store_path, pcols)
+    # durable-commit marker, written only after every cell landed —
+    # the same `_commits/<id>` log the X30 streaming sink keeps, so
+    # snapshot reads (X34) see batch- and stream-fed deliveries alike
+    fs_write_text(
+        batch.sparkSession,
+        f"{store_path.rstrip('/')}/{COMMITS_DIR}/{batch_id}",
+        json.dumps({"batch_id": batch_id}),
+    )
 
 
 def _merge_partials(parts: DataFrame, bucket: F.Column) -> DataFrame:
@@ -166,9 +174,32 @@ def _finalize(merged: DataFrame) -> DataFrame:
     )
 
 
-def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
-    """User-facing rollup: merge all stored partials and finalize."""
+def read_rollup(
+    spark: SparkSession, store_path: str, snapshot: bool = False
+) -> DataFrame:
+    """User-facing rollup: merge all stored partials and finalize.
+
+    ``snapshot=True`` (X34) gives a snapshot-isolated read under
+    concurrent delivery: only batches with a durable
+    ``_commits/<id>`` marker (written AFTER every cell of the
+    delivery landed — both `refresh_rollup` and the X30 streaming
+    sink keep this log) plus the compacted ``batch_id=-1`` base are
+    read. A delivery caught mid-commit — some day cells moved, the
+    marker not yet written — is therefore invisible instead of
+    half-visible (torn). The filter is on the ``batch_id`` partition
+    column, so exclusion is partition pruning, not a data scan.
+    Requires a marker-writing writer (this module's, round 8+);
+    unmarked legacy batches would be skipped — use the default
+    full read for such stores."""
     parts = spark.read.parquet(store_path)
+    if snapshot:
+        from ..sources.rollup_store import committed_epochs
+
+        wm = _folded_watermark(spark, store_path)
+        keep = [-1] + [
+            e for e in committed_epochs(store_path) if e > wm
+        ]
+        parts = parts.filter(F.col("batch_id").isin(keep))
     return _finalize(_merge_partials(parts, F.col("bucket_start")))
 
 

@@ -1,0 +1,211 @@
+"""X32: time-series gap fill / resample — dense-grid densification
+with LOCF / NOCB / linear-interpolation / constant fills.
+
+A rollup (X22) or any bucketed series only has rows for buckets that
+saw data; downstream consumers (charting, joins against a calendar,
+training-window extraction) need a DENSE series with an explicit fill
+policy. TimescaleDB calls this ``time_bucket_gapfill`` + ``locf`` /
+``interpolate``; this module re-expresses it Spark-first:
+
+- ``time_spine`` — one row per (group, bucket) over each group's (or
+  the global) observed [min, max] range at a fixed step. Built with
+  ``F.sequence`` + ``explode`` — the grid is generated DISTRIBUTED,
+  per group, never as a driver-side loop, and a loud
+  ``assert_true`` cap on per-group bucket count catches a mis-typed
+  step ("1 second" over a year) before it materializes.
+- ``gap_fill`` — left-join the observed series onto the spine, then
+  fill each value column by policy: ``locf`` (last observation
+  carried forward), ``nocb`` (next observation carried backward),
+  ``linear`` (time-weighted interpolation between the neighboring
+  observations), ``zero`` / ``("const", v)``, or ``None`` (leave
+  NULL). Fill policies apply to NULL cells — gap rows are NULL by
+  construction, and an *observed* NULL is treated as missing too,
+  the TimescaleDB ``locf`` convention.
+- ``gap_fill_rollup`` — convenience composition over the X22 store:
+  ``read_rollup`` → dense hourly/daily series (counts fill to 0,
+  value aggregates carry forward).
+
+100 TB shape: the spine is ``groups × buckets`` rows — for bucketed
+inputs that is metadata-scale next to the raw feed (it is the same
+cardinality as the rollup store itself). The spine join is an
+equi-join on (group, bucket) that AQE broadcasts when small; the
+fills are single-pass window functions partitioned by group, so the
+work distributes across groups and each group's timeline is one
+sorted partition stream — the same shape as any windowed query in
+`operators/windows.py`. Nothing is collected to the driver.
+
+Correctness: pinned against DuckDB (``generate_series`` spine +
+``IGNORE NULLS`` window fills) in `tests/test_timeseries.py`, plus
+hand-computed interpolation fixtures and identity-on-dense-input.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: loud default cap on buckets a single group's spine may generate —
+#: a mis-typed step is an error, not a 2^31-row explode
+MAX_BUCKETS_PER_GROUP = 1_000_000
+
+#: recognized fill policies (beside ("const", v) tuples and None)
+FILL_POLICIES = ("locf", "nocb", "linear", "zero")
+
+
+def time_spine(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    group_cols: list[str],
+    bounds: str = "per_group",
+    max_buckets_per_group: int = MAX_BUCKETS_PER_GROUP,
+) -> DataFrame:
+    """Dense (group, bucket) grid covering the observed time range.
+
+    ``step`` is an interval literal ("1 hour", "15 minutes").
+    ``bounds="per_group"`` spans each group's own [min, max] — no
+    fabricated history before a group's first observation;
+    ``bounds="global"`` spans the table-wide range for every group
+    (calendar-aligned comparisons). Input timestamps are assumed
+    step-aligned (bucketed upstream, e.g. by ``date_trunc`` or the
+    rollup); the spine lands on exactly those stamps.
+    """
+    if bounds not in ("per_group", "global"):
+        raise ValueError("bounds must be 'per_group' or 'global'")
+    if not group_cols:
+        raise ValueError("time_spine needs at least one group column")
+    interval = F.expr(f"interval {step}")
+    lo, hi = F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    if bounds == "per_group":
+        ranges = df.groupBy(*group_cols).agg(lo, hi)
+    else:
+        ranges = df.select(*group_cols).distinct().crossJoin(
+            F.broadcast(df.agg(lo, hi))
+        )
+    seq = F.sequence(F.col("__lo"), F.col("__hi"), interval)
+    guarded = F.when(
+        F.assert_true(
+            F.size(seq) <= F.lit(max_buckets_per_group),
+            f"time_spine: a group spans more than "
+            f"{max_buckets_per_group} buckets at step '{step}' — "
+            "wrong step or unbounded range",
+        ).isNull(),
+        seq,
+    )
+    return ranges.select(
+        *group_cols, F.explode(guarded).alias(ts_col)
+    )
+
+
+def _epoch(c: Column) -> Column:
+    """Seconds-since-epoch as double for interpolation weights (only
+    ever used in differences, so the ntz→session-tz convention
+    cancels)."""
+    return c.cast("timestamp").cast("double")
+
+
+def _fill_expr(
+    c: str, spec: Any, ts_col: str, w_prev: Window, w_next: Window
+) -> Column:
+    col = F.col(c)
+    if spec is None:
+        return col
+    if spec == "locf":
+        return F.last(col, ignorenulls=True).over(w_prev)
+    if spec == "nocb":
+        return F.first(col, ignorenulls=True).over(w_next)
+    if spec == "zero":
+        return F.coalesce(col, F.lit(0))
+    if isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "const":
+        return F.coalesce(col, F.lit(spec[1]))
+    if spec == "linear":
+        obs_ts = F.when(col.isNotNull(), F.col(ts_col))
+        prev_v = F.last(col, ignorenulls=True).over(w_prev)
+        prev_t = F.last(obs_ts, ignorenulls=True).over(w_prev)
+        next_v = F.first(col, ignorenulls=True).over(w_next)
+        next_t = F.first(obs_ts, ignorenulls=True).over(w_next)
+        frac = (_epoch(F.col(ts_col)) - _epoch(prev_t)) / (
+            _epoch(next_t) - _epoch(prev_t)
+        )
+        interp = prev_v + (next_v - prev_v) * frac
+        return F.when(col.isNotNull(), col).otherwise(interp)
+    raise ValueError(f"unknown fill policy for column {c!r}: {spec!r}")
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    group_cols: list[str],
+    fill: dict[str, Any],
+    bounds: str = "per_group",
+    mark_gaps: str | None = None,
+    max_buckets_per_group: int = MAX_BUCKETS_PER_GROUP,
+) -> DataFrame:
+    """Densify a bucketed series and fill the gaps.
+
+    ``df`` holds at most one row per (group, bucket); ``fill`` maps
+    each value column to a policy from ``FILL_POLICIES`` /
+    ``("const", v)`` / ``None``. Policies fill NULL cells: gap rows
+    are NULL by construction, and observed NULLs are treated as
+    missing (the TimescaleDB ``locf`` convention). ``linear`` leaves
+    edge gaps (no neighbor on one side) NULL; ``locf``/``nocb``
+    likewise before the first / after the last observation.
+    ``mark_gaps`` adds a boolean column flagging spine-fabricated
+    rows."""
+    unknown = set(fill) - set(df.columns)
+    if unknown:
+        raise ValueError(f"fill references absent columns: {sorted(unknown)}")
+    spine = time_spine(
+        df, ts_col, step, group_cols, bounds, max_buckets_per_group
+    )
+    obs = df.withColumn("__obs", F.lit(1))
+    dense = spine.join(obs, on=[*group_cols, ts_col], how="left")
+    w = Window.partitionBy(*group_cols).orderBy(ts_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = dense.select(
+        *group_cols,
+        ts_col,
+        *[
+            _fill_expr(c, fill.get(c), ts_col, w_prev, w_next).alias(c)
+            for c in df.columns
+            if c not in group_cols and c != ts_col
+        ],
+        *(
+            [F.col("__obs").isNull().alias(mark_gaps)]
+            if mark_gaps
+            else []
+        ),
+    )
+    return out
+
+
+def gap_fill_rollup(
+    spark: SparkSession,
+    store_path: str,
+    step: str = "1 hour",
+    mark_gaps: str | None = "is_gap",
+) -> DataFrame:
+    """Dense rollup series straight off the X22 store: counts fill to
+    0 (no events IS zero events), value aggregates carry forward
+    (LOCF — "level as of"), min/max left NULL for fabricated buckets
+    (there was no extremum)."""
+    from .rollup import read_rollup
+
+    return gap_fill(
+        read_rollup(spark, store_path),
+        ts_col="window_start",
+        step=step,
+        group_cols=["event_type"],
+        fill={
+            "event_count": ("const", 0),
+            "total_value": ("const", 0.0),
+            "avg_value": "locf",
+            "min_value": None,
+            "max_value": None,
+        },
+        mark_gaps=mark_gaps,
+    )

@@ -68,6 +68,25 @@ def _is_stat_type(dt: str) -> bool:
     return dt in _STAT_TYPES or dt.startswith("decimal")
 
 
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the frame's file scan (metadata-only via
+    the Hadoop file index); None when the frame is not a file scan."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        size_bytes = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size_bytes += p.getFileSystem(conf).getFileStatus(p).getLen()
+        return size_bytes
+    except Exception:
+        return None
+
+
 def collect_table_stats(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -94,24 +113,9 @@ def collect_table_stats(
         ]
     row = df.agg(*aggs).first().asDict()
     n = row["__rows"]
-    size_bytes = None
-    try:
-        files = df.inputFiles()
-        if files:
-            sc = df.sparkSession.sparkContext
-            jvm = sc._jvm
-            conf = sc._jsc.hadoopConfiguration()
-            size_bytes = 0
-            for f in files:
-                p = jvm.org.apache.hadoop.fs.Path(f)
-                size_bytes += (
-                    p.getFileSystem(conf).getFileStatus(p).getLen()
-                )
-    except Exception:
-        size_bytes = None
     stats: dict[str, Any] = {
         "row_count": n,
-        "size_bytes": size_bytes,
+        "size_bytes": _scan_bytes(df),
         "columns": {},
     }
     for name, dt in cols:
@@ -125,6 +129,114 @@ def collect_table_stats(
     if path is not None:
         stats["path"] = path
     return stats
+
+
+def collect_table_stats_sampled(
+    df: DataFrame,
+    fraction: float,
+    columns: list[str] | None = None,
+    path: str | None = None,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """Sample-based ANALYZE for tables where even ONE full scan is too
+    much (the 100 TB fact table): statistics from a Bernoulli row
+    sample, scaled back up.
+
+    - row count: ``sample_rows / fraction`` (unbiased).
+    - null counts: sample null fraction × estimated rows.
+    - min/max: the sample's — an UNDER-estimate of the true range
+      (extremes are rare); fine for join planning, wrong for bounds
+      checks, and flagged as ``"sampled": true`` in the dict.
+    - NDV: the GEE estimator (Charikar et al., "Towards Estimation
+      Error Guarantees for Distinct Values", PODS 2000):
+      ``sqrt(1/q)·f1 + Σ_{j≥2} f_j`` where ``f_j`` counts sample
+      values seen exactly j times. Since ``Σ_{j≥2} f_j`` is just
+      ``d_sample − f1``, each column needs only its sample
+      value-count frame — one small shuffle per column over the
+      cached sample, never over the table. GEE's ratio error is
+      bounded by ``sqrt(1/q)`` (the pinned guarantee); duplicates-
+      heavy columns come out near-exact, unique keys at worst
+      ``sqrt(q)``-fraction — both on the conservative side for the
+      planner's |L|·|R|/max(ndv) formula.
+
+    The full-scan pass stays the default (`collect_table_stats`);
+    this is the documented degrade path its docstring promises.
+    """
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    if fraction == 1.0:
+        return collect_table_stats(df, columns, path)
+    cols = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and _is_stat_type(f.dataType.simpleString())
+    ]
+    sample = df.sample(fraction=fraction, seed=seed)
+    sample.persist()
+    try:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for name, _ in cols:
+            aggs += [
+                F.min(name).alias(f"__min__{name}"),
+                F.max(name).alias(f"__max__{name}"),
+                F.count(name).alias(f"__nn__{name}"),
+            ]
+        row = sample.agg(*aggs).first().asDict()
+        m = row["__rows"]
+        est_rows = int(round(m / fraction))
+        stats: dict[str, Any] = {
+            "row_count": est_rows,
+            "size_bytes": _scan_bytes(df),
+            "columns": {},
+            "sampled": {
+                "fraction": fraction,
+                "sample_rows": m,
+                "seed": seed,
+                "ndv_method": "GEE",
+            },
+        }
+        scale = 1.0 / fraction
+        for name, dt in cols:
+            fof = (
+                sample.groupBy(name)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .agg(
+                    F.count(F.lit(1)).alias("d"),
+                    F.sum(
+                        (F.col("__c") == 1).cast("long")
+                    ).alias("f1"),
+                    F.sum(
+                        F.col(name).isNull().cast("long") * F.col("__c")
+                    ).alias("nulls"),
+                )
+                .first()
+            )
+            d_sample = fof["d"] or 0
+            f1 = fof["f1"] or 0
+            # the null "value" is not a distinct key value
+            if (fof["nulls"] or 0) > 0:
+                d_sample -= 1
+                if fof["nulls"] == 1:
+                    f1 -= 1
+            ndv = (
+                math.sqrt(scale) * f1 + (d_sample - f1)
+                if d_sample > 0
+                else 0
+            )
+            nn = row[f"__nn__{name}"]
+            stats["columns"][name] = {
+                "type": dt,
+                "ndv": int(round(ndv)),
+                "min": row[f"__min__{name}"],
+                "max": row[f"__max__{name}"],
+                "null_count": int(round((m - nn) * scale)),
+            }
+        if path is not None:
+            stats["path"] = path
+        return stats
+    finally:
+        sample.unpersist()
 
 
 def write_stats_sidecar(
@@ -222,7 +334,13 @@ def plan_join_tree(
     star and snowflake schemas right (dims first, fact once). Hints:
     an incoming table whose estimated bytes are under
     ``spark.sql.autoBroadcastJoinThreshold`` (or the override) joins
-    via ``F.broadcast``; anything larger is left to Catalyst/AQE.
+    via ``F.broadcast``; when the incoming table is too big to
+    broadcast but the ACCUMULATED intermediate fits (the folded-dims
+    bundle meeting the fact table), the build side flips —
+    ``F.broadcast(cur)`` — so the big table streams through one hash
+    join without ever shuffling (inner joins only; flipping sides
+    changes outer-join semantics). Anything larger on both sides is
+    left to Catalyst/AQE.
     """
     if not edges:
         raise ValueError("plan_join_tree needs at least one join edge")
@@ -248,20 +366,26 @@ def plan_join_tree(
     if stats[rname]["row_count"] < stats[lname]["row_count"]:
         lname, lcol, rname, rcol = rname, rcol, lname, lcol
 
+    def fits(nbytes: float) -> bool:
+        return 0 < broadcast_threshold and nbytes <= broadcast_threshold
+
     def maybe_broadcast(name: str, est_rows: float):
         t = tables[name]
-        if (
-            broadcast_threshold > 0
-            and _est_bytes(stats[name], est_rows) <= broadcast_threshold
-        ):
+        if fits(_est_bytes(stats[name], est_rows)):
             return F.broadcast(t)
         return t
+
+    def width(name: str) -> float:
+        n = max(1, int(stats[name].get("row_count") or 1))
+        size = stats[name].get("size_bytes")
+        return (size / n) if size else float(_DEFAULT_ROW_BYTES)
 
     joined = set()
     order: list[str] = []
     nl = stats[lname]["row_count"]
     cur = maybe_broadcast(lname, nl) if nl else tables[lname]
     cur_rows = float(max(0, nl or 0))
+    cur_width = width(lname)  # accumulated bytes-per-row estimate
     # per-column ndv of the accumulated intermediate: keyed by the
     # owning table's column (equi-joins preserve key NDV upper bounds)
     cur_stats = {"row_count": nl, "columns": dict(stats[lname]["columns"])}
@@ -304,12 +428,27 @@ def plan_join_tree(
             )
             continue
         est = cand_est(best)
-        cur = cur.join(
-            maybe_broadcast(incoming, stats[incoming]["row_count"]),
-            on=tables[ln][lc] == tables[rn][rc],
-            how=how,
+        inc_bytes = _est_bytes(
+            stats[incoming], stats[incoming]["row_count"]
         )
+        pred = tables[ln][lc] == tables[rn][rc]
+        if fits(inc_bytes) or how != "inner" or not fits(
+            cur_rows * cur_width
+        ):
+            cur = cur.join(
+                maybe_broadcast(incoming, stats[incoming]["row_count"]),
+                on=pred,
+                how=how,
+            )
+        else:
+            # build-side flip: the incoming table is too big to
+            # broadcast but the accumulated intermediate FITS — hint
+            # the intermediate as the build side so the big table
+            # streams unshuffled (inner joins only: flipping sides
+            # changes outer-join semantics)
+            cur = tables[incoming].join(F.broadcast(cur), on=pred)
         cur_rows = est
+        cur_width += width(incoming)
         for col, cstats in stats[incoming]["columns"].items():
             cur_stats["columns"].setdefault(col, cstats)
         joined.add(incoming)

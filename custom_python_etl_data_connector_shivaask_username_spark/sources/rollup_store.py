@@ -201,8 +201,11 @@ def committed_epochs(store_path: str) -> list[int]:
     infos = fs.get_file_info(
         pafs.FileSelector(f"{store}/{COMMITS_DIR}", allow_not_found=True)
     )
+    # skip non-numeric siblings (Hadoop local-FS `.N.crc` checksums)
     return sorted(
-        int(os.path.basename(i.path)) for i in infos if i.is_file
+        int(os.path.basename(i.path))
+        for i in infos
+        if i.is_file and os.path.basename(i.path).lstrip("-").isdigit()
     )
 
 
@@ -347,13 +350,16 @@ def _writer_classes():
 
                 # (bucket_dt, event_type) -> [cnt, nval, sum, min, max]
                 cells: dict[tuple, list] = {}
-                tz = "UTC"
+                # carry the INPUT's timestamp flavor (tz-aware vs ntz)
+                # into the staged files so batch- and stream-written
+                # partials schema-merge on read
+                bucket_type = pa.timestamp("us")
                 for batch in iterator:
                     t = pa.Table.from_batches([batch])
                     bucket = pc.floor_temporal(
                         t[self.ts_col], unit=self.resolution
                     )
-                    tz = bucket.type.tz or tz
+                    bucket_type = bucket.type
                     val = t[self.value_col]
                     g = (
                         pa.table(
@@ -410,7 +416,7 @@ def _writer_classes():
                 # schema (sum over decimal(27,6) widens to (37,6))
                 file_schema = pa.schema(
                     [
-                        ("bucket_start", pa.timestamp("us", tz=tz)),
+                        ("bucket_start", bucket_type),
                         ("event_type", pa.string()),
                         ("cnt", pa.int64()),
                         ("nval", pa.int64()),

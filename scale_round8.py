@@ -243,33 +243,257 @@ def part_d_zorder_skipping(spark) -> dict:
     return out
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--parts", default="a,b,c,d")
-    args = ap.parse_args()
-    parts = set(args.parts.split(","))
-    spark = get_spark("scale-round8")
-    results: dict = {}
-    if "a" in parts:
-        results["bloom_probe_sf1"] = part_a_bloom_probe(spark)
-        print(json.dumps({"bloom_probe_sf1": results["bloom_probe_sf1"]}))
-    if "b" in parts:
-        results["contamination_sf1"] = part_b_contamination(spark)
-        print(json.dumps({"contamination_sf1": results["contamination_sf1"]}))
-    if "c" in parts:
-        results["x30_tail"] = part_c_x30_tail(spark)
-        print(json.dumps({"x30_tail": results["x30_tail"]}))
-    if "d" in parts:
-        results["zorder_sf1"] = part_d_zorder_skipping(spark)
-        print(json.dumps({"zorder_sf1": results["zorder_sf1"]}))
+def part_e_stream_sink(spark) -> dict:
+    """X30 streaming rollup sink at sf1.0 (1M events, 8 microbatches):
+    the DSv2 stream sink (map-side Arrow partialization, zero shuffle,
+    no state store) vs the prior loop of per-batch ``refresh_rollup``
+    calls (JVM shuffle agg + DSv2 batch write per slice). Same slices,
+    same store layout; stores must read back identical. Also records
+    per-epoch trigger durations — the sink never reads the store, so
+    epoch cost must stay flat as the store grows."""
+    import glob
+    import shutil
+    import tempfile
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        read_rollup,
+        refresh_rollup,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.rollup_store import (
+        stream_cells,
+    )
+
+    base = tempfile.mkdtemp(prefix="sg_r8e_")
+    slices_dir = f"{base}/slices"
+    os.makedirs(slices_dir)
+    ev = load_table(spark, FULL_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n_slices = 8
+    for i in range(n_slices):
+        staging = f"{base}/stage_{i}"
+        ev.filter(F.col("event_id") % n_slices == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{slices_dir}/slice-{i}.parquet",
+        )
+        shutil.rmtree(staging)
+
+    # baseline: the per-batch refresh loop (one JVM agg + write each)
+    store_a = f"{base}/store_batchloop"
+    t0 = time.time()
+    for i in range(n_slices):
+        refresh_rollup(
+            spark.read.parquet(f"{slices_dir}/slice-{i}.parquet"),
+            store_a,
+            batch_id=i,
+        )
+    wall_loop = time.time() - t0
+
+    # X30: one streaming query, the sink aggregates per epoch
+    store_b = f"{base}/store_streamsink"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices_dir)
+    )
+    t0 = time.time()
+    q = stream_cells(stream, store_b, f"{base}/cp")
+    q.awaitTermination(600)
+    wall_stream = time.time() - t0
+    progress = q.recentProgress
+    epoch_ms = [p["durationMs"]["triggerExecution"] for p in progress]
+    rows_in = sum(p["numInputRows"] for p in progress)
+    assert all(p["stateOperators"] == [] for p in progress)
+
+    got_a = sorted(map(tuple, read_rollup(spark, store_a).collect()))
+    got_b = sorted(map(tuple, read_rollup(spark, store_b).collect()))
+    assert got_a == got_b, "stream-sink store diverged from batch loop"
+    out = {
+        "events": ev.count(),
+        "slices": n_slices,
+        "rows_through_sink": rows_in,
+        "wall_refresh_loop_s": round(wall_loop, 2),
+        "wall_stream_sink_s": round(wall_stream, 2),
+        "epoch_trigger_ms": epoch_ms,
+        "rollup_rows": len(got_b),
+        "stores_equal": True,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def part_f_join_planner(spark) -> dict:
+    """X31 join-order planner at sf1.0: revenue-by-nation for one
+    region over lineitem⋈orders⋈customer⋈nation⋈region(filtered),
+    written in the WORST reasonable user order (fact-first: the 6M-row
+    lineitem⋈orders intermediate is built before any dim shrinks it)
+    vs the stats-planned order (selective dims folded first, broadcast
+    hints from sidecar-grade stats). Both run under identical session
+    confs; results must match. Also records the stats-collection cost
+    and one estimate-vs-actual cardinality check."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        collect_table_stats,
+        estimate_join_rows,
+        plan_join_tree,
+    )
+
+    tables = {
+        "lineitem": load_table(spark, FULL_DIR, "lineitem"),
+        "orders": load_table(spark, FULL_DIR, "orders"),
+        "customer": load_table(spark, FULL_DIR, "customer"),
+        "nation": load_table(spark, FULL_DIR, "nation"),
+        "region": load_table(spark, FULL_DIR, "region").filter(
+            F.col("r_name") == "EUROPE"
+        ),
+    }
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+
+    def agg(df):
+        # exact-decimal sum (compat.py strategy) so the two join orders
+        # compare EQUAL — a double sum is fp-order-sensitive and the
+        # whole point is that the plans aggregate in different orders
+        from custom_python_etl_data_connector_shivaask_username_spark.compat import DEC
+
+        return (
+            df.groupBy("n_name")
+            .agg(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast(DEC)
+                ).alias("revenue")
+            )
+            .orderBy("n_name")
+        )
+
+    # warm the page cache so neither arm pays the first cold read
+    for t in tables.values():
+        t.count()
+
+    t0 = time.time()
+    stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    stats_wall = time.time() - t0
+
+    worst = (
+        tables["lineitem"]
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(tables["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(tables["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+
+    def timed(df):
+        t0 = time.time()
+        rows = agg(df).collect()
+        return round(time.time() - t0, 2), [tuple(r) for r in rows]
+
+    out = {"stats_collect_s": round(stats_wall, 2)}
+
+    # regime 1 — SHUFFLE WORLD (the 100 TB analog: at real scale none
+    # of these tables is broadcastable, so both arms run shuffle joins
+    # and the ONLY variable is the join order). Broadcast disabled
+    # session-wide AND in the planner.
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        planned, order = plan_join_tree(
+            tables, edges, stats=stats, broadcast_threshold=-1
+        )
+        out["order"] = order
+        walls = {"planned": [], "worst": []}
+        ref = None
+        for _ in range(2):
+            for name, df in (("worst", worst), ("planned", planned)):
+                w, rows = timed(df)
+                walls[name].append(w)
+                if ref is None:
+                    ref = rows
+                assert rows == ref, f"{name} diverged"
+        out["shuffle_regime"] = {
+            "wall_planned_s": min(walls["planned"]),
+            "wall_worst_order_s": min(walls["worst"]),
+            "samples": walls,
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    # regime 2 — DEFAULT THRESHOLDS (local sf1.0: every table fits in
+    # broadcast, Spark's own size heuristics already produce an
+    # all-broadcast star; the planner must not do worse)
+    planned2, _ = plan_join_tree(tables, edges, stats=stats)
+    walls2 = {"planned": [], "worst": []}
+    for _ in range(2):
+        for name, df in (("worst", worst), ("planned", planned2)):
+            w, rows = timed(df)
+            walls2[name].append(w)
+            assert rows == ref, f"{name} diverged (default regime)"
+    out["default_regime"] = {
+        "wall_planned_s": min(walls2["planned"]),
+        "wall_worst_order_s": min(walls2["worst"]),
+        "samples": walls2,
+    }
+
+    est_lo = estimate_join_rows(
+        stats["lineitem"], "l_orderkey", stats["orders"], "o_orderkey"
+    )
+    actual_lo = (
+        tables["lineitem"]
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    out.update(
+        {
+            "result_rows": len(ref),
+            "est_lineitem_orders": int(est_lo),
+            "actual_lineitem_orders": actual_lo,
+            "est_over_actual": round(est_lo / max(1, actual_lo), 3),
+        }
+    )
+    return out
+
+
+def _persist(key: str, value: dict) -> None:
+    """Merge one part's result into SCALE_R8.json immediately — a
+    later part failing must not lose an earlier part's measurement."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_R8.json")
     existing = {}
     if os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)
-    existing.update(results)
+    existing[key] = value
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", default="a,b,c,d,e,f")
+    args = ap.parse_args()
+    parts = set(args.parts.split(","))
+    spark = get_spark("scale-round8")
+    runners = {
+        "a": ("bloom_probe_sf1", part_a_bloom_probe),
+        "b": ("contamination_sf1", part_b_contamination),
+        "c": ("x30_tail", part_c_x30_tail),
+        "d": ("zorder_sf1", part_d_zorder_skipping),
+        "e": ("stream_sink_sf1", part_e_stream_sink),
+        "f": ("join_planner_sf1", part_f_join_planner),
+    }
+    for p in "abcdef":
+        if p in parts:
+            key, fn = runners[p]
+            result = fn(spark)
+            print(json.dumps({key: result}))
+            _persist(key, result)
     spark.stop()
 
 

@@ -277,3 +277,103 @@ def test_dsv2_replay_replaces_cell_files_exactly(spark, tmp_path):
     assert cell0_before.isdisjoint(cell0_after)  # old files replaced
     assert _snapshot(f"{store}/day=2024-03-01/batch_id=1") == cell1_before
     assert read_rollup(spark, store).count() == 2
+
+
+# --- X34: snapshot-isolated reads under concurrent delivery ---------------
+
+
+def test_snapshot_read_hides_torn_delivery(spark, tmp_path):
+    """A delivery caught mid-commit (cells moved, marker not yet
+    written) is INVISIBLE to snapshot reads and half-visible to naive
+    ones — the isolation the `_commits` log exists to provide."""
+    import shutil
+
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.rollup_store import (
+        COMMITS_DIR,
+        committed_epochs,
+    )
+
+    store = str(tmp_path / "store")
+    refresh_rollup(
+        _events(spark, [(1, 10, 0, "view", 1.0)]), store, batch_id=0
+    )
+    refresh_rollup(
+        _events(spark, [(2, 9, 0, "view", 3.0)]), store, batch_id=1
+    )
+    assert committed_epochs(store) == [0, 1]
+    committed = sorted(
+        map(tuple, read_rollup(spark, store, snapshot=True).collect())
+    )
+    assert committed == sorted(
+        map(tuple, read_rollup(spark, store).collect())
+    )
+    # simulate epoch 2 mid-commit: a cell dir appears, no marker yet
+    src = glob.glob(f"{store}/day=*/batch_id=0/*.parquet")[0]
+    torn = f"{store}/day=2024-03-01/batch_id=2"
+    os.makedirs(torn)
+    shutil.copy(src, f"{torn}/part-torn.snappy.parquet")
+    naive = sorted(map(tuple, read_rollup(spark, store).collect()))
+    snap = sorted(
+        map(tuple, read_rollup(spark, store, snapshot=True).collect())
+    )
+    assert naive != committed, "torn files must perturb the naive read"
+    assert snap == committed, "snapshot read saw a torn delivery"
+    # once the marker lands the epoch becomes visible atomically
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        fs_write_text,
+    )
+
+    fs_write_text(spark, f"{store}/{COMMITS_DIR}/2", '{"batch_id": 2}')
+    assert sorted(
+        map(tuple, read_rollup(spark, store, snapshot=True).collect())
+    ) == naive
+
+
+def test_snapshot_read_after_compaction_and_new_batches(spark, tmp_path):
+    """Compaction folds marked batches into the base (markers die with
+    the swap); snapshot reads then see base + any newer markers —
+    never a double count."""
+    store = str(tmp_path / "store")
+    rows0 = [(1, 10, 0, "view", 1.0), (1, 11, 0, "click", 2.0)]
+    rows1 = [(2, 9, 0, "view", 3.0)]
+    refresh_rollup(_events(spark, rows0), store, batch_id=0)
+    refresh_rollup(_events(spark, rows1), store, batch_id=1)
+    compact_rollup(spark, store)
+    rows2 = [(3, 8, 0, "view", 7.0)]
+    refresh_rollup(_events(spark, rows2), store, batch_id=2)
+    direct = sorted(
+        map(
+            tuple,
+            read_rollup(spark, store).collect(),
+        )
+    )
+    snap = sorted(
+        map(tuple, read_rollup(spark, store, snapshot=True).collect())
+    )
+    assert snap == direct
+    # and the totals equal a one-pass recompute over all events
+    allrows = _events(spark, rows0 + rows1 + rows2)
+    want = sorted(
+        map(
+            tuple,
+            allrows.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("event_count"))
+            .select("window_start", "event_type", "event_count")
+            .collect(),
+        )
+    )
+    got = [
+        (r[0], r[1], r[2])
+        for r in sorted(
+            map(
+                tuple,
+                read_rollup(spark, store, snapshot=True)
+                .select("window_start", "event_type", "event_count")
+                .collect(),
+            )
+        )
+    ]
+    assert got == want

@@ -222,6 +222,49 @@ def test_commit_skips_epochs_folded_by_compaction(spark, tmp_path):
     assert not glob.glob(f"{store}/_staging_*")
 
 
+def test_ntz_timestamps_merge_across_both_writers(spark, tmp_path):
+    """timestamp_ntz inputs (the fixture events flavor after
+    normalize_events_ts) must produce ntz partials from BOTH writers —
+    a tz-stamped stream file next to an ntz batch file would break the
+    read-side schema merge."""
+    import pyarrow as pa
+
+    store = str(tmp_path / "store")
+    ntz = _events(spark, _SLICES[0]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    refresh_rollup(ntz, store, batch_id=0)
+    rows = _rows(_SLICES[1])
+    batch = pa.record_batch(
+        {
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )
+    w = _mk_writer(store)
+    w.commit([w.write(iter([batch]))], batchId=1)
+    got = _store_rows(spark, store)
+    direct = sorted(
+        map(
+            tuple,
+            _finalize(
+                _merge_partials(
+                    rollup_partials(
+                        _events(
+                            spark, _SLICES[0] + _SLICES[1]
+                        ).withColumn(
+                            "ts", F.col("ts").cast("timestamp_ntz")
+                        )
+                    ),
+                    F.col("bucket_start"),
+                )
+            ).collect(),
+        )
+    )
+    assert got == direct
+
+
 def test_batch_and_stream_deliveries_merge_in_one_store(spark, tmp_path):
     """Batch refresh_rollup and the streaming sink write byte-compatible
     partial files: a store fed by both reads back as the direct GROUP BY

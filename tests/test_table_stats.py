@@ -156,6 +156,44 @@ def test_plan_join_tree_redundant_edge_becomes_filter(spark, sf_dir):
     assert len(order) == len(tables)  # each table joined exactly once
 
 
+def test_plan_join_tree_flips_build_side_for_big_fact(spark):
+    """When the fact is too big to broadcast but the folded-dims
+    intermediate fits, the planner broadcasts the INTERMEDIATE so the
+    fact streams through one hash join unshuffled."""
+    dim_a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(20)], "a_key long, a_name string"
+    )
+    dim_b = spark.createDataFrame(
+        [(i, i % 20) for i in range(40)], "b_key long, b_a long"
+    )
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 40).alias("f_b"),
+        (F.col("id") * 2.0).alias("f_val"),
+    )
+    tables = {"dim_a": dim_a, "dim_b": dim_b, "fact": fact}
+    edges = [
+        ("dim_a", "a_key", "dim_b", "b_a"),
+        ("dim_b", "b_key", "fact", "f_b"),
+    ]
+    # default-width estimates: dims ~64 B × ≤40 rows ≪ 50 kB, fact
+    # 10k × 64 B = 640 kB > 50 kB → incoming fact triggers the flip
+    joined, order = plan_join_tree(tables, edges, broadcast_threshold=50_000)
+    assert order[-1] == "fact"
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" not in plan
+    got = joined.agg(F.sum("f_val").alias("s")).first()["s"]
+    want = (
+        fact.join(dim_b, F.col("f_b") == F.col("b_key"))
+        .join(dim_a, F.col("b_a") == F.col("a_key"))
+        .agg(F.sum("f_val").alias("s"))
+        .first()["s"]
+    )
+    assert got == want
+
+
 def test_plan_join_tree_rejects_disconnected_graph(spark, sf_dir):
     tables = _star(spark, sf_dir)
     with pytest.raises(ValueError, match="disconnected"):
@@ -170,3 +208,89 @@ def test_plan_join_tree_rejects_disconnected_graph(spark, sf_dir):
         plan_join_tree(
             tables, [("region", "r_regionkey", "ghost", "g_key")]
         )
+
+
+# --- X33: sample-based ANALYZE (GEE NDV scale-up) -------------------------
+
+
+def test_sampled_stats_scaleup_and_gee_bounds(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        collect_table_stats_sampled,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    q = 0.2
+    stats = collect_table_stats_sampled(orders, fraction=q, seed=7)
+    assert stats["sampled"]["ndv_method"] == "GEE"
+    assert stats["sampled"]["sample_rows"] < n
+    # row count unbiased: binomial 4-sigma band
+    sigma = (n * q * (1 - q)) ** 0.5 / q
+    assert abs(stats["row_count"] - n) <= 4 * sigma
+    # unique key: GEE's ratio-error guarantee is sqrt(1/q)
+    import math
+
+    true_ndv = n  # o_orderkey is unique
+    est = stats["columns"]["o_orderkey"]["ndv"]
+    ratio = math.sqrt(1 / q)
+    assert true_ndv / ratio <= est <= true_ndv * ratio
+    # duplicates-heavy column: f1~0 so GEE is near-exact
+    true_status = (
+        orders.select("o_orderstatus").distinct().count()
+    )
+    assert stats["columns"]["o_orderstatus"]["ndv"] == true_status
+    # full-table bytes still come from the file index (metadata-only)
+    assert stats["size_bytes"] and stats["size_bytes"] > 0
+
+
+def test_sampled_stats_determinism_and_edges(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        collect_table_stats,
+        collect_table_stats_sampled,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    a = collect_table_stats_sampled(nation, 0.5, seed=3)
+    b = collect_table_stats_sampled(nation, 0.5, seed=3)
+    assert a == b  # same seed, same dict
+    full = collect_table_stats_sampled(nation, 1.0)
+    assert "sampled" not in full  # degenerates to the full scan
+    assert full["row_count"] == nation.count()
+    with pytest.raises(ValueError, match="fraction"):
+        collect_table_stats_sampled(nation, 0.0)
+    # null accounting: a column with planted nulls scales its count
+    # and the null group never inflates NDV
+    withnulls = nation.withColumn(
+        "maybe",
+        F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name")),
+    )
+    s = collect_table_stats_sampled(withnulls, 0.6, seed=11)
+    m = s["sampled"]["sample_rows"]
+    assert 0 < s["columns"]["maybe"]["null_count"] <= s["row_count"]
+    assert s["columns"]["maybe"]["ndv"] <= s["row_count"]
+
+
+def test_planner_order_stable_under_sampled_stats(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        collect_table_stats_sampled,
+        plan_join_tree,
+    )
+
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "nation": load_table(spark, sf_dir, "nation"),
+        "region": load_table(spark, sf_dir, "region"),
+    }
+    edges = [
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    full_stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    samp_stats = {
+        k: collect_table_stats_sampled(v, 0.3, seed=5)
+        for k, v in tables.items()
+    }
+    _, order_full = plan_join_tree(tables, edges, stats=full_stats)
+    planned, order_samp = plan_join_tree(tables, edges, stats=samp_stats)
+    assert order_samp == order_full  # dims-first order survives sampling
+    assert planned.count() == tables["customer"].count()

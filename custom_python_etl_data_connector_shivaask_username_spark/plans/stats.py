@@ -26,6 +26,12 @@ SIGMOD 1979 — the public cost-model lineage every optimizer cites):
 - ``estimate_join_rows`` — the classic equi-join cardinality model
   |L ⋈ R| = |L|·|R| / max(ndv(L.k), ndv(R.k)), with a containment
   refinement from min/max when the key ranges barely overlap.
+- ``add_histograms`` / ``estimate_range_rows`` /
+  ``apply_filter_to_stats`` (X36) — deterministic equi-width
+  histograms (one bounded extra scan) and the metadata-only filter
+  modeling they enable: the stats a table WOULD have after a range or
+  equality predicate, without scanning — so filtered tables enter
+  join planning for free.
 - ``plan_join_tree`` — greedy left-deep join ordering over a join
   graph: start from the cheapest edge, repeatedly fold in the
   connected table that minimizes the estimated intermediate, and
@@ -237,6 +243,229 @@ def collect_table_stats_sampled(
         return stats
     finally:
         sample.unpersist()
+
+
+#: default equi-width histogram resolution (X36)
+HISTOGRAM_BUCKETS = 64
+
+#: types whose values map to a numeric bucketing axis
+_HIST_NUMERIC = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _hist_axis(c: str, dt: str):
+    """(expression, kind) mapping a column onto the numeric bucketing
+    axis — injective and order-preserving, so bucket counts transfer
+    back to the original domain."""
+    col = F.col(c)
+    if dt in _HIST_NUMERIC or dt.startswith("decimal"):
+        return col.cast("double"), "numeric"
+    if dt == "date":
+        return F.unix_date(col).cast("double"), "date"
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(col.cast("timestamp")).cast("double"), dt
+    return None, None
+
+
+def _axis_value(v: Any, kind: str) -> float | None:
+    """A python-side predicate bound mapped onto the same axis."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if kind == "numeric":
+        return float(v)
+    if kind == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return float((v - _dt.date(1970, 1, 1)).days)
+        return float(v)
+    if kind in ("timestamp", "timestamp_ntz"):
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return (v - epoch).total_seconds() * 1e6
+        return float(v)
+    raise ValueError(f"no axis for kind {kind!r}")
+
+
+def add_histograms(
+    df: DataFrame,
+    stats: dict[str, Any],
+    columns: list[str] | None = None,
+    buckets: int = HISTOGRAM_BUCKETS,
+) -> dict[str, Any]:
+    """X36: equi-width histograms for filter-selectivity estimates.
+
+    ONE additional scan (bucket widths need pass-1's min/max first)
+    computes, for every numeric/date/timestamp column (or the
+    requested subset), ``buckets`` conditional counts — plain
+    map-side-combined partial sums, deterministic on any row order or
+    partitioning (unlike ``histogram_numeric``'s order-sensitive
+    streaming centroids, which is why this is equi-width). The result
+    lands inside the stats dict (and therefore the sidecar):
+    ``columns[c]["histogram"] = {lo, hi, counts, kind}``. Cost shape:
+    ``buckets × columns`` counters per task — metadata next to the
+    scan itself; pass the filter columns you actually plan over.
+    """
+    targets = []
+    for c, cstat in stats.get("columns", {}).items():
+        if columns is not None and c not in columns:
+            continue
+        axis, kind = _hist_axis(c, cstat.get("type", ""))
+        if axis is None:
+            continue
+        lo = _axis_value(cstat.get("min"), kind)
+        hi = _axis_value(cstat.get("max"), kind)
+        if lo is None or hi is None or not hi > lo:
+            continue
+        targets.append((c, axis, kind, lo, hi))
+    if not targets:
+        return stats
+    aggs = []
+    for c, axis, kind, lo, hi in targets:
+        width = (hi - lo) / buckets
+        b = F.least(
+            F.lit(buckets - 1), F.floor((axis - F.lit(lo)) / F.lit(width))
+        )
+        for i in range(buckets):
+            aggs.append(
+                F.sum(
+                    (axis.isNotNull() & (b == i)).cast("long")
+                ).alias(f"__h__{c}__{i}")
+            )
+    row = df.agg(*aggs).first()
+    out = {
+        **stats,
+        "columns": {k: dict(v) for k, v in stats["columns"].items()},
+    }
+    for c, _axis, kind, lo, hi in targets:
+        out["columns"][c] = {
+            **out["columns"][c],
+            "histogram": {
+                "lo": lo,
+                "hi": hi,
+                "kind": kind,
+                "counts": [row[f"__h__{c}__{i}"] for i in range(buckets)],
+            },
+        }
+    return out
+
+
+def estimate_range_rows(
+    stats: dict[str, Any],
+    col: str,
+    lo: Any = None,
+    hi: Any = None,
+) -> float:
+    """Estimated rows with ``lo <= col <= hi`` (either bound may be
+    None = unbounded) from the column's histogram — full buckets
+    count whole, edge buckets linearly interpolated. Falls back to
+    min/max range containment when no histogram was collected, and
+    to ``row_count`` when not even min/max exist."""
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    cstat = stats.get("columns", {}).get(col)
+    if not cstat:
+        return n
+    hist = cstat.get("histogram")
+    if not hist:
+        r = _range(stats, col)
+        if r is None:
+            return n
+        qlo = r[0] if lo is None else max(float(lo), r[0])
+        qhi = r[1] if hi is None else min(float(hi), r[1])
+        span = r[1] - r[0]
+        if qhi < qlo:
+            return 0.0
+        frac = 1.0 if span <= 0 else (qhi - qlo) / span
+        return (n - cstat.get("null_count", 0)) * frac
+    kind = hist["kind"]
+    qlo = hist["lo"] if lo is None else _axis_value(lo, kind)
+    qhi = hist["hi"] if hi is None else _axis_value(hi, kind)
+    qlo, qhi = max(qlo, hist["lo"]), min(qhi, hist["hi"])
+    if qhi < qlo:
+        return 0.0
+    counts = hist["counts"]
+    width = (hist["hi"] - hist["lo"]) / len(counts)
+    if width <= 0:
+        return float(sum(counts))
+    est = 0.0
+    for i, cnt in enumerate(counts):
+        blo = hist["lo"] + i * width
+        bhi = blo + width
+        overlap = min(qhi, bhi) - max(qlo, blo)
+        if overlap <= 0:
+            continue
+        est += cnt * min(1.0, overlap / width)
+    # a degenerate point range (lo == hi) has zero measure on a
+    # continuous axis; model it like equality instead of 0
+    if est == 0.0 and qlo == qhi:
+        i = min(len(counts) - 1, int((qlo - hist["lo"]) / width))
+        ndv = float(stats.get("columns", {}).get(col, {}).get("ndv") or n)
+        est = counts[i] / max(1.0, ndv / len(counts))
+    return est
+
+
+def apply_filter_to_stats(
+    stats: dict[str, Any],
+    col: str,
+    lo: Any = None,
+    hi: Any = None,
+    eq: Any = None,
+) -> dict[str, Any]:
+    """Metadata-only filter modeling: the stats dict a table WOULD
+    have after ``lo <= col <= hi`` (or ``col = eq``), without
+    scanning anything — this is how a filtered table enters
+    ``plan_join_tree`` planning at 100 TB (the alternative, collecting
+    stats on the filtered frame, is a scan). Row count scales by the
+    histogram (range) or 1/ndv (equality); every column's NDV is
+    capped at the new row count; the filtered column's min/max clamp
+    to the predicate and its nulls drop to 0 (range/eq predicates
+    reject NULL); ``size_bytes`` scales so broadcast decisions track
+    the filtered size."""
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    if n == 0:
+        return stats
+    cstat = stats.get("columns", {}).get(col, {})
+    if eq is not None:
+        nn = n - cstat.get("null_count", 0)
+        est = nn / max(1.0, float(cstat.get("ndv") or nn))
+    else:
+        est = estimate_range_rows(stats, col, lo, hi)
+    sel = min(1.0, est / n)
+    new_n = int(round(est))
+    out: dict[str, Any] = {
+        **stats,
+        "row_count": new_n,
+        "size_bytes": (
+            int(stats["size_bytes"] * sel)
+            if stats.get("size_bytes")
+            else stats.get("size_bytes")
+        ),
+        "columns": {},
+    }
+    for c, cs in stats.get("columns", {}).items():
+        cs = dict(cs)
+        cs.pop("histogram", None)  # no longer valid post-filter
+        if cs.get("ndv"):
+            cs["ndv"] = max(1, min(int(cs["ndv"]), new_n))
+        if c == col:
+            cs["null_count"] = 0
+            if eq is not None:
+                cs["min"] = cs["max"] = eq
+                cs["ndv"] = 1
+            else:
+                if lo is not None and isinstance(cs.get("min"), (int, float)):
+                    cs["min"] = max(cs["min"], lo)
+                if hi is not None and isinstance(cs.get("max"), (int, float)):
+                    cs["max"] = min(cs["max"], hi)
+        else:
+            cs["null_count"] = int(round(cs.get("null_count", 0) * sel))
+        out["columns"][c] = cs
+    return out
 
 
 def write_stats_sidecar(

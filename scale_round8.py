@@ -461,6 +461,120 @@ def part_f_join_planner(spark) -> dict:
     return out
 
 
+def part_g_gapfill_and_stats(spark) -> dict:
+    """X32/X33/X35 at sf1.0.
+
+    X32: dense hourly gap-fill over the 1M-event feed's rollup — the
+    spine is (types × hours), metadata-scale regardless of feed size;
+    record wall, dense rows, gap fraction.
+
+    X33: sampled ANALYZE on lineitem (6M rows) at q=1% vs the full
+    one-pass scan — wall both ways plus the GEE NDV estimate vs the
+    HLL full-scan estimate on the join key the planner actually uses.
+
+    X35: the same lineitem delivered as 8 batches with per-batch
+    partials; record per-batch partial cost, merged-read cost, and
+    merged NDV vs full-scan — the "stats stay fresh without
+    re-ANALYZE" claim, measured."""
+    import shutil
+    import tempfile
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        refresh_rollup,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        gap_fill_rollup,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.incremental_stats import (
+        append_stats_partial,
+        read_incremental_stats,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        collect_table_stats,
+        collect_table_stats_sampled,
+    )
+
+    out: dict = {}
+    base = tempfile.mkdtemp(prefix="sg_r8g_")
+
+    # --- X32 gap fill over the sf1.0 rollup -------------------------
+    # the raw 1M-event feed covers every hour (0 gaps — the spine just
+    # reproduces the rollup), so ALSO roll up a 1-in-50 sparse slice:
+    # real gaps, same metadata-scale spine
+    ev = load_table(spark, FULL_DIR, "events")
+    for tag, feed in (
+        ("dense", ev),
+        ("sparse50", ev.filter(F.col("event_id") % 50 == 0)),
+    ):
+        store = f"{base}/store_{tag}"
+        refresh_rollup(feed, store, batch_id=0)
+        t0 = time.time()
+        dense = gap_fill_rollup(spark, store).collect()
+        wall_fill = time.time() - t0
+        gaps = sum(1 for r in dense if r["is_gap"])
+        out[f"gapfill_{tag}"] = {
+            "events": feed.count(),
+            "dense_rows": len(dense),
+            "gap_rows": gaps,
+            "wall_s": round(wall_fill, 2),
+        }
+
+    # --- X33 sampled vs full ANALYZE on lineitem ---------------------
+    li_path = f"{FULL_DIR}/lineitem.parquet"
+    li = spark.read.parquet(li_path)
+    t0 = time.time()
+    full = collect_table_stats(li)
+    wall_full = time.time() - t0
+    t0 = time.time()
+    samp = collect_table_stats_sampled(li, fraction=0.01, seed=8)
+    wall_samp = time.time() - t0
+    # the planner's actual need: key columns only, both ways
+    keys = ["l_orderkey", "l_suppkey", "l_partkey"]
+    t0 = time.time()
+    collect_table_stats(li, columns=keys)
+    wall_full_keys = time.time() - t0
+    t0 = time.time()
+    collect_table_stats_sampled(li, fraction=0.01, seed=8, columns=keys)
+    wall_samp_keys = time.time() - t0
+    out["sampled_analyze"] = {
+        "rows": full["row_count"],
+        "wall_full_s": round(wall_full, 2),
+        "wall_sampled_q01_s": round(wall_samp, 2),
+        "wall_full_keys_s": round(wall_full_keys, 2),
+        "wall_sampled_q01_keys_s": round(wall_samp_keys, 2),
+        "rowcount_est": samp["row_count"],
+        "ndv_orderkey_full": full["columns"]["l_orderkey"]["ndv"],
+        "ndv_orderkey_sampled": samp["columns"]["l_orderkey"]["ndv"],
+        "ndv_suppkey_full": full["columns"]["l_suppkey"]["ndv"],
+        "ndv_suppkey_sampled": samp["columns"]["l_suppkey"]["ndv"],
+    }
+
+    # --- X35 incremental partials over 8 deliveries ------------------
+    tpath = f"{base}/lineitem_inc"
+    li.write.parquet(tpath)
+    inc_tbl = spark.read.parquet(tpath)
+    walls = []
+    cols = ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice"]
+    for i in range(8):
+        b = inc_tbl.filter(F.col("l_orderkey") % 8 == i)
+        t0 = time.time()
+        append_stats_partial(b, tpath, batch_id=i, columns=cols)
+        walls.append(round(time.time() - t0, 2))
+    t0 = time.time()
+    merged = read_incremental_stats(spark, tpath)
+    wall_read = time.time() - t0
+    out["incremental_stats"] = {
+        "batches": 8,
+        "per_batch_partial_s": walls,
+        "merged_read_s": round(wall_read, 2),
+        "ndv_orderkey_merged": merged["columns"]["l_orderkey"]["ndv"],
+        "ndv_orderkey_full": full["columns"]["l_orderkey"]["ndv"],
+        "rowcount_exact": merged["row_count"] == full["row_count"],
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _persist(key: str, value: dict) -> None:
     """Merge one part's result into SCALE_R8.json immediately — a
     later part failing must not lose an earlier part's measurement."""
@@ -476,7 +590,7 @@ def _persist(key: str, value: dict) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--parts", default="a,b,c,d,e,f")
+    ap.add_argument("--parts", default="a,b,c,d,e,f,g")
     args = ap.parse_args()
     parts = set(args.parts.split(","))
     spark = get_spark("scale-round8")
@@ -487,8 +601,9 @@ def main() -> None:
         "d": ("zorder_sf1", part_d_zorder_skipping),
         "e": ("stream_sink_sf1", part_e_stream_sink),
         "f": ("join_planner_sf1", part_f_join_planner),
+        "g": ("gapfill_stats_sf1", part_g_gapfill_and_stats),
     }
-    for p in "abcdef":
+    for p in "abcdefg":
         if p in parts:
             key, fn = runners[p]
             result = fn(spark)

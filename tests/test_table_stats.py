@@ -294,3 +294,110 @@ def test_planner_order_stable_under_sampled_stats(spark, sf_dir):
     planned, order_samp = plan_join_tree(tables, edges, stats=samp_stats)
     assert order_samp == order_full  # dims-first order survives sampling
     assert planned.count() == tables["customer"].count()
+
+
+# --- X36: histogram sidecars + filter-selectivity modeling ----------------
+
+
+def test_histogram_range_estimates_track_actuals(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_histograms,
+        estimate_range_rows,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    stats = add_histograms(
+        orders,
+        collect_table_stats(orders),
+        columns=["o_totalprice", "o_orderdate"],
+    )
+    h = stats["columns"]["o_totalprice"]["histogram"]
+    assert len(h["counts"]) == 64
+    assert sum(h["counts"]) == stats["row_count"]
+    lo, hi = h["lo"], h["hi"]
+    for qlo, qhi in [
+        (lo + 0.25 * (hi - lo), lo + 0.5 * (hi - lo)),
+        (None, lo + 0.1 * (hi - lo)),
+        (lo + 0.9 * (hi - lo), None),
+    ]:
+        est = estimate_range_rows(stats, "o_totalprice", qlo, qhi)
+        cond = F.lit(True)
+        if qlo is not None:
+            cond &= F.col("o_totalprice") >= qlo
+        if qhi is not None:
+            cond &= F.col("o_totalprice") <= qhi
+        actual = orders.filter(cond).count()
+        band = max(0.02 * stats["row_count"], 0.25 * actual)
+        assert abs(est - actual) <= band, (qlo, qhi, est, actual)
+    # date axis: a one-year slice of o_orderdate
+    import datetime as dt
+
+    est = estimate_range_rows(
+        stats, "o_orderdate", dt.date(1995, 1, 1), dt.date(1995, 12, 31)
+    )
+    actual = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1995-12-31")
+    ).count()
+    assert abs(est - actual) <= max(0.02 * stats["row_count"], 0.25 * actual)
+    # disjoint range estimates 0; unbounded both sides = all non-null
+    assert estimate_range_rows(stats, "o_totalprice", hi + 1, hi + 2) == 0
+    full = estimate_range_rows(stats, "o_totalprice")
+    assert full == pytest.approx(
+        stats["row_count"] - stats["columns"]["o_totalprice"]["null_count"]
+    )
+
+
+def test_apply_filter_to_stats_metadata_only_planning(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_histograms,
+        apply_filter_to_stats,
+        plan_join_tree,
+    )
+
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "nation": load_table(spark, sf_dir, "nation"),
+        "region": load_table(spark, sf_dir, "region"),
+    }
+    stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    # equality predicate modeled metadata-only: region r_name = one of 5
+    filtered = apply_filter_to_stats(stats["region"], "r_name", eq="EUROPE")
+    assert filtered["row_count"] == 1
+    assert filtered["columns"]["r_name"]["ndv"] == 1
+    assert filtered["columns"]["r_name"]["min"] == "EUROPE"
+    # the filtered-stats dict drives planning WITHOUT scanning the
+    # filtered frame; region (1 est row) must lead the order
+    tables2 = {
+        **tables,
+        "region": tables["region"].filter(F.col("r_name") == "EUROPE"),
+    }
+    planned, order = plan_join_tree(
+        tables2,
+        [
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ],
+        stats={**stats, "region": filtered},
+    )
+    assert order[0] == "region" and order[-1] == "customer"
+    want = (
+        tables2["region"]
+        .join(tables["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(tables["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .count()
+    )
+    assert planned.count() == want
+    # range predicate scales rowcount, size, sibling ndv/null caps
+    cstats = add_histograms(
+        tables["customer"], stats["customer"], columns=["c_acctbal"]
+    )
+    h = cstats["columns"]["c_acctbal"]["histogram"]
+    mid = (h["lo"] + h["hi"]) / 2
+    f2 = apply_filter_to_stats(cstats, "c_acctbal", lo=mid)
+    actual = tables["customer"].filter(F.col("c_acctbal") >= mid).count()
+    assert abs(f2["row_count"] - actual) <= max(5, 0.3 * actual)
+    assert f2["size_bytes"] < cstats["size_bytes"]
+    assert f2["columns"]["c_custkey"]["ndv"] <= f2["row_count"]
+    assert f2["columns"]["c_acctbal"]["null_count"] == 0
+    assert "histogram" not in f2["columns"]["c_acctbal"]

@@ -134,6 +134,28 @@ def _fill_expr(
     raise ValueError(f"unknown fill policy for column {c!r}: {spec!r}")
 
 
+def calendar_spine(
+    df: DataFrame,
+    calendar: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Spine from an EXPLICIT calendar (business days, trading hours,
+    holiday-aware buckets — anything a fixed step can't express):
+    every observed group × every calendar row. ``calendar`` is a
+    one-column frame named ``ts_col``; it is broadcast (calendars are
+    metadata-sized by nature)."""
+    if calendar.columns != [ts_col]:
+        raise ValueError(
+            f"calendar must have exactly one column named {ts_col!r}"
+        )
+    return (
+        df.select(*group_cols)
+        .distinct()
+        .crossJoin(F.broadcast(calendar))
+    )
+
+
 def gap_fill(
     df: DataFrame,
     ts_col: str,
@@ -143,6 +165,7 @@ def gap_fill(
     bounds: str = "per_group",
     mark_gaps: str | None = None,
     max_buckets_per_group: int = MAX_BUCKETS_PER_GROUP,
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """Densify a bucketed series and fill the gaps.
 
@@ -154,13 +177,17 @@ def gap_fill(
     edge gaps (no neighbor on one side) NULL; ``locf``/``nocb``
     likewise before the first / after the last observation.
     ``mark_gaps`` adds a boolean column flagging spine-fabricated
-    rows."""
+    rows. A custom ``spine`` (e.g. :func:`calendar_spine`) overrides
+    the generated grid — rows outside it are DROPPED (calendar
+    semantics), rows inside it densify as usual; ``step``/``bounds``
+    are ignored then."""
     unknown = set(fill) - set(df.columns)
     if unknown:
         raise ValueError(f"fill references absent columns: {sorted(unknown)}")
-    spine = time_spine(
-        df, ts_col, step, group_cols, bounds, max_buckets_per_group
-    )
+    if spine is None:
+        spine = time_spine(
+            df, ts_col, step, group_cols, bounds, max_buckets_per_group
+        )
     obs = df.withColumn("__obs", F.lit(1))
     dense = spine.join(obs, on=[*group_cols, ts_col], how="left")
     w = Window.partitionBy(*group_cols).orderBy(ts_col)

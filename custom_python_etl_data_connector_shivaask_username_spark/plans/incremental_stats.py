@@ -168,8 +168,11 @@ def _merge_partials(parts: DataFrame) -> DataFrame:
             F.max(f"{c}__max").alias(f"{c}__max"),
             F.sum(f"{c}__nn").alias(f"{c}__nn"),
         ]
+    types: dict[str, str] = {}
+    for (raw,) in parts.select("__types").collect():
+        types.update(json.loads(raw))
     return parts.agg(*aggs).withColumn(
-        "__types", F.lit(parts.select("__types").first()[0])
+        "__types", F.lit(json.dumps(types))
     )
 
 
@@ -179,9 +182,17 @@ def read_incremental_stats(
     """Current table stats from the partials alone (one union-agg
     over ``#batches`` rows — never a table rescan), in the exact
     shape ``plan_join_tree`` consumes."""
-    parts = spark.read.parquet(_partials_path(table_path))
+    parts = spark.read.option("mergeSchema", "true").parquet(
+        _partials_path(table_path)
+    )
     n_parts = parts.count()
-    types = json.loads(parts.select("__types").first()[0])
+    # schema evolution: a column added in a later batch has NULL
+    # sketch/min/max/nn in earlier partials (mergeSchema) — unions and
+    # min/max skip NULLs, and its null_count correctly counts every
+    # pre-evolution row as null. Union the type maps across batches.
+    types: dict[str, str] = {}
+    for (raw,) in parts.select("__types").collect():
+        types.update(json.loads(raw))
     merged = _merge_partials(parts)
     names = sorted(types)
     est = merged.select(
@@ -221,7 +232,7 @@ def compact_stats_partials(spark: SparkSession, table_path: str) -> None:
     pair with the same monotone-batch-id contract the rollup store
     documents (or re-append only NEW ids after compacting)."""
     pdir = _partials_path(table_path)
-    parts = spark.read.parquet(pdir)
+    parts = spark.read.option("mergeSchema", "true").parquet(pdir)
     folded = _merge_partials(parts)
     staging = f"{pdir}__compacting"
     tmp = f"{staging}_write"

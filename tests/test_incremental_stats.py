@@ -140,3 +140,31 @@ def test_type_coverage_dates_timestamps_doubles(spark, tmp_path):
     assert stats["columns"]["x"]["ndv"] == 11
     assert stats["columns"]["b"]["ndv"] == 2
     assert stats["columns"]["d"]["min"] == dt.date(2024, 1, 1)
+
+
+def test_schema_evolution_across_batches(spark, tmp_path):
+    """A column added in a later batch: earlier rows count as NULL for
+    it, NDV/min/max come from the batches that have it, and compaction
+    keeps the unioned type map."""
+    a = spark.createDataFrame([(i, f"u{i % 4}") for i in range(100)],
+                              "id long, user string")
+    b = spark.createDataFrame(
+        [(i + 100, f"u{i % 4}", float(i % 9)) for i in range(50)],
+        "id long, user string, score double",
+    )
+    path = str(tmp_path / "t")
+    a.write.parquet(path)
+    append_stats_partial(a, path, batch_id=0)
+    append_stats_partial(b, path, batch_id=1)
+    stats = read_incremental_stats(spark, path)
+    assert stats["row_count"] == 150
+    sc = stats["columns"]["score"]
+    assert sc["null_count"] == 100  # pre-evolution rows are null
+    assert sc["ndv"] == 9
+    assert sc["min"] == 0.0 and sc["max"] == 8.0
+    assert stats["columns"]["id"]["ndv"] >= 145
+    compact_stats_partials(spark, path)
+    after = read_incremental_stats(spark, path)
+    assert after["columns"]["score"]["ndv"] == 9
+    assert after["columns"]["score"]["null_count"] == 100
+    assert after["row_count"] == 150

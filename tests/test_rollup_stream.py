@@ -281,3 +281,33 @@ def test_batch_and_stream_deliveries_merge_in_one_store(spark, tmp_path):
     # and compaction folds both delivery kinds into one base
     compact_rollup(spark, store)
     assert _store_rows(spark, store) == want
+
+
+def test_snapshot_read_covers_stream_fed_store(spark, tmp_path):
+    """X34 over X30: the stream sink's own `_commits/<epoch>` markers
+    make a stream-fed store snapshot-readable with no extra plumbing."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        read_rollup,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.rollup_store import (
+        committed_epochs,
+    )
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for i, spec in enumerate(_SLICES[:2]):
+        _write_stream_file(spark, spec, f"{input_dir}/slice-{i}.parquet")
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = stream_cells(stream, store, str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    assert committed_epochs(store) == [0, 1]
+    snap = sorted(
+        map(tuple, read_rollup(spark, store, snapshot=True).collect())
+    )
+    assert snap == sorted(map(tuple, read_rollup(spark, store).collect()))
+    assert len(snap) > 0

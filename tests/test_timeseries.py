@@ -296,3 +296,40 @@ def test_gap_fill_rollup_composition(spark, sf_dir, tmp_path):
             for a, b in zip(ts_list, ts_list[1:])
         }
         assert deltas == {3600}
+
+
+def test_calendar_spine_gap_fill(spark):
+    """An explicit calendar spine: only calendar buckets survive
+    (off-calendar observations drop), gaps on the calendar fill."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        calendar_spine,
+    )
+
+    df = _series(
+        spark,
+        [
+            ("a", TS(2024, 1, 1), 1.0),
+            ("a", TS(2024, 1, 6), 6.0),   # saturday: off-calendar
+            ("a", TS(2024, 1, 8), 8.0),
+        ],
+    )
+    # business days only: Jan 1-5 and Jan 8 2024
+    cal = spark.createDataFrame(
+        [(TS(2024, 1, d),) for d in (1, 2, 3, 4, 5, 8)],
+        "ts timestamp_ntz",
+    )
+    out = gap_fill(
+        df,
+        "ts",
+        "1 day",
+        ["g"],
+        {"v": "locf"},
+        spine=calendar_spine(df, cal, "ts", ["g"]),
+        mark_gaps="gap",
+    )
+    rows = {r["ts"]: (r["v"], r["gap"]) for r in out.collect()}
+    assert set(rows) == {TS(2024, 1, d) for d in (1, 2, 3, 4, 5, 8)}
+    assert rows[TS(2024, 1, 3)] == (1.0, True)   # gap, carried forward
+    assert rows[TS(2024, 1, 8)] == (8.0, False)
+    with pytest.raises(ValueError, match="exactly one column"):
+        calendar_spine(df, cal.withColumn("x", F.lit(1)), "ts", ["g"])

@@ -355,6 +355,60 @@ def add_histograms(
     return out
 
 
+def add_equidepth_histograms(
+    df: DataFrame,
+    stats: dict[str, Any],
+    columns: list[str] | None = None,
+    buckets: int = HISTOGRAM_BUCKETS,
+    accuracy: int = 10_000,
+) -> dict[str, Any]:
+    """Equi-DEPTH histograms: bucket BOUNDS at the column's quantiles
+    (``percentile_approx``, one scan, mergeable sketch), each bucket
+    holding ~``non_null/buckets`` rows by construction. The right
+    variant when skew defeats equi-width (one hot value swallows the
+    range into a single bucket and every estimate inside it flattens);
+    resolution follows the data's density instead of its span.
+    Stored as ``columns[c]["histogram"] = {kind, bounds}`` — the same
+    slot the equi-width variant uses, and ``estimate_range_rows``
+    dispatches on shape."""
+    targets = []
+    for c, cstat in stats.get("columns", {}).items():
+        if columns is not None and c not in columns:
+            continue
+        axis, kind = _hist_axis(c, cstat.get("type", ""))
+        if axis is not None:
+            targets.append((c, axis, kind))
+    if not targets:
+        return stats
+    qs = [i / buckets for i in range(buckets + 1)]
+    aggs = [
+        F.percentile_approx(axis, qs, accuracy).alias(f"__q__{c}")
+        for c, axis, _ in targets
+    ]
+    row = df.agg(*aggs).first()
+    out = {
+        **stats,
+        "columns": {k: dict(v) for k, v in stats["columns"].items()},
+    }
+    for c, _axis, kind in targets:
+        bounds = row[f"__q__{c}"]
+        if bounds is None or bounds[0] is None:
+            continue  # all-null column: nothing to bound
+        nn = float(
+            (stats.get("row_count") or 0)
+            - out["columns"][c].get("null_count", 0)
+        )
+        out["columns"][c] = {
+            **out["columns"][c],
+            "histogram": {
+                "kind": kind,
+                "bounds": [float(b) for b in bounds],
+                "rows_per_bucket": nn / buckets,
+            },
+        }
+    return out
+
+
 def estimate_range_rows(
     stats: dict[str, Any],
     col: str,
@@ -383,6 +437,32 @@ def estimate_range_rows(
         frac = 1.0 if span <= 0 else (qhi - qlo) / span
         return (n - cstat.get("null_count", 0)) * frac
     kind = hist["kind"]
+    if "bounds" in hist:  # equi-depth: quantile bounds, uniform mass
+        bounds, rpb = hist["bounds"], hist["rows_per_bucket"]
+        qlo = bounds[0] if lo is None else _axis_value(lo, kind)
+        qhi = bounds[-1] if hi is None else _axis_value(hi, kind)
+        qlo, qhi = max(qlo, bounds[0]), min(qhi, bounds[-1])
+        if qhi < qlo:
+            return 0.0
+        est = 0.0
+        for i in range(len(bounds) - 1):
+            blo, bhi = bounds[i], bounds[i + 1]
+            if bhi < qlo or blo > qhi:
+                continue
+            span = bhi - blo
+            if span <= 0:
+                # zero-width bucket = a hot value; in range → whole
+                if qlo <= blo <= qhi:
+                    est += rpb
+                continue
+            overlap = min(qhi, bhi) - max(qlo, blo)
+            if overlap > 0:
+                est += rpb * min(1.0, overlap / span)
+        if est == 0.0 and qlo == qhi:
+            # point query inside one continuous bucket: rows-per-value
+            ndv = float(cstat.get("ndv") or n)
+            est = rpb / max(1.0, ndv / (len(bounds) - 1))
+        return est
     qlo = hist["lo"] if lo is None else _axis_value(lo, kind)
     qhi = hist["hi"] if hi is None else _axis_value(hi, kind)
     qlo, qhi = max(qlo, hist["lo"]), min(qhi, hist["hi"])

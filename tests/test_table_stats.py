@@ -401,3 +401,58 @@ def test_apply_filter_to_stats_metadata_only_planning(spark, sf_dir):
     assert f2["columns"]["c_custkey"]["ndv"] <= f2["row_count"]
     assert f2["columns"]["c_acctbal"]["null_count"] == 0
     assert "histogram" not in f2["columns"]["c_acctbal"]
+
+
+def test_equidepth_histogram_beats_equiwidth_on_skew(spark):
+    """A hot value swallows the equi-width range into one bucket; the
+    equi-depth variant keeps resolution where the mass is. Both stay
+    estimators — the pin is that equi-depth's error on a tail
+    predicate over the skewed column is far smaller."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        add_histograms,
+        estimate_range_rows,
+    )
+
+    # 90% of rows are 0; the rest spread over [1, 1_000_000]
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0.0))
+        .otherwise((F.col("id") % 997) * 1003.0)
+        .alias("x")
+    )
+    base = collect_table_stats(df)
+    ew = add_histograms(df, base, columns=["x"])
+    ed = add_equidepth_histograms(df, base, columns=["x"])
+    assert ed["columns"]["x"]["histogram"]["kind"] == "numeric"
+    lo, hi = 1.0, 200_000.0
+    actual = df.filter((F.col("x") >= lo) & (F.col("x") <= hi)).count()
+    err_ew = abs(estimate_range_rows(ew, "x", lo, hi) - actual)
+    err_ed = abs(estimate_range_rows(ed, "x", lo, hi) - actual)
+    assert err_ed < err_ew / 3, (err_ed, err_ew, actual)
+    assert err_ed <= 0.05 * base["row_count"]
+    # the hot value itself: a zero-width bucket counts whole
+    est_hot = estimate_range_rows(ed, "x", -0.5, 0.5)
+    actual_hot = df.filter(F.col("x") == 0.0).count()
+    assert abs(est_hot - actual_hot) <= 0.05 * base["row_count"]
+    # full range equals the non-null count for both variants
+    assert estimate_range_rows(ed, "x") == pytest.approx(
+        base["row_count"], rel=0.02
+    )
+
+
+def test_equidepth_apply_filter_and_planner_compat(spark, sf_dir):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        apply_filter_to_stats,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    stats = add_equidepth_histograms(
+        cust, collect_table_stats(cust), columns=["c_acctbal"]
+    )
+    h = stats["columns"]["c_acctbal"]["histogram"]
+    mid = h["bounds"][len(h["bounds"]) // 2]  # the median
+    f = apply_filter_to_stats(stats, "c_acctbal", lo=mid)
+    actual = cust.filter(F.col("c_acctbal") >= mid).count()
+    assert abs(f["row_count"] - actual) <= max(5, 0.15 * actual)
+    assert "histogram" not in f["columns"]["c_acctbal"]

@@ -188,7 +188,10 @@ def gap_fill(
         spine = time_spine(
             df, ts_col, step, group_cols, bounds, max_buckets_per_group
         )
-    obs = df.withColumn("__obs", F.lit(1))
+    obs_col = "__obs"
+    while obs_col in df.columns:  # never clobber a caller's column
+        obs_col += "_"
+    obs = df.withColumn(obs_col, F.lit(1))
     dense = spine.join(obs, on=[*group_cols, ts_col], how="left")
     w = Window.partitionBy(*group_cols).orderBy(ts_col)
     w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -202,7 +205,7 @@ def gap_fill(
             if c not in group_cols and c != ts_col
         ],
         *(
-            [F.col("__obs").isNull().alias(mark_gaps)]
+            [F.col(obs_col).isNull().alias(mark_gaps)]
             if mark_gaps
             else []
         ),

@@ -1,0 +1,207 @@
+"""X37: cross-column (extended) statistics — retiring the planner's
+independence assumption for correlated predicates.
+
+``apply_filter_to_stats`` / ``estimate_join_rows`` (X31/X36) model a
+conjunction as a product of independent selectivities:
+``sel(a=x AND b=y) = sel(a=x) * sel(b=y)``. Correlated columns —
+city→state, day→month, a derived or denormalized key — make that
+product underestimate by up to the full correlation factor, and an
+underestimated intermediate is exactly what flips a 100 TB plan into
+a bad broadcast or a mis-ordered join. This is the classic q-error
+source the warehouses fix with extended statistics (PostgreSQL
+``CREATE STATISTICS (ndistinct)``, Oracle column groups); same public
+design here, on the X31 stats dict:
+
+- :func:`collect_column_group_stats` — ONE extra aggregation pass
+  adds, for each requested column group, the group NDV
+  (``approx_count_distinct`` over the group struct — HLL++,
+  mergeable partials, map-side combined) plus the group's non-null
+  count, under ``stats["column_groups"]["a|b"]``.
+- :func:`estimate_eq_conjunction_rows` — rows matching
+  ``c1=v1 AND c2=v2 AND ...``: collected groups covering subsets of
+  the predicate columns contribute ``1/ndv_group`` instead of the
+  per-column product ``1/(ndv_c1 * ndv_c2 * ...)``. Since
+  ``ndv_group <= prod(ndv_c)`` always (you cannot have more distinct
+  combinations than the product), group stats can only RAISE the
+  estimate toward truth — correlation means fewer distinct
+  combinations, each matching more rows.
+- :func:`apply_eq_conjunction_to_stats` — the metadata-only
+  filtered-stats twin of ``apply_filter_to_stats``: the stats a
+  table WOULD have after the conjunction, so correlated-filter
+  tables enter :func:`plan_join_tree` with sane row counts, without
+  scanning anything.
+
+Group selection is the user's (or a workload analyzer's) call —
+collecting every pair is quadratic in columns; collect the groups
+your WHERE clauses actually conjoin, the same guidance Postgres
+gives. Cost shape at 100 TB: each group is one more HLL sketch per
+task in an already-running pass — metadata next to the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .stats import estimate_range_rows
+
+#: separator for group keys in the stats dict ("a|b" — column names
+#: in this engine are sanitized identifiers, never containing '|')
+GROUP_SEP = "|"
+
+
+def group_key(columns: list[str]) -> str:
+    return GROUP_SEP.join(sorted(columns))
+
+
+def collect_column_group_stats(
+    df: DataFrame,
+    stats: dict[str, Any],
+    groups: list[list[str]],
+    rsd: float = 0.05,
+) -> dict[str, Any]:
+    """One pass over the table adds group-NDV stats for each column
+    group. Returns a new stats dict (input not mutated) with
+    ``column_groups[key] = {columns, ndv, non_null}`` where
+    ``non_null`` counts rows with ALL group columns present (the rows
+    an eq-conjunction can match)."""
+    if not groups:
+        return stats
+    for g in groups:
+        if len(g) < 2:
+            raise ValueError(f"a column group needs >= 2 columns: {g}")
+        missing = set(g) - set(df.columns)
+        if missing:
+            raise ValueError(f"group {g} references absent columns: {missing}")
+    aggs = []
+    keys = []
+    for g in groups:
+        k = group_key(g)
+        keys.append((k, sorted(g)))
+        struct = F.struct(*[F.col(c) for c in sorted(g)])
+        all_present = None
+        for c in sorted(g):
+            cond = F.col(c).isNotNull()
+            all_present = cond if all_present is None else (all_present & cond)
+        # NDV over fully-present tuples only: a NULL member makes the
+        # eq-conjunction unmatchable, so partial tuples would only
+        # dilute the estimate
+        aggs += [
+            F.approx_count_distinct(
+                F.when(all_present, struct), rsd
+            ).alias(f"__gndv__{k}"),
+            F.sum(all_present.cast("long")).alias(f"__gnn__{k}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = {**stats, "column_groups": dict(stats.get("column_groups", {}))}
+    for k, cols in keys:
+        out["column_groups"][k] = {
+            "columns": cols,
+            "ndv": int(row[f"__gndv__{k}"] or 0),
+            "non_null": int(row[f"__gnn__{k}"] or 0),
+        }
+    return out
+
+
+def _col_ndv(stats: dict[str, Any], col: str) -> float | None:
+    c = stats.get("columns", {}).get(col)
+    if c and c.get("ndv"):
+        return max(1.0, float(c["ndv"]))
+    return None
+
+
+def _cover(
+    stats: dict[str, Any], cols: set[str]
+) -> tuple[list[dict], set[str]]:
+    """Greedy cover of the predicate columns by collected groups:
+    repeatedly take the largest collected group fully contained in
+    the uncovered set. Leftover columns fall back to per-column NDV
+    (independence)."""
+    chosen = []
+    remaining = set(cols)
+    groups = sorted(
+        stats.get("column_groups", {}).values(),
+        key=lambda g: -len(g["columns"]),
+    )
+    for g in groups:
+        gcols = set(g["columns"])
+        if gcols <= remaining and g.get("ndv"):
+            chosen.append(g)
+            remaining -= gcols
+    return chosen, remaining
+
+
+def estimate_eq_conjunction_rows(
+    stats: dict[str, Any], eqs: dict[str, Any]
+) -> float:
+    """Estimated rows matching ``AND``-ed equality predicates.
+
+    Covered groups contribute ``1/ndv_group``; leftover columns the
+    independence ``1/ndv_col`` (a column with no collected NDV
+    contributes nothing — no reduction claimed, the X36 convention).
+    The result is capped by each single-predicate histogram estimate:
+    adding a predicate can never return MORE rows."""
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    if n == 0 or not eqs:
+        return n
+    chosen, leftover = _cover(stats, set(eqs))
+    denom = 1.0
+    nn = n
+    for g in chosen:
+        denom *= max(1.0, float(g["ndv"]))
+        nn = min(nn, float(g.get("non_null", n)))
+    for c in leftover:
+        ndv = _col_ndv(stats, c)
+        if ndv:
+            denom *= ndv
+            cst = stats.get("columns", {}).get(c, {})
+            nn = min(nn, n - float(cst.get("null_count", 0)))
+    est = nn / denom
+    # never exceed any single predicate's own estimate
+    for c, v in eqs.items():
+        single = estimate_range_rows(stats, c, v, v)
+        est = min(est, single) if single else est
+    return max(0.0, est)
+
+
+def apply_eq_conjunction_to_stats(
+    stats: dict[str, Any], eqs: dict[str, Any]
+) -> dict[str, Any]:
+    """Metadata-only stats for the table AFTER the eq-conjunction —
+    the multi-predicate twin of ``apply_filter_to_stats``. Row count
+    from :func:`estimate_eq_conjunction_rows`; each filtered column
+    pins to its value (ndv 1, nulls 0); every other column's NDV caps
+    at the new row count; histograms and group stats drop (no longer
+    valid); ``size_bytes`` scales with selectivity."""
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    if n == 0:
+        return stats
+    est = estimate_eq_conjunction_rows(stats, eqs)
+    sel = min(1.0, est / n)
+    new_n = int(round(est))
+    out: dict[str, Any] = {
+        **stats,
+        "row_count": new_n,
+        "size_bytes": (
+            int(stats["size_bytes"] * sel)
+            if stats.get("size_bytes")
+            else stats.get("size_bytes")
+        ),
+        "columns": {},
+    }
+    out.pop("column_groups", None)
+    for c, cs in stats.get("columns", {}).items():
+        cs = dict(cs)
+        cs.pop("histogram", None)
+        if c in eqs:
+            cs["min"] = cs["max"] = eqs[c]
+            cs["ndv"] = 1
+            cs["null_count"] = 0
+        else:
+            if cs.get("ndv"):
+                cs["ndv"] = max(1, min(int(cs["ndv"]), new_n))
+            cs["null_count"] = int(round(cs.get("null_count", 0) * sel))
+        out["columns"][c] = cs
+    return out

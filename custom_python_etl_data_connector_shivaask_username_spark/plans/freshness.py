@@ -1,0 +1,167 @@
+"""X38: statistics freshness — WHEN to re-ANALYZE, decided from
+metadata only.
+
+Stale statistics mis-plan silently: the sidecar says 1M rows while
+the table has grown to 50M, and the planner happily broadcasts the
+"small" side. The X31/X33/X35 family gives three ways to COLLECT
+stats; this module closes the loop with the policy that decides when
+collection must re-run — the ANALYZE-scheduling role Postgres's
+autovacuum thresholds and Snowflake's automatic clustering metadata
+play, built from signals that never touch table data:
+
+- **file bytes** (always available for file scans): the Hadoop file
+  index's current total vs the sidecar's recorded ``size_bytes``.
+  Growth/shrink beyond a band means the sidecar no longer describes
+  the table. Cost: a file listing — metadata.
+- **incremental partials** (when X35 is wired on the ingest path):
+  the partials' exact row count vs the sidecar's ``row_count``, and
+  per-column min/max drift OUTSIDE the sidecar's recorded range —
+  new-key domains (tomorrow's dates, a new tenant id) invalidate
+  range-containment join refinement long before row counts move.
+  Cost: one union-agg over #batches 1-row partials.
+
+API:
+
+- :func:`stats_staleness` — gather the signals into a report dict
+  (each signal None when its source is unavailable).
+- :func:`is_stale` — apply thresholds; returns ``(bool, reasons)``.
+- :func:`refresh_stats_if_stale` — the self-maintaining entry point:
+  read the sidecar, check staleness, re-collect (full or sampled)
+  and rewrite only when needed. Plug it in front of
+  ``plan_join_tree`` and plans stay statistics-correct without a
+  scheduled ANALYZE job.
+
+100 TB shape: the check is a file listing plus (optionally) a
+metadata-scale partials agg; the expensive re-collection runs only
+when a threshold trips, and can be the X33 sampled path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .stats import (
+    _kind_of,
+    _axis_value,
+    _scan_bytes,
+    collect_table_stats,
+    collect_table_stats_sampled,
+    read_stats_sidecar,
+    write_stats_sidecar,
+)
+
+#: default staleness thresholds
+MAX_BYTES_DRIFT = 0.20   # ±20% on-disk growth/shrink
+MAX_ROW_DRIFT = 0.20     # ±20% row-count drift (needs X35 partials)
+MAX_RANGE_DRIFT = 0.10   # new min/max outside the old span by >10%
+
+
+def _rel_drift(old: float | None, new: float | None) -> float | None:
+    if not old or new is None:
+        return None
+    return abs(new - old) / float(old)
+
+
+def stats_staleness(
+    spark: SparkSession,
+    df: DataFrame,
+    stats: dict[str, Any],
+    table_path: str | None = None,
+) -> dict[str, Any]:
+    """Metadata-only staleness signals for ``stats`` vs the table's
+    current state. ``bytes_drift`` from the file index;
+    ``row_drift`` and ``range_drift`` from the X35 incremental
+    partials when ``table_path`` has them (None otherwise — absence
+    of a signal is not evidence of freshness)."""
+    report: dict[str, Any] = {
+        "bytes_drift": None,
+        "row_drift": None,
+        "range_drift": {},
+    }
+    cur_bytes = _scan_bytes(df)
+    report["bytes_drift"] = _rel_drift(stats.get("size_bytes"), cur_bytes)
+    if table_path is not None:
+        try:
+            from .incremental_stats import read_incremental_stats
+
+            inc = read_incremental_stats(spark, table_path)
+        except Exception:
+            inc = None  # no partials dir: signal unavailable
+        if inc is not None:
+            report["row_drift"] = _rel_drift(
+                stats.get("row_count"), inc.get("row_count")
+            )
+            for c, new in inc.get("columns", {}).items():
+                old = stats.get("columns", {}).get(c)
+                if not old:
+                    report["range_drift"][c] = 1.0  # brand-new column
+                    continue
+                kind = _kind_of(old.get("type", ""))
+                if kind is None:
+                    continue
+                try:
+                    olo = _axis_value(old.get("min"), kind)
+                    ohi = _axis_value(old.get("max"), kind)
+                    nlo = _axis_value(new.get("min"), kind)
+                    nhi = _axis_value(new.get("max"), kind)
+                except (TypeError, ValueError):
+                    continue
+                if None in (olo, ohi, nlo, nhi):
+                    continue
+                span = max(ohi - olo, 1e-12)
+                out = max(0.0, olo - nlo) + max(0.0, nhi - ohi)
+                if out > 0:
+                    report["range_drift"][c] = out / span
+    return report
+
+
+def is_stale(
+    report: dict[str, Any],
+    max_bytes_drift: float = MAX_BYTES_DRIFT,
+    max_row_drift: float = MAX_ROW_DRIFT,
+    max_range_drift: float = MAX_RANGE_DRIFT,
+) -> tuple[bool, list[str]]:
+    """Apply thresholds to a :func:`stats_staleness` report."""
+    reasons = []
+    b = report.get("bytes_drift")
+    if b is not None and b > max_bytes_drift:
+        reasons.append(f"bytes_drift {b:.2f} > {max_bytes_drift}")
+    r = report.get("row_drift")
+    if r is not None and r > max_row_drift:
+        reasons.append(f"row_drift {r:.2f} > {max_row_drift}")
+    for c, d in sorted(report.get("range_drift", {}).items()):
+        if d > max_range_drift:
+            reasons.append(f"range_drift[{c}] {d:.2f} > {max_range_drift}")
+    return bool(reasons), reasons
+
+
+def refresh_stats_if_stale(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    sample_fraction: float | None = None,
+    columns: list[str] | None = None,
+    **thresholds: float,
+) -> tuple[dict[str, Any], bool]:
+    """Sidecar-backed, self-maintaining table stats: returns
+    ``(stats, refreshed)``. A missing sidecar always collects; a
+    present one re-collects only when :func:`is_stale` trips —
+    via the X33 sampled path when ``sample_fraction`` is given
+    (the 100 TB default), else the full X31 pass."""
+    stats = read_stats_sidecar(spark, path)
+    if stats is not None:
+        stale, _reasons = is_stale(
+            stats_staleness(spark, df, stats, table_path=path), **thresholds
+        )
+        if not stale:
+            return stats, False
+    if sample_fraction is not None:
+        stats = collect_table_stats_sampled(
+            df, sample_fraction, columns, path=path
+        )
+    else:
+        stats = collect_table_stats(df, columns, path=path)
+    write_stats_sidecar(spark, path, stats)
+    return stats, True

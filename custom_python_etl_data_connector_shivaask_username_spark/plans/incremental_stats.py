@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.layout import atomic_swap
-from .stats import _is_stat_type, _scan_bytes
+from .stats import _scan_bytes, _stat_cols
 
 PARTIALS_DIR = "_stats_partials"
 
@@ -77,15 +77,6 @@ def _sketch_input(c: str, dt: str):
         return F.unix_micros(col.cast("timestamp"))
     # float/double/decimal: canonical string form is injective
     return col.cast("string")
-
-
-def _stat_cols(df: DataFrame, columns: list[str] | None):
-    return [
-        (f.name, f.dataType.simpleString())
-        for f in df.schema.fields
-        if (columns is None or f.name in columns)
-        and _is_stat_type(f.dataType.simpleString())
-    ]
 
 
 def stats_partial(
@@ -152,9 +143,11 @@ def append_stats_partial(
     fs.delete_dir(stage)
 
 
-def _merge_partials(parts: DataFrame) -> DataFrame:
+def _merge_partials(parts: DataFrame) -> tuple[DataFrame, dict[str, str]]:
     """Union-merge any number of partial rows into one (commutative,
-    associative: sums, min/max, HLL sketch unions)."""
+    associative: sums, min/max, HLL sketch unions). Returns the merged
+    frame AND the unioned column-type map — the one small collect over
+    the partials happens here, once, so callers don't re-run it."""
     names = {
         c[: -len("__sketch")]
         for c in parts.columns
@@ -171,9 +164,10 @@ def _merge_partials(parts: DataFrame) -> DataFrame:
     types: dict[str, str] = {}
     for (raw,) in parts.select("__types").collect():
         types.update(json.loads(raw))
-    return parts.agg(*aggs).withColumn(
+    merged = parts.agg(*aggs).withColumn(
         "__types", F.lit(json.dumps(types))
     )
+    return merged, types
 
 
 def read_incremental_stats(
@@ -189,11 +183,9 @@ def read_incremental_stats(
     # schema evolution: a column added in a later batch has NULL
     # sketch/min/max/nn in earlier partials (mergeSchema) — unions and
     # min/max skip NULLs, and its null_count correctly counts every
-    # pre-evolution row as null. Union the type maps across batches.
-    types: dict[str, str] = {}
-    for (raw,) in parts.select("__types").collect():
-        types.update(json.loads(raw))
-    merged = _merge_partials(parts)
+    # pre-evolution row as null. The type maps union across batches
+    # inside _merge_partials.
+    merged, types = _merge_partials(parts)
     names = sorted(types)
     est = merged.select(
         "__rows",
@@ -233,7 +225,7 @@ def compact_stats_partials(spark: SparkSession, table_path: str) -> None:
     documents (or re-append only NEW ids after compacting)."""
     pdir = _partials_path(table_path)
     parts = spark.read.option("mergeSchema", "true").parquet(pdir)
-    folded = _merge_partials(parts)
+    folded, _ = _merge_partials(parts)
     staging = f"{pdir}__compacting"
     tmp = f"{staging}_write"
     folded.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -74,6 +74,20 @@ def _is_stat_type(dt: str) -> bool:
     return dt in _STAT_TYPES or dt.startswith("decimal")
 
 
+def _stat_cols(
+    df: DataFrame, columns: list[str] | None
+) -> list[tuple[str, str]]:
+    """(name, simple type) for every column stats are collected on —
+    the single definition all three ANALYZE paths (full, sampled,
+    incremental) share, so a new supported type lands everywhere."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and _is_stat_type(f.dataType.simpleString())
+    ]
+
+
 def _scan_bytes(df: DataFrame) -> int | None:
     """Total on-disk bytes of the frame's file scan (metadata-only via
     the Hadoop file index); None when the frame is not a file scan."""
@@ -103,12 +117,7 @@ def collect_table_stats(
     null_count) for every atomic column (or the requested subset), and
     total on-disk bytes when the frame is a file scan. All aggregates
     are mergeable partials — one scan, one 1-row result."""
-    cols = [
-        (f.name, f.dataType.simpleString())
-        for f in df.schema.fields
-        if (columns is None or f.name in columns)
-        and _is_stat_type(f.dataType.simpleString())
-    ]
+    cols = _stat_cols(df, columns)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, _ in cols:
         aggs += [
@@ -172,12 +181,7 @@ def collect_table_stats_sampled(
         raise ValueError("fraction must be in (0, 1]")
     if fraction == 1.0:
         return collect_table_stats(df, columns, path)
-    cols = [
-        (f.name, f.dataType.simpleString())
-        for f in df.schema.fields
-        if (columns is None or f.name in columns)
-        and _is_stat_type(f.dataType.simpleString())
-    ]
+    cols = _stat_cols(df, columns)
     sample = df.sample(fraction=fraction, seed=seed)
     sample.persist()
     try:
@@ -254,22 +258,49 @@ _HIST_NUMERIC = (
 )
 
 
-def _hist_axis(c: str, dt: str):
+def _kind_of(dt: str) -> str | None:
+    """Axis kind for a column type; None when the type has no
+    numeric bucketing axis (strings, booleans)."""
+    if dt in _HIST_NUMERIC or dt.startswith("decimal"):
+        return "numeric"
+    if dt in ("date", "timestamp", "timestamp_ntz"):
+        return dt
+    return None
+
+
+def _hist_axis(c: str, dt: str, session_tz: str):
     """(expression, kind) mapping a column onto the numeric bucketing
     axis — injective and order-preserving, so bucket counts transfer
-    back to the original domain."""
+    back to the original domain. Axis units by kind: "numeric" =
+    the value; "date" = epoch days; "timestamp" = TRUE epoch micros
+    (tz-free — the driver twin `_axis_value` interprets collected
+    naive datetimes as driver-local, matching how PySpark renders
+    instants on collect); "timestamp_ntz" = wall-clock micros as if
+    the wall clock were UTC (the cast's session-tz offset is undone
+    with `from_utc_timestamp`, so the axis is tz-free too — exact
+    except inside a DST transition hour, where cast and un-cast read
+    the offset at slightly different instants)."""
     col = F.col(c)
-    if dt in _HIST_NUMERIC or dt.startswith("decimal"):
-        return col.cast("double"), "numeric"
-    if dt == "date":
-        return F.unix_date(col).cast("double"), "date"
-    if dt in ("timestamp", "timestamp_ntz"):
-        return F.unix_micros(col.cast("timestamp")).cast("double"), dt
+    kind = _kind_of(dt)
+    if kind == "numeric":
+        return col.cast("double"), kind
+    if kind == "date":
+        return F.unix_date(col).cast("double"), kind
+    if kind == "timestamp":
+        return F.unix_micros(col).cast("double"), kind
+    if kind == "timestamp_ntz":
+        wall = F.from_utc_timestamp(col.cast("timestamp"), session_tz)
+        return F.unix_micros(wall).cast("double"), kind
     return None, None
 
 
 def _axis_value(v: Any, kind: str) -> float | None:
-    """A python-side predicate bound mapped onto the same axis."""
+    """A python-side value (a collected min/max or a user predicate
+    bound) mapped onto the same axis as `_hist_axis`. Naive
+    datetimes are driver-local for kind "timestamp" (that is what
+    `.first()` hands back for an instant) and plain wall clocks for
+    "timestamp_ntz"; ISO strings (a sidecar round-trip that skipped
+    `read_stats_sidecar`'s revival) parse too."""
     import datetime as _dt
 
     if v is None:
@@ -277,17 +308,34 @@ def _axis_value(v: Any, kind: str) -> float | None:
     if kind == "numeric":
         return float(v)
     if kind == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
         if isinstance(v, _dt.datetime):
             v = v.date()
         if isinstance(v, _dt.date):
             return float((v - _dt.date(1970, 1, 1)).days)
         return float(v)
-    if kind in ("timestamp", "timestamp_ntz"):
+    if kind == "timestamp":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
         if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
             v = _dt.datetime(v.year, v.month, v.day)
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            return (v - epoch).total_seconds() * 1e6
+            # .timestamp() resolves a naive datetime in the DRIVER's
+            # zone — the inverse of TimestampType collect — and an
+            # aware one exactly; both land on true epoch micros.
+            return v.timestamp() * 1e6
+        return float(v)
+    if kind == "timestamp_ntz":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, _dt.datetime):
+            # ntz IS a wall clock: strip any tz and measure as-if-UTC
+            wall = v.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (wall - epoch).total_seconds() * 1e6
         return float(v)
     raise ValueError(f"no axis for kind {kind!r}")
 
@@ -311,11 +359,12 @@ def add_histograms(
     ``buckets × columns`` counters per task — metadata next to the
     scan itself; pass the filter columns you actually plan over.
     """
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     targets = []
     for c, cstat in stats.get("columns", {}).items():
         if columns is not None and c not in columns:
             continue
-        axis, kind = _hist_axis(c, cstat.get("type", ""))
+        axis, kind = _hist_axis(c, cstat.get("type", ""), tz)
         if axis is None:
             continue
         lo = _axis_value(cstat.get("min"), kind)
@@ -328,8 +377,14 @@ def add_histograms(
     aggs = []
     for c, axis, kind, lo, hi in targets:
         width = (hi - lo) / buckets
-        b = F.least(
-            F.lit(buckets - 1), F.floor((axis - F.lit(lo)) / F.lit(width))
+        # clamp BOTH edges: a value nudged outside [lo, hi] by float
+        # round-trip lands in an edge bucket instead of vanishing
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((axis - F.lit(lo)) / F.lit(width)),
+            ),
         )
         for i in range(buckets):
             aggs.append(
@@ -371,11 +426,12 @@ def add_equidepth_histograms(
     Stored as ``columns[c]["histogram"] = {kind, bounds}`` — the same
     slot the equi-width variant uses, and ``estimate_range_rows``
     dispatches on shape."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     targets = []
     for c, cstat in stats.get("columns", {}).items():
         if columns is not None and c not in columns:
             continue
-        axis, kind = _hist_axis(c, cstat.get("type", ""))
+        axis, kind = _hist_axis(c, cstat.get("type", ""), tz)
         if axis is not None:
             targets.append((c, axis, kind))
     if not targets:
@@ -429,8 +485,9 @@ def estimate_range_rows(
         r = _range(stats, col)
         if r is None:
             return n
-        qlo = r[0] if lo is None else max(float(lo), r[0])
-        qhi = r[1] if hi is None else min(float(hi), r[1])
+        axk = _kind_of(cstat.get("type", "")) or "numeric"
+        qlo = r[0] if lo is None else max(_axis_value(lo, axk), r[0])
+        qhi = r[1] if hi is None else min(_axis_value(hi, axk), r[1])
         span = r[1] - r[0]
         if qhi < qlo:
             return 0.0
@@ -512,7 +569,12 @@ def apply_filter_to_stats(
     cstat = stats.get("columns", {}).get(col, {})
     if eq is not None:
         nn = n - cstat.get("null_count", 0)
-        est = nn / max(1.0, float(cstat.get("ndv") or nn))
+        ndv = cstat.get("ndv")
+        # no collected NDV for this column → NO reduction: assuming
+        # uniqueness is the MOST selective guess, and a wrong est≈1
+        # row turns into a broadcast hint on an arbitrarily large
+        # table (the planner's fits() sees ~0 bytes)
+        est = nn / float(ndv) if ndv else nn
     else:
         est = estimate_range_rows(stats, col, lo, hi)
     sel = min(1.0, est / n)
@@ -558,11 +620,37 @@ def write_stats_sidecar(
     )
 
 
+def _revive_stats(stats: dict[str, Any]) -> dict[str, Any]:
+    """Undo the sidecar's `default=str` JSON coercion: date/timestamp
+    min/max come back as ISO strings (str() of a datetime IS ISO with
+    a space separator) and decimals as digit strings — parse them back
+    to the python types the collectors produce, so a sidecar-loaded
+    dict behaves identically in `add_histograms` / `_range`."""
+    import datetime as _dt
+
+    for cs in stats.get("columns", {}).values():
+        dt = cs.get("type", "")
+        for k in ("min", "max"):
+            v = cs.get(k)
+            if not isinstance(v, str):
+                continue
+            try:
+                if dt == "date":
+                    cs[k] = _dt.date.fromisoformat(v)
+                elif dt in ("timestamp", "timestamp_ntz"):
+                    cs[k] = _dt.datetime.fromisoformat(v)
+                elif dt.startswith("decimal"):
+                    cs[k] = float(v)
+            except ValueError:
+                pass  # leave the raw string; estimators skip it
+    return stats
+
+
 def read_stats_sidecar(
     spark: SparkSession, path: str
 ) -> dict[str, Any] | None:
     raw = fs_read_text(spark, f"{path.rstrip('/')}/{STATS_SIDECAR}")
-    return None if raw is None else json.loads(raw)
+    return None if raw is None else _revive_stats(json.loads(raw))
 
 
 def _ndv(stats: dict, col: str, default_rows: int) -> float:
@@ -573,13 +661,23 @@ def _ndv(stats: dict, col: str, default_rows: int) -> float:
 
 
 def _range(stats: dict, col: str):
+    """(lo, hi) of the column on its numeric axis — numerics directly,
+    date/timestamp via the same `_axis_value` mapping the histograms
+    use, so temporal join keys get the containment refinement too."""
     c = stats.get("columns", {}).get(col)
     if not c:
         return None
-    lo, hi = c.get("min"), c.get("max")
-    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
-        return float(lo), float(hi)
-    return None
+    kind = _kind_of(c.get("type", ""))
+    if kind is None:
+        return None
+    try:
+        lo = _axis_value(c.get("min"), kind)
+        hi = _axis_value(c.get("max"), kind)
+    except (TypeError, ValueError):
+        return None
+    if lo is None or hi is None:
+        return None
+    return lo, hi
 
 
 def estimate_join_rows(
@@ -637,19 +735,29 @@ def plan_join_tree(
     fly — pass sidecar stats to keep planning metadata-only). Returns
     the joined DataFrame and the chosen table order (for plan audits).
 
-    Order: start from the edge with the smallest estimated output,
-    then repeatedly fold in the edge-connected table minimizing the
-    next intermediate's estimated rows — the textbook greedy that gets
-    star and snowflake schemas right (dims first, fact once). Hints:
-    an incoming table whose estimated bytes are under
-    ``spark.sql.autoBroadcastJoinThreshold`` (or the override) joins
-    via ``F.broadcast``; when the incoming table is too big to
+    Order (``how="inner"`` only — reordering is an inner-join
+    identity): start from the edge with the smallest estimated
+    output, then repeatedly fold in the edge-connected table
+    minimizing the next intermediate's estimated rows — the textbook
+    greedy that gets star and snowflake schemas right (dims first,
+    fact once). Hints: an incoming table whose estimated bytes are
+    under ``spark.sql.autoBroadcastJoinThreshold`` (or the override)
+    joins via ``F.broadcast``; when the incoming table is too big to
     broadcast but the ACCUMULATED intermediate fits (the folded-dims
     bundle meeting the fact table), the build side flips —
     ``F.broadcast(cur)`` — so the big table streams through one hash
-    join without ever shuffling (inner joins only; flipping sides
-    changes outer-join semantics). Anything larger on both sides is
+    join without ever shuffling. Anything larger on both sides is
     left to Catalyst/AQE.
+
+    For outer joins (``how`` = left/right/full/semi/anti) the edge
+    ORDER IS THE SEMANTICS — which side is preserved depends on it —
+    so the planner folds the edges exactly as written (each edge's
+    left table must already be joined; the first edge's left table
+    leads) and contributes ONLY broadcast hints, never a reorder,
+    swap, or build-side flip. Left/semi/anti joins hint the incoming
+    (non-preserved) side; right/full leave hinting to Catalyst (the
+    streamed side of a right join and both sides of a full join
+    cannot legally broadcast).
     """
     if not edges:
         raise ValueError("plan_join_tree needs at least one join edge")
@@ -666,15 +774,6 @@ def plan_join_tree(
             spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
         )
 
-    def edge_est(e):
-        return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
-
-    first = min(edges, key=edge_est)
-    # smaller side leads (it is the build side of everything after)
-    lname, lcol, rname, rcol = first
-    if stats[rname]["row_count"] < stats[lname]["row_count"]:
-        lname, lcol, rname, rcol = rname, rcol, lname, lcol
-
     def fits(nbytes: float) -> bool:
         return 0 < broadcast_threshold and nbytes <= broadcast_threshold
 
@@ -689,15 +788,50 @@ def plan_join_tree(
         size = stats[name].get("size_bytes")
         return (size / n) if size else float(_DEFAULT_ROW_BYTES)
 
+    norm_how = how.replace("_", "").lower()
+    if norm_how != "inner":
+        # syntactic fold: user order IS the outer-join semantics
+        lead = edges[0][0]
+        cur = tables[lead]
+        joined = {lead}
+        order = [lead]
+        hintable = norm_how in ("left", "leftouter", "leftsemi", "leftanti")
+        for ln, lc, rn, rc in edges:
+            if ln not in joined:
+                raise ValueError(
+                    f"non-inner edges must chain left-to-right: {ln!r} "
+                    f"is not joined yet when edge ({ln}, {rn}) arrives"
+                )
+            if rn in joined:
+                raise ValueError(
+                    f"table {rn!r} appears as the incoming side of two "
+                    "edges; non-inner folds join each table once"
+                )
+            inc = (
+                maybe_broadcast(rn, stats[rn]["row_count"])
+                if hintable
+                else tables[rn]
+            )
+            cur = cur.join(inc, on=tables[ln][lc] == tables[rn][rc], how=how)
+            joined.add(rn)
+            order.append(rn)
+        return cur, order
+
+    def edge_est(e):
+        return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
+
+    first = min(edges, key=edge_est)
+    # smaller side leads (it is the build side of everything after)
+    lname, lcol, rname, rcol = first
+    if stats[rname]["row_count"] < stats[lname]["row_count"]:
+        lname, lcol, rname, rcol = rname, rcol, lname, lcol
+
     joined = set()
     order: list[str] = []
     nl = stats[lname]["row_count"]
     cur = maybe_broadcast(lname, nl) if nl else tables[lname]
     cur_rows = float(max(0, nl or 0))
     cur_width = width(lname)  # accumulated bytes-per-row estimate
-    # per-column ndv of the accumulated intermediate: keyed by the
-    # owning table's column (equi-joins preserve key NDV upper bounds)
-    cur_stats = {"row_count": nl, "columns": dict(stats[lname]["columns"])}
     joined.add(lname)
     order.append(lname)
 
@@ -707,11 +841,11 @@ def plan_join_tree(
         for e in remaining:
             ln, lc, rn, rc = e
             if ln in joined and rn not in joined:
-                candidates.append((e, rn, rc, lc))
+                candidates.append((e, rn, rc, lc, ln))
             elif rn in joined and ln not in joined:
-                candidates.append((e, ln, lc, rc))
+                candidates.append((e, ln, lc, rc, rn))
             elif ln in joined and rn in joined:
-                candidates.append((e, None, None, None))
+                candidates.append((e, None, None, None, None))
         if not candidates:
             raise ValueError(
                 "join graph is disconnected: cannot reach "
@@ -719,16 +853,25 @@ def plan_join_tree(
             )
 
         def cand_est(c):
-            e, incoming, inc_col, cur_col = c
+            e, incoming, inc_col, cur_col, owner = c
             if incoming is None:
                 return -1.0  # residual predicate on already-joined tables: free
-            cur_stats["row_count"] = cur_rows
+            # the accumulated side's key stats come from the table
+            # that OWNS the column (equi-joins preserve key-NDV upper
+            # bounds) — looked up per-edge, never merged by bare
+            # column name, so same-named columns across tables can't
+            # cross-contaminate the estimate
+            own = stats[owner]["columns"].get(cur_col)
+            cur_view = {
+                "row_count": cur_rows,
+                "columns": {cur_col: own} if own else {},
+            }
             return estimate_join_rows(
-                cur_stats, cur_col, stats[incoming], inc_col
+                cur_view, cur_col, stats[incoming], inc_col
             )
 
         best = min(candidates, key=cand_est)
-        e, incoming, inc_col, cur_col = best
+        e, incoming, inc_col, cur_col, _owner = best
         remaining.remove(e)
         ln, lc, rn, rc = e
         if incoming is None:
@@ -741,9 +884,7 @@ def plan_join_tree(
             stats[incoming], stats[incoming]["row_count"]
         )
         pred = tables[ln][lc] == tables[rn][rc]
-        if fits(inc_bytes) or how != "inner" or not fits(
-            cur_rows * cur_width
-        ):
+        if fits(inc_bytes) or not fits(cur_rows * cur_width):
             cur = cur.join(
                 maybe_broadcast(incoming, stats[incoming]["row_count"]),
                 on=pred,
@@ -753,13 +894,12 @@ def plan_join_tree(
             # build-side flip: the incoming table is too big to
             # broadcast but the accumulated intermediate FITS — hint
             # the intermediate as the build side so the big table
-            # streams unshuffled (inner joins only: flipping sides
-            # changes outer-join semantics)
+            # streams unshuffled (inner joins only; this branch is
+            # unreachable for outer joins, which take the syntactic
+            # fold above)
             cur = tables[incoming].join(F.broadcast(cur), on=pred)
         cur_rows = est
         cur_width += width(incoming)
-        for col, cstats in stats[incoming]["columns"].items():
-            cur_stats["columns"].setdefault(col, cstats)
         joined.add(incoming)
         order.append(incoming)
     return cur, order

@@ -1,0 +1,103 @@
+"""X37 pins: column-group NDV kills the independence underestimate on
+correlated eq-conjunctions; greedy cover composes groups with leftover
+per-column NDV; the metadata-only filtered-stats twin stays sane."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+    apply_eq_conjunction_to_stats,
+    collect_column_group_stats,
+    estimate_eq_conjunction_rows,
+    group_key,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+    collect_table_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def correlated(spark):
+    # b is fully determined by a: ndv(a)=100, ndv(b)=10, but
+    # ndv(a,b)=100 — independence overstates the denominator 10x
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("a"),
+        ((F.col("id") % 100) % 10).alias("b"),
+        # c varies across the rows sharing an `a` (id // 100), so it
+        # is genuinely independent of the (a, b) pair
+        ((F.col("id") / 100).cast("long") % 4).alias("c"),
+    )
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_group_ndv_corrects_correlated_eq(spark, correlated):
+    base = collect_table_stats(correlated)
+    stats = collect_column_group_stats(correlated, base, [["a", "b"]])
+    g = stats["column_groups"][group_key(["a", "b"])]
+    assert abs(g["ndv"] - 100) <= 10  # HLL++ ~5% rsd
+    assert g["non_null"] == 10_000
+    actual = correlated.filter((F.col("a") == 5) & (F.col("b") == 5)).count()
+    assert actual == 100
+    with_group = estimate_eq_conjunction_rows(stats, {"a": 5, "b": 5})
+    independent = estimate_eq_conjunction_rows(base, {"a": 5, "b": 5})
+    # the group estimate tracks truth; independence is ~10x under
+    assert abs(with_group - actual) <= 0.15 * actual
+    assert independent < actual / 5
+
+
+def test_cover_composes_group_with_leftover_column(correlated):
+    base = collect_table_stats(correlated)
+    stats = collect_column_group_stats(correlated, base, [["a", "b"]])
+    est = estimate_eq_conjunction_rows(stats, {"a": 5, "b": 5, "c": 1})
+    actual = correlated.filter(
+        (F.col("a") == 5) & (F.col("b") == 5) & (F.col("c") == 1)
+    ).count()
+    # group 1/100 for (a,b) times independence 1/4 for the leftover c
+    assert abs(est - actual) <= max(5, 0.3 * actual), (est, actual)
+
+
+def test_group_ndv_never_exceeds_independence_product(correlated):
+    """ndv(group) <= prod(ndv) always, so the corrected estimate can
+    only move UP toward truth, never below the independence floor."""
+    base = collect_table_stats(correlated)
+    stats = collect_column_group_stats(correlated, base, [["a", "b"]])
+    assert estimate_eq_conjunction_rows(
+        stats, {"a": 5, "b": 5}
+    ) >= estimate_eq_conjunction_rows(base, {"a": 5, "b": 5})
+
+
+def test_null_tuples_excluded_from_group(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, None), (None, 3)], "a int, b int"
+    )
+    stats = collect_column_group_stats(
+        df, collect_table_stats(df), [["a", "b"]]
+    )
+    g = stats["column_groups"]["a|b"]
+    assert g["ndv"] == 1  # only the fully-present (1,1) tuple counts
+    assert g["non_null"] == 2
+
+
+def test_apply_eq_conjunction_to_stats_metadata_only(correlated):
+    base = collect_table_stats(correlated)
+    stats = collect_column_group_stats(correlated, base, [["a", "b"]])
+    f = apply_eq_conjunction_to_stats(stats, {"a": 5, "b": 5})
+    actual = correlated.filter((F.col("a") == 5) & (F.col("b") == 5)).count()
+    assert abs(f["row_count"] - actual) <= 0.15 * actual
+    assert f["columns"]["a"]["ndv"] == 1
+    assert f["columns"]["a"]["min"] == f["columns"]["a"]["max"] == 5
+    assert f["columns"]["c"]["ndv"] <= f["row_count"]
+    assert "column_groups" not in f  # invalid post-filter
+
+
+def test_group_validation(spark, correlated):
+    base = collect_table_stats(correlated)
+    with pytest.raises(ValueError, match=">= 2"):
+        collect_column_group_stats(correlated, base, [["a"]])
+    with pytest.raises(ValueError, match="absent"):
+        collect_column_group_stats(correlated, base, [["a", "zzz"]])
+    assert collect_column_group_stats(correlated, base, []) is base

@@ -456,3 +456,181 @@ def test_equidepth_apply_filter_and_planner_compat(spark, sf_dir):
     actual = cust.filter(F.col("c_acctbal") >= mid).count()
     assert abs(f["row_count"] - actual) <= max(5, 0.15 * actual)
     assert "histogram" not in f["columns"]["c_acctbal"]
+
+
+# --- round-8 review pins: the five stats defects the code review found ---
+
+
+def test_plan_join_tree_left_join_preserves_user_order(spark):
+    """Non-inner joins must NOT be reordered or side-swapped: the edge
+    order IS the semantics. A (10 rows) LEFT JOIN B (3-row key subset)
+    keeps all 10 A rows even though B is smaller and the inner-mode
+    greedy would have led with it."""
+    a = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("a").alias("va"))
+    b = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("b").alias("vb"))
+    joined, order = plan_join_tree(
+        {"A": a, "B": b}, [("A", "k", "B", "k")], how="left"
+    )
+    assert order == ["A", "B"]
+    assert joined.count() == 10
+    assert joined.filter(F.col("vb").isNull()).count() == 7
+    # full outer likewise folds syntactically (and attaches no hint)
+    fo, _ = plan_join_tree({"A": a, "B": b}, [("A", "k", "B", "k")], how="full")
+    assert fo.count() == 10
+    # a non-chained edge order is ambiguous for outer joins: refuse
+    c = spark.range(0, 2).select(F.col("id").alias("k2"))
+    with pytest.raises(ValueError, match="chain"):
+        plan_join_tree(
+            {"A": a, "B": b, "C": c},
+            [("C", "k2", "B", "k"), ("A", "k", "B", "k")],
+            how="left",
+        )
+
+
+def test_timestamp_histogram_tz_invariant(spark, sf_dir):
+    """The timestamp bucketing axis is instant-based on BOTH sides
+    (Spark unix_micros; driver .timestamp() on collect's driver-local
+    naive datetimes), so histograms survive a driver timezone that is
+    not UTC — the old naive-as-UTC driver mapping shifted every bucket
+    by the UTC offset and dropped rows to negative indices."""
+    import os
+    import time
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_histograms,
+        estimate_range_rows,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        stats = add_histograms(ev, collect_table_stats(ev), columns=["ts"])
+        h = stats["columns"]["ts"]["histogram"]
+        nn = stats["row_count"] - stats["columns"]["ts"]["null_count"]
+        # no rows fall off the axis, and the mass is spread (the old
+        # bug piled the 5h overflow into the clamped top bucket)
+        assert sum(h["counts"]) == nn
+        assert max(h["counts"]) < 0.30 * nn
+        lo, hi = stats["columns"]["ts"]["min"], stats["columns"]["ts"]["max"]
+        mid = lo + (hi - lo) / 2
+        est = estimate_range_rows(stats, "ts", lo, mid)
+        actual = ev.filter(F.col("ts") <= mid).count()
+        assert abs(est - actual) <= max(10, 0.10 * nn), (est, actual)
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_ntz_histogram_session_tz_invariant(spark):
+    """timestamp_ntz is a wall clock: its axis must not shift with
+    the session timezone (the cast-to-timestamp offset is undone)."""
+    from datetime import datetime
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_histograms,
+        estimate_range_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1 + d, h),) for d in range(4) for h in range(16)],
+        "w timestamp_ntz",
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stats = add_histograms(df, collect_table_stats(df), columns=["w"])
+        h = stats["columns"]["w"]["histogram"]
+        assert sum(h["counts"]) == 64
+        assert max(h["counts"]) <= 3  # ~uniform, nothing piled up
+        est = estimate_range_rows(
+            stats, "w", datetime(2024, 1, 1), datetime(2024, 1, 2)
+        )
+        actual = df.filter(F.col("w") <= F.lit(datetime(2024, 1, 2))).count()
+        assert abs(est - actual) <= 3, (est, actual)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_sidecar_roundtrip_revives_temporal_stats(spark, sf_dir, tmp_path):
+    """date/timestamp min/max JSON-serialize as strings; the reader
+    revives them so sidecar-loaded stats histogram and range-refine
+    exactly like fresh ones (add_histograms used to crash on the
+    string, and temporal keys silently lost containment)."""
+    import datetime as dt
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_histograms,
+        estimate_join_rows,
+    )
+
+    path = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    orders.write.parquet(path)
+    df = spark.read.parquet(path)
+    write_stats_sidecar(spark, path, collect_table_stats(df, path=path))
+    back = read_stats_sidecar(spark, path)
+    assert isinstance(back["columns"]["o_orderdate"]["min"], dt.date)
+    with_hist = add_histograms(df, back, columns=["o_orderdate"])
+    h = with_hist["columns"]["o_orderdate"]["histogram"]
+    assert sum(h["counts"]) == back["row_count"]
+    # containment refinement works on the revived temporal range:
+    # joining on a date key against a disjoint-range twin → ~0
+    shifted = {
+        **back,
+        "columns": {
+            **back["columns"],
+            "o_orderdate": {
+                **back["columns"]["o_orderdate"],
+                "min": dt.date(2050, 1, 1),
+                "max": dt.date(2051, 1, 1),
+            },
+        },
+    }
+    est = estimate_join_rows(back, "o_orderdate", shifted, "o_orderdate")
+    assert est == 0.0
+
+
+def test_apply_filter_unknown_ndv_is_conservative(spark, sf_dir):
+    """Equality on a column with no collected stats must NOT estimate
+    ~1 row — that false confidence becomes a broadcast hint on an
+    arbitrarily large table."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        apply_filter_to_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    stats = collect_table_stats(orders, columns=["o_orderkey"])
+    assert "o_orderstatus" not in stats["columns"]
+    f = apply_filter_to_stats(stats, "o_orderstatus", eq="F")
+    assert f["row_count"] == stats["row_count"]  # no reduction claimed
+    if stats.get("size_bytes"):
+        assert f["size_bytes"] == stats["size_bytes"]
+
+
+def test_plan_join_tree_same_named_columns_stay_per_table(spark):
+    """Two tables both carrying an `id` column with wildly different
+    NDV: the accumulated side's key stats are looked up from the
+    OWNING table per edge, so the low-NDV `id` of the first-folded
+    table cannot contaminate the estimate for the second's."""
+    fact = spark.range(0, 5_000).select(
+        F.col("id").alias("fk_a"), (F.col("id") % 10).alias("fk_b")
+    )
+    dim_a = spark.range(0, 5_000).select(
+        F.col("id"), F.lit("a").alias("name_a")
+    )  # id ndv 5000
+    dim_b = spark.range(0, 10).select(
+        F.col("id"), F.lit("b").alias("name_b")
+    )  # id ndv 10 — same bare column name
+    joined, order = plan_join_tree(
+        {"fact": fact, "dim_a": dim_a, "dim_b": dim_b},
+        [("fact", "fk_a", "dim_a", "id"), ("fact", "fk_b", "dim_b", "id")],
+    )
+    assert joined.count() == 5_000
+    assert set(order) == {"fact", "dim_a", "dim_b"}

@@ -333,3 +333,29 @@ def test_calendar_spine_gap_fill(spark):
     assert rows[TS(2024, 1, 8)] == (8.0, False)
     with pytest.raises(ValueError, match="exactly one column"):
         calendar_spine(df, cal.withColumn("x", F.lit(1)), "ts", ["g"])
+
+
+def test_gap_fill_obs_collision_safe(spark):
+    """A data column named `__obs` must survive gap_fill untouched —
+    the gap marker picks a collision-free working name instead of
+    clobbering it (and inverting mark_gaps)."""
+    df = spark.createDataFrame(
+        [
+            ("g", datetime(2024, 1, 1, 0), 5.0),
+            ("g", datetime(2024, 1, 1, 2), 7.0),
+        ],
+        "g string, ts timestamp, __obs double",
+    )
+    out = gap_fill(
+        df,
+        ts_col="ts",
+        step="1 hour",
+        group_cols=["g"],
+        fill={"__obs": "locf"},
+        mark_gaps="is_gap",
+    ).collect()
+    rows = {r["ts"]: (r["__obs"], r["is_gap"]) for r in out}
+    assert len(rows) == 3
+    assert rows[datetime(2024, 1, 1, 1)] == (5.0, True)  # gap: carried, marked
+    assert rows[datetime(2024, 1, 1, 0)] == (5.0, False)
+    assert rows[datetime(2024, 1, 1, 2)] == (7.0, False)

@@ -680,17 +680,111 @@ def _range(stats: dict, col: str):
     return lo, hi
 
 
+def _hist_segments(
+    stats: dict, col: str
+) -> list[tuple[float, float, float, float]] | None:
+    """The column's histogram as piecewise-uniform segments
+    ``(lo, hi, rows, dv)`` — rows in the segment and the distinct
+    values it is assumed to hold (1 for a zero-width hot-value
+    bucket). Works for both histogram shapes; None when the column
+    has no histogram."""
+    cstat = stats.get("columns", {}).get(col)
+    hist = (cstat or {}).get("histogram")
+    if not hist:
+        return None
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    ndv = float(cstat.get("ndv") or n or 1.0)
+    segs: list[tuple[float, float, float, float]] = []
+    if "bounds" in hist:  # equi-depth
+        bounds, rpb = hist["bounds"], float(hist["rows_per_bucket"])
+        total_w = max(bounds[-1] - bounds[0], 1e-12)
+        for i in range(len(bounds) - 1):
+            blo, bhi = bounds[i], bounds[i + 1]
+            w = bhi - blo
+            dv = 1.0 if w <= 0 else max(1.0, ndv * w / total_w)
+            segs.append((blo, bhi, rpb, dv))
+    else:  # equi-width
+        counts = hist["counts"]
+        lo, hi = hist["lo"], hist["hi"]
+        width = (hi - lo) / len(counts)
+        if width <= 0:
+            return [(lo, hi, float(sum(counts)), 1.0)]
+        for i, cnt in enumerate(counts):
+            if cnt:
+                segs.append(
+                    (lo + i * width, lo + (i + 1) * width,
+                     float(cnt), max(1.0, ndv / len(counts)))
+                )
+    return segs or None
+
+
+def _hist_join_rows(
+    lsegs: list[tuple[float, float, float, float]],
+    rsegs: list[tuple[float, float, float, float]],
+) -> float:
+    """Bucket-aligned equi-join estimate: overlap each left segment
+    with each right segment (both piecewise-uniform), contributing
+    ``rows_l·rows_r / max(dv_l, dv_r)`` on the shared interval —
+    the textbook histogram join, which sees the hot keys uniform-NDV
+    Selinger averages away. Segment counts are tiny (≤ bucket
+    count), so the quadratic pairing is driver-side metadata work."""
+    # a point p belongs to [lo, hi) — or to a CLOSED [lo, hi] when no
+    # later segment starts at hi (the column max sits on the last
+    # bucket's upper bound)
+    llos = {s[0] for s in lsegs}
+    rlos = {s[0] for s in rsegs}
+
+    def _inside(p, lo, hi, los):
+        return lo <= p < hi or (p == hi and hi not in los)
+
+    est = 0.0
+    for llo, lhi, lrows, ldv in lsegs:
+        for rlo, rhi, rrows, rdv in rsegs:
+            lw, rw = lhi - llo, rhi - rlo
+            if lw <= 0 and rw <= 0:
+                # two point masses: join only when colocated
+                if llo == rlo:
+                    est += lrows * rrows  # dv 1 each: every pair matches
+                continue
+            if lw <= 0:  # left hot value inside a right bucket:
+                # every left row matches the right's rows-per-value
+                if _inside(llo, rlo, rhi, rlos):
+                    est += lrows * rrows / max(rdv, 1.0)
+                continue
+            if rw <= 0:
+                if _inside(rlo, llo, lhi, llos):
+                    est += rrows * lrows / max(ldv, 1.0)
+                continue
+            lo, hi = max(llo, rlo), min(lhi, rhi)
+            if hi <= lo:
+                continue
+            lfrac = (hi - lo) / lw
+            rfrac = (hi - lo) / rw
+            est += (lrows * lfrac) * (rrows * rfrac) / max(
+                ldv * lfrac, rdv * rfrac, 1.0
+            )
+    return est
+
+
 def estimate_join_rows(
     left_stats: dict, lcol: str, right_stats: dict, rcol: str
 ) -> float:
-    """Selinger equi-join cardinality: |L|·|R| / max(ndv_l, ndv_r),
-    scaled down by key-range containment when numeric min/max show the
-    domains barely overlap (a disjoint-range join estimates ~0 instead
-    of |L|·|R|/ndv)."""
+    """Equi-join cardinality. When BOTH keys carry histograms the
+    estimate is bucket-aligned (`_hist_join_rows` — piecewise-uniform
+    segments joined interval-by-interval, so a skewed key's hot
+    values contribute their true quadratic mass). Otherwise the
+    Selinger formula |L|·|R| / max(ndv_l, ndv_r), scaled down by
+    key-range containment when min/max show the domains barely
+    overlap (a disjoint-range join estimates ~0 instead of
+    |L|·|R|/ndv)."""
     nl = max(0, int(left_stats.get("row_count") or 0))
     nr = max(0, int(right_stats.get("row_count") or 0))
     if nl == 0 or nr == 0:
         return 0.0
+    lsegs = _hist_segments(left_stats, lcol)
+    rsegs = _hist_segments(right_stats, rcol)
+    if lsegs and rsegs:
+        return _hist_join_rows(lsegs, rsegs)
     est = nl * nr / max(_ndv(left_stats, lcol, nl), _ndv(right_stats, rcol, nr))
     rl, rr = _range(left_stats, lcol), _range(right_stats, rcol)
     if rl and rr:

@@ -634,3 +634,39 @@ def test_plan_join_tree_same_named_columns_stay_per_table(spark):
     )
     assert joined.count() == 5_000
     assert set(order) == {"fact", "dim_a", "dim_b"}
+
+
+def test_histogram_join_estimate_sees_matching_skew(spark):
+    """Both join keys share a hot value: uniform-NDV Selinger averages
+    the hot key away and underestimates by orders of magnitude; the
+    bucket-aligned histogram join (zero-width equi-depth buckets as
+    colocated point masses) recovers the quadratic hot-key mass."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        estimate_join_rows,
+    )
+
+    left = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(500))
+        .otherwise(F.col("id") % 1000)
+        .alias("k")
+    )
+    right = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(500))
+        .otherwise(F.col("id") % 1000)
+        .alias("k")
+    )
+    actual = left.join(right, "k").count()
+    lbase, rbase = collect_table_stats(left), collect_table_stats(right)
+    selinger = estimate_join_rows(lbase, "k", rbase, "k")
+    assert selinger < actual / 50  # the averaging failure, planted
+    lh = add_equidepth_histograms(left, lbase, columns=["k"])
+    rh = add_equidepth_histograms(right, rbase, columns=["k"])
+    hist_est = estimate_join_rows(lh, "k", rh, "k")
+    assert abs(hist_est - actual) <= 0.25 * actual, (hist_est, actual)
+    # one-sided histograms fall back to Selinger (no crash, same value)
+    assert estimate_join_rows(lh, "k", rbase, "k") == selinger
+    # disjoint histogrammed domains estimate ~0
+    far = spark.range(0, 1000).select((F.col("id") + 10_000_000).alias("k"))
+    fh = add_equidepth_histograms(far, collect_table_stats(far), columns=["k"])
+    assert estimate_join_rows(lh, "k", fh, "k") == 0.0

@@ -239,3 +239,123 @@ def gap_fill_rollup(
         },
         mark_gaps=mark_gaps,
     )
+
+
+#: loud default cap on the dense dimensional grid (X39) — a
+#: high-cardinality dimension is an error, not a 10^12-cell explode
+MAX_GRID_CELLS = 10_000_000
+
+
+def dim_spine(
+    df: DataFrame,
+    dim_cols: list[str],
+    domains: dict[str, DataFrame] | None = None,
+    max_cells: int = MAX_GRID_CELLS,
+) -> DataFrame:
+    """X39: dense NON-TIME grid — the cross product of each
+    dimension's observed domain (or a caller-supplied one).
+
+    The time spine answers "every bucket between min and max"; a
+    dimensional spine answers "every (store, product) cell, observed
+    or not" — the densification a sales cube, an experiment×bucket
+    matrix, or a confusion-matrix report needs before "absent" can
+    mean "zero" instead of "missing row".
+
+    ``domains`` optionally overrides a dimension's observed distinct
+    values with an explicit one-column frame (the calendar_spine
+    convention): cells outside a supplied domain are DROPPED, cells
+    inside densify. The grid size (product of per-dim distinct
+    counts, computed in one cheap agg) must clear ``max_cells`` —
+    a high-cardinality dimension errors loudly BEFORE anything
+    materializes, the ``time_spine`` cap convention.
+
+    100 TB shape: each domain is a distinct over one dimension
+    column (tiny by definition of "dimension"); the chained
+    ``crossJoin`` of broadcast-sized domains never shuffles; the
+    guard agg is one pass over the dim columns only (column-pruned
+    scan)."""
+    if not dim_cols or len(dim_cols) < 2:
+        raise ValueError("dim_spine needs at least two dimension columns")
+    missing = set(dim_cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"dim columns absent from frame: {sorted(missing)}")
+    domains = domains or {}
+    for c, dom in domains.items():
+        if dom.columns != [c]:
+            raise ValueError(
+                f"domain for {c!r} must be a one-column frame named {c!r}"
+            )
+    counts_row = df.agg(
+        *[F.countDistinct(c).alias(c) for c in dim_cols if c not in domains]
+    ).first() if any(c not in domains for c in dim_cols) else {}
+    cells = 1
+    for c in dim_cols:
+        cells *= (
+            domains[c].count() if c in domains else int(counts_row[c] or 0)
+        )
+        if cells > max_cells:
+            raise ValueError(
+                f"dim_spine: grid exceeds {max_cells} cells at {c!r} — "
+                "a dimension is too high-cardinality to densify"
+            )
+    spine = None
+    for c in dim_cols:
+        dom = domains.get(c)
+        if dom is None:
+            dom = df.select(c).where(F.col(c).isNotNull()).distinct()
+        dom = F.broadcast(dom)
+        spine = dom if spine is None else spine.crossJoin(dom)
+    return spine
+
+
+def dim_gap_fill(
+    df: DataFrame,
+    dim_cols: list[str],
+    fill: dict[str, Any],
+    mark_gaps: str | None = None,
+    domains: dict[str, DataFrame] | None = None,
+    max_cells: int = MAX_GRID_CELLS,
+) -> DataFrame:
+    """Densify onto the dimensional grid and fill fabricated cells.
+
+    ``df`` holds at most one row per dim tuple (aggregate upstream —
+    the same contract ``gap_fill`` has per bucket). Without an
+    ordering axis only order-free policies make sense here:
+    ``zero`` / ``("const", v)`` / ``None`` — LOCF/NOCB/linear live in
+    :func:`gap_fill`, where time provides the order. Observed NULLs
+    are filled too (consistent with the time-side convention that a
+    NULL cell is a missing measurement)."""
+    unknown = set(fill) - set(df.columns)
+    if unknown:
+        raise ValueError(f"fill references absent columns: {sorted(unknown)}")
+    for c, spec in fill.items():
+        ok = spec is None or spec == "zero" or (
+            isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "const"
+        )
+        if not ok:
+            raise ValueError(
+                f"dim_gap_fill supports zero/const/None fills only "
+                f"(no ordering axis); got {spec!r} for {c!r} — use "
+                "gap_fill for ordered policies"
+            )
+    spine = dim_spine(df, dim_cols, domains, max_cells)
+    obs_col = "__obs"
+    while obs_col in df.columns:
+        obs_col += "_"
+    obs = df.withColumn(obs_col, F.lit(1))
+    dense = spine.join(obs, on=list(dim_cols), how="left")
+    dummy_prev = Window.partitionBy(*dim_cols).orderBy(dim_cols[0])
+    return dense.select(
+        *dim_cols,
+        *[
+            _fill_expr(c, fill.get(c), dim_cols[0], dummy_prev, dummy_prev)
+            .alias(c)
+            for c in df.columns
+            if c not in dim_cols
+        ],
+        *(
+            [F.col(obs_col).isNull().alias(mark_gaps)]
+            if mark_gaps
+            else []
+        ),
+    )

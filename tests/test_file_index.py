@@ -1,0 +1,122 @@
+"""X40 pins: footer-only distributed index build, provably-safe file
+pruning (never loses rows — equality vs the unpruned filtered scan on
+every predicate shape), layout-proportional skipping, append-staleness
+conservatism, and the no-index fallback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+    build_file_index,
+    prune_files,
+    read_file_index,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    """32 range-sorted files over value 0..31999 — the layout where
+    file skipping bites hardest."""
+    path = str(tmp_path_factory.mktemp("fidx") / "t")
+    (
+        spark.range(0, 32_000)
+        .select(
+            F.col("id").alias("value"),
+            (F.col("id") % 97).alias("tag"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       (F.col("id") / 1000).cast("int")).alias("d"),
+        )
+        .repartitionByRange(32, "value")
+        .write.parquet(path)
+    )
+    idx = build_file_index(spark, path)
+    return path, idx
+
+
+def test_index_build_and_sidecar(spark, indexed):
+    path, idx = indexed
+    assert len(idx["files"]) == 32
+    assert sum(e["rows"] for e in idx["files"]) == 32_000
+    # sidecar round-trips and is invisible to the parquet reader
+    back = read_file_index(spark, path)
+    assert len(back["files"]) == 32
+    assert spark.read.parquet(path).count() == 32_000
+
+
+def test_pruned_scan_equals_full_filtered_scan(spark, indexed):
+    path, _ = indexed
+    full = spark.read.parquet(path)
+    for lo, hi, eq in [
+        (1000, 1999, None),       # one-file slice
+        (None, 500, None),        # open left
+        (31_000, None, None),     # open right
+        (None, None, 12_345),     # point
+        (40_000, 50_000, None),   # disjoint: zero files, zero rows
+    ]:
+        pruned = read_pruned(spark, path, "value", lo, hi, eq)
+        cond = F.lit(True)
+        if eq is not None:
+            cond = F.col("value") == eq
+        else:
+            if lo is not None:
+                cond &= F.col("value") >= lo
+            if hi is not None:
+                cond &= F.col("value") <= hi
+        expect = sorted(r["value"] for r in full.filter(cond).collect())
+        got = sorted(r["value"] for r in pruned.collect())
+        assert got == expect, (lo, hi, eq)
+
+
+def test_pruning_bites_on_sorted_layout(spark, indexed):
+    path, idx = indexed
+    # a 1/32 slice should touch ~1 file on the range-sorted layout
+    survivors = prune_files(idx, "value", lo=1000, hi=1999)
+    assert len(survivors) <= 2
+    assert len(read_pruned(spark, path, "value", 1000, 1999).inputFiles()) <= 2
+    # the unsorted tag column prunes nothing (every file spans 0..96)
+    assert len(prune_files(idx, "tag", eq=5)) == 32
+    # date axis prunes too (ISO-string order == value order)
+    import datetime as dt
+
+    survivors_d = prune_files(idx, "d", eq=dt.date(2024, 1, 5))
+    assert len(survivors_d) <= 6
+    got = sorted(
+        r["value"]
+        for r in read_pruned(
+            spark, path, "d", eq=dt.date(2024, 1, 5)
+        ).collect()
+    )
+    assert got == list(range(4000, 5000))
+
+
+def test_appended_files_survive_stale_index(spark, indexed):
+    path, idx = indexed
+    spark.range(100_000, 100_010).select(
+        F.col("id").alias("value"),
+        (F.col("id") % 97).alias("tag"),
+        F.lit("2030-01-01").cast("date").alias("d"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    # the stale index has never seen the new file; the listing-aware
+    # prune keeps it even though every INDEXED file is excluded
+    got = sorted(
+        r["value"]
+        for r in read_pruned(spark, path, "value", lo=100_000).collect()
+    )
+    assert got == list(range(100_000, 100_010))
+
+
+def test_no_index_falls_back_to_filtered_scan(spark, tmp_path):
+    path = str(tmp_path / "noidx")
+    spark.range(0, 100).select(F.col("id").alias("value")).write.parquet(path)
+    got = sorted(
+        r["value"] for r in read_pruned(spark, path, "value", 10, 12).collect()
+    )
+    assert got == [10, 11, 12]
+
+
+def test_empty_dir_rejected(spark, tmp_path):
+    with pytest.raises(Exception):
+        build_file_index(spark, str(tmp_path / "missing"))

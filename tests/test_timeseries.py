@@ -359,3 +359,100 @@ def test_gap_fill_obs_collision_safe(spark):
     assert rows[datetime(2024, 1, 1, 1)] == (5.0, True)  # gap: carried, marked
     assert rows[datetime(2024, 1, 1, 0)] == (5.0, False)
     assert rows[datetime(2024, 1, 1, 2)] == (7.0, False)
+
+
+# --- X39: dimensional (non-time) gap fill ---
+
+
+def test_dim_gap_fill_differential_vs_duckdb(spark, sf_dir):
+    """(event_type × hour-of-day) sales-cube shape over real events:
+    the dense grid, zero-filled counts, and gap markers must match a
+    DuckDB CROSS JOIN of the distinct domains left-joined back."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        dim_gap_fill,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # a sparse slice so the grid genuinely has holes
+    obs = (
+        ev.filter(F.col("event_id") % 37 == 0)
+        .groupBy(
+            "event_type", F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+    )
+    out = dim_gap_fill(
+        obs,
+        dim_cols=["event_type", "hod"],
+        fill={"n": ("const", 0), "total": None},
+        mark_gaps="is_gap",
+    )
+    s_rows = {
+        (r["event_type"], r["hod"]): (r["n"], r["is_gap"])
+        for r in out.collect()
+    }
+    con = duck_connect(sf_dir)
+    d_rows = {
+        (t, h): (n, g)
+        for t, h, n, g in con.sql("""
+            WITH obs AS (
+              SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+                     COUNT(*) AS n
+              FROM events WHERE event_id % 37 = 0
+              GROUP BY 1, 2
+            )
+            SELECT d1.event_type, d2.hod,
+                   COALESCE(obs.n, 0) AS n,
+                   obs.n IS NULL AS is_gap
+            FROM (SELECT DISTINCT event_type FROM obs) d1
+            CROSS JOIN (SELECT DISTINCT hod FROM obs) d2
+            LEFT JOIN obs USING (event_type, hod)
+        """).fetchall()
+    }
+    assert s_rows == d_rows
+    assert any(g for _, g in s_rows.values())  # the slice has holes
+
+
+def test_dim_gap_fill_domains_and_guards(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        dim_gap_fill,
+        dim_spine,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], "s string, p int, v double"
+    )
+    # explicit domain for p: cells outside observed p values densify;
+    # the observed p=2 row for s='a' is fabricated as a gap
+    dom = spark.createDataFrame([(1,), (2,), (3,)], "p int")
+    out = dim_gap_fill(
+        df,
+        dim_cols=["s", "p"],
+        fill={"v": "zero"},
+        domains={"p": dom},
+        mark_gaps="g",
+    )
+    rows = {(r["s"], r["p"]): (r["v"], r["g"]) for r in out.collect()}
+    assert len(rows) == 6  # 2 stores × 3 domain cells
+    assert rows[("a", 1)] == (10.0, False)
+    assert rows[("a", 3)] == (0.0, True)
+    assert rows[("b", 2)] == (20.0, False)
+    # guards: ordered policies refused, absent columns refused,
+    # high-cardinality grids refused loudly
+    with pytest.raises(ValueError, match="ordered"):
+        dim_gap_fill(df, ["s", "p"], fill={"v": "locf"})
+    with pytest.raises(ValueError, match="absent"):
+        dim_gap_fill(df, ["s", "p"], fill={"zz": "zero"})
+    big = spark.range(0, 10_000).select(
+        F.col("id").alias("a"), (F.col("id") * 7).alias("b")
+    )
+    with pytest.raises(ValueError, match="cells"):
+        dim_spine(big, ["a", "b"], max_cells=1_000_000)
+    with pytest.raises(ValueError, match="at least two"):
+        dim_spine(df, ["s"])

@@ -344,12 +344,20 @@ def dim_gap_fill(
         obs_col += "_"
     obs = df.withColumn(obs_col, F.lit(1))
     dense = spine.join(obs, on=list(dim_cols), how="left")
-    dummy_prev = Window.partitionBy(*dim_cols).orderBy(dim_cols[0])
+    def _const_fill(c: str) -> Column:
+        # the accepted policies are all window-free coalesces — no
+        # ordering semantics exist (or are implied) on a dim grid
+        spec = fill.get(c)
+        if spec is None:
+            return F.col(c)
+        if spec == "zero":
+            return F.coalesce(F.col(c), F.lit(0))
+        return F.coalesce(F.col(c), F.lit(spec[1]))  # ("const", v)
+
     return dense.select(
         *dim_cols,
         *[
-            _fill_expr(c, fill.get(c), dim_cols[0], dummy_prev, dummy_prev)
-            .alias(c)
+            _const_fill(c).alias(c)
             for c in df.columns
             if c not in dim_cols
         ],

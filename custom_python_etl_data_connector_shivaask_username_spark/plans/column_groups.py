@@ -159,10 +159,11 @@ def estimate_eq_conjunction_rows(
             cst = stats.get("columns", {}).get(c, {})
             nn = min(nn, n - float(cst.get("null_count", 0)))
     est = nn / denom
-    # never exceed any single predicate's own estimate
+    # never exceed any single predicate's own estimate — including a
+    # PROVEN zero (value outside the column's histogram/min-max: the
+    # strongest pruning signal the stats can give)
     for c, v in eqs.items():
-        single = estimate_range_rows(stats, c, v, v)
-        est = min(est, single) if single else est
+        est = min(est, estimate_range_rows(stats, c, v, v))
     return max(0.0, est)
 
 

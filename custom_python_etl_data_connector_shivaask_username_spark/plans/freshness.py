@@ -69,12 +69,22 @@ def stats_staleness(
     df: DataFrame,
     stats: dict[str, Any],
     table_path: str | None = None,
+    columns: list[str] | None = None,
 ) -> dict[str, Any]:
     """Metadata-only staleness signals for ``stats`` vs the table's
     current state. ``bytes_drift`` from the file index;
     ``row_drift`` and ``range_drift`` from the X35 incremental
     partials when ``table_path`` has them (None otherwise — absence
-    of a signal is not evidence of freshness)."""
+    of a signal is not evidence of freshness).
+
+    ``columns`` restricts range checks to the columns the caller
+    actually tracks — a sidecar deliberately collected on a key
+    subset would otherwise flag every untracked column as drifted
+    forever (re-ANALYZE cannot cure what it was asked not to
+    collect). Range drift is also skipped entirely for SAMPLED
+    sidecars: X33 documents sample min/max as under-estimates of the
+    true range, so the partials' exact extremes sitting outside them
+    is expected, not drift — row and bytes signals still apply."""
     report: dict[str, Any] = {
         "bytes_drift": None,
         "row_drift": None,
@@ -93,13 +103,33 @@ def stats_staleness(
             report["row_drift"] = _rel_drift(
                 stats.get("row_count"), inc.get("row_count")
             )
+            if stats.get("sampled"):
+                return report
             for c, new in inc.get("columns", {}).items():
+                if columns is not None and c not in columns:
+                    continue
                 old = stats.get("columns", {}).get(c)
                 if not old:
+                    if columns is not None:
+                        continue  # untracked by request, not drift
                     report["range_drift"][c] = 1.0  # brand-new column
                     continue
                 kind = _kind_of(old.get("type", ""))
                 if kind is None:
+                    if old.get("type") == "string":
+                        # no numeric axis, but a key domain escaping
+                        # the recorded [min, max] lexicographic range
+                        # is still the documented new-tenant signal
+                        omin, omax = old.get("min"), old.get("max")
+                        nmin, nmax = new.get("min"), new.get("max")
+                        if (
+                            all(
+                                isinstance(v, str)
+                                for v in (omin, omax, nmin, nmax)
+                            )
+                            and (nmin < omin or nmax > omax)
+                        ):
+                            report["range_drift"][c] = 1.0
                     continue
                 try:
                     olo = _axis_value(old.get("min"), kind)
@@ -143,25 +173,65 @@ def refresh_stats_if_stale(
     path: str,
     sample_fraction: float | None = None,
     columns: list[str] | None = None,
+    preserve_enrichments: bool = True,
     **thresholds: float,
 ) -> tuple[dict[str, Any], bool]:
     """Sidecar-backed, self-maintaining table stats: returns
     ``(stats, refreshed)``. A missing sidecar always collects; a
     present one re-collects only when :func:`is_stale` trips —
     via the X33 sampled path when ``sample_fraction`` is given
-    (the 100 TB default), else the full X31 pass."""
-    stats = read_stats_sidecar(spark, path)
-    if stats is not None:
+    (the 100 TB default), else the full X31 pass. ``columns`` flows
+    into BOTH the staleness check and the re-collect, so a
+    key-subset sidecar converges instead of re-tripping on columns
+    it was asked not to track.
+
+    ``preserve_enrichments`` re-applies the old sidecar's X36
+    histograms (same shape per column: equi-width or equi-depth) and
+    X37 column groups to the fresh stats — without it a refresh
+    silently demotes the planner to pre-histogram quality. Costs the
+    enrichments' usual extra passes, only when a refresh actually
+    runs."""
+    old = read_stats_sidecar(spark, path)
+    if old is not None:
         stale, _reasons = is_stale(
-            stats_staleness(spark, df, stats, table_path=path), **thresholds
+            stats_staleness(spark, df, old, table_path=path, columns=columns),
+            **thresholds,
         )
         if not stale:
-            return stats, False
+            return old, False
     if sample_fraction is not None:
         stats = collect_table_stats_sampled(
             df, sample_fraction, columns, path=path
         )
     else:
         stats = collect_table_stats(df, columns, path=path)
+    if preserve_enrichments and old is not None:
+        from .stats import add_equidepth_histograms, add_histograms
+
+        ew = [
+            c
+            for c, cs in old.get("columns", {}).items()
+            if "counts" in (cs.get("histogram") or {})
+            and c in stats["columns"]
+        ]
+        ed = [
+            c
+            for c, cs in old.get("columns", {}).items()
+            if "bounds" in (cs.get("histogram") or {})
+            and c in stats["columns"]
+        ]
+        if ew:
+            stats = add_histograms(df, stats, columns=ew)
+        if ed:
+            stats = add_equidepth_histograms(df, stats, columns=ed)
+        groups = [
+            g["columns"]
+            for g in old.get("column_groups", {}).values()
+            if all(c in df.columns for c in g.get("columns", []))
+        ]
+        if groups:
+            from .column_groups import collect_column_group_stats
+
+            stats = collect_column_group_stats(df, stats, groups)
     write_stats_sidecar(spark, path, stats)
     return stats, True

@@ -490,9 +490,17 @@ def estimate_range_rows(
         qhi = r[1] if hi is None else min(_axis_value(hi, axk), r[1])
         span = r[1] - r[0]
         if qhi < qlo:
-            return 0.0
+            return 0.0  # provably outside [min, max]
+        nn = n - cstat.get("null_count", 0)
+        if qhi == qlo and span > 0:
+            # zero-measure point INSIDE the range: model equality
+            # (rows-per-value), matching both histogram paths — a
+            # plain width fraction would claim 0 for a value the
+            # stats cannot rule out
+            ndv = cstat.get("ndv")
+            return nn / float(ndv) if ndv else nn
         frac = 1.0 if span <= 0 else (qhi - qlo) / span
-        return (n - cstat.get("null_count", 0)) * frac
+        return nn * frac
     kind = hist["kind"]
     if "bounds" in hist:  # equi-depth: quantile bounds, uniform mass
         bounds, rpb = hist["bounds"], hist["rows_per_bucket"]
@@ -860,7 +868,20 @@ def plan_join_tree(
         raise ValueError(f"edges reference unknown tables: {sorted(unknown)}")
     spark = next(iter(tables.values())).sparkSession
     stats = dict(stats or {})
-    for name in {t for e in edges for t in (e[0], e[2])}:
+    norm_how = how.replace("_", "").lower()
+    hintable = norm_how in ("inner", "left", "leftouter", "leftsemi", "leftanti")
+    # only collect the stats this `how` can act on: the inner greedy
+    # reads every table's; a left-family fold only sizes the incoming
+    # (hintable) sides; right/full take no stats-driven decision at
+    # all — scanning N tables to then ignore the numbers is exactly
+    # the planning-time cost this module exists to avoid
+    if norm_how == "inner":
+        need = {t for e in edges for t in (e[0], e[2])}
+    elif hintable:
+        need = {e[2] for e in edges}
+    else:
+        need = set()
+    for name in need:
         if name not in stats:
             stats[name] = collect_table_stats(tables[name])
     if broadcast_threshold is None:
@@ -882,19 +903,27 @@ def plan_join_tree(
         size = stats[name].get("size_bytes")
         return (size / n) if size else float(_DEFAULT_ROW_BYTES)
 
-    norm_how = how.replace("_", "").lower()
     if norm_how != "inner":
         # syntactic fold: user order IS the outer-join semantics
         lead = edges[0][0]
         cur = tables[lead]
         joined = {lead}
         order = [lead]
-        hintable = norm_how in ("left", "leftouter", "leftsemi", "leftanti")
         for ln, lc, rn, rc in edges:
             if ln not in joined:
                 raise ValueError(
                     f"non-inner edges must chain left-to-right: {ln!r} "
                     f"is not joined yet when edge ({ln}, {rn}) arrives"
+                )
+            if norm_how in ("leftsemi", "leftanti") and ln != lead:
+                # a semi/anti join keeps ONLY the left side's columns,
+                # so a later edge rooted at a previously-folded right
+                # table would reference attributes the plan no longer
+                # has — reject up front instead of failing analysis
+                raise ValueError(
+                    f"semi/anti chains must root every edge at the lead "
+                    f"table {lead!r}; edge ({ln}, {rn}) roots at {ln!r} "
+                    "whose columns the semi/anti join already dropped"
                 )
             if rn in joined:
                 raise ValueError(
@@ -954,8 +983,19 @@ def plan_join_tree(
             # that OWNS the column (equi-joins preserve key-NDV upper
             # bounds) — looked up per-edge, never merged by bare
             # column name, so same-named columns across tables can't
-            # cross-contaminate the estimate
+            # cross-contaminate the estimate. The owning table's
+            # HISTOGRAM is dropped and its NDV capped at cur_rows:
+            # after a selective fold the intermediate no longer
+            # carries the base table's full mass, and a full-table
+            # histogram would re-inflate the estimate by exactly the
+            # selectivity already paid
             own = stats[owner]["columns"].get(cur_col)
+            if own:
+                own = {k: v for k, v in own.items() if k != "histogram"}
+                if own.get("ndv"):
+                    own["ndv"] = max(
+                        1, min(int(own["ndv"]), int(cur_rows) or 1)
+                    )
             cur_view = {
                 "row_count": cur_rows,
                 "columns": {cur_col: own} if own else {},

@@ -46,12 +46,69 @@ from .layout import fs_read_text, fs_write_text
 
 FILE_INDEX = "_file_index.json"
 
-#: stats-worthy parquet logical types (orderable, json-serializable)
-_INDEXED_TYPES = ("int", "float", "double", "string", "date", "timestamp")
+
+def _col_kind(t) -> str | None:
+    """Comparison-axis kind for an arrow field type; None = the
+    column is not indexable (binary, nested, boolean — pruning on a
+    broken axis could DROP matching files, so unindexable columns
+    simply never prune)."""
+    import pyarrow as pa
+
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_decimal(t)
+    ):
+        return "numeric"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        # tz set = instant (Spark TimestampType); tz None = wall clock
+        return "timestamp" if t.tz else "timestamp_ntz"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return None
+
+
+def _to_axis(v: Any, kind: str):
+    """A footer-stat value (or caller bound) on the kind's numeric/
+    string axis. Temporal kinds share `plans.stats._axis_value`'s
+    conventions: instants on true epoch micros (tz-aware datetimes
+    exact, naive = driver-local, matching Spark collect), wall
+    clocks as-if-UTC micros, dates as epoch days."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if kind == "string":
+        return v if isinstance(v, str) else str(v)
+    if kind == "numeric":
+        return float(v)
+    if kind == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return float((v - _dt.date(1970, 1, 1)).days)
+        return float(v)
+    if kind == "timestamp":
+        if isinstance(v, _dt.datetime):
+            return v.timestamp() * 1e6
+        return float(v)
+    if kind == "timestamp_ntz":
+        if isinstance(v, _dt.datetime):
+            wall = v.replace(tzinfo=_dt.timezone.utc)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (wall - epoch).total_seconds() * 1e6
+        return float(v)
+    raise ValueError(f"no axis for kind {kind!r}")
 
 
 def _footer_stats(paths: list[str], columns: list[str] | None):
-    """Per-file stats from parquet footers only (runs on executors)."""
+    """Per-file stats from parquet footers only (runs on executors).
+    min/max are stored ALREADY on the comparison axis (numbers for
+    numeric/temporal kinds, plain strings otherwise) so pruning never
+    re-interprets values — the tz-aware-datetime-vs-string traps die
+    at index time."""
     import pyarrow.parquet as pq
 
     from .rollup_store import _fs_and_path
@@ -60,30 +117,34 @@ def _footer_stats(paths: list[str], columns: list[str] | None):
     for path in paths:
         fs, local = _fs_and_path(path)
         with fs.open_input_file(local) as f:
-            md = pq.ParquetFile(f).metadata
-            schema = md.schema
-            names = [schema.column(i).name for i in range(md.num_columns)]
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            arrow = pf.schema_arrow
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            kinds = {fld.name: _col_kind(fld.type) for fld in arrow}
             want = [
                 (i, n)
                 for i, n in enumerate(names)
-                if columns is None or n in columns
+                if (columns is None or n in columns) and kinds.get(n)
             ]
             cols: dict[str, Any] = {}
             for i, n in want:
+                kind = kinds[n]
                 mins, maxs, nulls, ok = [], [], 0, True
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(i).statistics
                     if st is None or not st.has_min_max:
                         ok = False
                         break
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    mins.append(_to_axis(st.min, kind))
+                    maxs.append(_to_axis(st.max, kind))
                     nulls += st.null_count or 0
                 if ok and mins:
                     cols[n] = {
                         "min": min(mins),
                         "max": max(maxs),
                         "null_count": nulls,
+                        "kind": kind,
                     }
             out.append(
                 {"file": path, "rows": md.num_rows, "columns": cols}
@@ -99,11 +160,11 @@ def build_file_index(
 ) -> dict[str, Any]:
     """Distributed footer-only stats collection over every parquet
     file under ``path``; returns (and by default persists) the index
-    dict ``{files: [{file, rows, columns: {c: {min, max,
-    null_count}}}]}``. Values are JSON-coerced with ``default=str``;
-    :func:`prune_files` compares on the same string axis for
-    non-numerics, which preserves order for ISO dates/timestamps and
-    plain strings (parquet's own sort order for these types)."""
+    dict ``{files: [{file, rows, columns: {c: {min, max, null_count,
+    kind}}}]}``. min/max live on the per-kind comparison axis
+    (numbers / plain strings — JSON-native, no revival needed);
+    :func:`prune_files` maps caller bounds onto the same axis via
+    the stored ``kind``."""
     files = sorted(spark.read.parquet(path).inputFiles())
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
@@ -129,16 +190,6 @@ def read_file_index(spark: SparkSession, path: str) -> dict[str, Any] | None:
     return None if raw is None else json.loads(raw)
 
 
-def _axis(v: Any):
-    """Comparison axis: numerics as float, everything else as str
-    (ISO order for date/timestamp strings matches value order)."""
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, (int, float)):
-        return float(v)
-    return str(v)
-
-
 def prune_files(
     index: dict[str, Any],
     col: str,
@@ -149,41 +200,36 @@ def prune_files(
 ) -> list[str]:
     """File paths that MAY contain rows with ``lo <= col <= hi`` (or
     ``col = eq``). A file is dropped only when its recorded min/max
-    PROVE no row matches — files without stats for the column are
-    kept, and ``all_files`` (the current listing) re-adds files the
-    index has never seen (post-index appends): pruning can only ever
-    over-read, never lose rows."""
+    PROVE no row matches — files without stats for the column (or an
+    unindexable column type) are kept, and ``all_files`` (the current
+    listing) re-adds files the index has never seen (post-index
+    appends): pruning can only ever over-read, never lose rows. If
+    mapping a caller bound onto the column's stored axis fails, no
+    file prunes (same contract)."""
     if eq is not None:
         lo = hi = eq
-    qlo = None if lo is None else _axis(lo)
-    qhi = None if hi is None else _axis(hi)
     keep = []
     for e in index.get("files", []):
         st = e.get("columns", {}).get(col)
-        if not st:
+        kind = (st or {}).get("kind")
+        if not st or not kind:
             keep.append(e["file"])
             continue
-        fmin, fmax = _axis(st["min"]), _axis(st["max"])
-        if qlo is not None and _axis_lt(fmax, qlo):
+        try:
+            qlo = None if lo is None else _to_axis(lo, kind)
+            qhi = None if hi is None else _to_axis(hi, kind)
+        except (TypeError, ValueError):
+            keep.append(e["file"])
             continue
-        if qhi is not None and _axis_lt(qhi, fmin):
+        if qlo is not None and st["max"] < qlo:
+            continue
+        if qhi is not None and qhi < st["min"]:
             continue
         keep.append(e["file"])
     if all_files is not None:
         indexed = {e["file"] for e in index.get("files", [])}
         keep += [f for f in all_files if f not in indexed]
     return keep
-
-
-def _axis_lt(a: Any, b: Any) -> bool:
-    """a < b on the comparison axis; mismatched types (a numeric
-    column whose sidecar round-tripped to strings) compare as
-    strings — conservative only if callers pass the SAME form the
-    index stores, which `read_pruned` does by rebuilding bounds from
-    the caller's python values."""
-    if isinstance(a, float) and isinstance(b, float):
-        return a < b
-    return str(a) < str(b)
 
 
 def read_pruned(

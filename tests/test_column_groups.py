@@ -101,3 +101,15 @@ def test_group_validation(spark, correlated):
     with pytest.raises(ValueError, match="absent"):
         collect_column_group_stats(correlated, base, [["a", "zzz"]])
     assert collect_column_group_stats(correlated, base, []) is base
+
+
+def test_eq_outside_range_estimates_zero(correlated):
+    """A value the stats PROVE impossible (outside min/max) caps the
+    conjunction at 0 — while an in-range point on the min/max
+    fallback models equality (rows-per-value), never 0."""
+    base = collect_table_stats(correlated)
+    stats = collect_column_group_stats(correlated, base, [["a", "b"]])
+    assert estimate_eq_conjunction_rows(stats, {"a": 5, "b": 12345}) == 0.0
+    assert estimate_eq_conjunction_rows(stats, {"a": -7, "b": 5}) == 0.0
+    inside = estimate_eq_conjunction_rows(stats, {"a": 5, "b": 5})
+    assert inside > 0

@@ -120,3 +120,60 @@ def test_no_index_falls_back_to_filtered_scan(spark, tmp_path):
 def test_empty_dir_rejected(spark, tmp_path):
     with pytest.raises(Exception):
         build_file_index(spark, str(tmp_path / "missing"))
+
+
+def test_timestamp_and_unindexable_columns_prune_safely(spark, tmp_path):
+    """Instant (tz) timestamps prune on true epoch micros — a
+    tz-aware bound in ANY zone resolves exactly (the old string axis
+    compared '+02:00' suffixes lexicographically and could DROP
+    matching files); binary/boolean columns are never indexed, so
+    they never prune (rather than pruning wrongly)."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts")
+    df = spark.range(0, 4_800).select(
+        F.col("id").alias("k"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=F.col("id"))
+        ).alias("t"),
+        F.col("id").cast("string").cast("binary").alias("raw"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    ).repartitionByRange(8, "k")
+    # Spark's default INT96 timestamps carry NO footer stats (the
+    # column would be skipped = never prunes, covered below); the
+    # standard TIMESTAMP_MICROS encoding is the indexable one
+    old_enc = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_enc)
+    idx = build_file_index(spark, path)
+    kinds = {
+        c: st["kind"]
+        for e in idx["files"]
+        for c, st in e["columns"].items()
+    }
+    assert kinds["t"] == "timestamp"
+    assert "raw" not in kinds and "flag" not in kinds
+    # a +02:00-zone bound equal to 2024-01-01 22:00 UTC: rows from
+    # minute 1320 onward qualify; the buggy string axis dropped them
+    bound = dt.datetime(
+        2024, 1, 2, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=2))
+    )
+    got = read_pruned(spark, path, "t", lo=bound).count()
+    full = (
+        spark.read.parquet(path).filter(F.col("t") >= F.lit(bound)).count()
+    )
+    assert got == full > 0
+    assert len(read_pruned(spark, path, "t", lo=bound).inputFiles()) < 8
+    # unindexable column: no stats → all files kept, result exact
+    assert len(prune_files(idx, "raw", eq=b"7")) == 8
+    # the INT96 default: timestamp column has no footer stats at all,
+    # so it is absent from the index and never prunes (safe)
+    path96 = str(tmp_path / "ts96")
+    df.write.parquet(path96)
+    idx96 = build_file_index(spark, path96)
+    assert all("t" not in e["columns"] for e in idx96["files"])
+    assert len(prune_files(idx96, "t", lo=bound)) == 8

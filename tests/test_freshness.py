@@ -119,3 +119,106 @@ def test_sampled_refresh_path(spark, tmp_path):
     assert refreshed
     assert stats["sampled"]["fraction"] == 0.2
     assert abs(stats["row_count"] - 20_000) <= 2_000
+
+
+def test_column_subset_sidecar_converges(spark, tmp_path):
+    """A sidecar deliberately collected on a key subset must not be
+    permanently stale just because the partials track more columns —
+    the old behavior re-ran ANALYZE on every call, forever."""
+    path = str(tmp_path / "t")
+    b0 = _mk(spark, 0, 1000)
+    b0.write.parquet(path)
+    df = spark.read.parquet(path)
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.incremental_stats import (
+        append_stats_partial as app,
+    )
+
+    app(b0, path, batch_id=0)
+    stats, refreshed = refresh_stats_if_stale(spark, df, path, columns=["k"])
+    assert refreshed and set(stats["columns"]) == {"k"}
+    # second call: 'v' is tracked by the partials but untracked by
+    # request — must NOT count as drift
+    stats2, again = refresh_stats_if_stale(spark, df, path, columns=["k"])
+    assert not again
+
+
+def test_sampled_sidecar_skips_range_drift(spark, tmp_path):
+    """X33 sample min/max are documented under-estimates; the
+    partials' exact extremes sitting outside them is expected, not
+    staleness."""
+    path = str(tmp_path / "t")
+    b0 = _mk(spark, 0, 50_000)
+    b0.coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.incremental_stats import (
+        append_stats_partial as app,
+    )
+
+    app(b0, path, batch_id=0)
+    stats, refreshed = refresh_stats_if_stale(
+        spark, df, path, sample_fraction=0.01
+    )
+    assert refreshed
+    report = stats_staleness(
+        spark, df, read_stats_sidecar(spark, path), table_path=path
+    )
+    assert report["range_drift"] == {}  # sampled: range signal off
+    _, again = refresh_stats_if_stale(spark, df, path, sample_fraction=0.01)
+    assert not again  # converged
+
+
+def test_string_domain_drift_trips(spark, tmp_path):
+    """A string key column gaining a lexicographically-outside value
+    domain (the documented 'new tenant id' case) trips range_drift."""
+    from pyspark.sql import functions as F
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.incremental_stats import (
+        append_stats_partial as app,
+    )
+
+    path = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [("alpha", 1), ("mike", 2)], "tenant string, v int"
+    )
+    b0.write.parquet(path)
+    df = spark.read.parquet(path)
+    write_stats_sidecar(spark, path, collect_table_stats(df, path=path))
+    app(b0, path, batch_id=0)
+    app(
+        spark.createDataFrame([("zulu", 3)], "tenant string, v int"),
+        path,
+        batch_id=1,
+    )
+    report = stats_staleness(
+        spark, df, read_stats_sidecar(spark, path), table_path=path
+    )
+    assert report["range_drift"].get("tenant") == 1.0
+
+
+def test_refresh_preserves_enrichments(spark, tmp_path):
+    """A refresh must not silently demote the planner: histograms
+    (same shape) and column groups re-apply to the fresh stats."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_column_group_stats,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        add_histograms,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, 0, 2000).coalesce(1).write.parquet(path)
+    df0 = spark.read.parquet(path)
+    st = collect_table_stats(df0, path=path)
+    st = add_histograms(df0, st, columns=["k"])
+    st = add_equidepth_histograms(df0, st, columns=["v"])
+    st = collect_column_group_stats(df0, st, [["k", "v"]])
+    write_stats_sidecar(spark, path, st)
+    _mk(spark, 2000, 6000).coalesce(1).write.mode("append").parquet(path)
+    df1 = spark.read.parquet(path)
+    fresh, refreshed = refresh_stats_if_stale(spark, df1, path)
+    assert refreshed
+    assert "counts" in fresh["columns"]["k"]["histogram"]  # equi-width
+    assert "bounds" in fresh["columns"]["v"]["histogram"]  # equi-depth
+    assert "k|v" in fresh["column_groups"]
+    assert sum(fresh["columns"]["k"]["histogram"]["counts"]) == 6000

@@ -670,3 +670,43 @@ def test_histogram_join_estimate_sees_matching_skew(spark):
     far = spark.range(0, 1000).select((F.col("id") + 10_000_000).alias("k"))
     fh = add_equidepth_histograms(far, collect_table_stats(far), columns=["k"])
     assert estimate_join_rows(lh, "k", fh, "k") == 0.0
+
+
+def test_non_inner_fold_skips_stats_scans_and_rejects_semi_chains(spark):
+    """right/full folds take no stats-driven decision, so the planner
+    must not ANALYZE-scan every table just to ignore the numbers; and
+    semi/anti chains through a folded right table (whose columns the
+    semi join dropped) are rejected up front with a clear error."""
+    a = spark.range(0, 10).select(F.col("id").alias("k"))
+    b = spark.range(0, 5).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    c = spark.range(0, 3).select(F.col("id").alias("x"))
+
+    calls = []
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
+
+    orig = S.collect_table_stats
+
+    def counting(df, *args, **kw):
+        calls.append(1)
+        return orig(df, *args, **kw)
+
+    S.collect_table_stats = counting
+    try:
+        fo, _ = plan_join_tree(
+            {"A": a, "B": b}, [("A", "k", "B", "k")], how="full"
+        )
+        assert fo.count() == 10
+        assert calls == []  # zero ANALYZE scans for a hint-less fold
+        lj, _ = plan_join_tree(
+            {"A": a, "B": b}, [("A", "k", "B", "k")], how="left"
+        )
+        assert lj.count() == 10
+        assert len(calls) == 1  # only the hintable incoming side
+    finally:
+        S.collect_table_stats = orig
+    with pytest.raises(ValueError, match="semi/anti"):
+        plan_join_tree(
+            {"A": a, "B": b, "C": c},
+            [("A", "k", "B", "k"), ("B", "x", "C", "x")],
+            how="leftsemi",
+        )

@@ -1053,3 +1053,85 @@ def table_stats_report(stats: dict[str, Any]) -> str:
             f"nulls={nc} ({100.0 * nc / n:.1f}%)"
         )
     return "\n".join(lines)
+
+
+#: disagreement ratio between the histogram and Selinger estimates
+#: above which a sample probe is worth one cheap pass per side
+PROBE_DISAGREEMENT = 10.0
+
+
+def probe_join_rows(
+    left: DataFrame,
+    lcol: str,
+    right: DataFrame,
+    rcol: str,
+    fraction: float = 0.01,
+    seed: int = 42,
+) -> float:
+    """X41: MEASURED equi-join cardinality from a Bernoulli sample of
+    each side: ``|L ⋈ R| ≈ |sample_l ⋈ sample_r| / (q_l · q_r)`` —
+    unbiased, because every joined pair survives both samplings with
+    probability ``q²`` independently. One pass per side plus a join
+    over ``q·|L| × q·|R|`` rows; at q=1% that is 10⁻⁴ of the real
+    join's pair mass — the insurance premium, not the join.
+
+    Variance caveat (documented, not hidden): the estimator needs
+    E[sampled pairs] = |J|·q² ≫ 1 to be tight. A probe that catches
+    ZERO pairs says only |J| ≲ 1/q² — callers get 0.0 back and must
+    treat it as "small", not "empty". That failure mode is exactly
+    inverted from the model estimators' (models err on BIG skewed
+    joins, the probe errs on TINY ones), which is why
+    :func:`estimate_join_rows_validated` uses the probe only to
+    arbitrate when the models disagree by >10×."""
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    sl = left.select(lcol).sample(fraction=fraction, seed=seed)
+    sr = right.select(rcol).sample(fraction=fraction, seed=seed + 1)
+    pairs = sl.join(sr, on=sl[lcol] == sr[rcol]).count()
+    return pairs / (fraction * fraction)
+
+
+def estimate_join_rows_validated(
+    left_stats: dict,
+    lcol: str,
+    right_stats: dict,
+    rcol: str,
+    left: DataFrame | None = None,
+    right: DataFrame | None = None,
+    fraction: float = 0.01,
+    disagreement: float = PROBE_DISAGREEMENT,
+) -> tuple[float, str]:
+    """Cardinality with a measured tie-breaker: compute BOTH model
+    estimates — bucket-aligned histogram (when both keys carry one)
+    and uniform-NDV Selinger — and, when they disagree by more than
+    ``disagreement``× AND the frames are provided, arbitrate with one
+    :func:`probe_join_rows` sample probe. Returns ``(rows, source)``
+    with source ∈ {"histogram", "selinger", "probe"} so plan audits
+    can see which model decided. Without frames (sidecar-only
+    planning) the histogram estimate wins ties — it strictly
+    dominates Selinger's information."""
+    lsegs = _hist_segments(left_stats, lcol)
+    rsegs = _hist_segments(right_stats, rcol)
+    nl = max(0, int(left_stats.get("row_count") or 0))
+    nr = max(0, int(right_stats.get("row_count") or 0))
+    if nl == 0 or nr == 0:
+        return 0.0, "selinger"
+    sel = nl * nr / max(_ndv(left_stats, lcol, nl), _ndv(right_stats, rcol, nr))
+    if not (lsegs and rsegs):
+        return estimate_join_rows(left_stats, lcol, right_stats, rcol), (
+            "selinger"
+        )
+    hist = _hist_join_rows(lsegs, rsegs)
+    ratio = max(hist, 1.0) / max(sel, 1.0)
+    if (
+        left is not None
+        and right is not None
+        and (ratio > disagreement or ratio < 1.0 / disagreement)
+    ):
+        probed = probe_join_rows(left, lcol, right, rcol, fraction)
+        if probed > 0:
+            return probed, "probe"
+        # zero sampled pairs: the join is ≲ 1/q² rows — both models
+        # overestimate; keep the smaller one
+        return min(hist, sel), "histogram" if hist <= sel else "selinger"
+    return hist, "histogram"

@@ -710,3 +710,50 @@ def test_non_inner_fold_skips_stats_scans_and_rejects_semi_chains(spark):
             [("A", "k", "B", "k"), ("B", "x", "C", "x")],
             how="leftsemi",
         )
+
+
+def test_probe_join_rows_unbiased_and_validated_dispatch(spark):
+    """X41: the sample probe tracks the true join size on the planted
+    matching-skew fixture where Selinger is >50x under; the validated
+    estimator probes ONLY when the two models disagree (>10x) and
+    reports which source decided."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        estimate_join_rows_validated,
+        probe_join_rows,
+    )
+
+    left = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(500))
+        .otherwise(F.col("id") % 1000)
+        .alias("k")
+    )
+    right = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(500))
+        .otherwise(F.col("id") % 1000)
+        .alias("k")
+    )
+    actual = left.join(right, "k").count()
+    probed = probe_join_rows(left, "k", right, "k", fraction=0.05)
+    assert abs(probed - actual) <= 0.35 * actual, (probed, actual)
+    lb, rb = collect_table_stats(left), collect_table_stats(right)
+    lh = add_equidepth_histograms(left, lb, columns=["k"])
+    rh = add_equidepth_histograms(right, rb, columns=["k"])
+    # histogram and Selinger disagree >>10x here → the probe decides
+    est, source = estimate_join_rows_validated(
+        lh, "k", rh, "k", left=left, right=right, fraction=0.05
+    )
+    assert source == "probe"
+    assert abs(est - actual) <= 0.35 * actual
+    # sidecar-only (no frames): the histogram model wins, no probe
+    est2, source2 = estimate_join_rows_validated(lh, "k", rh, "k")
+    assert source2 == "histogram" and abs(est2 - actual) <= 0.25 * actual
+    # agreeing models (uniform keys both sides): no probe either
+    u1 = spark.range(0, 5_000).select((F.col("id") % 500).alias("k"))
+    u2 = spark.range(0, 5_000).select((F.col("id") % 500).alias("k"))
+    s1 = add_equidepth_histograms(u1, collect_table_stats(u1), columns=["k"])
+    s2 = add_equidepth_histograms(u2, collect_table_stats(u2), columns=["k"])
+    _, source3 = estimate_join_rows_validated(
+        s1, "k", s2, "k", left=u1, right=u2
+    )
+    assert source3 == "histogram"

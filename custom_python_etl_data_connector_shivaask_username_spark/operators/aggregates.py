@@ -143,6 +143,7 @@ def exact_percentiles_twopass(
     qs: tuple[float, ...] = _PCT_QS,
     bucket_width: float | None = None,
     max_buckets: int = MAX_PCT_BUCKETS,
+    bounds: Any = None,
 ) -> DataFrame:
     """A4 exact interpolated percentiles with BOUNDED memory everywhere —
     the 100 TB replacement for Spark's ``percentile()``, whose agg buffer
@@ -205,11 +206,37 @@ def exact_percentiles_twopass(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
 
-    # pass 0: scalar min/max — the geometry that bounds pass 1
-    mm = vals.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-    if mm["lo"] is None:
-        return spark.createDataFrame([], out_schema)
-    value_range = float(mm["hi"]) - float(mm["lo"])
+    # pass 0: min/max — the geometry that bounds pass 1. The safe
+    # default is one scalar agg scan. ``bounds="footer"`` skips it by
+    # reading parquet footers (X40's machinery) — OPT-IN because the
+    # caller must know ``col`` is stored UNCHANGED in the scanned
+    # files: a derived column (value*1000) under footer geometry
+    # would need 1000× the bucket cap, resurrecting the hazard.
+    # Footer/explicit bounds therefore also CLAMP bucket ids into the
+    # claimed range, so a wrong claim degrades to coarser edge
+    # buckets, never an unbounded pass-1 collect. ``bounds=(lo, hi)``
+    # supplies a precomputed range (e.g. from a stats sidecar).
+    LAST_TWOPASS_STATS.clear()
+    lo_v = hi_v = None
+    if bounds == "footer":
+        from ..sources.file_index import footer_column_bounds
+
+        fb = footer_column_bounds(df, col)
+        if fb is not None:
+            lo_v, hi_v = fb
+            LAST_TWOPASS_STATS["bounds_source"] = "footer"
+    elif bounds is not None:
+        lo_v, hi_v = float(bounds[0]), float(bounds[1])
+        LAST_TWOPASS_STATS["bounds_source"] = "given"
+    if lo_v is None:
+        mm = vals.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        if mm["lo"] is None:
+            return spark.createDataFrame([], out_schema)
+        lo_v, hi_v = float(mm["lo"]), float(mm["hi"])
+        LAST_TWOPASS_STATS["bounds_source"] = "scan"
+    value_range = hi_v - lo_v
     if bucket_width is None or (
         bucket_width > 0 and value_range / bucket_width > 4 * max_buckets
     ):
@@ -217,12 +244,19 @@ def exact_percentiles_twopass(
             value_range / max_buckets if value_range > 0 else 1.0
         )
     bucket = F.floor(F.col(col) / F.lit(bucket_width)).cast("long")
+    if LAST_TWOPASS_STATS.get("bounds_source") in ("footer", "given"):
+        # claimed bounds: clamp so out-of-claim values land in edge
+        # buckets (bounded pass 1) instead of minting new bucket ids
+        bmin = int(_math.floor(lo_v / bucket_width))
+        bmax = int(_math.floor(hi_v / bucket_width))
+        bucket = F.greatest(
+            F.lit(bmin), F.least(F.lit(bmax), bucket)
+        ).cast("long")
 
     # pass 1: bounded bucket histogram per group (metadata-scale output)
     bc = vals.groupBy(key, bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     ).collect()
-    LAST_TWOPASS_STATS.clear()
     LAST_TWOPASS_STATS["bucket_width"] = bucket_width
     LAST_TWOPASS_STATS["hist_rows"] = len(bc)
     if not bc:
@@ -259,6 +293,18 @@ def exact_percentiles_twopass(
     ghi = _math.nextafter(
         (max(b for _, b in pairs) + 1) * bucket_width, _math.inf
     )
+    if LAST_TWOPASS_STATS.get("bounds_source") in ("footer", "given"):
+        # a clamped EDGE bucket legally holds values outside its
+        # nominal [b·w, (b+1)·w) — when such a bucket straddles a
+        # rank, the pushdown range must not exclude those values
+        # (only a wrong bounds claim ever reaches this; correctness
+        # survives it at the price of a wider pass-2 scan)
+        bmin = int(_math.floor(lo_v / bucket_width))
+        bmax = int(_math.floor(hi_v / bucket_width))
+        if any(b <= bmin for _, b in pairs):
+            glo = float("-inf")
+        if any(b >= bmax for _, b in pairs):
+            ghi = float("inf")
     in_straddle = None
     for g, b in pairs:
         # null-safe: g may legitimately be None (the NULL-key group)
@@ -367,10 +413,15 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adaptive 65k-bucket geometry, ~0.4 s at sf0.1). Safe because the
     # operator's round-8 guard re-derives any width whose bucket count
     # would exceed 4x max_buckets — a fixture change cannot reintroduce
-    # the wide-range driver hazard here.
+    # the wide-range driver hazard here. bounds="footer": `value` is
+    # stored unchanged in the events files, so the geometry's min/max
+    # comes from parquet footers — pass 0 costs zero data scanned
+    # (one full scan saved per call; ~0.3-0.7 s measured at sf1.0 —
+    # the X40 composition).
     pcts = (
         exact_percentiles_twopass(
-            ev, "event_type", "value", _PCT_QS, bucket_width=1.0
+            ev, "event_type", "value", _PCT_QS, bucket_width=1.0,
+            bounds="footer",
         )
         .groupBy("event_type")
         .agg(

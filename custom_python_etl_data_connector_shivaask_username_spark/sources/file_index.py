@@ -271,3 +271,38 @@ def read_pruned(
     if hi is not None:
         out = out.filter(F.col(col) <= F.lit(hi))
     return out
+
+
+def footer_column_bounds(
+    df: DataFrame, col: str, max_files: int = 1024
+) -> tuple[float, float] | None:
+    """Global [min, max] of a NUMERIC column from parquet footers
+    alone — zero data scanned. For consumers that only need a
+    conservative range (e.g. the exact-percentile bucket geometry,
+    `operators/aggregates.py`): the footer range covers every row in
+    the files, so it can only be WIDER than any filtered subset's —
+    safe for geometry, wrong for exact answers. Returns None when the
+    frame is not a plain file scan, the column lacks footer stats
+    (INT96, NaN-polluted doubles), or the file count exceeds
+    ``max_files`` (the driver-side footer loop is for modest file
+    counts; bigger tables should keep a persisted X40 index)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    try:
+        entries = _footer_stats(list(files), [col])
+    except Exception:
+        return None
+    lo, hi = None, None
+    for e in entries:
+        st = e.get("columns", {}).get(col)
+        if not st or st.get("kind") != "numeric":
+            return None  # a single stats-less file breaks the bound
+        lo = st["min"] if lo is None else min(lo, st["min"])
+        hi = st["max"] if hi is None else max(hi, st["max"])
+    if lo is None:
+        return None
+    return float(lo), float(hi)

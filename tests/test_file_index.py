@@ -177,3 +177,45 @@ def test_timestamp_and_unindexable_columns_prune_safely(spark, tmp_path):
     idx96 = build_file_index(spark, path96)
     assert all("t" not in e["columns"] for e in idx96["files"])
     assert len(prune_files(idx96, "t", lo=bound)) == 8
+
+
+def test_footer_bounds_feed_percentile_geometry(spark, sf_dir):
+    """X40×A4 composition: with bounds="footer" the exact-percentile
+    bucket geometry comes from parquet footers (zero extra scan) and
+    the result is bit-identical to the default scan-derived geometry;
+    a deliberately WRONG explicit bounds claim still returns exact
+    order statistics (edge-bucket clamp + widened pass-2 range)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+        LAST_TWOPASS_STATS,
+        exact_percentiles_twopass,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+        footer_column_bounds,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fb = footer_column_bounds(ev, "value")
+    assert fb is not None and fb[0] <= fb[1]
+
+    def run(**kw):
+        return {
+            (r["event_type"], r["q"]): r["p"]
+            for r in exact_percentiles_twopass(
+                ev, "event_type", "value", **kw
+            ).collect()
+        }
+
+    base = run()
+    assert LAST_TWOPASS_STATS["bounds_source"] == "scan"  # safe default
+    foot = run(bounds="footer")
+    assert LAST_TWOPASS_STATS["bounds_source"] == "footer"
+    assert foot == base  # geometry changes, order statistics do not
+    # a wrong claim (upper half of the range chopped off): the clamp
+    # keeps pass 1 bounded and the widened pass-2 filter keeps the
+    # answer exact
+    wrong = run(bounds=(fb[0], fb[0] + (fb[1] - fb[0]) / 2))
+    assert LAST_TWOPASS_STATS["bounds_source"] == "given"
+    assert wrong == base

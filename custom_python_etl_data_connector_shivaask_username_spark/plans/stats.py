@@ -371,6 +371,11 @@ def add_histograms(
         hi = _axis_value(cstat.get("max"), kind)
         if lo is None or hi is None or not hi > lo:
             continue
+        if (hi - lo) / buckets <= 0:
+            # subnormal range: the bucket width underflows to 0.0 and
+            # the floor expression would go NULL, silently zeroing
+            # every count — leave the column on the min/max fallback
+            continue
         targets.append((c, axis, kind, lo, hi))
     if not targets:
         return stats

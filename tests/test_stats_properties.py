@@ -1,0 +1,237 @@
+"""Property tests (hypothesis) for the PURE driver-side planning
+math in `plans/stats.py` / `plans/column_groups.py` /
+`sources/file_index.py` — no SparkSession: the histograms, segments
+and indexes are constructed by hand with the exact bucketing
+arithmetic the distributed side uses, then the estimators' algebraic
+invariants are checked on random data:
+
+- equi-width range estimates are exact up to the two edge buckets;
+- estimates are monotone in range containment and bounded by the
+  non-null count; full range recovers it exactly;
+- histogram-join estimates conserve mass against the true join size
+  within segment resolution on identical singleton layouts;
+- file pruning NEVER drops a file that contains a matching value
+  (the never-lose-rows contract as a property, not an example);
+- the temporal axis mappings are strictly order-preserving;
+- eq-conjunction estimates are bounded and monotone (adding a
+  predicate can only shrink the estimate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+    estimate_eq_conjunction_rows,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+    _axis_value,
+    estimate_range_rows,
+    _hist_join_rows,
+)
+from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+    prune_files,
+)
+
+BUCKETS = 16
+
+
+def _equiwidth_stats(data: list[float]) -> dict:
+    """Build the stats dict exactly as collect_table_stats +
+    add_histograms would for a non-null double column."""
+    lo, hi = min(data), max(data)
+    counts = [0] * BUCKETS
+    w = (hi - lo) / BUCKETS
+    if w > 0:  # the subnormal-range guard add_histograms applies
+        for v in data:
+            b = max(0, min(BUCKETS - 1, int(math.floor((v - lo) / w))))
+            counts[b] += 1
+    else:
+        counts[0] = len(data)
+    return {
+        "row_count": len(data),
+        "columns": {
+            "x": {
+                "type": "double",
+                "ndv": len(set(data)),
+                "min": lo,
+                "max": hi,
+                "null_count": 0,
+                "histogram": {
+                    "lo": float(lo),
+                    "hi": float(hi),
+                    "kind": "numeric",
+                    "counts": counts,
+                },
+            }
+        },
+    }
+
+
+values = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=2,
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(values, st.floats(-1.1e6, 1.1e6), st.floats(-1.1e6, 1.1e6))
+def test_equiwidth_estimate_exact_up_to_edge_buckets(data, a, b):
+    lo, hi = (a, b) if a <= b else (b, a)
+    stats = _equiwidth_stats(data)
+    est = estimate_range_rows(stats, "x", lo, hi)
+    true = sum(1 for v in data if lo <= v <= hi)
+    h = stats["columns"]["x"]["histogram"]
+    width = (h["hi"] - h["lo"]) / BUCKETS
+    if width <= 0:
+        return  # degenerate single-value column: counts-as-whole
+    # the estimator interpolates inside at most two partially-covered
+    # edge buckets; everything fully inside/outside is exact — up to
+    # values the build-time clamp placed outside their bucket's
+    # nominal float range (width rounding at the axis ends)
+    edge_mass = 0
+    for i, cnt in enumerate(h["counts"]):
+        blo, bhi = h["lo"] + i * width, h["lo"] + (i + 1) * width
+        partially = (blo < lo <= bhi) or (blo <= hi < bhi)
+        if partially:
+            edge_mass += cnt
+    clamp_slack = 0
+    for v in data:
+        i = max(0, min(BUCKETS - 1, int(math.floor((v - h["lo"]) / width))))
+        blo, bhi = h["lo"] + i * width, h["lo"] + (i + 1) * width
+        if not (blo <= v <= bhi):
+            clamp_slack += 1
+    assert est >= -1e-9
+    assert abs(est - true) <= edge_mass + clamp_slack + 1e-6 * max(
+        1, abs(true)
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(values)
+def test_estimate_monotone_and_bounded(data):
+    stats = _equiwidth_stats(data)
+    lo, hi = min(data), max(data)
+    n = len(data)
+    full = estimate_range_rows(stats, "x")
+    assert abs(full - n) <= 1e-6 * n
+    mid = (lo + hi) / 2
+    inner = estimate_range_rows(stats, "x", lo + (mid - lo) / 2, mid)
+    outer = estimate_range_rows(stats, "x", lo, mid)
+    assert -1e-9 <= inner <= outer + 1e-9 <= n + 1e-9
+    # outside the observed domain: provably zero
+    assert estimate_range_rows(stats, "x", hi + 1, hi + 2) == 0.0
+    assert estimate_range_rows(stats, "x", lo - 2, lo - 1) == 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+)
+def test_hist_join_point_masses_exact(left, right):
+    """Singleton (zero-width) segments per distinct value make the
+    histogram join EXACT: the estimate must equal the true join
+    cardinality."""
+    from collections import Counter
+
+    cl, cr = Counter(left), Counter(right)
+    lsegs = [(float(v), float(v), float(c), 1.0) for v, c in cl.items()]
+    rsegs = [(float(v), float(v), float(c), 1.0) for v, c in cr.items()]
+    est = _hist_join_rows(lsegs, rsegs)
+    true = sum(cl[v] * cr[v] for v in cl if v in cr)
+    assert abs(est - true) <= 1e-6 * max(1, true)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=200,
+    ),
+    st.integers(2, 6),
+    st.floats(-1.1e5, 1.1e5),
+    st.floats(-1.1e5, 1.1e5),
+)
+def test_prune_never_loses_matching_files(data, nfiles, a, b):
+    """Split sorted data into contiguous files; any file holding a
+    value inside the queried range must survive pruning."""
+    lo, hi = (a, b) if a <= b else (b, a)
+    data = sorted(data)
+    per = max(1, len(data) // nfiles)
+    chunks = [data[i : i + per] for i in range(0, len(data), per)]
+    index = {
+        "files": [
+            {
+                "file": f"f{i}",
+                "rows": len(ch),
+                "columns": {
+                    "x": {
+                        "min": min(ch),
+                        "max": max(ch),
+                        "null_count": 0,
+                        "kind": "numeric",
+                    }
+                },
+            }
+            for i, ch in enumerate(chunks)
+            if ch
+        ]
+    }
+    kept = set(prune_files(index, "x", lo, hi))
+    for i, ch in enumerate(chunks):
+        if ch and any(lo <= v <= hi for v in ch):
+            assert f"f{i}" in kept
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1971, 1, 1),
+            max_value=__import__("datetime").datetime(2100, 1, 1),
+        ),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    ),
+    st.sampled_from(["timestamp", "timestamp_ntz"]),
+)
+def test_axis_value_order_preserving(dts, kind):
+    axis = [_axis_value(v, kind) for v in sorted(dts)]
+    assert axis == sorted(axis)
+    assert len(set(axis)) == len(axis)  # injective
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(10, 10_000),
+    st.integers(1, 1000),
+    st.integers(1, 1000),
+    st.integers(1, 1000),
+)
+def test_eq_conjunction_bounded_and_monotone(n, ndv_a, ndv_b, ndv_g):
+    ndv_g = max(max(ndv_a, ndv_b), min(ndv_g, ndv_a * ndv_b))
+    stats = {
+        "row_count": n,
+        "columns": {
+            "a": {"type": "bigint", "ndv": ndv_a, "null_count": 0},
+            "b": {"type": "bigint", "ndv": ndv_b, "null_count": 0},
+        },
+        "column_groups": {
+            "a|b": {"columns": ["a", "b"], "ndv": ndv_g, "non_null": n}
+        },
+    }
+    one = estimate_eq_conjunction_rows(stats, {"a": 1})
+    both = estimate_eq_conjunction_rows(stats, {"a": 1, "b": 1})
+    assert -1e-9 <= both <= one + 1e-9 <= n + 1e-9
+    # group correction only raises vs independence, never above n
+    no_group = {k: v for k, v in stats.items() if k != "column_groups"}
+    indep = estimate_eq_conjunction_rows(no_group, {"a": 1, "b": 1})
+    assert both >= indep - 1e-9

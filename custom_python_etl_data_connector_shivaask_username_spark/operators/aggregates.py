@@ -28,6 +28,8 @@ that matters on 1000 executors).
 
 from __future__ import annotations
 
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -212,10 +214,13 @@ def exact_percentiles_twopass(
     # caller must know ``col`` is stored UNCHANGED in the scanned
     # files: a derived column (value*1000) under footer geometry
     # would need 1000× the bucket cap, resurrecting the hazard.
-    # Footer/explicit bounds therefore also CLAMP bucket ids into the
-    # claimed range, so a wrong claim degrades to coarser edge
-    # buckets, never an unbounded pass-1 collect. ``bounds=(lo, hi)``
-    # supplies a precomputed range (e.g. from a stats sidecar).
+    # Claimed bounds therefore fold out-of-claim values into two
+    # sentinel OVERFLOW buckets (pass 1 stays bounded), and a rank
+    # landing in an overflow bucket — proof the claim was wrong —
+    # falls back to the scan-derived geometry instead of collecting
+    # the overflow bucket's unbounded distinct values in pass 2.
+    # ``bounds=(lo, hi)`` supplies a precomputed range (e.g. from a
+    # stats sidecar).
     LAST_TWOPASS_STATS.clear()
     lo_v = hi_v = None
     if bounds == "footer":
@@ -244,14 +249,26 @@ def exact_percentiles_twopass(
             value_range / max_buckets if value_range > 0 else 1.0
         )
     bucket = F.floor(F.col(col) / F.lit(bucket_width)).cast("long")
-    if LAST_TWOPASS_STATS.get("bounds_source") in ("footer", "given"):
-        # claimed bounds: clamp so out-of-claim values land in edge
-        # buckets (bounded pass 1) instead of minting new bucket ids
+    claimed = LAST_TWOPASS_STATS.get("bounds_source") in ("footer", "given")
+    bmin = bmax = None
+    if claimed:
+        # claimed bounds: out-of-claim values fold into two SENTINEL
+        # overflow buckets (bmin-1 / bmax+1) — pass 1 stays bounded
+        # (two extra ids, not one per out-of-claim value-range unit),
+        # the overflow counts are exact so rank arithmetic stays
+        # correct, and a rank LANDING in an overflow bucket is the
+        # proof the claim was wrong — handled below by falling back
+        # to scan-derived geometry rather than collecting the
+        # overflow bucket's unbounded distinct values in pass 2
         bmin = int(_math.floor(lo_v / bucket_width))
         bmax = int(_math.floor(hi_v / bucket_width))
-        bucket = F.greatest(
-            F.lit(bmin), F.least(F.lit(bmax), bucket)
-        ).cast("long")
+        raw = bucket
+        bucket = (
+            F.when(raw < F.lit(bmin), F.lit(bmin - 1))
+            .when(raw > F.lit(bmax), F.lit(bmax + 1))
+            .otherwise(raw)
+            .cast("long")
+        )
 
     # pass 1: bounded bucket histogram per group (metadata-scale output)
     bc = vals.groupBy(key, bucket.alias("bucket")).agg(
@@ -283,6 +300,21 @@ def exact_percentiles_twopass(
                         targets.append((g, q, r, k, b, k - cb))
                         break
 
+    if claimed and any(
+        b in (bmin - 1, bmax + 1) for _, _, _, _, b, _ in targets
+    ):
+        # a rank landed in an overflow bucket: the bounds claim was
+        # WRONG (real mass outside it). The overflow bucket's value
+        # range — and its distinct-value count — is unbounded, so
+        # instead of collecting it in pass 2, redo with the safe
+        # scan-derived geometry (one extra scan, only ever paid on a
+        # wrong claim; results stay exact either way)
+        out = exact_percentiles_twopass(
+            df, key, col, qs, None, max_buckets, bounds=None
+        )
+        LAST_TWOPASS_STATS["bounds_source"] = "fallback_scan"
+        return out
+
     # pass 2: distinct-value counts inside straddling buckets only
     # (sort key is None-tolerant: NULL group keys sort first as a class)
     pairs = sorted(
@@ -293,18 +325,6 @@ def exact_percentiles_twopass(
     ghi = _math.nextafter(
         (max(b for _, b in pairs) + 1) * bucket_width, _math.inf
     )
-    if LAST_TWOPASS_STATS.get("bounds_source") in ("footer", "given"):
-        # a clamped EDGE bucket legally holds values outside its
-        # nominal [b·w, (b+1)·w) — when such a bucket straddles a
-        # rank, the pushdown range must not exclude those values
-        # (only a wrong bounds claim ever reaches this; correctness
-        # survives it at the price of a wider pass-2 scan)
-        bmin = int(_math.floor(lo_v / bucket_width))
-        bmax = int(_math.floor(hi_v / bucket_width))
-        if any(b <= bmin for _, b in pairs):
-            glo = float("-inf")
-        if any(b >= bmax for _, b in pairs):
-            ghi = float("inf")
     in_straddle = None
     for g, b in pairs:
         # null-safe: g may legitimately be None (the NULL-key group)

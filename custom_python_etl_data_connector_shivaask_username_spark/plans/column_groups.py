@@ -161,9 +161,16 @@ def estimate_eq_conjunction_rows(
     est = nn / denom
     # never exceed any single predicate's own estimate — including a
     # PROVEN zero (value outside the column's histogram/min-max: the
-    # strongest pruning signal the stats can give)
+    # strongest pruning signal the stats can give). EXCEPT on sampled
+    # stats: X33 documents sample min/max as under-estimates of the
+    # true range, so "outside the bounds" proves nothing there — a
+    # zero from a sampled sidecar is ignored rather than turned into
+    # a row_count=0 (and a false broadcast) downstream.
+    sampled = bool(stats.get("sampled"))
     for c, v in eqs.items():
-        est = min(est, estimate_range_rows(stats, c, v, v))
+        single = estimate_range_rows(stats, c, v, v)
+        if single > 0 or not sampled:
+            est = min(est, single)
     return max(0.0, est)
 
 

@@ -1121,11 +1121,31 @@ def estimate_join_rows_validated(
     nr = max(0, int(right_stats.get("row_count") or 0))
     if nl == 0 or nr == 0:
         return 0.0, "selinger"
-    sel = nl * nr / max(_ndv(left_stats, lcol, nl), _ndv(right_stats, rcol, nr))
     if not (lsegs and rsegs):
         return estimate_join_rows(left_stats, lcol, right_stats, rcol), (
             "selinger"
         )
+
+    def _nohist(stats, col):
+        cs = stats.get("columns", {}).get(col)
+        if not cs or "histogram" not in cs:
+            return stats
+        return {
+            **stats,
+            "columns": {
+                **stats["columns"],
+                col: {k: v for k, v in cs.items() if k != "histogram"},
+            },
+        }
+
+    # compare against the CONTAINMENT-REFINED Selinger (the model
+    # estimate_join_rows actually uses without histograms) — the raw
+    # |L|·|R|/ndv would "disagree" on disjoint-domain joins the
+    # refinement already resolves, firing spurious probes on exactly
+    # the joins that are cheapest to model
+    sel = estimate_join_rows(
+        _nohist(left_stats, lcol), lcol, _nohist(right_stats, rcol), rcol
+    )
     hist = _hist_join_rows(lsegs, rsegs)
     ratio = max(hist, 1.0) / max(sel, 1.0)
     if (

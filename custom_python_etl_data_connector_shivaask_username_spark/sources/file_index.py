@@ -84,6 +84,14 @@ def _to_axis(v: Any, kind: str):
         return v if isinstance(v, str) else str(v)
     if kind == "numeric":
         return float(v)
+    # ISO-string bounds for temporal kinds parse like the stats-layer
+    # twin (`plans.stats._axis_value`): callers may pass '2024-06-01'
+    if isinstance(v, str):
+        v = (
+            _dt.date.fromisoformat(v)
+            if kind == "date"
+            else _dt.datetime.fromisoformat(v)
+        )
     if kind == "date":
         if isinstance(v, _dt.datetime):
             v = v.date()
@@ -120,12 +128,20 @@ def _footer_stats(paths: list[str], columns: list[str] | None):
             pf = pq.ParquetFile(f)
             md = pf.metadata
             arrow = pf.schema_arrow
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            # key by the full dotted path and keep ONLY top-level flat
+            # leaves: a nested field sharing a top-level column's LEAF
+            # name (s.id vs id) must not be looked up against the
+            # top-level field's kind — or overwrite its bounds
+            paths = [
+                md.schema.column(i).path for i in range(md.num_columns)
+            ]
             kinds = {fld.name: _col_kind(fld.type) for fld in arrow}
             want = [
-                (i, n)
-                for i, n in enumerate(names)
-                if (columns is None or n in columns) and kinds.get(n)
+                (i, p)
+                for i, p in enumerate(paths)
+                if "." not in p
+                and (columns is None or p in columns)
+                and kinds.get(p)
             ]
             cols: dict[str, Any] = {}
             for i, n in want:
@@ -212,6 +228,13 @@ def prune_files(
     for e in index.get("files", []):
         st = e.get("columns", {}).get(col)
         kind = (st or {}).get("kind")
+        if st and not kind:
+            # pre-kind index (older format): numeric bounds are still
+            # usable as-is; anything else is kept conservatively
+            if isinstance(st.get("min"), (int, float)) and isinstance(
+                st.get("max"), (int, float)
+            ):
+                kind = "numeric"
         if not st or not kind:
             keep.append(e["file"])
             continue

@@ -113,3 +113,22 @@ def test_eq_outside_range_estimates_zero(correlated):
     assert estimate_eq_conjunction_rows(stats, {"a": -7, "b": 5}) == 0.0
     inside = estimate_eq_conjunction_rows(stats, {"a": 5, "b": 5})
     assert inside > 0
+
+
+def test_sampled_stats_never_prove_zero(correlated):
+    """Sampled min/max are under-estimates (X33): a value outside
+    them is NOT proven impossible, so the zero cap must not fire and
+    fabricate a broadcastable row_count=0 table."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        collect_table_stats_sampled,
+    )
+
+    stats = collect_table_stats_sampled(correlated, 0.05)
+    # a value just beyond the sampled max of `a` (true range is 0..99;
+    # force the out-of-sampled-range case deterministically)
+    beyond = stats["columns"]["a"]["max"] + 1
+    est = estimate_eq_conjunction_rows(stats, {"a": beyond})
+    assert est > 0  # no reduction-to-zero from unreliable bounds
+    # exact stats still prove zero
+    exact = collect_table_stats(correlated)
+    assert estimate_eq_conjunction_rows(exact, {"a": 12345}) == 0.0

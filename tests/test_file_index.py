@@ -213,9 +213,61 @@ def test_footer_bounds_feed_percentile_geometry(spark, sf_dir):
     foot = run(bounds="footer")
     assert LAST_TWOPASS_STATS["bounds_source"] == "footer"
     assert foot == base  # geometry changes, order statistics do not
-    # a wrong claim (upper half of the range chopped off): the clamp
-    # keeps pass 1 bounded and the widened pass-2 filter keeps the
-    # answer exact
+    # a wrong claim (upper half of the range chopped off): the upper
+    # ranks land in the overflow sentinel bucket, which is the proof
+    # the claim was wrong — the operator falls back to scan-derived
+    # geometry and the answer stays exact
     wrong = run(bounds=(fb[0], fb[0] + (fb[1] - fb[0]) / 2))
-    assert LAST_TWOPASS_STATS["bounds_source"] == "given"
+    assert LAST_TWOPASS_STATS["bounds_source"] == "fallback_scan"
     assert wrong == base
+
+
+def test_nested_struct_leaf_name_collision_safe(spark, tmp_path):
+    """A nested struct field sharing a top-level column's leaf name
+    (s.id vs id) must neither crash the index build nor overwrite the
+    top-level column's bounds."""
+    path = str(tmp_path / "nested")
+    spark.range(0, 1000).select(
+        F.col("id"),
+        F.struct(
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("id")
+        ).alias("s"),
+    ).repartitionByRange(4, "id").write.parquet(path)
+    idx = build_file_index(spark, path)
+    for e in idx["files"]:
+        assert e["columns"]["id"]["kind"] == "numeric"
+        assert isinstance(e["columns"]["id"]["min"], float)
+        assert "s" not in e["columns"]  # nested: not indexable
+    got = sorted(
+        r["id"] for r in read_pruned(spark, path, "id", 100, 110).collect()
+    )
+    assert got == list(range(100, 111))
+    assert len(read_pruned(spark, path, "id", 100, 110).inputFiles()) < 4
+
+
+def test_iso_string_bounds_and_kindless_index_compat(spark, indexed):
+    """ISO-string temporal bounds parse (callers relying on string
+    bounds keep their pruning), and a pre-'kind' index still prunes
+    numeric columns instead of silently keeping everything."""
+    path, idx = indexed
+    s = prune_files(idx, "d", eq="2024-01-05")
+    import datetime as dt
+
+    assert s == prune_files(idx, "d", eq=dt.date(2024, 1, 5))
+    legacy = {
+        "files": [
+            {
+                "file": e["file"],
+                "rows": e["rows"],
+                "columns": {
+                    "value": {
+                        k: v
+                        for k, v in e["columns"]["value"].items()
+                        if k != "kind"
+                    }
+                },
+            }
+            for e in idx["files"]
+        ]
+    }
+    assert len(prune_files(legacy, "value", lo=1000, hi=1999)) <= 2

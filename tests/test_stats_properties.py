@@ -106,9 +106,17 @@ def test_equiwidth_estimate_exact_up_to_edge_buckets(data, a, b):
         blo, bhi = h["lo"] + i * width, h["lo"] + (i + 1) * width
         if not (blo <= v <= bhi):
             clamp_slack += 1
+    # a query that degenerates to a point after clamping to the axis
+    # takes the rows-per-value fallback, whose error is bounded by
+    # the containing bucket's whole count
+    qlo, qhi = max(lo, h["lo"]), min(hi, h["hi"])
+    point_slack = 0
+    if qhi <= qlo:
+        i = max(0, min(BUCKETS - 1, int((qlo - h["lo"]) / width)))
+        point_slack = h["counts"][i]
     assert est >= -1e-9
-    assert abs(est - true) <= edge_mass + clamp_slack + 1e-6 * max(
-        1, abs(true)
+    assert abs(est - true) <= edge_mass + clamp_slack + point_slack + (
+        1e-6 * max(1, abs(true))
     )
 
 

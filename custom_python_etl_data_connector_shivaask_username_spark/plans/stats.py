@@ -371,10 +371,12 @@ def add_histograms(
         hi = _axis_value(cstat.get("max"), kind)
         if lo is None or hi is None or not hi > lo:
             continue
-        if (hi - lo) / buckets <= 0:
-            # subnormal range: the bucket width underflows to 0.0 and
-            # the floor expression would go NULL, silently zeroing
-            # every count — leave the column on the min/max fallback
+        if (hi - lo) / buckets <= 4 * max(math.ulp(lo), math.ulp(hi)):
+            # degenerate range: a width at (or below) the float
+            # spacing of the endpoints makes bucket arithmetic
+            # meaningless — lo + i·width rounds back onto lo, floor
+            # division goes NULL or collapses, and counts silently
+            # zero. Leave the column on the min/max fallback.
             continue
         targets.append((c, axis, kind, lo, hi))
     if not targets:

@@ -42,32 +42,29 @@ def _equiwidth_stats(data: list[float]) -> dict:
     """Build the stats dict exactly as collect_table_stats +
     add_histograms would for a non-null double column."""
     lo, hi = min(data), max(data)
-    counts = [0] * BUCKETS
+    cstat = {
+        "type": "double",
+        "ndv": len(set(data)),
+        "min": lo,
+        "max": hi,
+        "null_count": 0,
+    }
     w = (hi - lo) / BUCKETS
-    if w > 0:  # the subnormal-range guard add_histograms applies
+    # mirror add_histograms' ulp-aware degenerate-range guard: no
+    # histogram when bucket arithmetic would collapse — the
+    # estimator falls back to min/max containment
+    if w > 4 * max(math.ulp(lo), math.ulp(hi)):
+        counts = [0] * BUCKETS
         for v in data:
             b = max(0, min(BUCKETS - 1, int(math.floor((v - lo) / w))))
             counts[b] += 1
-    else:
-        counts[0] = len(data)
-    return {
-        "row_count": len(data),
-        "columns": {
-            "x": {
-                "type": "double",
-                "ndv": len(set(data)),
-                "min": lo,
-                "max": hi,
-                "null_count": 0,
-                "histogram": {
-                    "lo": float(lo),
-                    "hi": float(hi),
-                    "kind": "numeric",
-                    "counts": counts,
-                },
-            }
-        },
-    }
+        cstat["histogram"] = {
+            "lo": float(lo),
+            "hi": float(hi),
+            "kind": "numeric",
+            "counts": counts,
+        }
+    return {"row_count": len(data), "columns": {"x": cstat}}
 
 
 values = st.lists(
@@ -86,10 +83,10 @@ def test_equiwidth_estimate_exact_up_to_edge_buckets(data, a, b):
     stats = _equiwidth_stats(data)
     est = estimate_range_rows(stats, "x", lo, hi)
     true = sum(1 for v in data if lo <= v <= hi)
-    h = stats["columns"]["x"]["histogram"]
+    h = stats["columns"]["x"].get("histogram")
+    if h is None:
+        return  # degenerate range: guard skipped the histogram
     width = (h["hi"] - h["lo"]) / BUCKETS
-    if width <= 0:
-        return  # degenerate single-value column: counts-as-whole
     # the estimator interpolates inside at most two partially-covered
     # edge buckets; everything fully inside/outside is exact — up to
     # values the build-time clamp placed outside their bucket's
@@ -111,8 +108,8 @@ def test_equiwidth_estimate_exact_up_to_edge_buckets(data, a, b):
     # the containing bucket's whole count
     qlo, qhi = max(lo, h["lo"]), min(hi, h["hi"])
     point_slack = 0
-    if qhi <= qlo:
-        i = max(0, min(BUCKETS - 1, int((qlo - h["lo"]) / width)))
+    if qhi == qlo:  # disjoint (qhi < qlo) returns 0 before the fallback
+        i = int(max(0.0, min(BUCKETS - 1.0, (qlo - h["lo"]) / width)))
         point_slack = h["counts"][i]
     assert est >= -1e-9
     assert abs(est - true) <= edge_mass + clamp_slack + point_slack + (
@@ -243,3 +240,58 @@ def test_eq_conjunction_bounded_and_monotone(n, ndv_a, ndv_b, ndv_g):
     no_group = {k: v for k, v in stats.items() if k != "column_groups"}
     indep = estimate_eq_conjunction_rows(no_group, {"a": 1, "b": 1})
     assert both >= indep - 1e-9
+
+
+def _equidepth_stats(data: list[float], buckets: int = 8) -> dict:
+    """Equi-depth histogram built the way add_equidepth_histograms
+    stores it: quantile bounds + uniform mass per bucket."""
+    s = sorted(data)
+    n = len(s)
+    bounds = [float(s[min(n - 1, int(round(i * (n - 1) / buckets)))])
+              for i in range(buckets + 1)]
+    return {
+        "row_count": n,
+        "columns": {
+            "x": {
+                "type": "double",
+                "ndv": len(set(data)),
+                "min": min(data),
+                "max": max(data),
+                "null_count": 0,
+                "histogram": {
+                    "kind": "numeric",
+                    "bounds": bounds,
+                    "rows_per_bucket": n / buckets,
+                },
+            }
+        },
+    }
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False),
+        min_size=8,
+        max_size=200,
+    ),
+    st.floats(-1.1e5, 1.1e5),
+    st.floats(-1.1e5, 1.1e5),
+)
+def test_equidepth_estimate_bounded_and_conservative(data, a, b):
+    """Equi-depth invariants: estimates live in [0, n], the full
+    range recovers ~n, containment is monotone, and a range
+    strictly outside the bounds estimates 0."""
+    lo, hi = (a, b) if a <= b else (b, a)
+    stats = _equidepth_stats(data)
+    n = len(data)
+    est = estimate_range_rows(stats, "x", lo, hi)
+    assert -1e-9 <= est <= n * (1 + 1e-9)
+    full = estimate_range_rows(stats, "x")
+    assert abs(full - n) <= 0.25 * n + 1  # quantile-grid resolution
+    wider = estimate_range_rows(
+        stats, "x", min(lo, min(data)), max(hi, max(data))
+    )
+    assert est <= wider + 1e-9
+    top = max(data)
+    assert estimate_range_rows(stats, "x", top + 1, top + 2) == 0.0

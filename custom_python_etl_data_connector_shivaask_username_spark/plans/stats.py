@@ -371,12 +371,17 @@ def add_histograms(
         hi = _axis_value(cstat.get("max"), kind)
         if lo is None or hi is None or not hi > lo:
             continue
-        if (hi - lo) / buckets <= 4 * max(math.ulp(lo), math.ulp(hi)):
-            # degenerate range: a width at (or below) the float
+        width_probe = (hi - lo) / buckets
+        if not math.isfinite(width_probe) or width_probe <= 4 * max(
+            math.ulp(lo), math.ulp(hi)
+        ):
+            # degenerate range: an infinite span (±DBL_MAX sentinel
+            # junk makes hi-lo overflow) or a width at the float
             # spacing of the endpoints makes bucket arithmetic
-            # meaningless — lo + i·width rounds back onto lo, floor
-            # division goes NULL or collapses, and counts silently
-            # zero. Leave the column on the min/max fallback.
+            # meaningless — lo + i·width rounds back onto lo (or
+            # goes nan), floor division goes NULL or collapses, and
+            # counts silently zero. Leave the column on the min/max
+            # fallback.
             continue
         targets.append((c, axis, kind, lo, hi))
     if not targets:
@@ -499,6 +504,11 @@ def estimate_range_rows(
         if qhi < qlo:
             return 0.0  # provably outside [min, max]
         nn = n - cstat.get("null_count", 0)
+        if not math.isfinite(span):
+            # ±DBL_MAX-scale sentinels: the span overflows and any
+            # width fraction silently reads as 0 — no information,
+            # claim no reduction
+            return nn
         if qhi == qlo and span > 0:
             # zero-measure point INSIDE the range: model equality
             # (rows-per-value), matching both histogram paths — a
@@ -1188,9 +1198,18 @@ def exact_join_rows_agg(
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__cr"))
     )
+    # decimal(38,0) arithmetic: a hot key with ~3e9 rows per side
+    # yields cl·cr ≈ 1e19 > Long.MAX — long math would wrap (ANSI
+    # off) or throw (ANSI on) at exactly the astronomical-output
+    # scale this function exists to measure
     row = (
         lc.join(rc, "__k")
-        .agg(F.sum(F.col("__cl") * F.col("__cr")).alias("__j"))
+        .agg(
+            F.sum(
+                F.col("__cl").cast("decimal(38,0)")
+                * F.col("__cr").cast("decimal(38,0)")
+            ).alias("__j")
+        )
         .first()
     )
     return int(row["__j"] or 0)

@@ -289,9 +289,15 @@ def test_equidepth_estimate_bounded_and_conservative(data, a, b):
     assert -1e-9 <= est <= n * (1 + 1e-9)
     full = estimate_range_rows(stats, "x")
     assert abs(full - n) <= 0.25 * n + 1  # quantile-grid resolution
-    wider = estimate_range_rows(
-        stats, "x", min(lo, min(data)), max(hi, max(data))
-    )
-    assert est <= wider + 1e-9
+    # genuine containment monotonicity: widen by one inter-quantile
+    # step on each side, STILL inside the domain (widening to the
+    # full domain would clamp to exactly n and test nothing)
+    bounds = stats["columns"]["x"]["histogram"]["bounds"]
+    span = bounds[-1] - bounds[0]
+    if span > 0:
+        wlo = max(bounds[0], lo - span / 8)
+        whi = min(bounds[-1], hi + span / 8)
+        wider = estimate_range_rows(stats, "x", wlo, whi)
+        assert est <= wider + 1e-9
     top = max(data)
     assert estimate_range_rows(stats, "x", top + 1, top + 2) == 0.0

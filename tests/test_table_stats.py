@@ -798,12 +798,15 @@ def test_exact_join_rows_agg_matches_join(spark):
     )
     far = spark.createDataFrame([(99,)], "k int")
     assert exact_join_rows_agg(left, "k", far, "k") == 0
-    skew_l = spark.range(0, 30_000).select(
+    # ~2M hot-key pairs: big enough to exercise skew, small enough
+    # that materializing the comparison join stays a fast unit test
+    # (the 45-trillion-pair scale claim lives in SCALE.md)
+    skew_l = spark.range(0, 3_000).select(
         F.when(F.col("id") % 3 != 0, F.lit(7))
         .otherwise(F.col("id"))
         .alias("k")
     )
-    skew_r = spark.range(0, 10_000).select(
+    skew_r = spark.range(0, 1_000).select(
         F.when(F.col("id") % 2 == 0, F.lit(7))
         .otherwise(F.col("id"))
         .alias("k")
@@ -811,3 +814,23 @@ def test_exact_join_rows_agg_matches_join(spark):
     assert exact_join_rows_agg(skew_l, "k", skew_r, "k") == (
         skew_l.join(skew_r, "k").count()
     )
+
+
+def test_histogram_skips_infinite_span_column(spark):
+    """±DBL_MAX-scale sentinel junk makes hi-lo overflow to inf; the
+    guard must leave the column on the min/max fallback instead of
+    writing a width=inf histogram whose bounded estimates collapse
+    to zero."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_histograms,
+        estimate_range_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(-1.65e308,), (1.65e308,)] + [(float(i),) for i in range(100)],
+        "x double",
+    )
+    stats = add_histograms(df, collect_table_stats(df), columns=["x"])
+    assert "histogram" not in stats["columns"]["x"]
+    est = estimate_range_rows(stats, "x", 0.0, 99.0)
+    assert est > 0  # fallback, not a silent zero

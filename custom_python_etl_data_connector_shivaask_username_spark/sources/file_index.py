@@ -124,6 +124,7 @@ def _footer_stats(paths: list[str], columns: list[str] | None):
     out = []
     for path in paths:
         fs, local = _fs_and_path(path)
+        fsize = fs.get_file_info(local).size
         with fs.open_input_file(local) as f:
             pf = pq.ParquetFile(f)
             md = pf.metadata
@@ -132,13 +133,13 @@ def _footer_stats(paths: list[str], columns: list[str] | None):
             # leaves: a nested field sharing a top-level column's LEAF
             # name (s.id vs id) must not be looked up against the
             # top-level field's kind — or overwrite its bounds
-            paths = [
+            leaf_paths = [
                 md.schema.column(i).path for i in range(md.num_columns)
             ]
             kinds = {fld.name: _col_kind(fld.type) for fld in arrow}
             want = [
                 (i, p)
-                for i, p in enumerate(paths)
+                for i, p in enumerate(leaf_paths)
                 if "." not in p
                 and (columns is None or p in columns)
                 and kinds.get(p)
@@ -163,7 +164,12 @@ def _footer_stats(paths: list[str], columns: list[str] | None):
                         "kind": kind,
                     }
             out.append(
-                {"file": path, "rows": md.num_rows, "columns": cols}
+                {
+                    "file": path,
+                    "rows": md.num_rows,
+                    "bytes": fsize,
+                    "columns": cols,
+                }
             )
     return out
 
@@ -329,3 +335,46 @@ def footer_column_bounds(
     if lo is None:
         return None
     return float(lo), float(hi)
+
+
+def compaction_report(
+    index: dict[str, Any],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, Any]:
+    """The write-side question the index answers for free: does this
+    table need compaction? A file is SMALL when it is under half the
+    target size (the standard bin-packing cutoff — two smalls always
+    fit one target). Returns the small-file count/bytes, the fraction
+    of files that are small, and ``ideal_files`` (total bytes at the
+    target size) so callers can see the task-count inflation the
+    layout is paying. Pure metadata math over an already-built index
+    — pair with `layout.compact_partitions` to act on it, and with
+    X38's freshness thresholds to decide how often to look."""
+    files = [e for e in index.get("files", []) if e.get("bytes") is not None]
+    total = sum(e["bytes"] for e in files)
+    small = [e for e in files if e["bytes"] < target_file_bytes / 2]
+    return {
+        "files": len(files),
+        "total_bytes": total,
+        "small_files": len(small),
+        "small_bytes": sum(e["bytes"] for e in small),
+        "small_fraction": (len(small) / len(files)) if files else 0.0,
+        "ideal_files": max(1, -(-total // target_file_bytes)),
+    }
+
+
+def needs_compaction(
+    index: dict[str, Any],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_small_fraction: float = 0.5,
+    min_files: int = 8,
+) -> bool:
+    """True when a majority-ish of the table's files are small AND
+    there are enough of them for compaction to pay for its rewrite —
+    a handful of small files costs less than rewriting them."""
+    r = compaction_report(index, target_file_bytes)
+    return (
+        r["files"] >= min_files
+        and r["small_fraction"] > max_small_fraction
+        and r["files"] > 2 * r["ideal_files"]
+    )

@@ -274,3 +274,33 @@ def test_iso_string_bounds_and_kindless_index_compat(spark, indexed):
         ]
     }
     assert len(prune_files(legacy, "value", lo=1000, hi=1999)) <= 4
+
+
+def test_compaction_policy_from_index(spark, tmp_path):
+    """The index carries per-file bytes, so 'does this table need
+    compaction' is metadata math: a many-tiny-files layout trips the
+    policy, and after compacting to few files it clears."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+        compaction_report,
+        needs_compaction,
+    )
+
+    path = str(tmp_path / "tiny")
+    spark.range(0, 10_000).select(F.col("id").alias("v")).repartition(
+        40
+    ).write.parquet(path)
+    idx = build_file_index(spark, path, write=False)
+    rep = compaction_report(idx, target_file_bytes=1 << 20)
+    assert rep["files"] == 40
+    assert rep["small_fraction"] == 1.0  # every file ≪ 512 KiB
+    assert rep["ideal_files"] < 40
+    assert needs_compaction(idx, target_file_bytes=1 << 20)
+    # compacted twin: same rows, one file — policy clears
+    cpath = str(tmp_path / "compact")
+    spark.read.parquet(path).coalesce(1).write.parquet(cpath)
+    cidx = build_file_index(spark, cpath, write=False)
+    assert not needs_compaction(cidx, target_file_bytes=1 << 20)
+    # too few files to pay for a rewrite: never trips
+    assert not needs_compaction(
+        {"files": idx["files"][:4]}, target_file_bytes=1 << 20
+    )

@@ -134,8 +134,18 @@ def refresh_rollup(
         "batch_id", F.lit(batch_id)
     )
     parts = parts.repartition(*[F.col(c) for c in pcols])
-    from ..sources.rollup_store import COMMITS_DIR, write_cells
+    from ..sources.rollup_store import (
+        COMMITS_DIR,
+        retract_commit_marker,
+        write_cells,
+    )
 
+    # replay of an already-committed id (crash after commit, before
+    # the checkpoint advanced): retract the surviving marker BEFORE
+    # the delete-then-move cell replacement, so a concurrent
+    # snapshot=True read excludes the epoch instead of seeing a torn
+    # (empty/partial) cell under a trusted marker
+    retract_commit_marker(store_path, batch_id)
     if not write_cells(parts, store_path, pcols):
         overwrite_partitions(parts, store_path, pcols)
     # durable-commit marker, written only after every cell landed —

@@ -46,7 +46,10 @@ def snapshot_diff(
     sides, different content fingerprint), and — only when asked —
     ``unchanged``. Duplicate ids within a snapshot are rejected
     loudly (a diff over a non-keyed corpus is ill-defined; run exact
-    dedup first)."""
+    dedup first), and so are NULL ids: the full-outer equi-join is
+    null-rejecting, so a NULL-id document present in BOTH snapshots
+    would otherwise be silently emitted twice — once ``added``, once
+    ``removed``."""
     for side, df in (("old", old), ("new", new)):
         missing = {id_col, content_col} - set(df.columns)
         if missing:
@@ -72,6 +75,13 @@ def snapshot_diff(
                 F.col("__c") == 1,
                 f"snapshot_diff: duplicate {id_col!r} in the {side} "
                 "snapshot — diff is ill-defined; exact-dedup first",
+            ).isNull()
+            # NULL ids never equi-join: a null-id doc alive in both
+            # snapshots would label as added AND removed. Refuse.
+            & F.assert_true(
+                F.col(id_col).isNotNull(),
+                f"snapshot_diff: NULL {id_col!r} in the {side} "
+                "snapshot — ids must be non-null; filter or key first",
             ).isNull(),
             F.col(alias),
         )

@@ -84,10 +84,23 @@ def time_spine(
         ranges = df.select(*group_cols).distinct().crossJoin(
             F.broadcast(df.agg(lo, hi))
         )
+    # Guard BEFORE building the array: sizing the sequence itself
+    # (size(sequence(...)) would materialize the full per-row array —
+    # an extreme step OOMs the executor before the assert fires.
+    # Bucket count is estimated arithmetically from the span and the
+    # step's epoch length (month-ish steps use their 1970-01 length —
+    # close enough for a sanity cap). CaseWhen evaluates the value
+    # branch only after the condition passes, so the sequence is never
+    # constructed for a failing group.
+    t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    step_secs = _epoch(t0 + interval) - _epoch(t0)
+    n_buckets = (
+        _epoch(F.col("__hi")) - _epoch(F.col("__lo"))
+    ) / step_secs + F.lit(1.0)
     seq = F.sequence(F.col("__lo"), F.col("__hi"), interval)
     guarded = F.when(
         F.assert_true(
-            F.size(seq) <= F.lit(max_buckets_per_group),
+            n_buckets <= F.lit(float(max_buckets_per_group)),
             f"time_spine: a group spans more than "
             f"{max_buckets_per_group} buckets at step '{step}' — "
             "wrong step or unbounded range",

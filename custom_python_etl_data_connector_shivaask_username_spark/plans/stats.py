@@ -625,10 +625,30 @@ def apply_filter_to_stats(
                 cs["min"] = cs["max"] = eq
                 cs["ndv"] = 1
             else:
-                if lo is not None and isinstance(cs.get("min"), (int, float)):
-                    cs["min"] = max(cs["min"], lo)
-                if hi is not None and isinstance(cs.get("max"), (int, float)):
-                    cs["max"] = min(cs["max"], hi)
+                # clamp on the shared `_axis_value` axis (numeric AND
+                # date/timestamp bounds), keeping the DOMAIN value: a
+                # temporal range filter that skipped the clamp left
+                # stale wide bounds, silently forfeiting the
+                # containment refinement downstream
+                kind = _kind_of(cs.get("type", ""))
+
+                def _clamped(cur, bound, keep_greater):
+                    try:
+                        a = _axis_value(cur, kind)
+                        b = _axis_value(bound, kind)
+                    except (ValueError, TypeError):
+                        return cur
+                    if b is None:
+                        return cur
+                    if a is None:
+                        return bound
+                    return bound if (b > a) == keep_greater else cur
+
+                if kind in ("numeric", "date", "timestamp", "timestamp_ntz"):
+                    if lo is not None:
+                        cs["min"] = _clamped(cs.get("min"), lo, True)
+                    if hi is not None:
+                        cs["max"] = _clamped(cs.get("max"), hi, False)
         else:
             cs["null_count"] = int(round(cs.get("null_count", 0) * sel))
         out["columns"][c] = cs
@@ -883,6 +903,29 @@ def plan_join_tree(
     unknown = {t for e in edges for t in (e[0], e[2])} - set(tables)
     if unknown:
         raise ValueError(f"edges reference unknown tables: {sorted(unknown)}")
+    # predicates are built as tables[ln][lc] == tables[rn][rc]: if two
+    # graph names carry the SAME underlying plan (self-join — also
+    # df.alias(), which keeps attribute ids), both sides resolve to
+    # one attribute and the condition is trivially true / ambiguous.
+    # Reject loudly; a self-join needs a distinct plan per name (e.g.
+    # a second spark.read of the table), which gets fresh expr ids.
+    import re as _re
+
+    attr_ids: dict[str, set[str]] = {}
+    for name in {t for e in edges for t in (e[0], e[2])}:
+        out = str(
+            tables[name]._jdf.queryExecution().analyzed().outputSet()
+        )
+        ids = set(_re.findall(r"#(\d+)", out))
+        for other, oids in attr_ids.items():
+            if ids & oids:
+                raise ValueError(
+                    f"tables {other!r} and {name!r} share attribute ids "
+                    "(same underlying plan / alias): self-joins through "
+                    "plan_join_tree are unsupported — pass a distinct "
+                    "plan per graph name (e.g. re-read the table)"
+                )
+        attr_ids[name] = ids
     spark = next(iter(tables.values())).sparkSession
     stats = dict(stats or {})
     norm_how = how.replace("_", "").lower()

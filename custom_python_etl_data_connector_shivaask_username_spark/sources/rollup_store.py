@@ -192,6 +192,21 @@ def _folded_watermark_pa(store_path: str) -> int:
     return int(json.loads(raw)["max_folded_batch_id"])
 
 
+def retract_commit_marker(store_path: str, epoch: int) -> None:
+    """Drop an epoch's ``_commits/<epoch>`` marker if present — called
+    BEFORE a replayed delivery starts replacing that epoch's cells.
+    Snapshot readers (X34) trust the marker as "every cell landed";
+    without the retraction a replay's delete-then-move window would be
+    visible under a surviving marker (torn read on the SECOND delivery
+    of the same epoch). The replay re-logs the marker after all cells
+    land, restoring visibility. Idempotent."""
+    fs, store = _fs_and_path(store_path)
+    try:
+        fs.delete_file(f"{store}/{COMMITS_DIR}/{epoch}")
+    except FileNotFoundError:
+        pass
+
+
 def committed_epochs(store_path: str) -> list[int]:
     """Epoch ids with a durable ``_commits/<epoch>`` marker — the
     streaming sink's inspectable commit log."""
@@ -466,6 +481,10 @@ def _writer_classes():
                         for day_cell, rel in m.files:
                             final = f"{day_cell}/batch_id={batchId}"
                             by_cell.setdefault(final, []).append(rel)
+                    # replay of an already-marked epoch: retract the
+                    # marker before touching its cells so snapshot
+                    # readers exclude the epoch during replacement
+                    retract_commit_marker(self.path, batchId)
                     _commit_cells(self.path, by_cell)
                     fs, store = _fs_and_path(self.path)
                     fs.create_dir(

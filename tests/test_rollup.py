@@ -329,6 +329,42 @@ def test_snapshot_read_hides_torn_delivery(spark, tmp_path):
     ) == naive
 
 
+def test_replay_retracts_marker_before_cell_replacement(spark, tmp_path):
+    """A REPLAYED epoch (crash after commit, checkpoint not advanced)
+    re-enters the delete-then-move window — its surviving marker must
+    be retracted first so snapshot reads exclude the epoch mid-replace
+    instead of trusting a marker over torn cells; the replay re-logs
+    it once every cell has landed."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.rollup_store import (
+        committed_epochs,
+        retract_commit_marker,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [(1, 10, 0, "view", 1.0), (2, 11, 0, "click", 2.0)]
+    refresh_rollup(_events(spark, rows), store, batch_id=0)
+    refresh_rollup(_events(spark, rows), store, batch_id=1)
+    assert committed_epochs(store) == [0, 1]
+    base = sorted(map(tuple, read_rollup(spark, store).collect()))
+    # the retraction the replay performs first: epoch 1 leaves the
+    # snapshot view (falls back to committed state without it)...
+    retract_commit_marker(store, 1)
+    assert committed_epochs(store) == [0]
+    retract_commit_marker(store, 1)  # idempotent
+    # ...and a full replayed delivery restores marker AND content
+    refresh_rollup(_events(spark, rows), store, batch_id=1)
+    assert committed_epochs(store) == [0, 1]
+    assert (
+        sorted(
+            map(
+                tuple,
+                read_rollup(spark, store, snapshot=True).collect(),
+            )
+        )
+        == base
+    )
+
+
 def test_snapshot_read_after_compaction_and_new_batches(spark, tmp_path):
     """Compaction folds marked batches into the base (markers die with
     the swap); snapshot reads then see base + any newer markers —

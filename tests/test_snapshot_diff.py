@@ -110,6 +110,14 @@ def test_snapshot_diff_guards(spark, sf_dir):
     dup = old.unionByName(old.limit(1))
     with pytest.raises(Exception, match="duplicate"):
         snapshot_diff(dup, old).collect()
+    # NULL ids would dodge the duplicate guard (each NULL is its own
+    # group) and then never equi-join — a null-id doc alive in both
+    # snapshots would be labeled added AND removed. Rejected loudly.
+    nulled = old.unionByName(
+        old.limit(1).withColumn("doc_id", F.lit(None).cast("long"))
+    )
+    with pytest.raises(Exception, match="NULL"):
+        snapshot_diff(nulled, nulled).collect()
     with pytest.raises(ValueError, match="lacks columns"):
         snapshot_diff(old.select("doc_id"), old)
     # the join ships (id, hash) only — document text never crosses

@@ -403,6 +403,71 @@ def test_apply_filter_to_stats_metadata_only_planning(spark, sf_dir):
     assert "histogram" not in f2["columns"]["c_acctbal"]
 
 
+def test_apply_filter_to_stats_clamps_temporal_bounds(spark, sf_dir):
+    """A date/timestamp range predicate must clamp the filtered
+    column's min/max (on the `_axis_value` axis) just like a numeric
+    one — stale wide temporal bounds forfeit exactly the containment
+    refinement X36 exists to provide."""
+    import datetime as dt
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        apply_filter_to_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    st = collect_table_stats(orders, columns=["o_orderdate"])
+    cs = st["columns"]["o_orderdate"]
+    span = cs["max"] - cs["min"]
+    lo_b = cs["min"] + span * 0.25
+    hi_b = cs["min"] + span * 0.75
+    f = apply_filter_to_stats(st, "o_orderdate", lo=lo_b, hi=hi_b)
+    fcs = f["columns"]["o_orderdate"]
+    assert fcs["min"] == lo_b, "temporal lower bound not clamped"
+    assert fcs["max"] == hi_b, "temporal upper bound not clamped"
+    # bounds WIDER than the data must not widen the stats
+    f2 = apply_filter_to_stats(
+        st,
+        "o_orderdate",
+        lo=cs["min"] - dt.timedelta(days=30),
+        hi=cs["max"] + dt.timedelta(days=30),
+    )
+    assert f2["columns"]["o_orderdate"]["min"] == cs["min"]
+    assert f2["columns"]["o_orderdate"]["max"] == cs["max"]
+
+
+def test_plan_join_tree_rejects_self_join_shared_plan(spark, sf_dir):
+    """The planner builds predicates from the original DataFrame
+    attributes: one plan under two graph names resolves both sides of
+    the condition to the SAME attribute (trivially-true join). Must
+    be a loud error, including the alias() form (alias keeps ids)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    with pytest.raises(ValueError, match="self-join"):
+        plan_join_tree(
+            {"a": nation, "b": nation},
+            [("a", "n_nationkey", "b", "n_nationkey")],
+        )
+    with pytest.raises(ValueError, match="self-join"):
+        plan_join_tree(
+            {"a": nation, "b": nation.alias("b")},
+            [("a", "n_nationkey", "b", "n_nationkey")],
+        )
+    # two independent reads of the same table get fresh attribute
+    # ids — a legitimate self-join spelled the supported way
+    fresh = load_table(spark, sf_dir, "nation")
+    if fresh._jdf.queryExecution().analyzed().sameResult(
+        nation._jdf.queryExecution().analyzed()
+    ):
+        joined, _ = plan_join_tree(
+            {"a": nation, "b": fresh},
+            [("a", "n_nationkey", "b", "n_nationkey")],
+        )
+        assert joined.count() == nation.count()
+
+
 def test_equidepth_histogram_beats_equiwidth_on_skew(spark):
     """A hot value swallows the equi-width range into one bucket; the
     equi-depth variant keeps resolution where the mass is. Both stay

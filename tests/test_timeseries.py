@@ -254,6 +254,15 @@ def test_mistyped_step_guard_raises(spark):
             {"v": "locf"},
             max_buckets_per_group=10_000,
         ).collect()
+    # extreme step: ~1.6e9 buckets would exceed Spark's array limit
+    # (and executor memory) if the sequence were built before the
+    # guard — the arithmetic pre-check must fire OUR message instead
+    wide = _series(
+        spark,
+        [("a", TS(1974, 1, 1), 1.0), ("a", TS(2024, 1, 1), 2.0)],
+    )
+    with pytest.raises(Exception, match="time_spine"):
+        gap_fill(wide, "ts", "1 second", ["g"], {"v": "locf"}).collect()
 
 
 def test_unknown_policy_and_absent_column_raise(spark):

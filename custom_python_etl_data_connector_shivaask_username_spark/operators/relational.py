@@ -46,29 +46,72 @@ ORDER BY r_name, n_name
 """
 
 
-@query("q_revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE)
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J5: lineitem⋈orders is the only real shuffle; all dims broadcast.
+#: the flagship star's join graph — also the planner pin's fixture
+REVENUE_STAR_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
 
-    The fact side goes through ``spread_small_input``: with every dim
-    broadcast, the joins + partial agg all fuse into the lineitem scan
-    stage, so on a single-row-group fixture file the whole pipeline runs
-    one task wide. The spread is a guarded no-op on real multi-row-group
-    data; exact-decimal revenue makes results row-order-independent.
-    """
+#: build-side budget for the planner-routed star (bytes). The greedy's
+#: width model sums FULL table widths, but Catalyst prunes the
+#: accumulated side down to the grouping keys + join keys before any
+#: broadcast — the estimate is a several-x upper bound, so the
+#: conservative 10 MB session default would refuse broadcasts that
+#: materialize at ~3 MB. 64 MB is the classic executor-memory-safe
+#: build budget; past it the planner correctly degrades to SMJ.
+REVENUE_STAR_BROADCAST_BUDGET = 64 * 1024 * 1024
+
+
+def plan_revenue_star(spark: SparkSession, sf_dir: str):
+    """The planner-routed join tree behind `q_revenue_by_nation`:
+    filtered-orders statistics enter via `apply_filter_to_stats`
+    (X36 metadata-only filter modeling — never a scan of the filtered
+    frame), the rest via the session stats cache (X31/X38), and
+    `plan_join_tree` chooses order + broadcast hints. Returns
+    ``(joined frame, planner-chosen order)`` so tests can pin the
+    order alongside the executed plan."""
+    import datetime as _dt
+
+    from ..plans.stats import apply_filter_to_stats
+    from ..tables import plan_star_join, table_stats_cached
+
     li = spread_small_input(load_table(spark, sf_dir, "lineitem"))
+    cutoff = _dt.datetime(1995, 1, 1)
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
     )
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
+    ostats = apply_filter_to_stats(
+        table_stats_cached(spark, sf_dir, "orders"), "o_orderdate", lo=cutoff
+    )
+    return plan_star_join(
+        spark,
+        sf_dir,
+        REVENUE_STAR_EDGES,
+        tables={"lineitem": li, "orders": orders},
+        stats={"orders": ostats},
+        broadcast_threshold=REVENUE_STAR_BROADCAST_BUDGET,
+    )
+
+
+@query("q_revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J5, planner-routed (round 9): the join order and broadcast
+    hints come from `plan_join_tree` over cached X31 stats + the X36
+    filtered-orders model — not hand-written hints. At bench scale the
+    planner builds the dim side (region→nation→customer→orders, all
+    broadcast) and flips the build side so lineitem streams through
+    BroadcastHashJoins with zero fact-side exchange; past the build
+    budget it degrades to the bucketed-SMJ shape instead.
+
+    The fact side goes through ``spread_small_input``: with every dim
+    broadcast, the joins + partial agg all fuse into the lineitem scan
+    stage. Exact-decimal revenue keeps results row-order-independent.
+    """
+    joined, _order = plan_revenue_star(spark, sf_dir)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
-        .groupBy("r_name", "n_name")
+        joined.groupBy("r_name", "n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
             F.count(F.lit(1)).alias("line_count"),

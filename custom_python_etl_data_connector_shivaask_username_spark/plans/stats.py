@@ -875,11 +875,19 @@ def plan_join_tree(
     the joined DataFrame and the chosen table order (for plan audits).
 
     Order (``how="inner"`` only — reordering is an inner-join
-    identity): start from the edge with the smallest estimated
-    output, then repeatedly fold in the edge-connected table
-    minimizing the next intermediate's estimated rows — the textbook
-    greedy that gets star and snowflake schemas right (dims first,
-    fact once). Hints: an incoming table whose estimated bytes are
+    identity), two rungs. Rung 1, the broadcast chain (round 9): when
+    at most one table exceeds the build budget, the big table (or,
+    all fitting, the largest) LEADS and every other table
+    hash-attaches map-side — intermediate cardinality is irrelevant
+    because nothing materializes between whole-stage-fused
+    BroadcastHashJoins, and total data movement (Σ small-table
+    bytes) is strictly below any order that additionally broadcasts
+    a joined intermediate. Rung 2, once ≥2 sides must shuffle: start
+    from the edge with the smallest estimated output, then repeatedly
+    fold in the edge-connected table minimizing the next
+    intermediate's estimated rows — the textbook greedy that gets
+    star and snowflake schemas right. Hints (both rungs): an incoming
+    table whose estimated bytes are
     under ``spark.sql.autoBroadcastJoinThreshold`` (or the override)
     joins via ``F.broadcast``; when the incoming table is too big to
     broadcast but the ACCUMULATED intermediate fits (the folded-dims
@@ -998,6 +1006,56 @@ def plan_join_tree(
             cur = cur.join(inc, on=tables[ln][lc] == tables[rn][rc], how=how)
             joined.add(rn)
             order.append(rn)
+        return cur, order
+
+    # Broadcast-chain rung (round 9): if at most ONE table exceeds the
+    # build budget, intermediate cardinality is the WRONG objective —
+    # a plan where the big table (or, all fitting, the largest) leads
+    # and every other table hash-attaches map-side moves exactly
+    # Σ small-table bytes and materializes nothing between
+    # whole-stage-fused BroadcastHashJoins (zero exchanges on the
+    # streamed side). Any dim-led order broadcasts those same tables
+    # AND the joined intermediate on top. Cardinality-greedy ordering
+    # only starts to matter once ≥2 sides must shuffle.
+    sizes = {
+        n: _est_bytes(stats[n], stats[n]["row_count"]) for n in need
+    }
+    big = [n for n in sizes if not fits(sizes[n])]
+    if len(big) <= 1 and broadcast_threshold > 0 and len(sizes) > 1:
+        lead = big[0] if big else max(sizes, key=lambda n: sizes[n])
+        cur = tables[lead]
+        joined = {lead}
+        order = [lead]
+        remaining = list(edges)
+        while remaining:
+            progressed = False
+            for e in list(remaining):
+                ln, lc, rn, rc = e
+                if ln in joined and rn in joined:
+                    cur = cur.filter(tables[ln][lc] == tables[rn][rc])
+                elif ln in joined:
+                    cur = cur.join(
+                        F.broadcast(tables[rn]),
+                        on=tables[ln][lc] == tables[rn][rc],
+                    )
+                    joined.add(rn)
+                    order.append(rn)
+                elif rn in joined:
+                    cur = cur.join(
+                        F.broadcast(tables[ln]),
+                        on=tables[ln][lc] == tables[rn][rc],
+                    )
+                    joined.add(ln)
+                    order.append(ln)
+                else:
+                    continue
+                remaining.remove(e)
+                progressed = True
+            if not progressed:
+                raise ValueError(
+                    "join graph is disconnected: cannot reach "
+                    f"{sorted({t for e in remaining for t in (e[0], e[2])} - joined)}"
+                )
         return cur, order
 
     def edge_est(e):

@@ -178,3 +178,93 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- X31-X41 wired into the engine's own query path (round 9) -------------
+
+#: per-session ANALYZE memo — fixture dirs are read-only, so stats that
+#: would live in a `_table_stats.json` sidecar on a writable lake are
+#: collected once per (sf_dir, table) and reused by every
+#: planner-routed query in the session
+_STATS_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def table_stats_cached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> dict:
+    """X31 table statistics for a fixture table, X38-freshness-checked
+    against any persisted sidecar and memoized per session.
+
+    Lookup order: (1) session memo; (2) `_table_stats.json` sidecar
+    next to the table (a writable lake's persisted ANALYZE), kept only
+    if the X38 staleness signals clear; (3) a fresh in-memory
+    `collect_table_stats` pass. Fixture dirs are read-only, so the
+    in-memory path never attempts to persist — on a writable store use
+    `plans.freshness.refresh_stats_if_stale`, which writes the sidecar
+    back."""
+    key = (sf_dir, name)
+    st = _STATS_CACHE.get(key)
+    if st is not None:
+        return st
+    from .plans.freshness import is_stale, stats_staleness
+    from .plans.stats import collect_table_stats, read_stats_sidecar
+
+    df = load_table(spark, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    st = read_stats_sidecar(spark, path)
+    if st is not None:
+        stale, _reasons = is_stale(
+            stats_staleness(spark, df, st, table_path=path)
+        )
+        if stale:
+            st = None
+    if st is None:
+        st = collect_table_stats(df, path=path)
+    _STATS_CACHE[key] = st
+    return st
+
+
+def plan_star_join(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: list[tuple[str, str, str, str]],
+    tables: dict[str, DataFrame] | None = None,
+    stats: dict[str, dict] | None = None,
+    how: str = "inner",
+    broadcast_threshold: int | None = None,
+):
+    """The engine's own optimizer entry point: load the edge-referenced
+    fixture tables, attach cached/sidecar statistics (X31/X33/X38) and
+    route the join tree through `plans.stats.plan_join_tree` — the
+    stats-driven join order + broadcast decisions statistics-blind
+    Spark cannot make on path-based parquet.
+
+    ``tables`` overrides individual frames (a pre-filtered side, a
+    `spread_small_input` fact); ``stats`` overrides their statistics —
+    pair a filtered frame with its `apply_filter_to_stats` twin so the
+    planner sees the filtered cardinality without scanning anything.
+    Returns ``(joined DataFrame, planner-chosen join order)``."""
+    from .plans.stats import plan_join_tree
+
+    names = {t for e in edges for t in (e[0], e[2])}
+    tbls = {
+        n: load_table(spark, sf_dir, n)
+        for n in names
+        if not (tables and n in tables)  # overridden frames: no re-read
+    }
+    if tables:
+        tbls.update(tables)
+    sts = {
+        n: table_stats_cached(spark, sf_dir, n)
+        for n in names
+        if not (stats and n in stats)
+    }
+    if stats:
+        sts.update(stats)
+    return plan_join_tree(
+        tbls,
+        edges,
+        stats=sts,
+        how=how,
+        broadcast_threshold=broadcast_threshold,
+    )

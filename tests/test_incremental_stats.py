@@ -110,7 +110,9 @@ def test_planner_consumes_incremental_stats(spark, sf_dir, tmp_path):
         [("customer", "c_nationkey", "nation", "n_nationkey")],
         stats=stats,
     )
-    assert order == ["nation", "customer"]
+    # broadcast-chain rung: the larger table (customer, rows from the
+    # INCREMENTAL stats) leads and streams; nation hash-attaches
+    assert order == ["customer", "nation"]
     assert planned.count() == customer.count()
 
 

@@ -44,6 +44,32 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
     assert any("o_orderdate" in p for p in pushed_filters(df))
 
 
+def test_star_join_order_and_hints_are_planner_chosen(spark, sf_dir):
+    """Round 9: q_revenue_by_nation's join tree comes from
+    plan_join_tree over cached X31 stats + the X36 filtered-orders
+    model — pin the planner's chosen order (smallest-dim-led,
+    lineitem last so the fact streams) and that the broadcast hints
+    survive into the optimized plan as ResolvedHint-driven BHJs."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.relational import (
+        plan_revenue_star,
+    )
+
+    joined, order = plan_revenue_star(spark, sf_dir)
+    assert order[0] == "lineitem", (
+        "the fact must lead (it streams through the fused BHJ chain)"
+    )
+    assert set(order) == {
+        "lineitem", "orders", "customer", "nation", "region"
+    }
+    # the planner's hints live in the LOGICAL plan (not AQE luck):
+    # every one of the 4 joins carries an explicit broadcast strategy
+    opt = str(joined._jdf.queryExecution().optimizedPlan())
+    assert opt.count("strategy=broadcast") >= 4
+    phys = formatted_plan(joined)
+    assert phys.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in phys
+
+
 def test_top_k_never_fully_sorts(spark, sf_dir):
     # offset+limit pagination still collapses to TakeOrderedAndProject —
     # per-partition heaps of (offset+limit) rows, offset dropped at the

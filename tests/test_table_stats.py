@@ -104,22 +104,23 @@ _EDGES = [
 def test_plan_join_tree_star_schema(spark, sf_dir):
     tables = _star(spark, sf_dir)
     joined, order = plan_join_tree(tables, _EDGES)
-    # fact table enters LAST: every dim is already folded when orders
-    # arrives, so the fact is joined exactly once
-    assert order[-1] == "orders" and set(order) == set(tables)
+    # broadcast-chain rung: the fact LEADS (it streams through the
+    # fused BHJ chain, joined exactly once); dims hash-attach map-side
+    assert order[0] == "orders" and set(order) == set(tables)
     naive = (
         tables["region"]
         .join(tables["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
         .join(tables["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
         .join(tables["orders"], F.col("c_custkey") == F.col("o_custkey"))
     )
+    # rounded: double partial-sum order differs between join orders
     got = joined.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("o_totalprice").alias("rev"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
     )
     want = naive.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("o_totalprice").alias("rev"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # stats-driven hints: at this sf every dim clears the broadcast bar
@@ -156,10 +157,10 @@ def test_plan_join_tree_redundant_edge_becomes_filter(spark, sf_dir):
     assert len(order) == len(tables)  # each table joined exactly once
 
 
-def test_plan_join_tree_flips_build_side_for_big_fact(spark):
-    """When the fact is too big to broadcast but the folded-dims
-    intermediate fits, the planner broadcasts the INTERMEDIATE so the
-    fact streams through one hash join unshuffled."""
+def test_plan_join_tree_broadcast_chain_for_one_big_fact(spark):
+    """Exactly one table over the build budget → the broadcast-chain
+    rung: the fact LEADS and the dims hash-attach map-side (zero
+    exchanges, no intermediate ever broadcast)."""
     dim_a = spark.createDataFrame(
         [(i, f"a{i}") for i in range(20)], "a_key long, a_name string"
     )
@@ -177,9 +178,9 @@ def test_plan_join_tree_flips_build_side_for_big_fact(spark):
         ("dim_b", "b_key", "fact", "f_b"),
     ]
     # default-width estimates: dims ~64 B × ≤40 rows ≪ 50 kB, fact
-    # 10k × 64 B = 640 kB > 50 kB → incoming fact triggers the flip
+    # 10k × 64 B = 640 kB > 50 kB → fact is the single big table
     joined, order = plan_join_tree(tables, edges, broadcast_threshold=50_000)
-    assert order[-1] == "fact"
+    assert order[0] == "fact"
     analyzed = joined._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in analyzed
     plan = formatted_plan(joined)
@@ -188,6 +189,58 @@ def test_plan_join_tree_flips_build_side_for_big_fact(spark):
     want = (
         fact.join(dim_b, F.col("f_b") == F.col("b_key"))
         .join(dim_a, F.col("b_a") == F.col("a_key"))
+        .agg(F.sum("f_val").alias("s"))
+        .first()["s"]
+    )
+    assert got == want
+
+
+def test_plan_join_tree_flips_build_side_under_two_big_tables(spark):
+    """The greedy rung (≥2 tables over budget): when the accumulated
+    dim bundle fits but the incoming fact doesn't, the build side
+    flips — ``fact.join(broadcast(cur))`` — so the fact streams; the
+    second big table then joins by SMJ (the honest at-scale choice)."""
+    dim_a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(20)], "a_key long, a_name string"
+    )
+    dim_b = spark.createDataFrame(
+        [(i, i % 20) for i in range(40)], "b_key long, b_a long"
+    )
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 40).alias("f_b"),
+        (F.col("id") * 2.0).alias("f_val"),
+    )
+    fact2 = spark.range(0, 5_000).select(
+        F.col("id").alias("g_id"),
+        (F.col("id") % 10_000).alias("g_f"),
+    )
+    tables = {
+        "dim_a": dim_a, "dim_b": dim_b, "fact": fact, "fact2": fact2
+    }
+    edges = [
+        ("dim_a", "a_key", "dim_b", "b_a"),
+        ("dim_b", "b_key", "fact", "f_b"),
+        ("fact", "f_id", "fact2", "g_f"),
+    ]
+    # fact 640 kB and fact2 320 kB both exceed 50 kB → greedy rung;
+    # dims fold first (tiny est), fact arrives too big to broadcast
+    # while cur (≤40 rows) fits → flip; fact2 then SMJs
+    joined, order = plan_join_tree(tables, edges, broadcast_threshold=50_000)
+    assert set(order) == set(tables)
+    assert order.index("fact") > order.index("dim_a")
+    # the planner's DECISIONS live in the hints (tiny local data lets
+    # Catalyst auto-broadcast the unhinted join anyway): dim_a lead,
+    # dim_b attach, and the FLIP's broadcast(cur) = 3 hints; the
+    # fact⋈fact2 edge gets none (both sides over budget → left to
+    # Catalyst/AQE, SMJ at real scale)
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 3
+    got = joined.agg(F.sum("f_val").alias("s")).first()["s"]
+    want = (
+        fact.join(dim_b, F.col("f_b") == F.col("b_key"))
+        .join(dim_a, F.col("b_a") == F.col("a_key"))
+        .join(fact2, F.col("g_f") == F.col("f_id"))
         .agg(F.sum("f_val").alias("s"))
         .first()["s"]
     )
@@ -367,20 +420,29 @@ def test_apply_filter_to_stats_metadata_only_planning(spark, sf_dir):
     assert filtered["columns"]["r_name"]["ndv"] == 1
     assert filtered["columns"]["r_name"]["min"] == "EUROPE"
     # the filtered-stats dict drives planning WITHOUT scanning the
-    # filtered frame; region (1 est row) must lead the order
+    # filtered frame. Default budget → broadcast-chain rung: customer
+    # (largest) leads and streams; the filtered region attaches.
     tables2 = {
         **tables,
         "region": tables["region"].filter(F.col("r_name") == "EUROPE"),
     }
+    graph = [
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
     planned, order = plan_join_tree(
-        tables2,
-        [
-            ("customer", "c_nationkey", "nation", "n_nationkey"),
-            ("nation", "n_regionkey", "region", "r_regionkey"),
-        ],
-        stats={**stats, "region": filtered},
+        tables2, graph, stats={**stats, "region": filtered}
     )
-    assert order[0] == "region" and order[-1] == "customer"
+    assert order[0] == "customer" and set(order) == set(tables2)
+    # greedy rung (forced by an everything-is-big budget): the
+    # filtered region's 1-row ESTIMATE — metadata only — leads
+    _, order_greedy = plan_join_tree(
+        tables2,
+        graph,
+        stats={**stats, "region": filtered},
+        broadcast_threshold=1,
+    )
+    assert order_greedy[0] == "region" and order_greedy[-1] == "customer"
     want = (
         tables2["region"]
         .join(tables["nation"], F.col("n_regionkey") == F.col("r_regionkey"))

@@ -865,6 +865,7 @@ def plan_join_tree(
     stats: dict[str, dict] | None = None,
     how: str = "inner",
     broadcast_threshold: int | None = None,
+    edge_rows: dict[tuple[str, str, str, str], float] | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Greedy left-deep join ordering with stats-driven broadcast hints.
 
@@ -905,6 +906,18 @@ def plan_join_tree(
     (non-preserved) side; right/full leave hinting to Catalyst (the
     streamed side of a right join and both sides of a full join
     cannot legally broadcast).
+
+    ``edge_rows`` (X41 wired in, round 9): MEASURED base-pair
+    cardinalities — from :func:`probe_join_rows` or
+    :func:`exact_join_rows_agg` — keyed by the exact edge tuple.
+    A present entry replaces the model estimate for that edge: models
+    can AGREE and both be wrong (cross-table key correlation, e.g.
+    coinciding hot keys, is invisible to per-table statistics by
+    construction), and at 100 TB a mis-ordered fact-fact join is the
+    single most expensive planning mistake. When the edge folds into
+    an existing intermediate, the measured cardinality is scaled by
+    the fraction of the owning side's base rows still alive in the
+    intermediate (independence, but anchored on a measurement).
     """
     if not edges:
         raise ValueError("plan_join_tree needs at least one join edge")
@@ -1008,6 +1021,11 @@ def plan_join_tree(
             order.append(rn)
         return cur, order
 
+    measured = {tuple(k): float(v) for k, v in (edge_rows or {}).items()}
+    bogus = set(measured) - {tuple(e) for e in edges}
+    if bogus:
+        raise ValueError(f"edge_rows for unknown edges: {sorted(bogus)}")
+
     # Broadcast-chain rung (round 9): if at most ONE table exceeds the
     # build budget, intermediate cardinality is the WRONG objective —
     # a plan where the big table (or, all fitting, the largest) leads
@@ -1059,6 +1077,8 @@ def plan_join_tree(
         return cur, order
 
     def edge_est(e):
+        if tuple(e) in measured:
+            return measured[tuple(e)]
         return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
 
     first = min(edges, key=edge_est)
@@ -1097,6 +1117,12 @@ def plan_join_tree(
             e, incoming, inc_col, cur_col, owner = c
             if incoming is None:
                 return -1.0  # residual predicate on already-joined tables: free
+            if tuple(e) in measured:
+                # X41: a measured base-pair cardinality trumps both
+                # models; scale by the owning side's surviving
+                # fraction in the accumulated intermediate
+                own_n = float(max(1, int(stats[owner]["row_count"] or 1)))
+                return measured[tuple(e)] * min(1.0, cur_rows / own_n)
             # the accumulated side's key stats come from the table
             # that OWNS the column (equi-joins preserve key-NDV upper
             # bounds) — looked up per-edge, never merged by bare

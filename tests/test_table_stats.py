@@ -247,6 +247,84 @@ def test_plan_join_tree_flips_build_side_under_two_big_tables(spark):
     assert got == want
 
 
+def test_plan_join_tree_edge_rows_override_flips_order(spark):
+    """X41 wired into the planner (round 9): per-table statistics are
+    structurally blind to CROSS-TABLE key correlation — two facts with
+    coinciding hot keys give a Selinger estimate near max(|A|,|B|)
+    while the true join is hot² (here ~20× bigger), and the histogram
+    agrees with Selinger, so the probe dispatch would not even fire.
+    `exact_join_rows_agg` measures it with one key-count shuffle;
+    passing the measurement via ``edge_rows`` must flip the greedy
+    order so the blowup edge joins last."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        exact_join_rows_agg,
+        plan_join_tree,
+    )
+
+    # f1: 1k-row hot key 0 + 49k distinct tail; f2 aligned the same;
+    # f3: the non-hot half of f1's tail ×4 (multiplicative, hot-free)
+    f1 = spark.range(0, 50_000).select(
+        F.col("id").alias("f1_id"),
+        F.when(F.col("id") < 1_000, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("f_k"),
+    )
+    f2 = spark.range(0, 50_000).select(
+        F.col("id").alias("f2_id"),
+        F.when(F.col("id") < 1_000, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("g_k"),
+    )
+    f3 = spark.range(0, 100_000).select(
+        F.col("id").alias("f3_id"),
+        (F.col("id") % 25_000 + 25_000).alias("h_k"),
+    )
+    tables = {"f1": f1, "f2": f2, "f3": f3}
+    edges = [
+        ("f1", "f_k", "f2", "g_k"),
+        ("f1", "f_k", "f3", "h_k"),
+    ]
+    stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    # shuffle regime: order is the only decision (no broadcast escape)
+    _, order_model = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=-1
+    )
+    assert order_model.index("f2") < order_model.index("f3"), (
+        "precondition: the model must be fooled into the blowup edge "
+        "first, else this pin tests nothing"
+    )
+    measured = {
+        tuple(e): float(
+            exact_join_rows_agg(tables[e[0]], e[1], tables[e[2]], e[3])
+        )
+        for e in edges
+    }
+    assert measured[tuple(edges[0])] > 10 * measured[tuple(edges[1])]
+    planned, order_fixed = plan_join_tree(
+        tables,
+        edges,
+        stats=stats,
+        broadcast_threshold=-1,
+        edge_rows=measured,
+    )
+    assert order_fixed.index("f3") < order_fixed.index("f2"), (
+        "the measured cardinality must defer the hot² blowup edge"
+    )
+    # same result either way (inner-join identity)
+    naive = f1.join(f2, F.col("f_k") == F.col("g_k")).join(
+        f3, F.col("f_k") == F.col("h_k")
+    )
+    assert planned.count() == naive.count()
+    # unknown edges in the override are a loud error
+    with pytest.raises(ValueError, match="edge_rows"):
+        plan_join_tree(
+            tables,
+            edges,
+            stats=stats,
+            edge_rows={("f1", "f_k", "ghost", "x"): 1.0},
+        )
+
+
 def test_plan_join_tree_rejects_disconnected_graph(spark, sf_dir):
     tables = _star(spark, sf_dir)
     with pytest.raises(ValueError, match="disconnected"):

@@ -177,3 +177,73 @@ def might_contain_keys(bf: BloomFilter, df: DataFrame) -> DataFrame:
     return keyed.join(kept, list(bf.cols), "left").select(
         *bf.cols, F.coalesce("_might", F.lit(False)).alias("might_contain")
     )
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for a frame (file scans: sum of
+    file sizes propagated through projections) — metadata-only, no
+    job. ``None`` when Catalyst reports its unknown-size sentinel."""
+    try:
+        v = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    return None if v >= (1 << 62) else v
+
+
+#: the huge side must be at least this big before the filter's two
+#: fixed build jobs (~1-2 s of job latency + a build-side pass) can
+#: possibly be repaid by the avoided shuffle — measured at sf1.0
+#: (SCALE.md round 9): a ~tens-of-MB hashed-gram stream loses with the
+#: filter in BOTH regimes; the win needs shuffle bytes in the GBs
+BLOOM_HUGE_SIDE_MIN_BYTES = 1 << 30
+
+
+def should_bloom_prefilter(
+    build_side: DataFrame,
+    huge_side: DataFrame | None = None,
+    threshold: int | None = None,
+    min_huge_bytes: int = BLOOM_HUGE_SIDE_MIN_BYTES,
+) -> bool:
+    """X28 auto-dispatch (round 9): ON exactly when the join would
+    otherwise SHUFFLE a huge side big enough to pay for the filter.
+
+    Two metadata-only conditions, both required:
+
+    1. **The build side cannot broadcast** (its Catalyst size estimate
+       exceeds ``spark.sql.autoBroadcastJoinThreshold``/the override,
+       or broadcast is disabled). Under the threshold the join is
+       already a map-side BroadcastHashJoin that drops non-matching
+       huge-side rows inside the same scan stage — the filter saves
+       nothing and its build cost is pure overhead (measured
+       net-negative: sf1.0 contamination 2.28 s auto-OFF vs 3.11 s
+       forced-ON, SCALE.md round 9).
+    2. **The huge side is worth saving**: its size estimate is at
+       least ``min_huge_bytes``. The build costs two fixed jobs; a
+       huge side of mere tens of MB sheds less shuffle than those
+       jobs cost even in the shuffle regime (measured: 4.31 s
+       forced-ON vs 3.14 s OFF at sf1.0, SCALE.md) — the filter's
+       regime is GBs+ of avoided shuffle, i.e. standing-corpus scale.
+
+    Unknown sizes resolve permissively for their condition (unknown
+    build side: can't broadcast → pass; unknown/omitted huge side:
+    assume big — the 100 TB call sites pass file-scan frames whose
+    sizes ARE known, so this only fires on exotic plans)."""
+    if threshold is None:
+        from ..tables import bytes_conf
+
+        threshold = bytes_conf(
+            build_side.sparkSession,
+            "spark.sql.autoBroadcastJoinThreshold",
+            10 * 1024 * 1024,
+        )
+    if threshold > 0:
+        size = plan_size_bytes(build_side)
+        if size is not None and size <= threshold:
+            return False  # the BHJ already drops huge-side rows map-side
+    if huge_side is not None:
+        hsize = plan_size_bytes(huge_side)
+        if hsize is not None and hsize < min_huge_bytes:
+            return False  # too little shuffle saved to repay the build
+    return True

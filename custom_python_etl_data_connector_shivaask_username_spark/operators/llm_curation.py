@@ -583,7 +583,7 @@ def contamination_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bloom_prefilter: bool = True,
+    bloom_prefilter: bool | None = None,
 ) -> DataFrame:
     """Production contamination check: **word** n-gram containment.
 
@@ -606,8 +606,13 @@ def contamination_pairs(
     grams that MIGHT match ever reach the join. Measured at the sf1.0
     sweep: >95% of corpus gram rows pruned before the join (SCALE.md).
     Costs two extra jobs on the small benchmark side (distinct count +
-    word agg); disable for tiny ad-hoc checks where that overhead
-    dominates.
+    word agg). ``None`` (the default, round 9) dispatches adaptively
+    via :func:`functions.bloom.should_bloom_prefilter`: ON only when
+    the benchmark gram set is too big to broadcast (the gram join
+    would otherwise shuffle the whole corpus stream) AND the corpus
+    stream is big enough (≥1 GiB estimated) to repay the filter's two
+    build jobs; both conditions measured at sf1.0 (SCALE.md). Pass
+    True/False to force either regime.
 
     Docs with fewer than ``n`` words emit no grams at all: a 2-word
     benchmark doc would otherwise get bn=1 from a single short gram,
@@ -617,6 +622,10 @@ def contamination_pairs(
     """
     tg = _gram_hashes(train, id_col, text_col, n, "train_id")
     bg = _gram_hashes(bench, id_col, text_col, n, "bench_id")
+    if bloom_prefilter is None:
+        from ..functions.bloom import should_bloom_prefilter
+
+        bloom_prefilter = should_bloom_prefilter(bg, huge_side=tg)
     if bloom_prefilter:
         from ..functions.bloom import bloom_prune, build_bloom
 

@@ -931,7 +931,7 @@ def probe_minhash_index(
     text_col: str = "text",
     threshold: float = 0.7,
     shingle_n: int = 3,
-    bloom_prefilter: bool = True,
+    bloom_prefilter: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs (increment doc, corpus doc) via a stored index —
     never re-pairing or re-signing the corpus.
@@ -957,6 +957,16 @@ def probe_minhash_index(
     a 100 TB standing corpus needs when the batch is too big to
     broadcast its key set exactly.
 
+    ``bloom_prefilter=None`` (the default, round 9) dispatches
+    adaptively via :func:`functions.bloom.should_bloom_prefilter`:
+    ON only when the batch's triples are too big to broadcast (the
+    candidate join would otherwise shuffle the whole index) AND the
+    index is big enough (≥1 GiB estimated) that the avoided shuffle
+    repays the filter's two build jobs. A broadcast-size batch
+    already drops index rows map-side inside the BHJ, and a small
+    index sheds less shuffle than the build costs — both measured
+    net-negative at sf1.0 (SCALE.md). Pass True/False to force.
+
     Giant-bucket guard (the X9 template-spam pathology, mirrored from
     :func:`near_dup_pairs`): an index bucket holding B ≫ 1 near-identical
     corpus docs would turn every batch hit into B candidate
@@ -971,6 +981,12 @@ def probe_minhash_index(
     inc_triples = band_triples(increment, id_col, text_col, shingle_n).select(
         F.col("id").alias("inc_id"), "band_id", "bucket"
     )
+    if bloom_prefilter is None:
+        from ..functions.bloom import should_bloom_prefilter
+
+        bloom_prefilter = should_bloom_prefilter(
+            inc_triples, huge_side=index
+        )
     if bloom_prefilter:
         from ..functions.bloom import bloom_prune, build_bloom
 

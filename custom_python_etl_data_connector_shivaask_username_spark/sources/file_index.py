@@ -212,6 +212,91 @@ def read_file_index(spark: SparkSession, path: str) -> dict[str, Any] | None:
     return None if raw is None else json.loads(raw)
 
 
+def _indexed_columns(index: dict[str, Any]) -> list[str] | None:
+    """The column subset an existing index tracks (union over entries);
+    None = no constraint recorded (index everything indexable)."""
+    cols: set[str] = set()
+    for e in index.get("files", []):
+        cols.update(e.get("columns", {}).keys())
+    return sorted(cols) or None
+
+
+def refresh_file_index(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    write: bool = True,
+) -> dict[str, Any]:
+    """Incremental index maintenance (round 9): footer-stat ONLY the
+    files the index has never seen and DROP entries for files no
+    longer on disk (overwrite / compaction), then persist the merge.
+
+    Cost ∝ new files, not table files — the write-side twin of the
+    X35 incremental stats partials: an append of 3 files to a
+    100k-file table reads 3 footers. Idempotent (entries keyed by the
+    file path; re-running re-lists and converges) and safe under
+    replay: a file either exists with one footer or does not exist.
+    Called automatically by the layout writers
+    (``write_partitioned`` / ``overwrite_partitions`` /
+    ``compact_partitions`` / ``write_zordered``) when an index is
+    already present — build once, maintained thereafter. A missing
+    index builds fresh (equivalent to :func:`build_file_index`).
+    New files are statted on the columns the existing index tracks,
+    so a deliberately-subset index stays a subset instead of
+    ballooning."""
+    current = read_file_index(spark, path)
+    if current is None:
+        return build_file_index(spark, path, columns, write=write)
+    files = set(spark.read.parquet(path).inputFiles())
+    kept = [e for e in current.get("files", []) if e["file"] in files]
+    known = {e["file"] for e in kept}
+    new = sorted(files - known)
+    if new:
+        cols = columns if columns is not None else _indexed_columns(current)
+        sc = spark.sparkContext
+        slices = min(len(new), sc.defaultParallelism)
+        kept += (
+            sc.parallelize(new, slices)
+            .mapPartitions(lambda it: _footer_stats(list(it), cols))
+            .collect()
+        )
+    index = {"table": path, "files": sorted(kept, key=lambda e: e["file"])}
+    if write:
+        fs_write_text(
+            spark,
+            f"{path.rstrip('/')}/{FILE_INDEX}",
+            json.dumps(index, default=str),
+        )
+    return index
+
+
+def refresh_file_index_if_present(spark: SparkSession, path: str) -> None:
+    """Writer-side hook: keep an EXISTING index current after a write;
+    tables that never built one stay un-indexed (indexing is the
+    owner's policy call, not a write side effect)."""
+    if read_file_index(spark, path) is not None:
+        refresh_file_index(spark, path)
+
+
+def file_index_staleness(
+    spark: SparkSession, path: str
+) -> dict[str, Any] | None:
+    """X38's 'index current' signal, metadata-only: how far the index
+    lags the listing. ``None`` when no index exists. ``current`` is
+    True when the indexed file set equals the listing exactly."""
+    index = read_file_index(spark, path)
+    if index is None:
+        return None
+    listing = set(spark.read.parquet(path).inputFiles())
+    indexed = {e["file"] for e in index.get("files", [])}
+    return {
+        "current": listing == indexed,
+        "unindexed_files": len(listing - indexed),
+        "dead_entries": len(indexed - listing),
+        "files": len(listing),
+    }
+
+
 def prune_files(
     index: dict[str, Any],
     col: str,

@@ -38,6 +38,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _maintain_file_index(spark: SparkSession, path: str) -> None:
+    """Round 9: every layout writer keeps an EXISTING X40 file index
+    current — footer-stats only the files this write created, drops
+    entries the write deleted. Tables without an index are untouched
+    (indexing stays the owner's policy call). Cost ∝ files written."""
+    from .file_index import refresh_file_index_if_present
+
+    refresh_file_index_if_present(spark, path)
+
+
+def _index_columns_if_present(
+    spark: SparkSession, path: str
+) -> tuple[list[str] | None] | None:
+    """Pre-swap capture for staged rewrites: ``atomic_swap`` deletes
+    the target INCLUDING its `_file_index.json`, so a compaction or
+    re-clustering would silently orphan the index. Returns None when
+    no index exists, else a 1-tuple holding the index's column subset
+    (itself possibly None = all columns)."""
+    from .file_index import _indexed_columns, read_file_index
+
+    idx = read_file_index(spark, path)
+    return None if idx is None else (_indexed_columns(idx),)
+
+
+def _rebuild_index_after_swap(
+    spark: SparkSession, path: str, pre_index: tuple | None
+) -> None:
+    """Post-swap: re-index the (few, freshly compacted/clustered)
+    files on the same column subset the old index tracked."""
+    if pre_index is not None:
+        from .file_index import build_file_index
+
+        build_file_index(spark, path, columns=pre_index[0])
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -62,7 +97,18 @@ def write_partitioned(
         arranged = df.repartition(*cols, salt)
     else:
         arranged = df.repartition(*cols)
+    # static overwrite deletes the whole path, sidecar included —
+    # capture an existing index's column subset first, rebuild after
+    pre_index = (
+        _index_columns_if_present(df.sparkSession, path)
+        if mode == "overwrite"
+        else None
+    )
     arranged.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    if pre_index is not None:
+        _rebuild_index_after_swap(df.sparkSession, path, pre_index)
+    else:
+        _maintain_file_index(df.sparkSession, path)
 
 
 def overwrite_partitions(
@@ -83,6 +129,7 @@ def overwrite_partitions(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+    _maintain_file_index(df.sparkSession, path)
 
 
 def zorder_value(
@@ -195,8 +242,10 @@ def write_zordered(
     )
     out = arranged.sortWithinPartitions("_z").drop("_z")
     staging = path.rstrip("/") + "__zordering"
+    pre_index = _index_columns_if_present(df.sparkSession, path)
     out.write.mode(mode).parquet(staging)
     atomic_swap(df.sparkSession, staging, path)
+    _rebuild_index_after_swap(df.sparkSession, path, pre_index)
 
 
 def compact_partitions(
@@ -215,10 +264,12 @@ def compact_partitions(
     """
     merged = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compacting"
+    pre_index = _index_columns_if_present(spark, path)
     write_partitioned(
         merged, staging, partition_cols, files_per_partition, mode="overwrite"
     )
     atomic_swap(spark, staging, path)
+    _rebuild_index_after_swap(spark, path, pre_index)
 
 
 def atomic_swap(spark: SparkSession, staging: str, path: str) -> None:

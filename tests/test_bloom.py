@@ -106,7 +106,7 @@ def test_probe_minhash_index_bloom_equivalence_and_pruning(spark):
     with_bloom = {
         (r["inc_id"], r["cor_id"], r["jaccard_sim"])
         for r in probe_minhash_index(
-            index, corpus, increment, threshold=0.5
+            index, corpus, increment, threshold=0.5, bloom_prefilter=True
         ).collect()
     }
     without = {
@@ -132,3 +132,61 @@ def test_probe_minhash_index_bloom_equivalence_and_pruning(spark):
     full = index.count()
     survived = _prune(index, bf).count()
     assert survived < full * 0.25, (survived, full)
+
+
+def test_should_bloom_prefilter_dispatches_on_broadcastability(spark, sf_dir):
+    """Round 9 (the round-8 advisory): the prefilter defaults to an
+    adaptive dispatch — OFF when the build side fits the broadcast
+    threshold (the join already drops huge-side rows map-side in the
+    BHJ; the filter's build jobs were measured pure overhead at every
+    broadcast-regime scale), ON when the build side must shuffle (or
+    broadcast is disabled), which is the regime the filter exists
+    for. Metadata-only: no job may run to decide."""
+    from custom_python_etl_data_connector_shivaask_username_spark.functions.bloom import (
+        plan_size_bytes,
+        should_bloom_prefilter,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    keys = load_table(spark, sf_dir, "documents").select("doc_id")
+    size = plan_size_bytes(keys)
+    assert size is not None and size > 0
+    # fixture-scale build side under the default 10 MB budget -> OFF
+    assert should_bloom_prefilter(keys) is False
+    # build side exceeds a tiny explicit budget (huge side unknown,
+    # resolves permissively) -> ON
+    assert should_bloom_prefilter(keys, threshold=16) is True
+    # broadcast disabled -> every join shuffles -> ON
+    assert should_bloom_prefilter(keys, threshold=-1) is True
+    # ...but a huge side too SMALL to repay the two build jobs keeps
+    # the filter off even when the build side can't broadcast
+    small_huge = load_table(spark, sf_dir, "documents")
+    assert (
+        should_bloom_prefilter(keys, huge_side=small_huge, threshold=16)
+        is False
+    )
+    # huge-side bar lowered to zero -> ON again (the planted twin)
+    assert (
+        should_bloom_prefilter(
+            keys, huge_side=small_huge, threshold=16, min_huge_bytes=0
+        )
+        is True
+    )
+    # both production call sites honor the dispatch: at fixture scale
+    # (auto=OFF) each equals its forced-ON twin — already pinned by
+    # the equivalence tests above/in test_llm_curation; here pin that
+    # the AUTO default picks OFF without erroring end-to-end
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation import (
+        contamination_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    bench = docs.limit(3)
+    auto = contamination_pairs(docs, bench, n=8, threshold=0.3)
+    forced = contamination_pairs(
+        docs, bench, n=8, threshold=0.3, bloom_prefilter=True
+    )
+    key = lambda rows: sorted(
+        (r["train_id"], r["bench_id"], r["containment"]) for r in rows
+    )
+    assert key(auto.collect()) == key(forced.collect())

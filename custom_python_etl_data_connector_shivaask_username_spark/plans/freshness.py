@@ -89,9 +89,25 @@ def stats_staleness(
         "bytes_drift": None,
         "row_drift": None,
         "range_drift": {},
+        "file_index_current": None,
     }
     cur_bytes = _scan_bytes(df)
     report["bytes_drift"] = _rel_drift(stats.get("size_bytes"), cur_bytes)
+    if table_path is not None:
+        # round 9: the X40 index is writer-maintained — report whether
+        # it matches the listing (None = the table keeps no index).
+        # Informational, not an is_stale() trigger: a stale index
+        # over-reads but never mis-plans, so it gates re-INDEXING
+        # (refresh_file_index), not re-ANALYZE.
+        try:
+            from ..sources.file_index import file_index_staleness
+
+            fis = file_index_staleness(spark, table_path)
+            report["file_index_current"] = (
+                None if fis is None else fis["current"]
+            )
+        except Exception:
+            pass
     if table_path is not None:
         try:
             from .incremental_stats import read_incremental_stats

@@ -304,3 +304,76 @@ def test_compaction_policy_from_index(spark, tmp_path):
     assert not needs_compaction(
         {"files": idx["files"][:4]}, target_file_bytes=1 << 20
     )
+
+
+def test_writers_maintain_index_incrementally(spark, tmp_path):
+    """Round 9: every layout writer keeps an EXISTING index current —
+    an append indexes only the new files (prune stays effective with
+    no rebuild), a staged rewrite (compaction) survives the swap that
+    deletes the sidecar, and X38's `file_index_staleness` reports the
+    index/listing drift metadata-only."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+        file_index_staleness,
+        refresh_file_index,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        compact_partitions,
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "maintained")
+    base = spark.range(0, 8_000).select(
+        F.col("id").alias("value"), (F.col("id") / 1000).cast("int").alias("p")
+    )
+    write_partitioned(base, path, ["p"])  # no index yet: writer no-ops
+    assert read_file_index(spark, path) is None
+    idx0 = build_file_index(spark, path)
+    n0 = len(idx0["files"])
+    assert file_index_staleness(spark, path)["current"] is True
+
+    # append two new partitions through the layout writer: the hook
+    # must index EXACTLY the new files — no rebuild, entries keyed by
+    # path, old entries untouched
+    inc = spark.range(20_000, 22_000).select(
+        F.col("id").alias("value"),
+        (F.col("id") / 1000).cast("int").alias("p"),
+    )
+    overwrite_partitions(inc, path, ["p"])
+    idx1 = read_file_index(spark, path)
+    st = file_index_staleness(spark, path)
+    assert st["current"] is True and st["dead_entries"] == 0
+    assert len(idx1["files"]) > n0
+    # prune is EFFECTIVE on the appended range (fresh entries carry
+    # bounds — not the all_files keep-everything conservatism)
+    survivors = prune_files(idx1, "value", lo=21_000, hi=21_500)
+    assert 0 < len(survivors) < len(idx1["files"]) // 2
+    got = sorted(
+        r["value"]
+        for r in read_pruned(spark, path, "value", 21_000, 21_500).collect()
+    )
+    assert got == list(range(21_000, 21_501))
+
+    # a RAW append (not through the layout writers) goes stale — the
+    # X38 signal reports it, refresh converges, dead entries drop
+    spark.range(50_000, 50_010).select(
+        F.col("id").alias("value"), F.lit(99).alias("p")
+    ).write.mode("append").partitionBy("p").parquet(path)
+    st2 = file_index_staleness(spark, path)
+    assert st2["current"] is False and st2["unindexed_files"] >= 1
+    refresh_file_index(spark, path)
+    assert file_index_staleness(spark, path)["current"] is True
+
+    # compaction: atomic_swap deletes the sidecar with the old tree —
+    # the writer must rebuild it over the compacted files
+    compact_partitions(spark, path, ["p"])
+    idx2 = read_file_index(spark, path)
+    assert idx2 is not None
+    st3 = file_index_staleness(spark, path)
+    assert st3["current"] is True and st3["dead_entries"] == 0
+    # and pruning still matches the unpruned truth post-compaction
+    got2 = sorted(
+        r["value"]
+        for r in read_pruned(spark, path, "value", 50_000, 60_000).collect()
+    )
+    assert got2 == list(range(50_000, 50_010))

@@ -380,3 +380,88 @@ def dim_gap_fill(
             else []
         ),
     )
+
+
+def grid_gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    dim_cols: list[str],
+    fill: dict[str, Any],
+    domains: dict[str, DataFrame] | None = None,
+    mark_gaps: str | None = None,
+    max_cells: int = MAX_GRID_CELLS,
+    max_buckets: int = MAX_BUCKETS_PER_GROUP,
+    max_grid_rows: int = MAX_GRID_CELLS,
+) -> DataFrame:
+    """X32×X39 composed (round 9): densify onto (every dimensional
+    cell) × (every time bucket in the GLOBAL observed range) and fill
+    by policy — the per-store-per-product daily series with LOCF that
+    previously required manual spine composition.
+
+    This differs from ``gap_fill(group_cols=dim_cols)`` in exactly
+    the way a sales cube needs: that form densifies only OBSERVED dim
+    tuples over each tuple's own time span; this one fabricates
+    never-observed (store, product) cells too (X39 cross product,
+    ``domains`` overrides per X39's contract) and spans the
+    table-global time range for every cell — a cell with no
+    observations at all becomes a full series of gap rows. Ordered
+    policies (locf/nocb/linear) are meaningful here (time orders each
+    cell's series); counts usually want ``("const", 0)``.
+
+    Guards, all before anything materializes: the X39 cell cap, the
+    arithmetic bucket cap, and a combined ``max_grid_rows`` on
+    cells × buckets (two metadata-scale counts) — a wide grid times a
+    fine step must be an error, not a 10^12-row explode."""
+    if len(dim_cols) == 1:
+        # a 1-D "grid" is just the dimension's domain — dim_spine's
+        # cross-product machinery (and its ≥2-dims contract) is moot
+        c = dim_cols[0]
+        cells = (
+            domains[c] if domains and c in domains
+            else df.select(c).distinct()
+        )
+    else:
+        cells = dim_spine(df, dim_cols, domains, max_cells)
+    bounds = df.agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    interval = F.expr(f"interval {step}")
+    t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    step_secs = _epoch(t0 + interval) - _epoch(t0)
+    n_buckets = (
+        _epoch(F.col("__hi")) - _epoch(F.col("__lo"))
+    ) / step_secs + F.lit(1.0)
+    seq = F.sequence(F.col("__lo"), F.col("__hi"), interval)
+    guarded = F.when(
+        F.assert_true(
+            n_buckets <= F.lit(float(max_buckets)),
+            f"grid_gap_fill: the global range spans more than "
+            f"{max_buckets} buckets at step '{step}' — wrong step or "
+            "unbounded range",
+        ).isNull(),
+        seq,
+    )
+    axis = bounds.select(F.explode(guarded).alias(ts_col))
+    # combined budget: both counts are metadata-scale (the cell frame
+    # is a broadcast cross product of tiny distinct sets; the axis is
+    # one guarded sequence)
+    n_cells = cells.count()
+    n_axis = axis.count()
+    if n_cells * n_axis > max_grid_rows:
+        raise ValueError(
+            f"grid_gap_fill: {n_cells} cells × {n_axis} buckets = "
+            f"{n_cells * n_axis} grid rows exceeds max_grid_rows="
+            f"{max_grid_rows} — coarsen the step, restrict domains, "
+            "or raise the budget deliberately"
+        )
+    spine = cells.crossJoin(F.broadcast(axis))
+    return gap_fill(
+        df,
+        ts_col,
+        step,
+        dim_cols,
+        fill,
+        spine=spine,
+        mark_gaps=mark_gaps,
+    )

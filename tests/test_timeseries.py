@@ -465,3 +465,113 @@ def test_dim_gap_fill_domains_and_guards(spark):
         dim_spine(big, ["a", "b"], max_cells=1_000_000)
     with pytest.raises(ValueError, match="at least two"):
         dim_spine(df, ["s"])
+
+
+def test_grid_gap_fill_differential_vs_duckdb(spark, sf_dir):
+    """X32×X39 (round 9): (event_type × user-bucket) cells × daily
+    buckets over the GLOBAL range, counts zero-filled and a LOCF
+    level per cell — against a DuckDB CROSS JOIN of the distinct
+    domains × generate_series, LEFT JOIN, IGNORE NULLS window. The
+    grid must contain never-observed (type, bucket) cells as full
+    gap series — the property plain gap_fill(group_cols=...) cannot
+    produce."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        grid_gap_fill,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % 3).alias("ub"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact-decimal max is deterministic cross-engine
+            F.max(F.col("value").cast("decimal(20,6)")).alias("lvl"),
+        )
+    )
+    out = grid_gap_fill(
+        obs,
+        ts_col="day",
+        step="1 day",
+        dim_cols=["event_type", "ub"],
+        fill={"n": ("const", 0), "lvl": "locf"},
+        mark_gaps="is_gap",
+    )
+    s_rows = {
+        (r["event_type"], r["ub"], str(r["day"])): (
+            r["n"],
+            None if r["lvl"] is None else float(r["lvl"]),
+            r["is_gap"],
+        )
+        for r in out.collect()
+    }
+    con = duck_connect(sf_dir)
+    d_rows = {
+        (t, int(ub), str(day)): (
+            int(n),
+            None if lvl is None else float(lvl),
+            bool(g),
+        )
+        for t, ub, day, n, lvl, g in con.sql("""
+            WITH obs AS (
+              SELECT event_type, user_id % 3 AS ub,
+                     date_trunc('day', ts) AS day,
+                     COUNT(*) AS n,
+                     MAX(CAST(value AS DECIMAL(20,6))) AS lvl
+              FROM events WHERE event_id % 11 = 0
+              GROUP BY 1, 2, 3
+            ),
+            axis AS (
+              SELECT unnest(generate_series(
+                       (SELECT MIN(day) FROM obs),
+                       (SELECT MAX(day) FROM obs),
+                       INTERVAL 1 DAY)) AS day
+            ),
+            grid AS (
+              SELECT d1.event_type, d2.ub, axis.day
+              FROM (SELECT DISTINCT event_type FROM obs) d1
+              CROSS JOIN (SELECT DISTINCT ub FROM obs) d2
+              CROSS JOIN axis
+            )
+            SELECT g.event_type, g.ub, g.day,
+                   COALESCE(obs.n, 0) AS n,
+                   LAST_VALUE(obs.lvl IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type, g.ub ORDER BY g.day
+                     ROWS UNBOUNDED PRECEDING) AS lvl,
+                   obs.n IS NULL AS is_gap
+            FROM grid g LEFT JOIN obs
+              ON g.event_type = obs.event_type
+             AND g.ub = obs.ub AND g.day = obs.day
+        """).fetchall()
+    }
+    assert s_rows == d_rows
+    # the grid spans every cell over the GLOBAL range: uniform series
+    # length per cell, and at least one gap row exists
+    from collections import Counter
+
+    per_cell = Counter((t, ub) for (t, ub, _d) in s_rows)
+    assert len(set(per_cell.values())) == 1
+    assert any(g for _, _, g in s_rows.values())
+
+
+def test_grid_gap_fill_budget_guard(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        grid_gap_fill,
+    )
+
+    df = _series(
+        spark,
+        [("a", TS(2024, 1, 1), 1.0), ("a", TS(2024, 1, 30), 2.0),
+         ("b", TS(2024, 1, 5), 3.0)],
+    )
+    with pytest.raises(ValueError, match="max_grid_rows"):
+        grid_gap_fill(
+            df, "ts", "1 day", ["g"], {"v": "locf"}, max_grid_rows=10
+        )

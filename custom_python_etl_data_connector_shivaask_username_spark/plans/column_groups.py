@@ -213,3 +213,69 @@ def apply_eq_conjunction_to_stats(
             cs["null_count"] = int(round(cs.get("null_count", 0) * sel))
         out["columns"][c] = cs
     return out
+
+
+# --- round 9: workload-driven group selection ------------------------------
+
+#: attribute-eq-literal inside a Filter condition: `(name#123 = lit)`
+#: or `(lit = name#123)` — the literal side carries no `#exprId`
+_EQ_ATTR_LEFT = r"\(([A-Za-z_]\w*)#\d+L? = [^()#]+\)"
+_EQ_ATTR_RIGHT = r"\([^()#]+ = ([A-Za-z_]\w*)#\d+L?\)"
+
+
+def filter_eq_conjunctions(plan: str) -> list[list[str]]:
+    """Equality-conjunction column sets, one per Filter node, from an
+    optimized/analyzed logical plan string. Only attribute = literal
+    comparisons count (joins and isnotnull guards are not correlation
+    evidence); a node yields a set only when ≥2 distinct columns are
+    conjoined — single-column filters are what per-column histograms
+    already model."""
+    import re
+
+    out: list[list[str]] = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Filter "):
+            continue
+        cols = set(re.findall(_EQ_ATTR_LEFT, s)) | set(
+            re.findall(_EQ_ATTR_RIGHT, s)
+        )
+        if len(cols) >= 2:
+            out.append(sorted(cols))
+    return out
+
+
+def suggest_column_groups(
+    workload: list[Any],
+    min_count: int = 2,
+    max_groups: int = 8,
+) -> list[dict[str, Any]]:
+    """X37 group selection mined from the workload instead of
+    hand-picked (round 9): which column groups do the queries' WHERE
+    clauses actually conjoin?
+
+    ``workload`` is a list of DataFrames (their optimized plans are
+    read — no execution) and/or plan STRINGS (an offline query log,
+    e.g. the PLANS.md capture). Every Filter node contributing an
+    equality conjunction over ≥2 columns votes for that column set;
+    sets seen at least ``min_count`` times are returned most-frequent
+    first, capped at ``max_groups`` (collecting every pair ever
+    conjoined is the quadratic trap the X37 docstring warns about —
+    the cap keeps the extra ANALYZE pass proportional to what the
+    workload repeatedly does). Feed the winners to
+    :func:`collect_column_group_stats`."""
+    votes: dict[tuple[str, ...], int] = {}
+    for item in workload:
+        plan = (
+            item
+            if isinstance(item, str)
+            else str(item._jdf.queryExecution().optimizedPlan())
+        )
+        for cols in filter_eq_conjunctions(plan):
+            votes[tuple(cols)] = votes.get(tuple(cols), 0) + 1
+    ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        {"columns": list(cols), "count": n}
+        for cols, n in ranked
+        if n >= min_count
+    ][:max_groups]

@@ -132,3 +132,57 @@ def test_sampled_stats_never_prove_zero(correlated):
     # exact stats still prove zero
     exact = collect_table_stats(correlated)
     assert estimate_eq_conjunction_rows(exact, {"a": 12345}) == 0.0
+
+
+def test_suggest_column_groups_mines_workload(spark, correlated):
+    """Round 9: the planted correlated workload — three queries
+    conjoining a=.. AND b=.., one conjoining a AND c once, plenty of
+    single-column filters — must surface exactly the (a, b) group;
+    the suggestion then feeds collect_column_group_stats and beats
+    independence, closing the loop from query log to better plans."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        filter_eq_conjunctions,
+        suggest_column_groups,
+    )
+
+    workload = [
+        correlated.filter((F.col("a") == 5) & (F.col("b") == 5)),
+        correlated.filter((F.col("a") == 7) & (F.col("b") == 7)),
+        # reversed conjunct order still votes for the same sorted set
+        correlated.filter((F.col("b") == 3) & (F.col("a") == 3)),
+        correlated.filter((F.col("a") == 1) & (F.col("c") == 1)),  # once
+        correlated.filter(F.col("a") == 9),   # single column: no vote
+        correlated.filter(F.col("c") == 2),
+        # join conditions and isnotnull guards must NOT vote
+        correlated.alias("x").join(
+            correlated.alias("y").select(F.col("a").alias("a2")),
+            F.col("a") == F.col("a2"),
+        ),
+    ]
+    got = suggest_column_groups(workload, min_count=2)
+    assert got and got[0]["columns"] == ["a", "b"]
+    assert got[0]["count"] == 3
+    # the once-seen (a, c) conjunction is below min_count
+    assert ["a", "c"] not in [g["columns"] for g in got]
+    # plan STRINGS from an offline log work identically
+    plans = [
+        str(df._jdf.queryExecution().optimizedPlan()) for df in workload
+    ]
+    assert suggest_column_groups(plans, min_count=2) == got
+    # single-column filters yield no conjunctions at all
+    solo = str(
+        workload[4]._jdf.queryExecution().optimizedPlan()
+    )
+    assert filter_eq_conjunctions(solo) == []
+    # close the loop: the mined group corrects the estimate
+    base = collect_table_stats(correlated)
+    stats = collect_column_group_stats(
+        correlated, base, [g["columns"] for g in got[:1]]
+    )
+    actual = correlated.filter(
+        (F.col("a") == 5) & (F.col("b") == 5)
+    ).count()
+    with_group = estimate_eq_conjunction_rows(stats, {"a": 5, "b": 5})
+    independent = estimate_eq_conjunction_rows(base, {"a": 5, "b": 5})
+    assert abs(with_group - actual) <= 0.15 * actual
+    assert independent < actual / 5

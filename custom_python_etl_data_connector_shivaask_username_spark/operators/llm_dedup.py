@@ -1153,8 +1153,6 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (HLL++ distinct, KLL/GK percentiles, seeded Bernoulli sample)
       unpivoted to (label=event_type, detail=metric, score=value);
       accuracy vs the exact twins pinned in tests/test_aggregates.py.
-    - ``heavy``: X17 Misra-Gries + exact-verify heavy hitters over
-      event_type (exactness/zipf pins in tests/test_aggregates.py);
     - ``pq``: X18 product-quantization ADC top-10 (train→encode→LUT
       scan end-to-end; recall pins in this file's pq tests).
     - ``bpe``: X23 BPE tokenizer training — the learned merge list
@@ -1174,9 +1172,10 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       reranks to 10 against the raw stored vectors; recall-vs-k'
       monotonicity and pluggable-scorer plumbing pinned in
       tests/test_llm_dedup.py.
-    - ``drift``: X26 distribution-drift monitor — PSI of the late half
-      of the events feed against a histogram frozen on the early half;
-      band pins + layout-free determinism in tests/test_drift.py.
+    (Round 9: the former ``heavy`` and ``drift`` branches moved to
+    the oracle-backed events monitor suite
+    ``q_partition_sorted_events`` — both are exact-decimal
+    deterministic, so they now ride the driver's hash check.)
 
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
@@ -1233,20 +1232,10 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'sampled_value', CAST(sampled_value AS DOUBLE)"
         ") AS (detail, score)",
     ).select("branch", "id_a", "id_b", "label", "score", "detail")
-    # heavy: X17 Misra-Gries + exact verify over event_type (5 distinct
-    # values with distinct counts in the fixtures — fully deterministic,
-    # unlike a near-uniform key where tie-adjacent candidates vary)
-    from .aggregates import heavy_hitters
-    from ..tables import load_table as _lt
-
-    heavy = heavy_hitters(_lt(spark, sf_dir, "events"), "event_type", k=5).select(
-        F.lit("heavy").alias("branch"),
-        F.lit(None).cast("long").alias("id_a"),
-        F.col("count").alias("id_b"),
-        F.col("item").alias("label"),
-        F.lit(None).cast("double").alias("score"),
-        F.lit("heavy_hitter").alias("detail"),
-    )
+    # (round 9: the former `heavy` and `drift` branches moved to the
+    # oracle-backed events monitor suite `q_partition_sorted_events` —
+    # both are exact-decimal deterministic, so they now ride the
+    # driver's hash check instead of this rows-only row)
     # pq: X18 product quantization — codebooks from one training
     # iteration (rows-only evidence of the full train→encode→ADC path;
     # recall quality at iters=3 is pinned in tests, not here)
@@ -1329,38 +1318,6 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.lit("semdedup@0.95").alias("detail"),
     )
-    # drift: X26 distribution-drift monitor — reference histogram
-    # frozen on the early half of the events feed (by event_id), PSI of
-    # the late half against it; deterministic (quantized-LN + decimal
-    # sum, pinned layout-free in tests/test_drift.py)
-    from ..tables import load_table as _ltd
-    from .drift import drift_psi, freeze_histogram
-
-    ev_all = _ltd(spark, sf_dir, "events")
-    mid_id = ev_all.agg(
-        F.percentile_approx("event_id", 0.5, 10000).alias("m")
-    ).first()["m"]
-    spec, ref_shares = freeze_histogram(
-        ev_all.filter(F.col("event_id") <= mid_id).select(
-            F.col("value").alias("v")
-        ),
-        "v",
-        n_buckets=10,
-    )
-    drift = drift_psi(
-        ev_all.filter(F.col("event_id") > mid_id).select(
-            F.col("value").alias("v")
-        ),
-        spec,
-        ref_shares,
-    ).select(
-        F.lit("drift").alias("branch"),
-        F.lit(None).cast("long").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.col("status").alias("label"),
-        F.col("psi").alias("score"),
-        F.lit("psi_value_late_vs_early").alias("detail"),
-    )
     # qclf: X25 seeded quality classifier — the GPT-3-recipe bootstrap:
     # positives = the corpus's top-40 heuristic-quality docs, negatives
     # = deterministic synthetic token soup (sha2 hex re-worded), score
@@ -1424,13 +1381,11 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sigs)
         .unionByName(emb_dup)
         .unionByName(sketches)
-        .unionByName(heavy)
         .unionByName(pq)
         .unionByName(rerank)
         .unionByName(bpe)
         .unionByName(sem_dropped)
         .unionByName(sem_summary)
         .unionByName(qclf)
-        .unionByName(drift)
         .orderBy("branch", "id_a", "id_b", "label", "detail")
     )

@@ -117,27 +117,94 @@ def q_sorting_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PARTS = 8
 
 _PARTITION_SORTED_ORACLE = f"""
-SELECT true AS partitions_bounded,
-       COUNT(*) AS total_rows,
-       true AS all_sorted
+WITH mid AS (
+  SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS m FROM events
+),
+ref AS (
+  SELECT value AS v FROM events, mid
+  WHERE event_id <= mid.m AND value IS NOT NULL
+),
+bat AS (
+  SELECT value AS v FROM events, mid
+  WHERE event_id > mid.m AND value IS NOT NULL
+),
+spec AS (
+  SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS w
+  FROM (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ref)
+),
+spine AS (SELECT UNNEST(range(10)) AS bucket),
+refc AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / w) AS BIGINT), 0), 9)
+           AS bucket, COUNT(*) AS c
+  FROM ref, spec GROUP BY 1
+),
+batc AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / w) AS BIGINT), 0), 9)
+           AS bucket, COUNT(*) AS c
+  FROM bat, spec GROUP BY 1
+),
+shares AS (
+  SELECT s.bucket,
+         COALESCE(r.c, 0) / (SELECT COUNT(*) FROM ref) AS p0,
+         COALESCE(b.c, 0) / (SELECT COUNT(*) FROM bat) AS q0
+  FROM spine s
+  LEFT JOIN refc r ON s.bucket = r.bucket
+  LEFT JOIN batc b ON s.bucket = b.bucket
+),
+psi AS (
+  SELECT ROUND(SUM(
+           ((p0 + 1e-4) - (q0 + 1e-4)) *
+           FLOOR(LN((p0 + 1e-4) / (q0 + 1e-4)) * 1000000.0 + 0.5)
+         ) / 1000000.0, 6) AS psi
+  FROM shares
+)
+SELECT 'sorted_runs' AS branch, CAST(NULL AS VARCHAR) AS label,
+       CAST(NULL AS DOUBLE) AS score, COUNT(*) AS n, true AS flag
 FROM events
--- partitions_bounded: at most {N_PARTS} non-empty hash partitions exist;
--- the exact non-empty count is data-dependent (a hash cell can be empty
--- at small SF), so the oracle pins the bound, not the count.
+-- at most {N_PARTS} non-empty hash partitions, every one sorted; the
+-- exact non-empty count is data-dependent, so the flag pins the bound
+UNION ALL
+SELECT 'heavy', event_type, CAST(NULL AS DOUBLE), COUNT(*),
+       CAST(NULL AS BOOLEAN)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'drift',
+       CASE WHEN psi IS NULL THEN 'no_data'
+            WHEN psi < 0.1 THEN 'stable'
+            WHEN psi <= 0.25 THEN 'drifting'
+            ELSE 'action' END,
+       psi, CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+FROM psi
+ORDER BY branch, label
 """
 
 
 @query("q_partition_sorted_events", oracle=_PARTITION_SORTED_ORACLE)
 def q_partition_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: hash-repartition on user_id + sortWithinPartitions(user_id, ts)
-    — the write-ordered-runs idiom (row-group clustering for parquet
-    sinks) that needs no global exchange beyond the hash partition.
+    """Events integrity & monitor suite, three tagged branches — O2's
+    distributed sortedness proof plus the two formerly rows-only
+    monitor surfaces the round-8 verdict asked to oracle-ify (both are
+    exact-decimal deterministic, so they can ride the hash check):
 
-    Sortedness is *verified distributed*: mapInPandas streams each
-    partition's Arrow batches in partition order and checks the
-    (user_id, ts) sequence is nondecreasing across batch boundaries,
-    emitting one summary row per partition; a final 1-row reduction is
-    what the oracle pins (true == every partition was sorted).
+    - ``sorted_runs`` (O2): hash-repartition on user_id +
+      sortWithinPartitions(user_id, ts) — the write-ordered-runs idiom
+      (row-group clustering for parquet sinks) with no global exchange
+      beyond the hash partition. Sortedness is *verified distributed*:
+      mapInPandas streams each partition's Arrow batches in partition
+      order and checks the (user_id, ts) sequence is nondecreasing
+      across batch boundaries; the reduced flag (bounded partition
+      count AND every partition sorted) is what the oracle pins.
+    - ``heavy`` (X17): Misra-Gries candidates + broadcast-filtered
+      EXACT verify over event_type — the final counts are plain
+      GROUP BY truth, which is precisely what makes the sketch
+      pipeline oracle-checkable (k=5 covers all fixture types).
+    - ``drift`` (X26): PSI of the late half of the feed (by the
+      floor(max/2) event_id split — exact in both engines, unlike a
+      percentile) against a histogram frozen on the early half.
+      Deterministic cross-engine by the quantized-LN doctrine: shares
+      are exact integer divisions, the LN is floor-quantized to 1e-6,
+      and the ≤10 bucket terms sum far above the double noise floor
+      of round(psi, 6).
     """
     ev = load_table(spark, sf_dir, "events")
     arranged = (
@@ -163,8 +230,47 @@ def q_partition_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked = arranged.mapInPandas(
         check_partition, "n_rows long, sorted boolean"
     )
-    return checked.agg(
-        (F.count(F.lit(1)) <= N_PARTS).alias("partitions_bounded"),
-        F.sum("n_rows").alias("total_rows"),
-        F.bool_and("sorted").alias("all_sorted"),
+    sorted_runs = checked.agg(
+        (F.count(F.lit(1)) <= N_PARTS).alias("_bounded"),
+        F.sum("n_rows").alias("_rows"),
+        F.bool_and("sorted").alias("_sorted"),
+    ).select(
+        F.lit("sorted_runs").alias("branch"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("_rows").alias("n"),
+        (F.col("_bounded") & F.col("_sorted")).alias("flag"),
     )
+
+    from ..operators.aggregates import heavy_hitters
+
+    heavy = heavy_hitters(ev, "event_type", k=5).select(
+        F.lit("heavy").alias("branch"),
+        F.col("item").alias("label"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("count").alias("n"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+
+    from ..operators.drift import drift_psi, freeze_histogram
+
+    mid = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("m")
+    ).first()["m"]
+    spec, ref_shares = freeze_histogram(
+        ev.filter(F.col("event_id") <= mid).select(F.col("value").alias("v")),
+        "v",
+        n_buckets=10,
+    )
+    drift = drift_psi(
+        ev.filter(F.col("event_id") > mid).select(F.col("value").alias("v")),
+        spec,
+        ref_shares,
+    ).select(
+        F.lit("drift").alias("branch"),
+        F.col("status").alias("label"),
+        F.col("psi").alias("score"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return sorted_runs.unionByName(heavy).unionByName(drift)

@@ -497,17 +497,16 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     branches = {r["branch"] for r in rows}
     # emb_dup may be empty at the production 0.95 threshold (the
     # fixture has no true near-dups); all other branches must emit
+    # round 9: the former heavy/drift branches moved to the
+    # oracle-backed q_partition_sorted_events monitor suite
     assert branches >= {
-        "lsh_pair", "lsh_ann", "signature", "sketch", "heavy", "pq",
-        "bpe", "semdedup", "qclf", "drift", "rerank",
+        "lsh_pair", "lsh_ann", "signature", "sketch", "pq",
+        "bpe", "semdedup", "qclf", "rerank",
     }
     assert branches <= {
         "lsh_pair", "lsh_ann", "signature", "sketch", "emb_dup",
-        "heavy", "pq", "bpe", "semdedup", "qclf", "drift", "rerank",
+        "pq", "bpe", "semdedup", "qclf", "rerank",
     }
-    drift = [r for r in rows if r["branch"] == "drift"]
-    assert len(drift) == 1 and drift[0]["score"] is not None
-    assert drift[0]["label"] in ("stable", "drifting", "action")
     from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
     qclf = [r for r in rows if r["branch"] == "qclf"]
@@ -527,8 +526,6 @@ def test_q_lsh_suite_has_all_branches(spark, sf_dir):
     assert bpe and all(
         r["label"] and "+" in r["label"] and r["score"] >= 2 for r in bpe
     )
-    heavy = [r for r in rows if r["branch"] == "heavy"]
-    assert len(heavy) == 5 and all(r["id_b"] > 0 for r in heavy)
     pq = [r for r in rows if r["branch"] == "pq"]
     assert len(pq) == 10 and all(r["score"] is not None for r in pq)
     sig_rows = [r for r in rows if r["branch"] == "signature"]

@@ -65,32 +65,25 @@ REVENUE_STAR_BROADCAST_BUDGET = 64 * 1024 * 1024
 
 
 def plan_revenue_star(spark: SparkSession, sf_dir: str):
-    """The planner-routed join tree behind `q_revenue_by_nation`:
-    filtered-orders statistics enter via `apply_filter_to_stats`
-    (X36 metadata-only filter modeling — never a scan of the filtered
-    frame), the rest via the session stats cache (X31/X38), and
+    """The planner-routed join tree behind `q_revenue_by_nation`: the
+    orders date predicate is DECLARED once (`filters=`), which applies
+    both the frame filter and its `apply_filter_to_stats` metadata
+    twin (X36 — never a scan of the filtered frame); the rest of the
+    statistics come from the session cache (X31/X38), and
     `plan_join_tree` chooses order + broadcast hints. Returns
     ``(joined frame, planner-chosen order)`` so tests can pin the
     order alongside the executed plan."""
     import datetime as _dt
 
-    from ..plans.stats import apply_filter_to_stats
-    from ..tables import plan_star_join, table_stats_cached
+    from ..tables import plan_star_join
 
     li = spread_small_input(load_table(spark, sf_dir, "lineitem"))
-    cutoff = _dt.datetime(1995, 1, 1)
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
-    )
-    ostats = apply_filter_to_stats(
-        table_stats_cached(spark, sf_dir, "orders"), "o_orderdate", lo=cutoff
-    )
     return plan_star_join(
         spark,
         sf_dir,
         REVENUE_STAR_EDGES,
-        tables={"lineitem": li, "orders": orders},
-        stats={"orders": ostats},
+        tables={"lineitem": li},
+        filters={"orders": ("o_orderdate", _dt.datetime(1995, 1, 1), None)},
         broadcast_threshold=REVENUE_STAR_BROADCAST_BUDGET,
     )
 

@@ -230,8 +230,10 @@ def plan_star_join(
     edges: list[tuple[str, str, str, str]],
     tables: dict[str, DataFrame] | None = None,
     stats: dict[str, dict] | None = None,
+    filters: dict[str, tuple] | None = None,
     how: str = "inner",
     broadcast_threshold: int | None = None,
+    edge_rows: dict[tuple[str, str, str, str], float] | None = None,
 ):
     """The engine's own optimizer entry point: load the edge-referenced
     fixture tables, attach cached/sidecar statistics (X31/X33/X38) and
@@ -239,12 +241,22 @@ def plan_star_join(
     stats-driven join order + broadcast decisions statistics-blind
     Spark cannot make on path-based parquet.
 
-    ``tables`` overrides individual frames (a pre-filtered side, a
-    `spread_small_input` fact); ``stats`` overrides their statistics —
-    pair a filtered frame with its `apply_filter_to_stats` twin so the
-    planner sees the filtered cardinality without scanning anything.
-    Returns ``(joined DataFrame, planner-chosen join order)``."""
-    from .plans.stats import plan_join_tree
+    ``filters`` declares range/equality predicates per table name —
+    ``{"orders": ("o_orderdate", lo, hi)}`` (either bound None-able)
+    or ``{"region": ("r_name", ("=", "EUROPE"))}`` — and applies BOTH
+    sides of the contract at once: the frame filter AND its
+    `apply_filter_to_stats` metadata twin. Declaring them together
+    removes the drift foot-gun of filtering the frame but planning on
+    unfiltered statistics (or vice versa), and keeps filtered-table
+    planning scan-free. ``tables`` overrides individual frames (a
+    `spread_small_input` fact, a non-declarative transform); ``stats``
+    overrides statistics outright (both applied AFTER ``filters`` —
+    an explicit override wins). ``edge_rows`` passes X41 measured
+    cardinalities straight through to `plan_join_tree`. Returns
+    ``(joined DataFrame, planner-chosen join order)``."""
+    from pyspark.sql import functions as F
+
+    from .plans.stats import apply_filter_to_stats, plan_join_tree
 
     names = {t for e in edges for t in (e[0], e[2])}
     tbls = {
@@ -252,13 +264,53 @@ def plan_star_join(
         for n in names
         if not (tables and n in tables)  # overridden frames: no re-read
     }
-    if tables:
-        tbls.update(tables)
     sts = {
         n: table_stats_cached(spark, sf_dir, n)
         for n in names
         if not (stats and n in stats)
     }
+    for n, spec in (filters or {}).items():
+        if n not in names:
+            raise ValueError(f"filters for non-edge table {n!r}")
+        if tables and n in tables:
+            # a frame override would silently discard the declared
+            # frame filter while keeping the filtered stats — exactly
+            # the drift this parameter exists to prevent
+            raise ValueError(
+                f"table {n!r} appears in both filters and tables — "
+                "apply the predicate inside the override, with a "
+                "matching stats override"
+            )
+        col, *bounds = spec
+
+        def _lit(v, _n=n, _c=col):
+            # literal cast to the COLUMN's type so the comparison stays
+            # column-cast-free (a naive datetime against timestamp_ntz
+            # would otherwise cast the column and kill pushdown)
+            return F.lit(v).cast(tbls[_n].schema[_c].dataType)
+
+        if len(bounds) == 1 and isinstance(bounds[0], tuple):
+            op, v = bounds[0]
+            if op != "=":
+                raise ValueError(f"unsupported filter op {op!r} for {n!r}")
+            tbls[n] = tbls[n].filter(F.col(col) == _lit(v))
+            sts[n] = apply_filter_to_stats(sts[n], col, eq=v)
+        elif len(bounds) == 2:
+            lo, hi = bounds
+            f = tbls[n]
+            if lo is not None:
+                f = f.filter(F.col(col) >= _lit(lo))
+            if hi is not None:
+                f = f.filter(F.col(col) <= _lit(hi))
+            tbls[n] = f
+            sts[n] = apply_filter_to_stats(sts[n], col, lo=lo, hi=hi)
+        else:
+            raise ValueError(
+                f"filter spec for {n!r} must be (col, lo, hi) or "
+                f"(col, ('=', value)); got {spec!r}"
+            )
+    if tables:
+        tbls.update(tables)
     if stats:
         sts.update(stats)
     return plan_join_tree(
@@ -267,4 +319,5 @@ def plan_star_join(
         stats=sts,
         how=how,
         broadcast_threshold=broadcast_threshold,
+        edge_rows=edge_rows,
     )

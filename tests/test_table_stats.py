@@ -1039,3 +1039,82 @@ def test_histogram_skips_infinite_span_column(spark):
     assert "histogram" not in stats["columns"]["x"]
     est = estimate_range_rows(stats, "x", 0.0, 99.0)
     assert est > 0  # fallback, not a silent zero
+
+
+def test_plan_star_join_declarative_filters(spark, sf_dir):
+    """Round 9: `plan_star_join(filters=...)` applies the frame filter
+    AND its metadata twin together — equal results to the manual
+    two-sided composition, literal cast to the column's type (the
+    orderdate pushdown pin lives with the plan pins), and the
+    drift-prone filter+override combination is refused."""
+    import datetime as dt
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        apply_filter_to_stats,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+        plan_star_join,
+        table_stats_cached,
+    )
+
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    cutoff = dt.datetime(1995, 6, 1)
+    declared, order_d = plan_star_join(
+        spark, sf_dir, edges,
+        filters={"orders": ("o_orderdate", cutoff, None)},
+    )
+    manual, order_m = plan_star_join(
+        spark, sf_dir, edges,
+        tables={
+            "orders": load_table(spark, sf_dir, "orders").filter(
+                F.col("o_orderdate")
+                >= F.lit("1995-06-01").cast("timestamp_ntz")
+            )
+        },
+        stats={
+            "orders": apply_filter_to_stats(
+                table_stats_cached(spark, sf_dir, "orders"),
+                "o_orderdate",
+                lo=cutoff,
+            )
+        },
+    )
+    assert order_d == order_m
+    assert declared.count() == manual.count()
+    # equality spec
+    eq, _ = plan_star_join(
+        spark, sf_dir,
+        [("customer", "c_nationkey", "nation", "n_nationkey")],
+        filters={"nation": ("n_name", ("=", "NATION_3"))},
+    )
+    want = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == "NATION_3"
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .count()
+    )
+    assert eq.count() == want
+    # guards
+    with pytest.raises(ValueError, match="non-edge"):
+        plan_star_join(
+            spark, sf_dir, edges, filters={"part": ("p_size", 1, 2)}
+        )
+    with pytest.raises(ValueError, match="both filters and tables"):
+        plan_star_join(
+            spark, sf_dir, edges,
+            filters={"orders": ("o_orderdate", cutoff, None)},
+            tables={"orders": load_table(spark, sf_dir, "orders")},
+        )
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        plan_star_join(
+            spark, sf_dir, edges,
+            filters={"orders": ("o_orderdate", (">", cutoff))},
+        )

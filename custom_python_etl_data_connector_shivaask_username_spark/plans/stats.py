@@ -1081,7 +1081,17 @@ def plan_join_tree(
             return measured[tuple(e)]
         return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
 
-    first = min(edges, key=edge_est)
+    def edge_cost(e):
+        # first-edge twin of cand_cost: output estimate + the rows
+        # each non-broadcastable side must shuffle
+        cost = edge_est(e)
+        for name in (e[0], e[2]):
+            n = float(max(0, stats[name]["row_count"] or 0))
+            if not fits(_est_bytes(stats[name], n)):
+                cost += n
+        return cost
+
+    first = min(edges, key=edge_cost)
     # smaller side leads (it is the build side of everything after)
     lname, lcol, rname, rcol = first
     if stats[rname]["row_count"] < stats[lname]["row_count"]:
@@ -1093,6 +1103,7 @@ def plan_join_tree(
     cur = maybe_broadcast(lname, nl) if nl else tables[lname]
     cur_rows = float(max(0, nl or 0))
     cur_width = width(lname)  # accumulated bytes-per-row estimate
+    cur_keys: set[str] = set()  # hash-partitioning keys, if any
     joined.add(lname)
     order.append(lname)
 
@@ -1148,7 +1159,30 @@ def plan_join_tree(
                 cur_view, cur_col, stats[incoming], inc_col
             )
 
-        best = min(candidates, key=cand_est)
+        def cand_cost(c):
+            """Exchange-aware cost (round 9): estimated OUTPUT rows
+            plus the rows each side must SHUFFLE to execute the fold.
+            Cardinality alone is blind to partitioning reuse: a
+            shuffle join's output is hash-partitioned on its key, so
+            a later edge joining on that same key re-shuffles only
+            the incoming side — ordering same-key edges adjacently
+            removes a full intermediate exchange, the dominant cost
+            once nothing broadcasts. Broadcast folds move no
+            partitioned data; the flip ships the intermediate once."""
+            e, incoming, inc_col, cur_col, owner = c
+            if incoming is None:
+                return -1.0  # residual predicate: free
+            est = cand_est(c)
+            inc_rows = float(max(0, stats[incoming]["row_count"] or 0))
+            inc_bytes = _est_bytes(stats[incoming], inc_rows)
+            if fits(inc_bytes):
+                return est  # BHJ: no exchange on either side
+            if fits(cur_rows * cur_width):
+                return est + cur_rows  # flip: broadcast cur once
+            reshuffle_cur = 0.0 if cur_col in cur_keys else cur_rows
+            return est + reshuffle_cur + inc_rows
+
+        best = min(candidates, key=cand_cost)
         e, incoming, inc_col, cur_col, _owner = best
         remaining.remove(e)
         ln, lc, rn, rc = e
@@ -1162,20 +1196,28 @@ def plan_join_tree(
             stats[incoming], stats[incoming]["row_count"]
         )
         pred = tables[ln][lc] == tables[rn][rc]
-        if fits(inc_bytes) or not fits(cur_rows * cur_width):
+        if fits(inc_bytes):
             cur = cur.join(
                 maybe_broadcast(incoming, stats[incoming]["row_count"]),
                 on=pred,
                 how=how,
             )
+            # broadcast fold: cur's partitioning is untouched
+        elif not fits(cur_rows * cur_width):
+            cur = cur.join(tables[incoming], on=pred, how=how)
+            # shuffle join: the output is co-partitioned on BOTH key
+            # columns — later same-key edges reuse the exchange
+            cur_keys = {cur_col, inc_col}
         else:
             # build-side flip: the incoming table is too big to
             # broadcast but the accumulated intermediate FITS — hint
             # the intermediate as the build side so the big table
             # streams unshuffled (inner joins only; this branch is
             # unreachable for outer joins, which take the syntactic
-            # fold above)
+            # fold above). The output inherits the streamed side's
+            # scan partitioning: no reusable hash keys.
             cur = tables[incoming].join(F.broadcast(cur), on=pred)
+            cur_keys = set()
         cur_rows = est
         cur_width += width(incoming)
         joined.add(incoming)

@@ -1118,3 +1118,46 @@ def test_plan_star_join_declarative_filters(spark, sf_dir):
             spark, sf_dir, edges,
             filters={"orders": ("o_orderdate", (">", cutoff))},
         )
+
+
+def test_plan_join_tree_exchange_aware_chain_ordering(spark):
+    """Round 9: once nothing broadcasts, cost = output estimate +
+    shuffled rows, with partitioning tracked through the fold — a
+    shuffle join's output is hash-partitioned on its key, so the
+    planner orders same-key edges adjacently (the follow-on edge
+    re-shuffles only its incoming side). A cardinality-only greedy
+    would pick the smaller-estimate different-key edge first and pay
+    a full intermediate re-shuffle coming back."""
+    f0 = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), F.col("id").alias("j")
+    )
+    f1 = spark.range(0, 80_000).select(F.col("id").alias("k1"))
+    d = spark.range(0, 50_000).select(F.col("id").alias("dj"))
+    f2 = spark.range(0, 60_000).select(F.col("id").alias("k2"))
+    tables = {"f0": f0, "f1": f1, "f2": f2, "d": d}
+    edges = [
+        ("f0", "k", "f1", "k1"),
+        ("f0", "k", "f2", "k2"),
+        ("f0", "j", "d", "dj"),
+    ]
+    stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    joined, order = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=-1
+    )
+    # the d edge's OUTPUT estimate (50k) undercuts f1's (~60-80k), so
+    # cardinality alone would interleave d between the two k-edges;
+    # exchange-awareness keeps the k-chain ADJACENT (either side of
+    # the j-edge — both placements cost the same 5 exchanges)
+    assert abs(order.index("f1") - order.index("f2")) == 1, order
+    # and the reuse is real: the planned tree needs at most 5 hash
+    # exchanges (4 base shuffles + ONE re-shuffle of the intermediate
+    # onto j); interleaving d would add a 6th
+    plan = formatted_plan(joined)
+    assert plan.count("Exchange hashpartitioning") <= 5, plan[:2000]
+    want = (
+        f0.join(f1, F.col("k") == F.col("k1"))
+        .join(f2, F.col("k") == F.col("k2"))
+        .join(d, F.col("j") == F.col("dj"))
+        .count()
+    )
+    assert joined.count() == want

@@ -866,6 +866,7 @@ def plan_join_tree(
     how: str = "inner",
     broadcast_threshold: int | None = None,
     edge_rows: dict[tuple[str, str, str, str], float] | None = None,
+    partitioned_on: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Greedy left-deep join ordering with stats-driven broadcast hints.
 
@@ -906,6 +907,18 @@ def plan_join_tree(
     (non-preserved) side; right/full leave hinting to Catalyst (the
     streamed side of a right join and both sides of a full join
     cannot legally broadcast).
+
+    ``partitioned_on`` (round 9) declares tables whose SCAN is
+    already hash-partitioned on given columns — bucketed catalog
+    tables (`sources/bucketing.py::write_bucketed`) being the
+    standard case. The exchange-aware cost then treats a shuffle join
+    on a declared bucket key as free for that side (Catalyst elides
+    the exchange over a bucketed scan), so the greedy prefers orders
+    that exploit the ingest-time shuffle — the whole point of paying
+    it once at write time. Declarative because a plain DataFrame does
+    not expose its bucketing; declaring a column that is NOT really
+    the scan partitioning costs only a mis-ordering, never a wrong
+    result (Catalyst inserts the real exchanges regardless).
 
     ``edge_rows`` (X41 wired in, round 9): MEASURED base-pair
     cardinalities — from :func:`probe_join_rows` or
@@ -1081,13 +1094,20 @@ def plan_join_tree(
             return measured[tuple(e)]
         return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
 
+    scan_keys = {
+        n: set(cols) for n, cols in (partitioned_on or {}).items()
+    }
+
     def edge_cost(e):
         # first-edge twin of cand_cost: output estimate + the rows
-        # each non-broadcastable side must shuffle
+        # each non-broadcastable side must shuffle (a side whose scan
+        # is already partitioned on its edge key shuffles nothing)
         cost = edge_est(e)
-        for name in (e[0], e[2]):
+        for name, key in ((e[0], e[1]), (e[2], e[3])):
             n = float(max(0, stats[name]["row_count"] or 0))
-            if not fits(_est_bytes(stats[name], n)):
+            if not fits(_est_bytes(stats[name], n)) and key not in scan_keys.get(
+                name, ()
+            ):
                 cost += n
         return cost
 
@@ -1103,7 +1123,8 @@ def plan_join_tree(
     cur = maybe_broadcast(lname, nl) if nl else tables[lname]
     cur_rows = float(max(0, nl or 0))
     cur_width = width(lname)  # accumulated bytes-per-row estimate
-    cur_keys: set[str] = set()  # hash-partitioning keys, if any
+    # hash-partitioning keys: a bucketed lead starts pre-partitioned
+    cur_keys: set[str] = set(scan_keys.get(lname, ()))
     joined.add(lname)
     order.append(lname)
 
@@ -1180,7 +1201,12 @@ def plan_join_tree(
             if fits(cur_rows * cur_width):
                 return est + cur_rows  # flip: broadcast cur once
             reshuffle_cur = 0.0 if cur_col in cur_keys else cur_rows
-            return est + reshuffle_cur + inc_rows
+            shuffle_inc = (
+                0.0
+                if inc_col in scan_keys.get(incoming, ())
+                else inc_rows
+            )
+            return est + reshuffle_cur + shuffle_inc
 
         best = min(candidates, key=cand_cost)
         e, incoming, inc_col, cur_col, _owner = best

@@ -234,6 +234,7 @@ def plan_star_join(
     how: str = "inner",
     broadcast_threshold: int | None = None,
     edge_rows: dict[tuple[str, str, str, str], float] | None = None,
+    partitioned_on: dict[str, list[str]] | None = None,
 ):
     """The engine's own optimizer entry point: load the edge-referenced
     fixture tables, attach cached/sidecar statistics (X31/X33/X38) and
@@ -320,4 +321,5 @@ def plan_star_join(
         how=how,
         broadcast_threshold=broadcast_threshold,
         edge_rows=edge_rows,
+        partitioned_on=partitioned_on,
     )

@@ -417,10 +417,15 @@ def grid_gap_fill(
         # a 1-D "grid" is just the dimension's domain — dim_spine's
         # cross-product machinery (and its ≥2-dims contract) is moot
         c = dim_cols[0]
-        cells = (
-            domains[c] if domains and c in domains
-            else df.select(c).distinct()
-        )
+        if domains and c in domains:
+            if domains[c].columns != [c]:
+                raise ValueError(
+                    f"domain for {c!r} must be a one-column frame "
+                    f"named {c!r}"
+                )
+            cells = domains[c]
+        else:
+            cells = df.select(c).where(F.col(c).isNotNull()).distinct()
     else:
         cells = dim_spine(df, dim_cols, domains, max_cells)
     bounds = df.agg(

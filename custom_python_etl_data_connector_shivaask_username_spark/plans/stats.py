@@ -1049,7 +1049,8 @@ def plan_join_tree(
     # AND the joined intermediate on top. Cardinality-greedy ordering
     # only starts to matter once ≥2 sides must shuffle.
     sizes = {
-        n: _est_bytes(stats[n], stats[n]["row_count"]) for n in need
+        n: _est_bytes(stats[n], float(stats[n].get("row_count") or 0))
+        for n in need
     }
     big = [n for n in sizes if not fits(sizes[n])]
     if len(big) <= 1 and broadcast_threshold > 0 and len(sizes) > 1:

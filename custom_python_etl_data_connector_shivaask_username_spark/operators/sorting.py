@@ -273,4 +273,8 @@ def q_partition_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("boolean").alias("flag"),
     )
-    return sorted_runs.unionByName(heavy).unionByName(drift)
+    return (
+        sorted_runs.unionByName(heavy)
+        .unionByName(drift)
+        .orderBy("branch", "label")
+    )

@@ -84,31 +84,43 @@ def time_spine(
         ranges = df.select(*group_cols).distinct().crossJoin(
             F.broadcast(df.agg(lo, hi))
         )
-    # Guard BEFORE building the array: sizing the sequence itself
-    # (size(sequence(...)) would materialize the full per-row array —
-    # an extreme step OOMs the executor before the assert fires.
-    # Bucket count is estimated arithmetically from the span and the
-    # step's epoch length (month-ish steps use their 1970-01 length —
-    # close enough for a sanity cap). CaseWhen evaluates the value
-    # branch only after the condition passes, so the sequence is never
-    # constructed for a failing group.
+    return ranges.select(
+        *group_cols,
+        F.explode(
+            _guarded_seq(step, max_buckets_per_group, "time_spine")
+        ).alias(ts_col),
+    )
+
+
+def _guarded_seq(step: str, max_buckets: int, label: str) -> Column:
+    """Guarded ``sequence(__lo, __hi, step)``, shared by the time and
+    grid spines. The bucket count is pre-checked ARITHMETICALLY —
+    ``size(sequence(...))`` would materialize the full per-row array,
+    so an extreme step would OOM before any assert fires; CaseWhen
+    evaluates the value branch only after the condition passes, so
+    the sequence is never built for a failing row. Month-ish steps
+    use their 1970-01 epoch length — close enough for a sanity cap.
+    NULL bounds (an empty frame's global agg row, an all-NULL group)
+    yield a NULL sequence that ``explode`` drops: empties densify to
+    empties instead of tripping the cap assert with a misleading
+    message."""
+    interval = F.expr(f"interval {step}")
     t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
     step_secs = _epoch(t0 + interval) - _epoch(t0)
     n_buckets = (
         _epoch(F.col("__hi")) - _epoch(F.col("__lo"))
     ) / step_secs + F.lit(1.0)
     seq = F.sequence(F.col("__lo"), F.col("__hi"), interval)
-    guarded = F.when(
+    return F.when(
+        F.col("__lo").isNull() | F.col("__hi").isNull(), F.lit(None)
+    ).when(
         F.assert_true(
-            n_buckets <= F.lit(float(max_buckets_per_group)),
-            f"time_spine: a group spans more than "
-            f"{max_buckets_per_group} buckets at step '{step}' — "
-            "wrong step or unbounded range",
+            n_buckets <= F.lit(float(max_buckets)),
+            f"{label}: a series spans more than {max_buckets} "
+            f"buckets at step '{step}' — wrong step or unbounded "
+            "range",
         ).isNull(),
         seq,
-    )
-    return ranges.select(
-        *group_cols, F.explode(guarded).alias(ts_col)
     )
 
 
@@ -431,23 +443,11 @@ def grid_gap_fill(
     bounds = df.agg(
         F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
     )
-    interval = F.expr(f"interval {step}")
-    t0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
-    step_secs = _epoch(t0 + interval) - _epoch(t0)
-    n_buckets = (
-        _epoch(F.col("__hi")) - _epoch(F.col("__lo"))
-    ) / step_secs + F.lit(1.0)
-    seq = F.sequence(F.col("__lo"), F.col("__hi"), interval)
-    guarded = F.when(
-        F.assert_true(
-            n_buckets <= F.lit(float(max_buckets)),
-            f"grid_gap_fill: the global range spans more than "
-            f"{max_buckets} buckets at step '{step}' — wrong step or "
-            "unbounded range",
-        ).isNull(),
-        seq,
+    axis = bounds.select(
+        F.explode(
+            _guarded_seq(step, max_buckets, "grid_gap_fill")
+        ).alias(ts_col)
     )
-    axis = bounds.select(F.explode(guarded).alias(ts_col))
     # combined budget: both counts are metadata-scale (the cell frame
     # is a broadcast cross product of tiny distinct sets; the axis is
     # one guarded sequence)

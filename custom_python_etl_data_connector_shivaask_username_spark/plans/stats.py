@@ -978,6 +978,22 @@ def plan_join_tree(
     for name in need:
         if name not in stats:
             stats[name] = collect_table_stats(tables[name])
+    # unknown cardinality resolves conservatively HUGE (round-9 review
+    # finding): a sidecar-partial entry with row_count=None must never
+    # classify as broadcastable — rows derive from size_bytes at the
+    # default width when available, else a 2^50 sentinel (with a
+    # consistent size so width() stays sane). Everything downstream
+    # (fits, leads, comparisons) then treats the table as a fact.
+    for name in need:
+        st = stats[name]
+        if st.get("row_count") is None:
+            sz = st.get("size_bytes")
+            est = int(sz // _DEFAULT_ROW_BYTES) if sz else (1 << 50)
+            stats[name] = {
+                **st,
+                "row_count": max(1, est),
+                "size_bytes": sz if sz else (1 << 50) * _DEFAULT_ROW_BYTES,
+            }
     if broadcast_threshold is None:
         broadcast_threshold = bytes_conf(
             spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
@@ -1049,8 +1065,7 @@ def plan_join_tree(
     # AND the joined intermediate on top. Cardinality-greedy ordering
     # only starts to matter once ≥2 sides must shuffle.
     sizes = {
-        n: _est_bytes(stats[n], float(stats[n].get("row_count") or 0))
-        for n in need
+        n: _est_bytes(stats[n], float(stats[n]["row_count"])) for n in need
     }
     big = [n for n in sizes if not fits(sizes[n])]
     if len(big) <= 1 and broadcast_threshold > 0 and len(sizes) > 1:

@@ -212,13 +212,16 @@ def read_file_index(spark: SparkSession, path: str) -> dict[str, Any] | None:
     return None if raw is None else json.loads(raw)
 
 
-def _indexed_columns(index: dict[str, Any]) -> list[str] | None:
-    """The column subset an existing index tracks (union over entries);
-    None = no constraint recorded (index everything indexable)."""
+def _indexed_columns(index: dict[str, Any]) -> list[str]:
+    """The column subset an existing index tracks (union over entries).
+    An empty list is a REAL answer — a deliberately bytes-only index
+    (``columns=[]``, compaction-policy use) must stay bytes-only on
+    refresh rather than balloon to every column (round-9 review
+    finding)."""
     cols: set[str] = set()
     for e in index.get("files", []):
         cols.update(e.get("columns", {}).keys())
-    return sorted(cols) or None
+    return sorted(cols)
 
 
 def refresh_file_index(
@@ -226,6 +229,7 @@ def refresh_file_index(
     path: str,
     columns: list[str] | None = None,
     write: bool = True,
+    current: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Incremental index maintenance (round 9): footer-stat ONLY the
     files the index has never seen and DROP entries for files no
@@ -243,8 +247,10 @@ def refresh_file_index(
     index builds fresh (equivalent to :func:`build_file_index`).
     New files are statted on the columns the existing index tracks,
     so a deliberately-subset index stays a subset instead of
-    ballooning."""
-    current = read_file_index(spark, path)
+    ballooning. ``current`` lets a caller that already read the
+    sidecar (the writer hook) skip a second multi-MB JSON read."""
+    if current is None:
+        current = read_file_index(spark, path)
     if current is None:
         return build_file_index(spark, path, columns, write=write)
     files = set(spark.read.parquet(path).inputFiles())
@@ -274,8 +280,9 @@ def refresh_file_index_if_present(spark: SparkSession, path: str) -> None:
     """Writer-side hook: keep an EXISTING index current after a write;
     tables that never built one stay un-indexed (indexing is the
     owner's policy call, not a write side effect)."""
-    if read_file_index(spark, path) is not None:
-        refresh_file_index(spark, path)
+    idx = read_file_index(spark, path)
+    if idx is not None:
+        refresh_file_index(spark, path, current=idx)
 
 
 def file_index_staleness(

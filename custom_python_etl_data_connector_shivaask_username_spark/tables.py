@@ -290,12 +290,17 @@ def plan_star_join(
             # would otherwise cast the column and kill pushdown)
             return F.lit(v).cast(tbls[_n].schema[_c].dataType)
 
+        # an explicit stats override for the same table wins outright
+        # (sts deliberately lacks the entry then — round-9 review
+        # finding: this combination used to KeyError); the FRAME
+        # filter still applies either way
         if len(bounds) == 1 and isinstance(bounds[0], tuple):
             op, v = bounds[0]
             if op != "=":
                 raise ValueError(f"unsupported filter op {op!r} for {n!r}")
             tbls[n] = tbls[n].filter(F.col(col) == _lit(v))
-            sts[n] = apply_filter_to_stats(sts[n], col, eq=v)
+            if n in sts:
+                sts[n] = apply_filter_to_stats(sts[n], col, eq=v)
         elif len(bounds) == 2:
             lo, hi = bounds
             f = tbls[n]
@@ -304,7 +309,8 @@ def plan_star_join(
             if hi is not None:
                 f = f.filter(F.col(col) <= _lit(hi))
             tbls[n] = f
-            sts[n] = apply_filter_to_stats(sts[n], col, lo=lo, hi=hi)
+            if n in sts:
+                sts[n] = apply_filter_to_stats(sts[n], col, lo=lo, hi=hi)
         else:
             raise ValueError(
                 f"filter spec for {n!r} must be (col, lo, hi) or "

@@ -1161,3 +1161,68 @@ def test_plan_join_tree_exchange_aware_chain_ordering(spark):
         .count()
     )
     assert joined.count() == want
+
+
+def test_plan_join_tree_unknown_row_count_is_conservative(spark, sf_dir):
+    """Round-9 review finding: a sidecar-partial stats entry with
+    row_count=None must resolve as HUGE — never broadcastable (size
+    derived from size_bytes when present), and never a TypeError in
+    the shuffle-regime greedy."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    tables = {"nation": nation, "cust": cust}
+    edges = [("nation", "n_nationkey", "cust", "c_nationkey")]
+    nstats = collect_table_stats(nation)
+    cstats = collect_table_stats(cust)
+    partial = {**cstats, "row_count": None, "size_bytes": 5 * 10**11}
+    joined, order = plan_join_tree(
+        tables, edges, stats={"nation": nstats, "cust": partial}
+    )
+    # 500 GB-claimed cust must NOT be broadcast-hinted; it leads the
+    # chain instead and nation attaches
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert order[0] == "cust"
+    hints = analyzed.count("ResolvedHint")
+    assert hints == 1, analyzed[:800]  # nation only
+    assert joined.count() == cust.count()
+    # shuffle regime: no comparisons crash on the None
+    joined2, _ = plan_join_tree(
+        tables,
+        edges,
+        stats={"nation": nstats, "cust": {**cstats, "row_count": None}},
+        broadcast_threshold=-1,
+    )
+    assert joined2.count() == cust.count()
+
+
+def test_plan_star_join_filter_with_stats_override(spark, sf_dir):
+    """Round-9 review finding: filters + an explicit stats override on
+    the SAME table used to KeyError; the frame filter must still
+    apply and the override must win outright."""
+    import datetime as dt
+
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        plan_star_join,
+        table_stats_cached,
+    )
+
+    edges = [("orders", "o_custkey", "customer", "c_custkey")]
+    ostats = table_stats_cached(spark, sf_dir, "orders")
+    cutoff = dt.datetime(1995, 6, 1)
+    joined, _ = plan_star_join(
+        spark,
+        sf_dir,
+        edges,
+        filters={"orders": ("o_orderdate", cutoff, None)},
+        stats={"orders": ostats},  # explicit override wins
+    )
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp_ntz"))
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert joined.count() == want

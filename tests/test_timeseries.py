@@ -575,3 +575,18 @@ def test_grid_gap_fill_budget_guard(spark):
         grid_gap_fill(
             df, "ts", "1 day", ["g"], {"v": "locf"}, max_grid_rows=10
         )
+
+
+def test_grid_gap_fill_empty_input_yields_empty_grid(spark):
+    """Round-9 review finding: an empty frame's global min/max row has
+    NULL bounds — the spine must densify to empty instead of tripping
+    the bucket-cap assert with a misleading message."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.timeseries import (
+        grid_gap_fill,
+    )
+
+    df = _series(spark, [("a", TS(2024, 1, 1), 1.0)]).filter(
+        F.lit(False)
+    )
+    out = grid_gap_fill(df, "ts", "1 day", ["g"], {"v": "locf"})
+    assert out.count() == 0

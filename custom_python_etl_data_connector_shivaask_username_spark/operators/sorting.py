@@ -197,7 +197,9 @@ def q_partition_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``heavy`` (X17): Misra-Gries candidates + broadcast-filtered
       EXACT verify over event_type — the final counts are plain
       GROUP BY truth, which is precisely what makes the sketch
-      pipeline oracle-checkable (k=5 covers all fixture types).
+      pipeline oracle-checkable (k is derived from the distinct type
+      count so the sketch provably covers every group the unbounded
+      oracle GROUP BY produces, whatever the fixture holds).
     - ``drift`` (X26): PSI of the late half of the feed (by the
       floor(max/2) event_id split — exact in both engines, unlike a
       percentile) against a histogram frozen on the early half.
@@ -244,7 +246,13 @@ def q_partition_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.aggregates import heavy_hitters
 
-    heavy = heavy_hitters(ev, "event_type", k=5).select(
+    # k = the actual distinct type count (incl. NULL): the oracle is
+    # an UNBOUNDED group-by, so a top-k sketch matches it only when k
+    # covers every type — deriving k makes that coupling explicit
+    # instead of silently depending on the fixture having ≤5 types
+    # (round-9 advisory); one tiny single-column job, pushed scan
+    n_types = ev.select("event_type").distinct().count()
+    heavy = heavy_hitters(ev, "event_type", k=n_types).select(
         F.lit("heavy").alias("branch"),
         F.col("item").alias("label"),
         F.lit(None).cast("double").alias("score"),

@@ -229,13 +229,18 @@ def filter_eq_conjunctions(plan: str) -> list[list[str]]:
     comparisons count (joins and isnotnull guards are not correlation
     evidence); a node yields a set only when ≥2 distinct columns are
     conjoined — single-column filters are what per-column histograms
-    already model."""
+    already model. Filter nodes containing a disjunction are skipped
+    outright (round-9 advisory): ``(a = 5) OR (b = 3)`` is not
+    conjunction evidence, and voting it as one would recommend an
+    ANALYZE pass for a column set the workload never conjoins —
+    forgoing the rare mixed ``x AND (y OR z)`` vote is the cheap,
+    never-wrong side of that trade."""
     import re
 
     out: list[list[str]] = []
     for line in plan.splitlines():
         s = line.strip().lstrip(":+- ")
-        if not s.startswith("Filter "):
+        if not s.startswith("Filter ") or " OR " in s:
             continue
         cols = set(re.findall(_EQ_ATTR_LEFT, s)) | set(
             re.findall(_EQ_ATTR_RIGHT, s)

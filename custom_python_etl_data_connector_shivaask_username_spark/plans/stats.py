@@ -1117,13 +1117,21 @@ def plan_join_tree(
     def edge_cost(e):
         # first-edge twin of cand_cost: output estimate + the rows
         # each non-broadcastable side must shuffle (a side whose scan
-        # is already partitioned on its edge key shuffles nothing)
+        # is already partitioned on its edge key shuffles nothing).
+        # When EITHER side fits the broadcast budget the edge executes
+        # as a BHJ and neither side shuffles — matching cand_cost's
+        # fits(inc_bytes) early return; charging the big side anyway
+        # over-costs a fact-dim first edge relative to a fact-fact one
+        # (round-9 advisory)
         cost = edge_est(e)
-        for name, key in ((e[0], e[1]), (e[2], e[3])):
-            n = float(max(0, stats[name]["row_count"] or 0))
-            if not fits(_est_bytes(stats[name], n)) and key not in scan_keys.get(
-                name, ()
-            ):
+        sides = [
+            (name, key, float(max(0, stats[name]["row_count"] or 0)))
+            for name, key in ((e[0], e[1]), (e[2], e[3]))
+        ]
+        if any(fits(_est_bytes(stats[n], r)) for n, _k, r in sides):
+            return cost
+        for name, key, n in sides:
+            if key not in scan_keys.get(name, ()):
                 cost += n
         return cost
 
@@ -1139,8 +1147,14 @@ def plan_join_tree(
     cur = maybe_broadcast(lname, nl) if nl else tables[lname]
     cur_rows = float(max(0, nl or 0))
     cur_width = width(lname)  # accumulated bytes-per-row estimate
-    # hash-partitioning keys: a bucketed lead starts pre-partitioned
-    cur_keys: set[str] = set(scan_keys.get(lname, ()))
+    # hash-partitioning keys, keyed by (owner table, column) — never
+    # bare column name, so a later edge whose key merely SHARES a name
+    # with a prior join key (two tables both named 'id') is not costed
+    # as shuffle-free (round-9 advisory: mirrors cand_est's per-owner
+    # stats lookup). A bucketed lead starts pre-partitioned.
+    cur_keys: set[tuple[str, str]] = {
+        (lname, c) for c in scan_keys.get(lname, ())
+    }
     joined.add(lname)
     order.append(lname)
 
@@ -1216,7 +1230,7 @@ def plan_join_tree(
                 return est  # BHJ: no exchange on either side
             if fits(cur_rows * cur_width):
                 return est + cur_rows  # flip: broadcast cur once
-            reshuffle_cur = 0.0 if cur_col in cur_keys else cur_rows
+            reshuffle_cur = 0.0 if (owner, cur_col) in cur_keys else cur_rows
             shuffle_inc = (
                 0.0
                 if inc_col in scan_keys.get(incoming, ())
@@ -1249,7 +1263,7 @@ def plan_join_tree(
             cur = cur.join(tables[incoming], on=pred, how=how)
             # shuffle join: the output is co-partitioned on BOTH key
             # columns — later same-key edges reuse the exchange
-            cur_keys = {cur_col, inc_col}
+            cur_keys = {(_owner, cur_col), (incoming, inc_col)}
         else:
             # build-side flip: the incoming table is too big to
             # broadcast but the accumulated intermediate FITS — hint

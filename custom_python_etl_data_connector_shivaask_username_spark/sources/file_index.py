@@ -197,7 +197,14 @@ def build_file_index(
         .mapPartitions(lambda it: _footer_stats(list(it), columns))
         .collect()
     )
-    index = {"table": path, "files": sorted(entries, key=lambda e: e["file"])}
+    index = {
+        "table": path,
+        # the INTENDED column subset (None = all), persisted so a
+        # refresh after an empty build or min/max-less footers never
+        # permanently narrows the index (round-9 advisory)
+        "columns": columns,
+        "files": sorted(entries, key=lambda e: e["file"]),
+    }
     if write:
         fs_write_text(
             spark,
@@ -245,9 +252,12 @@ def refresh_file_index(
     ``compact_partitions`` / ``write_zordered``) when an index is
     already present — build once, maintained thereafter. A missing
     index builds fresh (equivalent to :func:`build_file_index`).
-    New files are statted on the columns the existing index tracks,
-    so a deliberately-subset index stays a subset instead of
-    ballooning. ``current`` lets a caller that already read the
+    New files are statted on the column subset PERSISTED at build
+    time (round-10: the ``columns`` key, None = all), so a
+    deliberately-subset index stays a subset, and an index whose first
+    build hit empty listings or min/max-less footers never permanently
+    narrows; pre-round-10 indexes fall back to the union over existing
+    entries. ``current`` lets a caller that already read the
     sidecar (the writer hook) skip a second multi-MB JSON read."""
     if current is None:
         current = read_file_index(spark, path)
@@ -257,8 +267,16 @@ def refresh_file_index(
     kept = [e for e in current.get("files", []) if e["file"] in files]
     known = {e["file"] for e in kept}
     new = sorted(files - known)
+    # the intended subset: an explicit argument wins; else the subset
+    # persisted at build time (None = all — present-but-None is a real
+    # answer); else (pre-round-10 index) the union over entries
+    if columns is not None:
+        cols = columns
+    elif "columns" in current:
+        cols = current["columns"]
+    else:
+        cols = _indexed_columns(current)
     if new:
-        cols = columns if columns is not None else _indexed_columns(current)
         sc = spark.sparkContext
         slices = min(len(new), sc.defaultParallelism)
         kept += (
@@ -266,7 +284,11 @@ def refresh_file_index(
             .mapPartitions(lambda it: _footer_stats(list(it), cols))
             .collect()
         )
-    index = {"table": path, "files": sorted(kept, key=lambda e: e["file"])}
+    index = {
+        "table": path,
+        "columns": cols,
+        "files": sorted(kept, key=lambda e: e["file"]),
+    }
     if write:
         fs_write_text(
             spark,

@@ -186,3 +186,32 @@ def test_suggest_column_groups_mines_workload(spark, correlated):
     independent = estimate_eq_conjunction_rows(base, {"a": 5, "b": 5})
     assert abs(with_group - actual) <= 0.15 * actual
     assert independent < actual / 5
+
+
+def test_disjunctions_do_not_vote(spark, correlated):
+    """Round-9 advisory: `(a = 5) OR (b = 3)` is not conjunction
+    evidence — a Filter containing a disjunction must not vote, or
+    suggest_column_groups recommends ANALYZE passes for column sets
+    the workload never actually conjoins."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        filter_eq_conjunctions,
+        suggest_column_groups,
+    )
+
+    ors = [
+        correlated.filter((F.col("a") == 5) | (F.col("b") == 3)),
+        correlated.filter((F.col("a") == 7) | (F.col("b") == 1)),
+        correlated.filter((F.col("a") == 2) | (F.col("c") == 4)),
+    ]
+    for df in ors:
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+        assert " OR " in plan  # the scenario is real in this plan dialect
+        assert filter_eq_conjunctions(plan) == []
+    assert suggest_column_groups(ors, min_count=2) == []
+    # and a true conjunction alongside the ORs still surfaces alone
+    mixed = ors + [
+        correlated.filter((F.col("a") == 5) & (F.col("b") == 5)),
+        correlated.filter((F.col("a") == 7) & (F.col("b") == 7)),
+    ]
+    got = suggest_column_groups(mixed, min_count=2)
+    assert [g["columns"] for g in got] == [["a", "b"]]

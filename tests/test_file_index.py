@@ -377,3 +377,56 @@ def test_writers_maintain_index_incrementally(spark, tmp_path):
         for r in read_pruned(spark, path, "value", 50_000, 60_000).collect()
     )
     assert got2 == list(range(50_000, 50_010))
+
+
+def test_intended_column_subset_persists_across_refresh(spark, tmp_path):
+    """Round-9 advisory: the build-time `columns` argument is persisted
+    in the index JSON and wins on refresh — an index whose existing
+    entries happen to lack a column's min/max (or a bytes-only index)
+    must not permanently narrow what future refreshes track."""
+    path = str(tmp_path / "subset")
+    spark.range(0, 1_000).select(
+        F.col("id").alias("value"), (F.col("id") % 7).alias("other")
+    ).write.parquet(path)
+    idx = build_file_index(spark, path, columns=["value"])
+    assert idx["columns"] == ["value"]
+    assert all(set(e["columns"]) <= {"value"} for e in idx["files"])
+
+    # simulate the narrowing trap: strip the column stats from every
+    # entry (as min/max-less footers would) and persist that
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+        FILE_INDEX,
+        refresh_file_index,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        fs_write_text,
+    )
+    import json
+
+    stripped = {
+        **idx,
+        "files": [{**e, "columns": {}} for e in idx["files"]],
+    }
+    fs_write_text(spark, f"{path}/{FILE_INDEX}", json.dumps(stripped))
+    spark.range(5_000, 5_100).select(
+        F.col("id").alias("value"), (F.col("id") % 7).alias("other")
+    ).write.mode("append").parquet(path)
+    idx2 = refresh_file_index(spark, path)
+    # the new files are statted on the INTENDED subset, not the
+    # (empty) union over surviving entries
+    assert idx2["columns"] == ["value"]
+    fresh = [e for e in idx2["files"] if e["columns"]]
+    assert fresh and all(set(e["columns"]) == {"value"} for e in fresh)
+
+    # a deliberately bytes-only index stays bytes-only
+    path2 = str(tmp_path / "bytesonly")
+    spark.range(0, 100).select(F.col("id").alias("v")).write.parquet(path2)
+    b0 = build_file_index(spark, path2, columns=[])
+    assert b0["columns"] == []
+    spark.range(100, 200).select(F.col("id").alias("v")).write.mode(
+        "append"
+    ).parquet(path2)
+    b1 = refresh_file_index(spark, path2)
+    assert b1["columns"] == [] and all(
+        e["columns"] == {} for e in b1["files"]
+    )

@@ -1226,3 +1226,84 @@ def test_plan_star_join_filter_with_stats_override(spark, sf_dir):
         .count()
     )
     assert joined.count() == want
+
+
+def test_plan_join_tree_partition_keys_are_owner_scoped(spark):
+    """Round-9 advisory: the exchange-aware greedy tracks the
+    intermediate's hash-partitioning as (owner table, column) PAIRS —
+    a later edge whose cur-side key merely SHARES a name with a prior
+    join key (here A.y vs the B.y⋈C.z fold) must still be charged its
+    intermediate re-shuffle. Name-keyed tracking credited it as free,
+    pulling the D-edge ahead of the genuinely-free same-key E-edge
+    and paying an extra exchange."""
+    A = spark.range(0, 50_000).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    # B's second column is ALSO named "y" — a different attribute that
+    # happens to share A.y's name, the exact contamination the
+    # advisory describes
+    B = spark.range(0, 50_000).select(
+        F.col("id").alias("x2"), F.col("id").alias("y")
+    )
+    C = spark.range(0, 60_000).select(F.col("id").alias("z"))
+    D = spark.range(0, 70_000).select(F.col("id").alias("w"))
+    E = spark.range(0, 80_000).select(F.col("id").alias("v"))
+    tables = {"A": A, "B": B, "C": C, "D": D, "E": E}
+    edges = [
+        ("A", "x", "B", "x2"),
+        ("B", "y", "C", "z"),
+        ("A", "y", "D", "w"),
+        ("C", "z", "E", "v"),
+    ]
+    stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    joined, order = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=-1
+    )
+    # after folding A⋈B (on x) then ⋈C (on B.y=z), the intermediate is
+    # partitioned on {(B,y), (C,z)}; the E-edge reuses the z exchange
+    # (free cur side) while the D-edge joins on the DIFFERENT
+    # attribute A.y — owner-scoped keys order E before D; a name-keyed
+    # set saw "y" and credited the D-edge as shuffle-free
+    assert order.index("E") < order.index("D"), order
+    plan = formatted_plan(joined)
+    assert plan.count("Exchange hashpartitioning") <= 7, plan[:2000]
+    want = (
+        A.join(B, F.col("x") == F.col("x2"))
+        .join(C, B["y"] == F.col("z"))
+        .join(D, A["y"] == F.col("w"))
+        .join(E, F.col("z") == F.col("v"))
+        .count()
+    )
+    assert joined.count() == want
+
+
+def test_plan_join_tree_first_edge_bhj_not_charged_shuffle(spark):
+    """Round-9 advisory: edge_cost (the first-edge twin of cand_cost)
+    must not charge shuffle rows to an edge that executes as a BHJ —
+    when either side fits the broadcast budget, neither side shuffles.
+    Pre-fix, the big fact was charged its full row count on the
+    fact-dim edge, over-costing it relative to a fact-fact edge whose
+    disjoint key ranges estimate ~0 output, so the greedy started at
+    the fact-fact edge instead of the free broadcast fold."""
+    f1 = spark.range(0, 100_000).select(
+        (F.col("id") % 500).alias("a"), F.col("id").alias("k")
+    )
+    d = spark.range(0, 500).select(F.col("id").alias("b"))
+    # k2 disjoint from f1.k: the fact-fact estimate is ~0
+    f2 = spark.range(200_000, 290_000).select(F.col("id").alias("k2"))
+    tables = {"f1": f1, "d": d, "f2": f2}
+    edges = [("f1", "a", "d", "b"), ("f1", "k", "f2", "k2")]
+    stats = {k: collect_table_stats(v) for k, v in tables.items()}
+    joined, order = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=256 * 1024
+    )
+    # the dim edge leads (cost = output estimate only, ~100k, vs the
+    # fact-fact edge's est 0 + 190k shuffled rows); pre-fix edge_cost
+    # was est + 100k = 200k and lost to 190k
+    assert order[0] == "d", order
+    want = (
+        f1.join(d, F.col("a") == F.col("b"))
+        .join(f2, F.col("k") == F.col("k2"))
+        .count()
+    )
+    assert joined.count() == want

@@ -12,16 +12,35 @@ scheduler noise (observed run-to-run variance on identical code is
 ~30% without the min; best-of-3 still let single-run outliers through,
 hence 5).
 
-Noise-floor canary (round 8): a FIXED reference kernel — a constant-size
-in-memory agg over ``spark.range`` with no I/O and no data dependence on
-sf — is timed best-of-5 immediately before and after the query loop and
-emitted as ``noise_floor`` in the JSON. The kernel is identical every
-round, so its wall-time moves ONLY with machine conditions (co-tenant
-load, CPU frequency, scheduler): round-over-round, compare
-``value / min(noise_floor.pre, noise_floor.post)`` (emitted as
-``value_per_canary``) to separate code regressions from machine drift —
-the round-7 headline read +13% on code that measured equal-or-faster
-side-by-side, provable then only by re-running both trees.
+Noise-floor canaries: TWO fixed reference kernels timed best-of-5
+immediately before and after the query loop, emitted as ``noise_floor``
+in the JSON. Both are identical every round, so their wall-times move
+ONLY with machine conditions — compare ``value / canary`` across rounds,
+not raw totals:
+
+- CPU kernel (round 8): a constant-size in-memory agg over
+  ``spark.range`` — zero I/O, senses co-tenant CPU/scheduler pressure.
+- IO kernel (round 10): a full multi-column scan+agg over a PINNED
+  parquet fixture (``/root/testdata/sf0.1/lineitem.parquet``,
+  independent of $SPARK_GRAFT_SF_DIR) — senses exactly the
+  page-cache/disk co-tenancy the CPU kernel is blind to. Round 9's
+  +15% on untouched code shipped with a flat CPU canary because the
+  drift was IO-side; this kernel exists so that failure mode is
+  visible in the bench record itself.
+
+A/B attribution protocol (round 7, re-adopted round 10 as tooling):
+whenever the headline total moves >10% round-over-round AND the canaries
+cannot account for it, run ``python bench_ab.py <prev-ref>`` — it checks
+the previous tree out into a temp worktree and ALTERNATES bench runs
+between the two trees in the same session (A B A B ...), so both trees
+see the same machine conditions; only then attribute the movement to
+code. Never ship a >10% swing attributed by assertion.
+
+Per-query execution evidence (round 10): shuffle read/write bytes,
+spill, and input bytes per timed run, read from Spark's AppStatusStore
+(the public monitoring store behind the UI) by diffing completed-stage
+totals around each query's timed loop. 100x-design claims ride these
+numbers, not just plan shape + wall time.
 """
 
 from __future__ import annotations
@@ -99,19 +118,113 @@ def _canary(spark) -> float:
     return round(min(runs), 4)
 
 
+#: pinned IO-canary fixture — the SAME path every round regardless of
+#: the benched sf dir, so the kernel's work is constant round-over-round
+IO_CANARY_PATH = "/root/testdata/sf0.1/lineitem.parquet"
+
+
+def _io_canary(spark, fallback_dir: str) -> dict:
+    """Fixed IO-bearing kernel (round 10): full scan + multi-column agg
+    over a pinned parquet fixture. Unlike the CPU kernel this reads
+    real bytes through the filesystem/page cache every run, so
+    co-tenant disk pressure and cache eviction — invisible to the CPU
+    canary, but exactly what a parquet-reading suite feels — move it.
+    One warm run, then best-of-5, same discipline as the queries."""
+    path = IO_CANARY_PATH
+    if not os.path.exists(path):
+        path = os.path.join(fallback_dir, "lineitem.parquet")
+
+    def kernel():
+        [(n, *_)] = (
+            spark.read.parquet(path)
+            .selectExpr(
+                "count(*) AS n",
+                "sum(l_orderkey) AS a",
+                "sum(l_quantity) AS b",
+                "sum(l_extendedprice) AS c",
+                "sum(l_discount + l_tax) AS d",
+                "sum(length(l_returnflag) + length(l_linestatus)) AS e",
+                "count(distinct l_partkey) AS f",
+                "count(l_shipdate) AS g",
+            )
+            .collect()
+        )
+        return n
+
+    rows = kernel()  # warm
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        kernel()
+        runs.append(time.perf_counter() - t0)
+    return {"sec": round(min(runs), 4), "rows": rows, "path": path}
+
+
+def _stage_mark(spark) -> int:
+    """Highest stage id the AppStatusStore has seen (−1 when none)."""
+    seq = _stage_list(spark)
+    mark = -1
+    it = seq.iterator()
+    while it.hasNext():
+        mark = max(mark, it.next().stageId())
+    return mark
+
+
+def _stage_list(spark):
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    # stageList(statuses=null, details=false, withSummaries=false,
+    #           unsortedQuantiles=[], taskStatus=null) — Scala default
+    # args don't exist as JVM overloads, so pass the full arity
+    return store.stageList(None, False, False, gw.new_array(gw.jvm.double, 0), None)
+
+
+def _exec_metrics_since(spark, mark: int, n_runs: int) -> dict:
+    """Shuffle/spill/input bytes per timed run: sum completed-stage
+    totals for every stage id > ``mark`` and divide by the run count.
+    Diffing on stage *ids* (not snapshots of cumulative sums) keeps the
+    numbers right even if the store evicts old stages mid-bench."""
+    sums = {"shuffle_write": 0, "shuffle_read": 0, "spill_mem": 0,
+            "spill_disk": 0, "input": 0}
+    it = _stage_list(spark).iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.stageId() <= mark:
+            continue
+        sums["shuffle_write"] += s.shuffleWriteBytes()
+        sums["shuffle_read"] += s.shuffleReadBytes()
+        sums["spill_mem"] += s.memoryBytesSpilled()
+        sums["spill_disk"] += s.diskBytesSpilled()
+        sums["input"] += s.inputBytes()
+    mb = 1024.0 * 1024.0
+    return {
+        f"{k}_mb": round(v / n_runs / mb, 3) for k, v in sums.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     registry.load_all()
     spark = get_spark("etl-spark-bench")
     names = [n for n in HEADLINE if _resolve(n) is not None]
+    # targeted A/B claims (bench_ab.py --queries) restrict the suite;
+    # both trees under comparison must support this env (round 10+)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        names = [n for n in names if n in wanted]
 
     canary_pre = _canary(spark)
+    io_pre = _io_canary(spark, sf_dir)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    execm: dict[str, dict] = {}
     for name in names:
         fn = _resolve(name)
         fn(spark, sf_dir).collect()  # warm (plan + codegen + IO cache)
+        mark = _stage_mark(spark)
         runs: list[float] = []
         for _ in range(5):  # best-of-5: steady-state time, not scheduler noise
             t0 = time.perf_counter()
@@ -120,7 +233,9 @@ def main() -> None:
             assert n >= 0
         timings[name] = min(runs)
         samples[name] = runs
+        execm[name] = _exec_metrics_since(spark, mark, 5)
     canary_post = _canary(spark)
+    io_post = _io_canary(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     # min, not mean: the pre canary runs on a cold JVM (C2 still
     # compiling scheduler paths) and reads ~2x high; min is the machine's
@@ -137,15 +252,26 @@ def main() -> None:
                 # round-over-round deltas separate from co-tenant noise
                 # without a re-run; headline numbers stay the minima
                 "samples": samples,
-                # machine-drift canary: identical zero-I/O kernel every
-                # round; compare value_per_canary across rounds, not raw
-                # totals (see module docstring)
+                # per-timed-run shuffle/spill/input bytes from the
+                # AppStatusStore: the 100x-design evidence (round 10)
+                "exec": execm,
+                # machine-drift canaries: identical kernels every round
+                # (CPU-only + pinned-fixture IO); compare value_per_*
+                # across rounds, not raw totals (see module docstring)
                 "noise_floor": {
                     "pre": canary_pre,
                     "post": canary_post,
                     "kernel": "range48M_mod97_sum_32tasks",
+                    "io_pre": io_pre["sec"],
+                    "io_post": io_post["sec"],
+                    "io_kernel": "pinned_lineitem_scan6agg",
+                    "io_rows": io_pre["rows"],
+                    "io_path": io_pre["path"],
                 },
                 "value_per_canary": round(total / canary, 2),
+                "value_per_io_canary": round(
+                    total / min(io_pre["sec"], io_post["sec"]), 2
+                ),
                 "sf": sf,
             }
         )

@@ -877,18 +877,31 @@ def plan_join_tree(
     the joined DataFrame and the chosen table order (for plan audits).
 
     Order (``how="inner"`` only — reordering is an inner-join
-    identity), two rungs. Rung 1, the broadcast chain (round 9): when
-    at most one table exceeds the build budget, the big table (or,
-    all fitting, the largest) LEADS and every other table
+    identity), three rungs. Rung 1, the broadcast chain (round 9):
+    when at most one table exceeds the build budget, the big table
+    (or, all fitting, the largest) LEADS and every other table
     hash-attaches map-side — intermediate cardinality is irrelevant
     because nothing materializes between whole-stage-fused
     BroadcastHashJoins, and total data movement (Σ small-table
     bytes) is strictly below any order that additionally broadcasts
-    a joined intermediate. Rung 2, once ≥2 sides must shuffle: start
-    from the edge with the smallest estimated output, then repeatedly
+    a joined intermediate. Rung 2, the bushy split (round 10): ≥2 big
+    tables, each with its own halo of broadcastable tables, meeting
+    on big-big edges — each halo component chain-folds independently
+    (exchange-free, scan partitioning preserved) and the subtrees
+    combine through a recursive call where each subtree is one
+    virtual table with estimated rows/bytes, so a subtree that an
+    aggressive dim filter shrank below the build budget BROADCASTS
+    and the fact behind it never shuffles — the shape no left-deep
+    fold can express, because connectivity forces a halo to attach
+    only after its fact has already met the intermediate at full
+    size. Guarded: every component must hold exactly one big table,
+    some real merging must occur, and cross-edge columns must be
+    unambiguous in their subtree — otherwise rung 3 proceeds
+    unchanged. Rung 3, once ≥2 sides must shuffle: start from the
+    edge with the smallest estimated output, then repeatedly
     fold in the edge-connected table minimizing the next
     intermediate's estimated rows — the textbook greedy that gets
-    star and snowflake schemas right. Hints (both rungs): an incoming
+    star and snowflake schemas right. Hints (all rungs): an incoming
     table whose estimated bytes are
     under ``spark.sql.autoBroadcastJoinThreshold`` (or the override)
     joins via ``F.broadcast``; when the incoming table is too big to
@@ -1055,25 +1068,45 @@ def plan_join_tree(
     if bogus:
         raise ValueError(f"edge_rows for unknown edges: {sorted(bogus)}")
 
-    # Broadcast-chain rung (round 9): if at most ONE table exceeds the
-    # build budget, intermediate cardinality is the WRONG objective —
-    # a plan where the big table (or, all fitting, the largest) leads
-    # and every other table hash-attaches map-side moves exactly
-    # Σ small-table bytes and materializes nothing between
-    # whole-stage-fused BroadcastHashJoins (zero exchanges on the
-    # streamed side). Any dim-led order broadcasts those same tables
-    # AND the joined intermediate on top. Cardinality-greedy ordering
-    # only starts to matter once ≥2 sides must shuffle.
-    sizes = {
-        n: _est_bytes(stats[n], float(stats[n]["row_count"])) for n in need
+    scan_keys = {
+        n: set(cols) for n, cols in (partitioned_on or {}).items()
     }
-    big = [n for n in sizes if not fits(sizes[n])]
-    if len(big) <= 1 and broadcast_threshold > 0 and len(sizes) > 1:
-        lead = big[0] if big else max(sizes, key=lambda n: sizes[n])
+
+    def fold_estimate(e, owner, cur_col, incoming, inc_col, cur_rows):
+        """Estimated rows after folding ``incoming`` into an
+        intermediate of ``cur_rows`` rows whose ``cur_col`` attribute
+        comes from ``owner`` — shared by the greedy's cand_est and the
+        chain/bushy subtree estimators. A measured base-pair
+        cardinality (X41) trumps the model, scaled by the owning
+        side's surviving fraction; otherwise the owner's key stats
+        are used with its histogram dropped and NDV capped at
+        cur_rows (a selective fold already paid that selectivity —
+        a full-table histogram would re-inflate it)."""
+        if tuple(e) in measured:
+            own_n = float(max(1, int(stats[owner]["row_count"] or 1)))
+            return measured[tuple(e)] * min(1.0, cur_rows / own_n)
+        own = stats[owner]["columns"].get(cur_col)
+        if own:
+            own = {k: v for k, v in own.items() if k != "histogram"}
+            if own.get("ndv"):
+                own["ndv"] = max(1, min(int(own["ndv"]), int(cur_rows) or 1))
+        cur_view = {
+            "row_count": cur_rows,
+            "columns": {cur_col: own} if own else {},
+        }
+        return estimate_join_rows(cur_view, cur_col, stats[incoming], inc_col)
+
+    def chain_fold(lead, fold_edges):
+        """Broadcast-chain fold: ``lead`` streams, every other table
+        hash-attaches map-side via an explicit broadcast hint;
+        redundant edges between already-joined tables become filters.
+        Returns (df, order, estimated_rows) — the estimate threads
+        fold_estimate through the same fold sequence."""
         cur = tables[lead]
         joined = {lead}
         order = [lead]
-        remaining = list(edges)
+        est = float(max(0, stats[lead]["row_count"] or 0))
+        remaining = list(fold_edges)
         while remaining:
             progressed = False
             for e in list(remaining):
@@ -1081,6 +1114,7 @@ def plan_join_tree(
                 if ln in joined and rn in joined:
                     cur = cur.filter(tables[ln][lc] == tables[rn][rc])
                 elif ln in joined:
+                    est = fold_estimate(e, ln, lc, rn, rc, est)
                     cur = cur.join(
                         F.broadcast(tables[rn]),
                         on=tables[ln][lc] == tables[rn][rc],
@@ -1088,6 +1122,7 @@ def plan_join_tree(
                     joined.add(rn)
                     order.append(rn)
                 elif rn in joined:
+                    est = fold_estimate(e, rn, rc, ln, lc, est)
                     cur = cur.join(
                         F.broadcast(tables[ln]),
                         on=tables[ln][lc] == tables[rn][rc],
@@ -1103,16 +1138,158 @@ def plan_join_tree(
                     "join graph is disconnected: cannot reach "
                     f"{sorted({t for e in remaining for t in (e[0], e[2])} - joined)}"
                 )
+        return cur, order, est
+
+    # Broadcast-chain rung (round 9): if at most ONE table exceeds the
+    # build budget, intermediate cardinality is the WRONG objective —
+    # a plan where the big table (or, all fitting, the largest) leads
+    # and every other table hash-attaches map-side moves exactly
+    # Σ small-table bytes and materializes nothing between
+    # whole-stage-fused BroadcastHashJoins (zero exchanges on the
+    # streamed side). Any dim-led order broadcasts those same tables
+    # AND the joined intermediate on top. Cardinality-greedy ordering
+    # only starts to matter once ≥2 sides must shuffle.
+    sizes = {
+        n: _est_bytes(stats[n], float(stats[n]["row_count"])) for n in need
+    }
+    big = [n for n in sizes if not fits(sizes[n])]
+    if len(big) <= 1 and broadcast_threshold > 0 and len(sizes) > 1:
+        lead = big[0] if big else max(sizes, key=lambda n: sizes[n])
+        cur, order, _ = chain_fold(lead, edges)
         return cur, order
+
+    # Bushy rung (round 10): ≥2 big tables, each carrying its OWN halo
+    # of broadcastable tables, meeting on big-big edges — the shape a
+    # left-deep fold cannot express: connectivity forces one side's
+    # halo to attach only AFTER the facts meet, so the un-shrunk fact
+    # shuffles at full size. Here each component (big-big edges
+    # removed) chain-folds independently — every halo table fits by
+    # construction, so a subtree is exchange-free and PRESERVES its
+    # big table's scan partitioning — then the subtrees combine
+    # through a recursive plan_join_tree call where each subtree is
+    # one "table" with estimated rows/bytes: a subtree whose estimate
+    # shrank below the build budget broadcasts (the fact behind it
+    # never shuffles at all), and a declared bucket key on a big
+    # table survives to the combine via partitioned_on (the
+    # round-9 lookahead myopia: the fold-level greedy could not see
+    # that a bucketed pair pays off downstream; at the subtree level
+    # the credit is visible to the combine's exchange-aware cost).
+    # Guarded: inner joins, every component exactly one big table,
+    # real merging happened, and no ambiguous cross columns —
+    # anything else falls through to the left-deep greedy unchanged.
+    if len(big) >= 2 and broadcast_threshold > 0:
+        bigset = set(big)
+
+        def is_cross(e):
+            return e[0] in bigset and e[2] in bigset
+
+        cross = [e for e in edges if is_cross(e)]
+        halo = [e for e in edges if not is_cross(e)]
+        parent = {n: n for n in need}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ln, _lc, rn, _rc in halo:
+            parent[find(ln)] = find(rn)
+        members: dict[str, list[str]] = {}
+        for n in need:
+            members.setdefault(find(n), []).append(n)
+        comps = list(members.values())
+        ok = (
+            cross
+            and len(comps) >= 2
+            and all(len(set(ms) & bigset) == 1 for ms in comps)
+            and any(len(ms) > 1 for ms in comps)
+        )
+        if ok:
+            # name each subtree after its big table; rebuild comp_of
+            # with that name for every member
+            comp_of = {}
+            for ms in comps:
+                cname = next(iter(set(ms) & bigset))
+                for m in ms:
+                    comp_of[m] = cname
+            sub_tables: dict[str, DataFrame] = {}
+            sub_stats: dict[str, dict] = {}
+            sub_order: dict[str, list[str]] = {}
+            sub_part: dict[str, list[str]] = {}
+            ambiguous = False
+            for ms in comps:
+                cname = comp_of[ms[0]]
+                comp_edges = [
+                    e for e in halo if e[0] in ms and e[2] in ms
+                ]
+                df, order, est = chain_fold(cname, comp_edges)
+                cols = list(df.columns)
+                width_sum = sum(width(m) for m in ms)
+                colstats: dict[str, Any] = {}
+                for e in cross:
+                    for tn, tc in ((e[0], e[1]), (e[2], e[3])):
+                        if tn not in ms:
+                            continue
+                        if cols.count(tc) != 1 or tc in colstats:
+                            ambiguous = True
+                        cs = stats[tn]["columns"].get(tc)
+                        if cs:
+                            cs = {
+                                k: v
+                                for k, v in cs.items()
+                                if k != "histogram"
+                            }
+                            if cs.get("ndv"):
+                                cs["ndv"] = max(
+                                    1, min(int(cs["ndv"]), int(est) or 1)
+                                )
+                            colstats[tc] = cs
+                sub_tables[cname] = df
+                sub_stats[cname] = {
+                    "row_count": max(1, int(est)),
+                    "size_bytes": int(max(1.0, est) * width_sum),
+                    "columns": colstats,
+                }
+                sub_order[cname] = order
+                # chain folds are all broadcasts: the subtree keeps the
+                # big table's scan partitioning (unambiguous keys only)
+                sub_part[cname] = [
+                    k
+                    for k in scan_keys.get(cname, ())
+                    if cols.count(k) == 1
+                ]
+            if not ambiguous:
+                sub_edges = [
+                    (comp_of[e[0]], e[1], comp_of[e[2]], e[3])
+                    for e in cross
+                ]
+                sub_measured = {
+                    (comp_of[e[0]], e[1], comp_of[e[2]], e[3]): measured[
+                        tuple(e)
+                    ]
+                    for e in cross
+                    if tuple(e) in measured
+                }
+                joined, rec_order = plan_join_tree(
+                    sub_tables,
+                    sub_edges,
+                    stats=sub_stats,
+                    broadcast_threshold=broadcast_threshold,
+                    edge_rows=sub_measured or None,
+                    partitioned_on={
+                        c: ks for c, ks in sub_part.items() if ks
+                    }
+                    or None,
+                )
+                return joined, [
+                    t for c in rec_order for t in sub_order[c]
+                ]
 
     def edge_est(e):
         if tuple(e) in measured:
             return measured[tuple(e)]
         return estimate_join_rows(stats[e[0]], e[1], stats[e[2]], e[3])
-
-    scan_keys = {
-        n: set(cols) for n, cols in (partitioned_on or {}).items()
-    }
 
     def edge_cost(e):
         # first-edge twin of cand_cost: output estimate + the rows

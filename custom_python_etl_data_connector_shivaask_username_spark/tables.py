@@ -230,11 +230,12 @@ def plan_star_join(
     edges: list[tuple[str, str, str, str]],
     tables: dict[str, DataFrame] | None = None,
     stats: dict[str, dict] | None = None,
-    filters: dict[str, tuple] | None = None,
+    filters: dict[str, tuple | list] | None = None,
     how: str = "inner",
     broadcast_threshold: int | None = None,
     edge_rows: dict[tuple[str, str, str, str], float] | None = None,
     partitioned_on: dict[str, list[str]] | None = None,
+    probe: str | None = None,
 ):
     """The engine's own optimizer entry point: load the edge-referenced
     fixture tables, attach cached/sidecar statistics (X31/X33/X38) and
@@ -249,16 +250,34 @@ def plan_star_join(
     `apply_filter_to_stats` metadata twin. Declaring them together
     removes the drift foot-gun of filtering the frame but planning on
     unfiltered statistics (or vice versa), and keeps filtered-table
-    planning scan-free. ``tables`` overrides individual frames (a
-    `spread_small_input` fact, a non-declarative transform); ``stats``
-    overrides statistics outright (both applied AFTER ``filters`` —
-    an explicit override wins). ``edge_rows`` passes X41 measured
-    cardinalities straight through to `plan_join_tree`. Returns
-    ``(joined DataFrame, planner-chosen join order)``."""
+    planning scan-free. A table's value may also be a LIST of specs
+    (round 10): all frame filters AND together, ranges fold through
+    `apply_filter_to_stats` one by one, and ≥2 equality specs route
+    through `apply_eq_conjunction_to_stats` (X37) — so when the
+    statistics carry a matching column-group NDV, the planner stops
+    assuming independence on exactly the conjunctions workloads
+    correlate (X47 exists because they do). ``tables`` overrides
+    individual frames (a `spread_small_input` fact, a non-declarative
+    transform); ``stats`` overrides statistics outright (both applied
+    AFTER ``filters`` — an explicit override wins). ``edge_rows``
+    passes X41 measured cardinalities straight through.
+
+    ``probe="auto"`` (round 10): the X41 measured rung fires ITSELF —
+    for each edge with no caller-supplied ``edge_rows`` entry, the
+    histogram and Selinger estimates are compared
+    (`estimate_join_rows_validated`) and one sample probe runs only
+    when they disagree by >10×; the probed cardinality then overrides
+    the models for that edge. When the models agree the path stays
+    completely scan-free — the probe is the insurance premium, paid
+    only on the joins per-table statistics demonstrably cannot
+    settle. Returns ``(joined DataFrame, planner-chosen order)``."""
     from pyspark.sql import functions as F
 
+    from .plans.column_groups import apply_eq_conjunction_to_stats
     from .plans.stats import apply_filter_to_stats, plan_join_tree
 
+    if probe not in (None, "auto"):
+        raise ValueError(f"probe must be None or 'auto', got {probe!r}")
     names = {t for e in edges for t in (e[0], e[2])}
     tbls = {
         n: load_table(spark, sf_dir, n)
@@ -282,9 +301,9 @@ def plan_star_join(
                 "apply the predicate inside the override, with a "
                 "matching stats override"
             )
-        col, *bounds = spec
+        specs = spec if isinstance(spec, list) else [spec]
 
-        def _lit(v, _n=n, _c=col):
+        def _lit(v, _n, _c):
             # literal cast to the COLUMN's type so the comparison stays
             # column-cast-free (a naive datetime against timestamp_ntz
             # would otherwise cast the column and kill pushdown)
@@ -293,33 +312,65 @@ def plan_star_join(
         # an explicit stats override for the same table wins outright
         # (sts deliberately lacks the entry then — round-9 review
         # finding: this combination used to KeyError); the FRAME
-        # filter still applies either way
-        if len(bounds) == 1 and isinstance(bounds[0], tuple):
-            op, v = bounds[0]
-            if op != "=":
-                raise ValueError(f"unsupported filter op {op!r} for {n!r}")
-            tbls[n] = tbls[n].filter(F.col(col) == _lit(v))
-            if n in sts:
+        # filters still apply either way. Equality specs accumulate
+        # into one conjunction so group-NDV statistics (X37) can
+        # correct the independence assumption.
+        eqs: dict[str, object] = {}
+        for one in specs:
+            col, *bounds = one
+            if len(bounds) == 1 and isinstance(bounds[0], tuple):
+                op, v = bounds[0]
+                if op != "=":
+                    raise ValueError(
+                        f"unsupported filter op {op!r} for {n!r}"
+                    )
+                tbls[n] = tbls[n].filter(F.col(col) == _lit(v, n, col))
+                if col in eqs:
+                    raise ValueError(
+                        f"duplicate equality spec for {n!r}.{col!r}"
+                    )
+                eqs[col] = v
+            elif len(bounds) == 2:
+                lo, hi = bounds
+                f = tbls[n]
+                if lo is not None:
+                    f = f.filter(F.col(col) >= _lit(lo, n, col))
+                if hi is not None:
+                    f = f.filter(F.col(col) <= _lit(hi, n, col))
+                tbls[n] = f
+                if n in sts:
+                    sts[n] = apply_filter_to_stats(
+                        sts[n], col, lo=lo, hi=hi
+                    )
+            else:
+                raise ValueError(
+                    f"filter spec for {n!r} must be (col, lo, hi) or "
+                    f"(col, ('=', value)); got {one!r}"
+                )
+        if eqs and n in sts:
+            if len(eqs) == 1:
+                ((col, v),) = eqs.items()
                 sts[n] = apply_filter_to_stats(sts[n], col, eq=v)
-        elif len(bounds) == 2:
-            lo, hi = bounds
-            f = tbls[n]
-            if lo is not None:
-                f = f.filter(F.col(col) >= _lit(lo))
-            if hi is not None:
-                f = f.filter(F.col(col) <= _lit(hi))
-            tbls[n] = f
-            if n in sts:
-                sts[n] = apply_filter_to_stats(sts[n], col, lo=lo, hi=hi)
-        else:
-            raise ValueError(
-                f"filter spec for {n!r} must be (col, lo, hi) or "
-                f"(col, ('=', value)); got {spec!r}"
-            )
+            else:
+                sts[n] = apply_eq_conjunction_to_stats(sts[n], eqs)
     if tables:
         tbls.update(tables)
     if stats:
         sts.update(stats)
+    if probe == "auto" and how.replace("_", "").lower() == "inner":
+        from .plans.stats import estimate_join_rows_validated
+
+        er = {tuple(k): v for k, v in (edge_rows or {}).items()}
+        for e in edges:
+            if tuple(e) in er:
+                continue  # a caller-measured value outranks the probe
+            ln, lc, rn, rc = e
+            rows, source = estimate_join_rows_validated(
+                sts[ln], lc, sts[rn], rc, left=tbls[ln], right=tbls[rn]
+            )
+            if source == "probe":
+                er[tuple(e)] = rows
+        edge_rows = er or None
     return plan_join_tree(
         tbls,
         edges,

@@ -53,7 +53,59 @@ from ..sources.rollup_store import FOLDED_SIDECAR
 from ..tables import load_table
 
 #: partial-aggregate columns in the store, beside the grouping keys
-PARTIAL_COLS = ("cnt", "nval", "sum_dec", "min_value", "max_value")
+PARTIAL_COLS = ("cnt", "nval", "sum_dec", "min_value", "max_value", "qhist")
+
+#: quantile-histogram geometry (round 10): HDR-style base-2 buckets
+#: with QHIST_K sub-buckets per octave. A value maps to ONE long key
+#: (sign-split: even = positive, odd = negative, QHIST_ZERO_KEY = 0),
+#: counts merge by per-key addition — commutative/associative like the
+#: other partials, so any batch split serves the same percentiles. The
+#: bucket representative is the geometric midpoint: relative value
+#: error ≤ 2^(1/(2·QHIST_K)) − 1 ≈ 2.2% at K=16. |value| clamps to
+#: [2^-63, 2^63], so a cell's histogram is HARD-BOUNDED at
+#: ≤ 2·K·126 + 3 ≈ 4k keys however wild the data — metadata-scale
+#: beside the raw feed, which is the whole point: percentiles from the
+#: store without rescanning history.
+QHIST_K = 16
+QHIST_ZERO_KEY = 1 << 60
+_QE_LO, _QE_HI = -1009, 1008
+
+
+def _qhist_key(value) -> F.Column:
+    """Histogram key for one value (NULL and NaN → NULL: excluded,
+    like the other value partials treat missing data)."""
+    v = F.col(value).cast("double") if isinstance(value, str) else value
+    e = F.greatest(
+        F.lit(_QE_LO).cast("double"),
+        F.least(
+            F.lit(_QE_HI).cast("double"),
+            F.floor(F.log2(F.abs(v)) * QHIST_K).cast("double"),
+        ),
+    ).cast("long")
+    return (
+        F.when(v.isNull() | F.isnan(v), F.lit(None).cast("long"))
+        .when(v == 0, F.lit(QHIST_ZERO_KEY))
+        .when(v > 0, 2 * e)
+        .otherwise(2 * e + 1)
+    )
+
+
+def _qhist_rep(key: F.Column) -> F.Column:
+    """Bucket representative (geometric midpoint) for a histogram key —
+    the decode side of :func:`_qhist_key`. Monotone in the true value,
+    so ordering buckets by representative IS value order."""
+    e_pos = key / 2
+    e_neg = (key - 1) / 2
+    return (
+        F.when(key == QHIST_ZERO_KEY, F.lit(0.0))
+        .when(
+            key % 2 == 0,
+            F.pow(F.lit(2.0), (e_pos + 0.5) / F.lit(float(QHIST_K))),
+        )
+        .otherwise(
+            -F.pow(F.lit(2.0), (e_neg + 0.5) / F.lit(float(QHIST_K)))
+        )
+    )
 
 
 def rollup_partials(
@@ -61,18 +113,45 @@ def rollup_partials(
 ) -> DataFrame:
     """Mergeable partials per (time bucket, event_type) — commutative
     and associative, so any batch split of the feed merges to the same
-    totals (sums are exact decimals, not order-dependent doubles)."""
+    totals (sums are exact decimals, not order-dependent doubles).
+    Round 10 adds the ``qhist`` quantile partial (see QHIST_K): a
+    two-level aggregation — per (bucket, type, histogram key) counts,
+    then per (bucket, type) assembly — whose second shuffle moves only
+    cells × occupied-bucket rows, metadata-scale. The final sum casts
+    back to decimal(37,6) so the store schema matches the X30 stream
+    writer's staged files byte-for-byte."""
+    lvl1 = events.groupBy(
+        F.date_trunc(resolution, "ts").alias("bucket_start"),
+        "event_type",
+        _qhist_key("value").alias("_qk"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("value").alias("nval"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
     return (
-        events.groupBy(
-            F.date_trunc(resolution, "ts").alias("bucket_start"),
-            "event_type",
-        )
+        lvl1.groupBy("bucket_start", "event_type")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count("value").alias("nval"),
-            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("nval").alias("nval"),
+            F.sum("sum_dec").cast("decimal(37,6)").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_qk").isNotNull(),
+                            F.struct(
+                                F.col("_qk").alias("key"),
+                                F.col("nval").alias("value"),
+                            ),
+                        )
+                    )
+                )
+            ).alias("qhist"),
         )
         .withColumn("day", F.to_date("bucket_start"))
     )
@@ -184,6 +263,77 @@ def _finalize(merged: DataFrame) -> DataFrame:
     )
 
 
+def _snapshot_parts(
+    spark: SparkSession, store_path: str, snapshot: bool
+) -> DataFrame:
+    """Store partials, optionally snapshot-isolated (X34): only the
+    compacted base plus batches with a durable commit marker."""
+    parts = spark.read.parquet(store_path)
+    if snapshot:
+        from ..sources.rollup_store import committed_epochs
+
+        wm = _folded_watermark(spark, store_path)
+        keep = [-1] + [e for e in committed_epochs(store_path) if e > wm]
+        parts = parts.filter(F.col("batch_id").isin(keep))
+    return parts
+
+
+def rollup_quantiles(
+    spark: SparkSession,
+    store_path: str,
+    qs: list[float],
+    resolution: str = "hour",
+    snapshot: bool = False,
+) -> DataFrame:
+    """Approximate percentiles per (window, event_type) served from the
+    STORED quantile partials alone — never a raw-event rescan, and
+    (like :func:`cascade_rollup`) at any resolution coarser than the
+    stored buckets, because merging histograms is per-key count
+    addition whatever the time grain. Returns
+    ``(window_start, event_type, q, value)`` where ``value`` is the
+    lower quantile's bucket representative: relative error
+    ≤ 2^(1/(2·QHIST_K)) − 1 (≈2.2%), pinned in tests.
+
+    Cost shape: explode moves cells × occupied-bucket rows (hard-capped
+    ~4k per cell), one re-merge shuffle on (window, type, key), one
+    window cumsum over ≤4k rows per cell — all metadata-scale and
+    INDEPENDENT of how many raw events or batch generations the store
+    has absorbed (the SCALE.md row measures exactly that)."""
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be fractions in (0, 1], got {qs!r}")
+    parts = _snapshot_parts(spark, store_path, snapshot)
+    ent = (
+        parts.select(
+            F.date_trunc(resolution, "bucket_start").alias("window_start"),
+            "event_type",
+            F.explode("qhist").alias("qk", "qv"),
+        )
+        .groupBy("window_start", "event_type", "qk")
+        .agg(F.sum("qv").alias("qv"))
+        .withColumn("_v", _qhist_rep(F.col("qk")))
+    )
+    by_cell = Window.partitionBy("window_start", "event_type")
+    ent = ent.withColumn(
+        "_cum", F.sum("qv").over(by_cell.orderBy("_v"))
+    ).withColumn("_tot", F.sum("qv").over(by_cell))
+    return (
+        ent.select(
+            "window_start",
+            "event_type",
+            "_v",
+            "_cum",
+            "_tot",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .filter(F.col("_cum") >= F.col("q") * F.col("_tot"))
+        .groupBy("window_start", "event_type", "q")
+        .agg(F.min("_v").alias("value"))
+        .orderBy("window_start", "event_type", "q")
+    )
+
+
 def read_rollup(
     spark: SparkSession, store_path: str, snapshot: bool = False
 ) -> DataFrame:
@@ -201,15 +351,7 @@ def read_rollup(
     Requires a marker-writing writer (this module's, round 8+);
     unmarked legacy batches would be skipped — use the default
     full read for such stores."""
-    parts = spark.read.parquet(store_path)
-    if snapshot:
-        from ..sources.rollup_store import committed_epochs
-
-        wm = _folded_watermark(spark, store_path)
-        keep = [-1] + [
-            e for e in committed_epochs(store_path) if e > wm
-        ]
-        parts = parts.filter(F.col("batch_id").isin(keep))
+    parts = _snapshot_parts(spark, store_path, snapshot)
     return _finalize(_merge_partials(parts, F.col("bucket_start")))
 
 
@@ -239,17 +381,42 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
         _folded_watermark(spark, store_path),
         int(max_id if max_id is not None else -1),
     )
-    folded = (
-        parts.groupBy("bucket_start", "event_type")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("nval").alias("nval"),
-            F.sum("sum_dec").alias("sum_dec"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+    folded = parts.groupBy("bucket_start", "event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("nval").alias("nval"),
+        F.sum("sum_dec").cast("decimal(37,6)").alias("sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    if "qhist" in parts.columns:
+        # fold the quantile partials too: per-key count addition, then
+        # reassemble one sorted map per cell (cells with no non-null
+        # values keep a NULL map via the left join — same reading as
+        # an absent histogram)
+        qm = (
+            parts.select(
+                "bucket_start", "event_type",
+                F.explode("qhist").alias("qk", "qv"),
+            )
+            .groupBy("bucket_start", "event_type", "qk")
+            .agg(F.sum("qv").alias("qv"))
+            .groupBy("bucket_start", "event_type")
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("qk").alias("key"),
+                                F.col("qv").alias("value"),
+                            )
+                        )
+                    )
+                ).alias("qhist")
+            )
         )
-        .withColumn("day", F.to_date("bucket_start"))
-        .withColumn("batch_id", F.lit(-1))
+        folded = folded.join(qm, ["bucket_start", "event_type"], "left")
+    folded = folded.withColumn("day", F.to_date("bucket_start")).withColumn(
+        "batch_id", F.lit(-1)
     )
     staging = store_path.rstrip("/") + "__compacting"
     (

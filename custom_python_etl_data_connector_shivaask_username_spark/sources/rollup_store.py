@@ -363,8 +363,43 @@ def _writer_classes():
                 import pyarrow.compute as pc
                 import pyarrow.parquet as pq
 
+                from ..operators.rollup import (
+                    QHIST_K,
+                    QHIST_ZERO_KEY,
+                    _QE_HI,
+                    _QE_LO,
+                )
+
+                def qhist_keys(val):
+                    """Arrow twin of operators/rollup._qhist_key — the
+                    SAME closed-form bucket id per value, so stream-
+                    and batch-written histograms merge to identical
+                    percentiles (stream==batch pinned)."""
+                    v = pc.cast(val, pa.float64())
+                    e = pc.floor(
+                        pc.multiply(pc.log2(pc.abs(v)), float(QHIST_K))
+                    )
+                    # clamp BEFORE the int cast: ±inf (from |v| at the
+                    # double extremes / log2(0)) become the edge buckets
+                    e = pc.min_element_wise(
+                        pc.max_element_wise(e, float(_QE_LO)), float(_QE_HI)
+                    )
+                    e = pc.cast(e, pa.int64())
+                    idx = pc.if_else(
+                        pc.greater(v, 0.0),
+                        pc.multiply(e, 2),
+                        pc.add(pc.multiply(e, 2), 1),
+                    )
+                    idx = pc.if_else(
+                        pc.equal(v, 0.0), pa.scalar(QHIST_ZERO_KEY), idx
+                    )
+                    # NaN: excluded like NULL (batch-path convention)
+                    return pc.if_else(pc.is_nan(v), pa.scalar(None, pa.int64()), idx)
+
                 # (bucket_dt, event_type) -> [cnt, nval, sum, min, max]
                 cells: dict[tuple, list] = {}
+                # (bucket_dt, event_type) -> {qhist key -> count}
+                qcells: dict[tuple, dict] = {}
                 # carry the INPUT's timestamp flavor (tz-aware vs ntz)
                 # into the staged files so batch- and stream-written
                 # partials schema-merge on read
@@ -427,6 +462,21 @@ def _writer_classes():
                                     if acc[i] is None
                                     else fn(acc[i], r[f"v_{fn.__name__}"])
                                 )
+                    # quantile-histogram partial: counts per (cell, key)
+                    qk = qhist_keys(val)
+                    gq = (
+                        pa.table(
+                            {"b": bucket, "et": t[self.type_col], "qk": qk}
+                        )
+                        .filter(pc.is_valid(qk))
+                        .group_by(["b", "et", "qk"])
+                        .aggregate([([], "count_all")])
+                    )
+                    for r in gq.to_pylist():
+                        hist = qcells.setdefault((r["b"], r["et"]), {})
+                        hist[r["qk"]] = (
+                            hist.get(r["qk"], 0) + r["count_all"]
+                        )
                 # one staged file per day cell — matches the batch file
                 # schema (sum over decimal(27,6) widens to (37,6))
                 file_schema = pa.schema(
@@ -438,6 +488,7 @@ def _writer_classes():
                         ("sum_dec", pa.decimal128(37, 6)),
                         ("min_value", pa.float64()),
                         ("max_value", pa.float64()),
+                        ("qhist", pa.map_(pa.int64(), pa.int64())),
                     ]
                 )
                 by_day: dict[str, list[dict]] = {}
@@ -451,6 +502,12 @@ def _writer_classes():
                             "sum_dec": acc[2],
                             "min_value": acc[3],
                             "max_value": acc[4],
+                            # sorted entries: deterministic file bytes,
+                            # same order map_from_entries(sort_array())
+                            # produces on the batch path
+                            "qhist": sorted(
+                                qcells.get((bucket_dt, etype), {}).items()
+                            ),
                         }
                     )
                 fs, store = _fs_and_path(self.path)

@@ -413,3 +413,102 @@ def test_snapshot_read_after_compaction_and_new_batches(spark, tmp_path):
         )
     ]
     assert got == want
+
+
+def _planted_feed(spark, n=60_000):
+    """Two hours x three types, values uniform on [-200, 800) with a
+    NULL every 41st row — wide enough for meaningful percentiles."""
+    return spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("id") % 7200).cast("int"))
+        ).alias("ts"),
+        F.concat(F.lit("u"), (F.col("id") % 3).cast("string")).alias(
+            "user_id"
+        ),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        F.when(F.col("id") % 41 == 0, None)
+        .otherwise((F.col("id") % 1000).cast("double") - 200.0)
+        .alias("value"),
+    )
+
+
+def test_quantile_partials_round_trip_and_error_band(spark, tmp_path):
+    """Round 10 (verdict ask #3): the qhist quantile partial survives
+    the store round-trip, merges across any batch split to IDENTICAL
+    percentiles, serves the hour→day cascade without raw rescans, and
+    stays inside the documented relative-error band
+    (2^(1/(2·QHIST_K))−1 ≈ 2.2%, pinned at ≤3% for slack on the
+    interpolating exact comparator)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        rollup_quantiles,
+    )
+
+    ev = _planted_feed(spark)
+    one = str(tmp_path / "one")
+    split = str(tmp_path / "split")
+    refresh_rollup(ev, one, batch_id=0)
+    for i in range(3):  # arbitrary split: partials must merge the same
+        refresh_rollup(ev.filter(F.col("event_id") % 3 == i), split, i)
+    qs = [0.5, 0.9, 0.99]
+    got_one = sorted(
+        map(tuple, rollup_quantiles(spark, one, qs).collect())
+    )
+    got_split = sorted(
+        map(tuple, rollup_quantiles(spark, split, qs).collect())
+    )
+    assert got_one == got_split  # merge-invariance: the partials are real
+    assert got_one, "expected quantile rows"
+
+    exact = {
+        (r["w"], r["event_type"], q): r["v"]
+        for q in qs
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        )
+        .agg(F.expr(f"percentile(value, {q})").alias("v"))
+        .collect()
+    }
+    for w, t, q, v in got_one:
+        e = exact[(w, t, q)]
+        assert abs(v - e) / max(abs(e), 1.0) <= 0.03, (w, t, q, v, e)
+
+    # the cascade: day-resolution quantiles from the same stored
+    # partials equal quantiles of a store built at day grain directly
+    day_store = str(tmp_path / "day")
+    refresh_rollup(ev, day_store, batch_id=0, resolution="day")
+    assert sorted(
+        map(
+            tuple,
+            rollup_quantiles(spark, one, qs, resolution="day").collect(),
+        )
+    ) == sorted(
+        map(tuple, rollup_quantiles(spark, day_store, qs).collect())
+    )
+
+    # compaction folds qhist equivalently, and read_rollup's public
+    # schema is unchanged by the new partial column
+    before = sorted(map(tuple, rollup_quantiles(spark, one, qs).collect()))
+    compact_rollup(spark, one)
+    assert (
+        sorted(map(tuple, rollup_quantiles(spark, one, qs).collect()))
+        == before
+    )
+    assert read_rollup(spark, one).columns == [
+        "window_start",
+        "event_type",
+        "event_count",
+        "total_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    ]
+
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractions"):
+        rollup_quantiles(spark, one, [1.5])

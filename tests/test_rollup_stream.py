@@ -311,3 +311,46 @@ def test_snapshot_read_covers_stream_fed_store(spark, tmp_path):
     )
     assert snap == sorted(map(tuple, read_rollup(spark, store).collect()))
     assert len(snap) > 0
+
+
+def test_stream_and_batch_quantile_partials_agree(spark, tmp_path):
+    """Round 10: the X30 sink's Arrow-built qhist and the batch path's
+    Spark-built qhist use the same closed-form bucket ids — the same
+    slices delivered each way serve IDENTICAL percentiles, and a store
+    fed by BOTH kinds still schema-merges and answers."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        rollup_quantiles,
+    )
+
+    batch_store = str(tmp_path / "batch")
+    stream_store = str(tmp_path / "stream")
+    for i, spec in enumerate(_SLICES):
+        refresh_rollup(_events(spark, spec), batch_store, batch_id=i)
+    w = _mk_writer(stream_store)
+    for i, spec in enumerate(_SLICES):
+        msg = w.write(iter([_arrow_batch(spec)]))
+        w.commit([msg], batchId=i)
+    qs = [0.5, 0.95]
+    got_b = sorted(
+        map(tuple, rollup_quantiles(spark, batch_store, qs).collect())
+    )
+    got_s = sorted(
+        map(tuple, rollup_quantiles(spark, stream_store, qs).collect())
+    )
+    assert got_b == got_s and got_b
+
+    # mixed-fed store: batch delivery + stream delivery, one answer
+    mixed = str(tmp_path / "mixed")
+    refresh_rollup(_events(spark, _SLICES[0]), mixed, batch_id=0)
+    w2 = _mk_writer(mixed)
+    msg = w2.write(iter([_arrow_batch(_SLICES[1] + _SLICES[2])]))
+    w2.commit([msg], batchId=1)
+    union_store = str(tmp_path / "union")
+    refresh_rollup(
+        _events(spark, [r for s in _SLICES for r in s]), union_store, 0
+    )
+    assert sorted(
+        map(tuple, rollup_quantiles(spark, mixed, qs).collect())
+    ) == sorted(
+        map(tuple, rollup_quantiles(spark, union_store, qs).collect())
+    )

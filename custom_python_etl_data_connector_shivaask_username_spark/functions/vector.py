@@ -46,8 +46,15 @@ def normalize(a: Column | str) -> Column:
 
 
 def lit_vector(values) -> Column:
-    """A literal query vector (e.g. collected driver-side)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal query vector (e.g. collected driver-side) as ONE
+    array literal — a single Literal node instead of a CreateArray of
+    dim Literals (round 10: one py4j call instead of dim+1, and a
+    dim-fold smaller expression tree for every analyze/codegen pass
+    that touches it — centroid tables build hundreds of these)."""
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.array()  # F.lit([]) cannot infer an element type
+    return F.lit(vals)
 
 
 # --- int8 quantization (4x storage cut for embedding stores) ------------------

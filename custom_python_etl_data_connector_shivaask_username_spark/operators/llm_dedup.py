@@ -1180,6 +1180,20 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns are normalized to scalars (branch, id_a, id_b, label,
     score, detail) — never an ARRAY cell, which the driver's
     canonicalizer cannot hash.
+
+    Round 10 (sweep-tail fix): this row was the sf1.0 sweep's tail
+    (147 s) — profiled per branch, the cost was NOT the per-branch
+    re-scan the round-9 close guessed (persisting the base frames
+    moved nothing: the branches are compute-bound) but a
+    generator-projection trap in every Lloyd's iteration
+    (`kmeans_centroids`: the centroid-argmax expression re-evaluated
+    per EXPLODED element — fixed at the source, 2.4-4x per trainer)
+    plus per-element literal vectors (`lit_vector`, now one array
+    Literal). Suite wall at sf0.1: 96-102 s → 63-70 s, rows
+    identical. No caching here: a suite-level persist leaks an
+    InMemoryRelation that rewrites every LATER query's plan shape in
+    the same session (measured: exchange-reuse pins break), for no
+    measured gain.
     """
     from .llm_similarity import embedding_near_dup_pairs, q_ann_lsh_topk
 

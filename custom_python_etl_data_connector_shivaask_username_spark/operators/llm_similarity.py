@@ -830,10 +830,16 @@ def kmeans_centroids(
     assign_fn = _nearest_centroid_l2 if metric == "l2" else _nearest_centroid
     centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
     for _ in range(iters):
+        # assign in its OWN projection, explode after: a generator in
+        # the same select re-evaluates sibling expressions per OUTPUT
+        # row, so the n_clusters×dim argmax ran dim× per vector —
+        # measured 12.9 s/iteration vs 0.8 s (assign) + 0.5 s
+        # (explode+agg) separated, at 2k×384 (round 10). Past the
+        # Generate node cid is an attribute, which the optimizer
+        # cannot duplicate back into the post-explode projection.
         assigned = emb.select(
-            assign_fn(F.col(vec_col), centroids).alias("cid"),
-            F.posexplode(vec_col).alias("pos", "v"),
-        )
+            assign_fn(F.col(vec_col), centroids).alias("cid"), vec_col
+        ).select("cid", F.posexplode(vec_col).alias("pos", "v"))
         means = (
             assigned.groupBy("cid", "pos")
             .agg(

@@ -1256,7 +1256,11 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_similarity import pq_encode, pq_topk, pq_train
 
     emb_pq = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb_pq, iters=1)
+    # train_fraction: codebook training on a deterministic quarter
+    # hash-sample — the as-deployed shape the pq_train docstring
+    # prescribes at scale (k=16 centroids/subspace need thousands of
+    # training points, not the corpus); ENCODE stays full-corpus
+    books = pq_train(emb_pq, iters=1, train_fraction=0.25)
     qvec = [
         float(x)
         for x in emb_pq.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -1281,6 +1285,7 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=8,
         coarse_iters=1,
         pq_iters=1,
+        train_fraction=0.25,
     )
     rerank = ivfpq_topk_rerank(
         rr_codes,

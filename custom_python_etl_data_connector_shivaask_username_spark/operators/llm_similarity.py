@@ -1272,8 +1272,19 @@ def ivfpq_build(
         metric="l2",
     )
     residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
+    # round 10: train_fraction reaches the RESIDUAL codebook training
+    # too — it previously bounded only the coarse quantizer, leaving
+    # pq_train's per-iteration join full-corpus, exactly the cost the
+    # parameter exists to bound (encode below stays full-corpus and
+    # map-only, as it must)
     books = pq_train(
-        residuals, m=m, k=k, iters=pq_iters, vec_col=vec_col, id_col=id_col
+        residuals,
+        m=m,
+        k=k,
+        iters=pq_iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        train_fraction=train_fraction,
     )
     codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
     codes_df = residuals.select(id_col, "cell").join(codes, id_col)

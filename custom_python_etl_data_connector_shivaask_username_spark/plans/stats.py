@@ -1448,9 +1448,15 @@ def plan_join_tree(
             # streams unshuffled (inner joins only; this branch is
             # unreachable for outer joins, which take the syntactic
             # fold above). The output inherits the streamed side's
-            # scan partitioning: no reusable hash keys.
+            # SCAN partitioning (a BHJ disturbs nothing), so a
+            # declared bucket key on the streamed table stays a
+            # reusable hash key (round 10 — previously cleared
+            # conservatively, costing a bucketed streamed fact a
+            # phantom re-shuffle on its own key).
             cur = tables[incoming].join(F.broadcast(cur), on=pred)
-            cur_keys = set()
+            cur_keys = {
+                (incoming, c) for c in scan_keys.get(incoming, ())
+            }
         cur_rows = est
         cur_width += width(incoming)
         joined.add(incoming)

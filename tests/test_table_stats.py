@@ -1467,3 +1467,53 @@ def test_plan_join_tree_bushy_three_facts(spark):
         .count()
     )
     assert joined.count() == want
+
+
+def test_plan_join_tree_flip_keeps_streamed_scan_partitioning(spark):
+    """Round 10 (SURVEY §10 candidate): the build-side flip's output
+    inherits the STREAMED side's scan partitioning — a declared bucket
+    key on the streamed table must survive the flip as a reusable hash
+    key, so a later same-key edge is not charged a phantom intermediate
+    re-shuffle. The shared dim d0 merges both facts' components (bushy
+    bails → greedy); the greedy starts at the selective g⋈d0 edge and
+    FLIPS (g streams through broadcast(d0)). Pre-fix the flip cleared
+    cur_keys, the k2-edge was charged a 75k-row re-shuffle, and the
+    smaller-estimate W-edge folded first; post-fix g's declared k2 key
+    survives and the fact folds next."""
+    fact = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("d")
+    )
+    d0 = spark.range(0, 50).select(F.col("id").alias("d0k"))
+    g = spark.range(0, 150_000).select(
+        F.col("id").alias("k2"),
+        (F.col("id") % 100).alias("gd"),
+        F.col("id").alias("w"),
+    )
+    w_tab = spark.range(0, 30_000).select(F.col("id").alias("w2"))
+    tables = {"fact": fact, "d0": d0, "g": g, "W": w_tab}
+    edges = [
+        ("fact", "d", "d0", "d0k"),
+        ("g", "gd", "d0", "d0k"),
+        ("fact", "k", "g", "k2"),
+        ("g", "w", "W", "w2"),
+    ]
+    stats = {n: collect_table_stats(t) for n, t in tables.items()}
+    joined, order = plan_join_tree(
+        tables,
+        edges,
+        stats=stats,
+        broadcast_threshold=1024 * 1024,
+        partitioned_on={"fact": ["k"], "g": ["k2"]},
+    )
+    assert order[:2] == ["d0", "g"], order  # the flip fold happened
+    assert order.index("fact") < order.index("W"), order
+    want = (
+        g.join(d0, F.col("gd") == F.col("d0k"))
+        .join(
+            fact,
+            (F.col("k") == F.col("k2")) & (F.col("d") == F.col("d0k")),
+        )
+        .join(w_tab, F.col("w") == F.col("w2"))
+        .count()
+    )
+    assert joined.count() == want

@@ -160,8 +160,25 @@ def _io_canary(spark, fallback_dir: str) -> dict:
     return {"sec": round(min(runs), 4), "rows": rows, "path": path}
 
 
+def _quiesce_listeners(spark) -> None:
+    """Drain the async listener bus before reading the AppStatusStore:
+    stage-completed events can still be in flight when collect()
+    returns, which would smear the warm run's bytes into the timed
+    window (or drop the last run's). Best-effort — the dev API has
+    shifted signatures across versions; a 200 ms settle is the
+    fallback."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            time.sleep(0.2)
+
+
 def _stage_mark(spark) -> int:
     """Highest stage id the AppStatusStore has seen (−1 when none)."""
+    _quiesce_listeners(spark)
     seq = _stage_list(spark)
     mark = -1
     it = seq.iterator()
@@ -183,8 +200,13 @@ def _stage_list(spark):
 def _exec_metrics_since(spark, mark: int, n_runs: int) -> dict:
     """Shuffle/spill/input bytes per timed run: sum completed-stage
     totals for every stage id > ``mark`` and divide by the run count.
-    Diffing on stage *ids* (not snapshots of cumulative sums) keeps the
-    numbers right even if the store evicts old stages mid-bench."""
+    Id-diffing is immune to eviction of PRE-mark stages; stages inside
+    the window could in principle be evicted on a query spawning more
+    than spark.ui.retainedStages (1000) stages across 5 runs — no
+    suite query comes within an order of magnitude of that, and the
+    listener bus is drained before both reads so in-flight events
+    cannot smear across the window."""
+    _quiesce_listeners(spark)
     sums = {"shuffle_write": 0, "shuffle_read": 0, "spill_mem": 0,
             "spill_disk": 0, "input": 0}
     it = _stage_list(spark).iterator()

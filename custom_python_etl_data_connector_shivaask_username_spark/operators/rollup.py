@@ -66,27 +66,59 @@ PARTIAL_COLS = ("cnt", "nval", "sum_dec", "min_value", "max_value", "qhist")
 #: ≤ 2·K·126 + 3 ≈ 4k keys however wild the data — metadata-scale
 #: beside the raw feed, which is the whole point: percentiles from the
 #: store without rescanning history.
+#:
+#: Determinism contract (round-10 review finding): the key must be the
+#: SAME for the same value in the Spark batch path and the Arrow
+#: stream writer, or stream- and batch-fed stores answer differently
+#: on boundary values. Transcendental parity is impossible (JVM
+#: StrictMath vs libm log2 disagree on 4,765 of 51,205 boundary-
+#: adjacent doubles; ln/ln(2) still on 75 — measured), so the key is
+#: computed WITHOUT trusting a log: exact octave extraction (floor
+#: log2 + one exact power-of-two correction on the Spark side, frexp
+#: on the Arrow side) and the sub-bucket by comparisons against the
+#: 15 SHARED rounded threshold constants 2^(i/16). Every step is
+#: exact IEEE arithmetic (power-of-two scaling, comparisons), so the
+#: engines cannot disagree — pinned by a boundary-scan parity test.
 QHIST_K = 16
 QHIST_ZERO_KEY = 1 << 60
-_QE_LO, _QE_HI = -1009, 1008
+#: |value| clamp: octaves −63..63 (2^±63 are exact doubles)
+QHIST_OCT = 63
+#: sub-bucket thresholds 2^(i/16), i = 1..15 — rounded ONCE here and
+#: shared verbatim by both engines' key computations
+QHIST_THRESHOLDS = tuple(2.0 ** (i / QHIST_K) for i in range(1, QHIST_K))
 
 
 def _qhist_key(value) -> F.Column:
     """Histogram key for one value (NULL and NaN → NULL: excluded,
-    like the other value partials treat missing data)."""
+    like the other value partials treat missing data). See the
+    determinism contract above: octave via floor(log2)+exact
+    correction, sub-bucket via shared threshold comparisons."""
     v = F.col(value).cast("double") if isinstance(value, str) else value
-    e = F.greatest(
-        F.lit(_QE_LO).cast("double"),
-        F.least(
-            F.lit(_QE_HI).cast("double"),
-            F.floor(F.log2(F.abs(v)) * QHIST_K).cast("double"),
-        ),
-    ).cast("long")
+    av = F.least(
+        F.greatest(F.abs(v), F.lit(2.0 ** -QHIST_OCT)),
+        F.lit(2.0 ** QHIST_OCT),
+    )
+    # libm floor(log2) is within ±1 of the true octave; the correction
+    # uses only EXACT ops (pow(2, int) and scaling by a power of two
+    # are exact for normal doubles), so e1/m1 are bit-determined
+    e0 = F.floor(F.log2(av)).cast("int")
+    m0 = av * F.pow(F.lit(2.0), (-e0).cast("double"))
+    e1 = (
+        F.when(m0 >= 2.0, e0 + 1)
+        .when(m0 < 1.0, e0 - 1)
+        .otherwise(e0)
+    )
+    m1 = av * F.pow(F.lit(2.0), (-e1).cast("double"))
+    sub = None
+    for t in QHIST_THRESHOLDS:
+        term = F.when(m1 >= F.lit(t), 1).otherwise(0)
+        sub = term if sub is None else sub + term
+    key16 = (QHIST_K * e1 + sub).cast("long")
     return (
         F.when(v.isNull() | F.isnan(v), F.lit(None).cast("long"))
         .when(v == 0, F.lit(QHIST_ZERO_KEY))
-        .when(v > 0, 2 * e)
-        .otherwise(2 * e + 1)
+        .when(v > 0, 2 * key16)
+        .otherwise(2 * key16 + 1)
     )
 
 
@@ -267,7 +299,12 @@ def _snapshot_parts(
     spark: SparkSession, store_path: str, snapshot: bool
 ) -> DataFrame:
     """Store partials, optionally snapshot-isolated (X34): only the
-    compacted base plus batches with a durable commit marker."""
+    compacted base plus batches with a durable commit marker.
+
+    (Deliberately NO ``mergeSchema``: the store supports mixed
+    timestamp flavors across the batch/stream writers, which strict
+    schema merging refuses; qhist presence is audited per-footer by
+    :func:`_qhist_coverage` instead.)"""
     parts = spark.read.parquet(store_path)
     if snapshot:
         from ..sources.rollup_store import committed_epochs
@@ -276,6 +313,31 @@ def _snapshot_parts(
         keep = [-1] + [e for e in committed_epochs(store_path) if e > wm]
         parts = parts.filter(F.col("batch_id").isin(keep))
     return parts
+
+
+def _qhist_coverage(spark: SparkSession, store_path: str) -> str:
+    """``'all'`` / ``'none'`` / ``'mixed'``: whether the store's data
+    files carry the qhist column — per-FOOTER, because Spark's
+    single-footer schema inference would randomly either hide the
+    column or null it in on a mixed store (round-10 review finding),
+    and strict mergeSchema refuses the timestamp-flavor mix the two
+    writers deliberately support. Driver-side footer reads only;
+    partial stores are cells-scale (compaction bounds the file
+    count)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.rollup_store import _fs_and_path
+
+    files = spark.read.parquet(store_path).inputFiles()
+    have = 0
+    for f in files:
+        fs, local = _fs_and_path(f)
+        with fs.open_input_file(local) as fh:
+            names = pq.ParquetFile(fh).schema_arrow.names
+        have += "qhist" in names
+    if have == len(files):
+        return "all"
+    return "none" if have == 0 else "mixed"
 
 
 def rollup_quantiles(
@@ -303,6 +365,23 @@ def rollup_quantiles(
 
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"qs must be fractions in (0, 1], got {qs!r}")
+    coverage = _qhist_coverage(spark, store_path)
+    if coverage == "none":
+        raise ValueError(
+            f"store {store_path!r} carries no quantile partials "
+            "(written before round 10?) — re-land or compact its "
+            "batches through the current writers to grow `qhist`"
+        )
+    if coverage == "mixed":
+        # percentiles over the partial histogram would silently
+        # exclude the legacy batches' events while cnt/sum cover
+        # everything — refuse loudly instead (round-10 review finding)
+        raise ValueError(
+            f"store {store_path!r} mixes pre-round-10 batches (no "
+            "qhist) with current ones: percentiles would silently "
+            "exclude the legacy events — re-land or re-aggregate "
+            "those batches first"
+        )
     parts = _snapshot_parts(spark, store_path, snapshot)
     ent = (
         parts.select(
@@ -388,7 +467,16 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
-    if "qhist" in parts.columns:
+    # a MIXED store (legacy no-qhist batches beside current ones) must
+    # not bake a silently-partial histogram into the authoritative
+    # batch_id=-1 base: fold qhist only when EVERY data file carries
+    # it (per-footer audit — single-footer schema inference is
+    # unreliable on a mix); otherwise the compacted store degrades to
+    # pre-round-10 semantics and quantile reads raise the clear
+    # no-qhist error instead of answering wrongly (round-10 review
+    # finding)
+    fold_qhist = _qhist_coverage(spark, store_path) == "all"
+    if fold_qhist:
         # fold the quantile partials too: per-key count addition, then
         # reassemble one sorted map per cell (cells with no non-null
         # values keep a NULL map via the left join — same reading as

@@ -250,8 +250,20 @@ def q_partition_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an UNBOUNDED group-by, so a top-k sketch matches it only when k
     # covers every type — deriving k makes that coupling explicit
     # instead of silently depending on the fixture having ≤5 types
-    # (round-9 advisory); one tiny single-column job, pushed scan
+    # (round-9 advisory); one tiny single-column job, pushed scan.
+    # Capped at 64 (round-10 review finding): an unbounded derived k
+    # would scale the Misra-Gries summaries with type cardinality and
+    # quietly turn the bounded-memory sketch into a full GROUP BY —
+    # a fixture that ever exceeds the cap fails HERE, by name, and
+    # the suite's oracle coupling gets revisited rather than the
+    # sketch degenerating
     n_types = ev.select("event_type").distinct().count()
+    if n_types > 64:
+        raise ValueError(
+            f"monitor-suite fixture has {n_types} distinct event types; "
+            "the heavy branch's exact-oracle coupling assumes a bounded "
+            "type domain (<=64) — raise deliberately or split the branch"
+        )
     heavy = heavy_hitters(ev, "event_type", k=n_types).select(
         F.lit("heavy").alias("branch"),
         F.col("item").alias("label"),

@@ -1227,12 +1227,23 @@ def plan_join_tree(
                 cols = list(df.columns)
                 width_sum = sum(width(m) for m in ms)
                 colstats: dict[str, Any] = {}
+                colowner: dict[str, str] = {}
                 for e in cross:
                     for tn, tc in ((e[0], e[1]), (e[2], e[3])):
                         if tn not in ms:
                             continue
-                        if cols.count(tc) != 1 or tc in colstats:
+                        # ambiguous only when the NAME resolves to two
+                        # attributes in this subtree — the same (table,
+                        # column) appearing in two cross edges (shared-
+                        # key fact chains: f1⋈f2 on b, f2⋈f3 on b) is
+                        # one attribute, not a conflict (round-10
+                        # review finding: the old `tc in colstats`
+                        # check made every shared-key chain bail)
+                        if cols.count(tc) != 1 or (
+                            tc in colowner and colowner[tc] != tn
+                        ):
                             ambiguous = True
+                        colowner[tc] = tn
                         cs = stats[tn]["columns"].get(tc)
                         if cs:
                             cs = {
@@ -1264,13 +1275,29 @@ def plan_join_tree(
                     (comp_of[e[0]], e[1], comp_of[e[2]], e[3])
                     for e in cross
                 ]
-                sub_measured = {
-                    (comp_of[e[0]], e[1], comp_of[e[2]], e[3]): measured[
-                        tuple(e)
-                    ]
-                    for e in cross
-                    if tuple(e) in measured
-                }
+                # X41 measurements are BASE-pair cardinalities; the
+                # combine's tables are halo-SHRUNK subtrees, so each
+                # measured edge scales by both ends' surviving
+                # fractions (independence anchored on the measurement
+                # — the same doctrine cand_est applies one-sided; the
+                # recursion's own scaling then sees fraction 1 and
+                # cannot double-pay) (round-10 review finding)
+                sub_measured = {}
+                for e in cross:
+                    if tuple(e) not in measured:
+                        continue
+                    scale = 1.0
+                    for tn in (e[0], e[2]):
+                        base_n = float(
+                            max(1, int(stats[tn]["row_count"] or 1))
+                        )
+                        sub_n = float(
+                            sub_stats[comp_of[tn]]["row_count"]
+                        )
+                        scale *= min(1.0, sub_n / base_n)
+                    sub_measured[
+                        (comp_of[e[0]], e[1], comp_of[e[2]], e[3])
+                    ] = measured[tuple(e)] * scale
                 joined, rec_order = plan_join_tree(
                     sub_tables,
                     sub_edges,

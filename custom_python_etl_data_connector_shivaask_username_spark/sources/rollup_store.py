@@ -363,38 +363,44 @@ def _writer_classes():
                 import pyarrow.compute as pc
                 import pyarrow.parquet as pq
 
+                import numpy as np
+
                 from ..operators.rollup import (
                     QHIST_K,
+                    QHIST_OCT,
+                    QHIST_THRESHOLDS,
                     QHIST_ZERO_KEY,
-                    _QE_HI,
-                    _QE_LO,
                 )
 
+                _thr = np.array(QHIST_THRESHOLDS)
+
                 def qhist_keys(val):
-                    """Arrow twin of operators/rollup._qhist_key — the
-                    SAME closed-form bucket id per value, so stream-
-                    and batch-written histograms merge to identical
-                    percentiles (stream==batch pinned)."""
-                    v = pc.cast(val, pa.float64())
-                    e = pc.floor(
-                        pc.multiply(pc.log2(pc.abs(v)), float(QHIST_K))
+                    """Arrow/numpy twin of operators/rollup._qhist_key
+                    — bit-identical keys by construction (see the
+                    determinism contract there): exact octave via
+                    np.frexp, sub-bucket via the SAME shared threshold
+                    constants; no transcendental ever decides a
+                    bucket, so JVM-vs-libm rounding cannot split a
+                    value across engines."""
+                    v = pc.cast(val, pa.float64()).to_numpy(
+                        zero_copy_only=False
                     )
-                    # clamp BEFORE the int cast: ±inf (from |v| at the
-                    # double extremes / log2(0)) become the edge buckets
-                    e = pc.min_element_wise(
-                        pc.max_element_wise(e, float(_QE_LO)), float(_QE_HI)
+                    valid = ~np.isnan(v)  # nulls surface as NaN here
+                    av = np.clip(
+                        np.abs(np.where(valid, v, 1.0)),
+                        2.0 ** -QHIST_OCT,
+                        2.0 ** QHIST_OCT,
                     )
-                    e = pc.cast(e, pa.int64())
-                    idx = pc.if_else(
-                        pc.greater(v, 0.0),
-                        pc.multiply(e, 2),
-                        pc.add(pc.multiply(e, 2), 1),
+                    frac, ex = np.frexp(av)  # av = frac·2^ex, frac∈[.5,1)
+                    m = frac * 2.0  # exact: power-of-two scaling
+                    e = ex.astype(np.int64) - 1
+                    sub = np.searchsorted(_thr, m, side="right")
+                    key16 = QHIST_K * e + sub
+                    idx = np.where(v > 0, 2 * key16, 2 * key16 + 1)
+                    idx = np.where(v == 0, QHIST_ZERO_KEY, idx)
+                    return pa.array(
+                        idx, pa.int64(), mask=~valid
                     )
-                    idx = pc.if_else(
-                        pc.equal(v, 0.0), pa.scalar(QHIST_ZERO_KEY), idx
-                    )
-                    # NaN: excluded like NULL (batch-path convention)
-                    return pc.if_else(pc.is_nan(v), pa.scalar(None, pa.int64()), idx)
 
                 # (bucket_dt, event_type) -> [cnt, nval, sum, min, max]
                 cells: dict[tuple, list] = {}

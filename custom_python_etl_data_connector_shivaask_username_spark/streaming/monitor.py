@@ -111,6 +111,7 @@ def stream_cells_monitored(
     resolution: str = "hour",
     type_col: str = "event_type",
     k: int = 5,
+    available_now: bool = True,
 ):
     """The monitored twin of `sources.rollup_store.stream_cells`: a
     ``foreachBatch`` loop where each epoch (1) delivers its rollup
@@ -135,8 +136,13 @@ def stream_cells_monitored(
             batch, store_path, int(epoch), spec, ref_cached, type_col, k
         )
 
-    return (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint)
-        .start()
+    w = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
     )
+    # availableNow parity with stream_cells (round-10 review finding):
+    # the default used to be an unbounded ProcessingTime query that
+    # never self-terminates — awaitTermination() could only time out
+    # and the still-running query leaked past the caller
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -512,3 +512,122 @@ def test_quantile_partials_round_trip_and_error_band(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fractions"):
         rollup_quantiles(spark, one, [1.5])
+
+
+def test_qhist_key_cross_engine_parity_on_boundary_doubles(spark):
+    """Round-10 review finding made a pin: the Spark and numpy/Arrow
+    qhist key computations must agree BIT-EXACTLY — transcendental
+    formulas measurably do not (JVM vs libm log2 disagreed on 4,765 of
+    51,205 boundary-adjacent doubles), which is why the key is derived
+    from exact octave extraction + shared threshold comparisons. This
+    scans doubles within a few ulps of every bucket boundary 2^(i/16)
+    plus randoms, zeros, and extremes."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        QHIST_K,
+        QHIST_OCT,
+        QHIST_THRESHOLDS,
+        QHIST_ZERO_KEY,
+        _qhist_key,
+    )
+
+    cands = []
+    for m in range(-1024, 1025, 1):  # boundaries across ±64 octaves
+        t = 2.0 ** (m / 16.0)
+        x = t
+        for _ in range(2):
+            x = np.nextafter(x, -np.inf)
+        for _ in range(4):
+            cands.append(float(x))
+            cands.append(float(-x))
+            x = np.nextafter(x, np.inf)
+    rng = np.random.default_rng(7)
+    cands += [float(x) for x in rng.uniform(-1e9, 1e9, 4000)]
+    cands += [0.0, -0.0, 1e300, -1e300, 1e-300, 5e-324]
+    cands = sorted(set(cands))
+
+    df = spark.createDataFrame([(v,) for v in cands], "v double")
+    spark_keys = {
+        r["v"]: r["k"]
+        for r in df.select("v", _qhist_key("v").alias("k")).collect()
+    }
+    thr = np.array(QHIST_THRESHOLDS)
+    v = np.array(cands)
+    av = np.clip(np.abs(v), 2.0 ** -QHIST_OCT, 2.0 ** QHIST_OCT)
+    frac, ex = np.frexp(av)
+    key16 = QHIST_K * (ex.astype(np.int64) - 1) + np.searchsorted(
+        thr, frac * 2.0, side="right"
+    )
+    idx = np.where(v > 0, 2 * key16, 2 * key16 + 1)
+    idx = np.where(v == 0, QHIST_ZERO_KEY, idx)
+    bad = [
+        (float(vv), spark_keys[float(vv)], int(ii))
+        for vv, ii in zip(v, idx)
+        if spark_keys[float(vv)] != int(ii)
+    ]
+    assert bad == [], bad[:5]
+
+
+def test_mixed_legacy_store_refused_and_compaction_degrades(spark, tmp_path):
+    """Round-10 review finding: a store mixing pre-qhist (legacy)
+    batches with current ones must not silently serve percentiles that
+    exclude the legacy events. rollup_quantiles refuses loudly;
+    compact_rollup folds counts/sums correctly but DROPS the partial
+    histogram (the compacted store degrades to pre-round-10 semantics
+    and quantile reads keep raising a clear error); read_rollup is
+    unaffected throughout."""
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        rollup_partials,
+        rollup_quantiles,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        overwrite_partitions,
+    )
+
+    store = str(tmp_path / "mixed")
+    ev = _planted_feed(spark, 5_000)
+    # a "legacy" delivery: identical partials minus the qhist column
+    legacy = (
+        rollup_partials(ev.filter(F.col("event_id") % 2 == 0))
+        .drop("qhist")
+        .withColumn("batch_id", F.lit(0))
+    )
+    overwrite_partitions(legacy, store, ["day", "batch_id"])
+    refresh_rollup(ev.filter(F.col("event_id") % 2 == 1), store, 1)
+
+    with _pytest.raises(ValueError, match="mixes pre-round-10"):
+        rollup_quantiles(spark, store, [0.5])
+    # counts/sums are unaffected by the mix
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_rollup(spark, store)
+            .select("window_start", "event_type", "event_count")
+            .collect(),
+        )
+    )
+    assert got == want
+    compact_rollup(spark, store)
+    assert "qhist" not in spark.read.parquet(store).columns
+    with _pytest.raises(ValueError, match="no quantile partials"):
+        rollup_quantiles(spark, store, [0.5])
+    got2 = sorted(
+        map(
+            tuple,
+            read_rollup(spark, store)
+            .select("window_start", "event_type", "event_count")
+            .collect(),
+        )
+    )
+    assert got2 == want

@@ -1458,6 +1458,13 @@ def test_plan_join_tree_bushy_three_facts(spark):
         tables, edges, stats=stats, broadcast_threshold=4 * 1024 * 1024
     )
     assert sorted(order) == sorted(tables)
+    # the bushy rung FIRED (round-10 review finding: the old ambiguity
+    # check false-positived on f2 owning "b" in two cross edges and
+    # silently fell back to the greedy, making this pin vacuous):
+    # spliced subtree orders keep each fact's halo dim immediately
+    # after its fact
+    for fact, dim in (("f1", "da"), ("f2", "db"), ("f3", "dc")):
+        assert order.index(dim) == order.index(fact) + 1, order
     want = (
         f1.join(da, F.col("ad") == F.col("adk"))
         .join(f2, F.col("a") == F.col("b"))

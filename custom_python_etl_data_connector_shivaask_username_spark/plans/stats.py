@@ -540,11 +540,22 @@ def estimate_range_rows(
             overlap = min(qhi, bhi) - max(qlo, blo)
             if overlap > 0:
                 est += rpb * min(1.0, overlap / span)
-        if est == 0.0 and qlo == qhi:
-            # point query inside one continuous bucket: rows-per-value
+
+        def point(x: float) -> float:
+            # rows-per-value for a value inside a continuous bucket —
+            # the equality model (a value the stats cannot rule out)
             ndv = float(cstat.get("ndv") or n)
-            est = rpb / max(1.0, ndv / (len(bounds) - 1))
-        return est
+            return rpb / max(1.0, ndv / (len(bounds) - 1))
+
+        # containment monotonicity (hypothesis-found, round 10): the
+        # uniform-mass model can assign a RANGE less than the equality
+        # model assigns a single value inside it (narrow range at a
+        # bucket edge vs the point fallback). Lifting the estimate to
+        # its endpoints' point-estimates restores est(A) ≤ est(B) for
+        # A ⊆ B: a point-estimate is bucket-constant, and any bucket
+        # B partially covers contains one of B's endpoints, while a
+        # fully-covered bucket contributes its whole rpb ≥ the point.
+        return max(est, point(qlo), point(qhi))
     qlo = hist["lo"] if lo is None else _axis_value(lo, kind)
     qhi = hist["hi"] if hi is None else _axis_value(hi, kind)
     qlo, qhi = max(qlo, hist["lo"]), min(qhi, hist["hi"])

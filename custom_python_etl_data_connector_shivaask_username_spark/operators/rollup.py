@@ -240,6 +240,7 @@ def refresh_rollup(
     overwrite if the runtime lacks the Python Data Source API."""
     if batch_id <= _folded_watermark(batch.sparkSession, store_path):
         return  # this delivery's rows already live in the compacted base
+    record_resolution(batch.sparkSession, store_path, resolution)
     pcols = ["day", "batch_id"]
     parts = rollup_partials(batch, resolution).withColumn(
         "batch_id", F.lit(batch_id)
@@ -315,29 +316,138 @@ def _snapshot_parts(
     return parts
 
 
-def _qhist_coverage(spark: SparkSession, store_path: str) -> str:
+#: per-file footer verdicts ("does this data file carry qhist?") —
+#: store files are immutable by NAME (both writers land uuid-staged
+#: part files; replacement is delete-then-move of a fresh name), so a
+#: path's verdict never goes stale and repeated quantile calls audit a
+#: generation's footers exactly once (round-10 advisory). Tiny strings;
+#: bounded by files ever audited in the session.
+_QHIST_FOOTER_CACHE: dict[str, bool] = {}
+
+
+def _file_batch_id(path: str) -> int | None:
+    """The ``batch_id=<n>`` partition a data file lives under, parsed
+    from its Hive-style path; None when the component is absent."""
+    for part in path.split("/"):
+        if part.startswith("batch_id="):
+            try:
+                return int(part[len("batch_id="):])
+            except ValueError:
+                return None
+    return None
+
+
+def _qhist_coverage(
+    spark: SparkSession, store_path: str, snapshot: bool = False
+) -> str:
     """``'all'`` / ``'none'`` / ``'mixed'``: whether the store's data
     files carry the qhist column — per-FOOTER, because Spark's
     single-footer schema inference would randomly either hide the
     column or null it in on a mixed store (round-10 review finding),
     and strict mergeSchema refuses the timestamp-flavor mix the two
     writers deliberately support. Driver-side footer reads only;
-    partial stores are cells-scale (compaction bounds the file
-    count)."""
+    partial stores are cells-scale (compaction bounds the file count),
+    and verdicts are cached per immutable file path so repeated calls
+    re-list but never re-open footers.
+
+    ``snapshot=True`` audits exactly the files a snapshot read serves
+    (the compacted base + committed epochs past the folded watermark,
+    the `_snapshot_parts` visibility rule): an uncommitted or torn
+    legacy delivery must not block quantile reads over a snapshot that
+    never serves its rows (round-10 advisory)."""
     import pyarrow.parquet as pq
 
-    from ..sources.rollup_store import _fs_and_path
+    from ..sources.rollup_store import _fs_and_path, committed_epochs
 
     files = spark.read.parquet(store_path).inputFiles()
+    if snapshot:
+        wm = _folded_watermark(spark, store_path)
+        keep = {-1} | {e for e in committed_epochs(store_path) if e > wm}
+        files = [f for f in files if _file_batch_id(f) in keep]
     have = 0
     for f in files:
-        fs, local = _fs_and_path(f)
-        with fs.open_input_file(local) as fh:
-            names = pq.ParquetFile(fh).schema_arrow.names
-        have += "qhist" in names
+        if f not in _QHIST_FOOTER_CACHE:
+            fs, local = _fs_and_path(f)
+            with fs.open_input_file(local) as fh:
+                names = pq.ParquetFile(fh).schema_arrow.names
+            _QHIST_FOOTER_CACHE[f] = "qhist" in names
+        have += _QHIST_FOOTER_CACHE[f]
     if have == len(files):
         return "all"
     return "none" if have == 0 else "mixed"
+
+
+#: underscore prefix → invisible to the parquet reader; records the
+#: time grain the store's buckets were aggregated at, written by both
+#: writers (refresh_rollup and the X30 stream_cells sink) and preserved
+#: across compaction. Exists so serving calls can refuse a FINER
+#: resolution than the store carries — stored hour buckets are
+#: minute-aligned too, so the mistake is undetectable from the data
+#: alone and used to silently return stored-grain windows labeled as
+#: finer ones (round-10 advisory).
+RESOLUTION_SIDECAR = "_resolution.json"
+
+#: date_trunc grains orderable for the finer-than check; synonyms
+#: outside this map skip validation rather than guess
+_RESOLUTION_RANK = {
+    "microsecond": 0,
+    "millisecond": 1,
+    "second": 2,
+    "minute": 3,
+    "hour": 4,
+    "day": 5,
+    "week": 6,
+    "month": 7,
+    "quarter": 8,
+    "year": 9,
+}
+
+
+def _resolution_sidecar_path(store_path: str) -> str:
+    return f"{store_path.rstrip('/')}/{RESOLUTION_SIDECAR}"
+
+
+def stored_resolution(spark: SparkSession, store_path: str) -> str | None:
+    """The grain the store was aggregated at; None on a pre-round-11
+    store that never recorded one (validation then skips — the old
+    caller-beware behavior, documented)."""
+    raw = fs_read_text(spark, _resolution_sidecar_path(store_path))
+    return None if raw is None else json.loads(raw)["resolution"]
+
+
+def record_resolution(
+    spark: SparkSession, store_path: str, resolution: str
+) -> None:
+    """Record (or verify) the store's grain. A store fed at two
+    different grains would serve meaningless merges — refuse loudly."""
+    have = stored_resolution(spark, store_path)
+    if have is None:
+        fs_write_text(
+            spark,
+            _resolution_sidecar_path(store_path),
+            json.dumps({"resolution": resolution}),
+        )
+    elif have != resolution:
+        raise ValueError(
+            f"store {store_path!r} was built at {have!r} grain; "
+            f"refusing a {resolution!r} delivery into it"
+        )
+
+
+def _check_serving_resolution(
+    spark: SparkSession, store_path: str, resolution: str
+) -> None:
+    """Raise when a serving call asks for a grain FINER than the store
+    buckets — the merge math only goes coarser (round-10 advisory)."""
+    have = stored_resolution(spark, store_path)
+    want_rank = _RESOLUTION_RANK.get(resolution.lower())
+    have_rank = None if have is None else _RESOLUTION_RANK.get(have.lower())
+    if want_rank is not None and have_rank is not None and want_rank < have_rank:
+        raise ValueError(
+            f"store {store_path!r} holds {have!r}-grain buckets; "
+            f"resolution={resolution!r} is finer — stored partials can "
+            "only merge to a coarser (or equal) grain"
+        )
 
 
 def rollup_quantiles(
@@ -365,7 +475,8 @@ def rollup_quantiles(
 
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"qs must be fractions in (0, 1], got {qs!r}")
-    coverage = _qhist_coverage(spark, store_path)
+    _check_serving_resolution(spark, store_path, resolution)
+    coverage = _qhist_coverage(spark, store_path, snapshot=snapshot)
     if coverage == "none":
         raise ValueError(
             f"store {store_path!r} carries no quantile partials "
@@ -440,6 +551,7 @@ def cascade_rollup(
     """Coarser resolution from the stored partials alone (the
     continuous-aggregate cascade): re-bucket ``bucket_start`` and
     merge — never a raw-event scan."""
+    _check_serving_resolution(spark, store_path, resolution)
     parts = spark.read.parquet(store_path)
     return _finalize(
         _merge_partials(parts, F.date_trunc(resolution, "bucket_start"))
@@ -518,6 +630,15 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
         _sidecar_path(staging),
         json.dumps({"max_folded_batch_id": watermark}),
     )
+    # the grain sidecar survives the swap (compaction changes file
+    # layout, never the bucket grain)
+    res = stored_resolution(spark, store_path)
+    if res is not None:
+        fs_write_text(
+            spark,
+            _resolution_sidecar_path(staging),
+            json.dumps({"resolution": res}),
+        )
     atomic_swap(spark, staging, store_path)
 
 

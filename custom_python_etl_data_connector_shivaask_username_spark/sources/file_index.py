@@ -257,8 +257,14 @@ def refresh_file_index(
     deliberately-subset index stays a subset, and an index whose first
     build hit empty listings or min/max-less footers never permanently
     narrows; pre-round-10 indexes fall back to the union over existing
-    entries. ``current`` lets a caller that already read the
-    sidecar (the writer hook) skip a second multi-MB JSON read."""
+    entries. An explicit ``columns`` argument stats THIS call's new
+    files on that subset but does NOT overwrite the persisted key
+    (round-10 advisory: a one-off narrow refresh used to permanently
+    narrow every future refresh — the inverse of the round-9
+    foot-gun); changing the tracked subset requires an explicit
+    rebuild (:func:`build_file_index`). ``current`` lets a caller that
+    already read the sidecar (the writer hook) skip a second multi-MB
+    JSON read."""
     if current is None:
         current = read_file_index(spark, path)
     if current is None:
@@ -267,26 +273,26 @@ def refresh_file_index(
     kept = [e for e in current.get("files", []) if e["file"] in files]
     known = {e["file"] for e in kept}
     new = sorted(files - known)
-    # the intended subset: an explicit argument wins; else the subset
-    # persisted at build time (None = all — present-but-None is a real
-    # answer); else (pre-round-10 index) the union over entries
-    if columns is not None:
-        cols = columns
-    elif "columns" in current:
-        cols = current["columns"]
+    # the build-time subset stays authoritative: persisted key when
+    # present (None = all — present-but-None is a real answer), else
+    # (pre-round-10 index) the union over entries. An explicit argument
+    # affects only THIS call's footer reads, never the persisted key.
+    if "columns" in current:
+        persisted = current["columns"]
     else:
-        cols = _indexed_columns(current)
+        persisted = _indexed_columns(current)
+    stat_cols = columns if columns is not None else persisted
     if new:
         sc = spark.sparkContext
         slices = min(len(new), sc.defaultParallelism)
         kept += (
             sc.parallelize(new, slices)
-            .mapPartitions(lambda it: _footer_stats(list(it), cols))
+            .mapPartitions(lambda it: _footer_stats(list(it), stat_cols))
             .collect()
         )
     index = {
         "table": path,
-        "columns": cols,
+        "columns": persisted,
         "files": sorted(kept, key=lambda e: e["file"]),
     }
     if write:

@@ -656,6 +656,13 @@ def stream_cells(
         return None
     if _writer_classes()["stream_writer"] is None:  # pragma: no cover
         return None
+    # record (or verify) the store's bucket grain before the first
+    # epoch lands — serving calls refuse finer-than-stored resolutions
+    # against it (round-10 advisory; lazy import: operators.rollup
+    # imports this module at top level)
+    from ..operators.rollup import record_resolution
+
+    record_resolution(spark, path, resolution)
     w = (
         events.writeStream.format(FORMAT_NAME)
         .option(OPT_PATH, path)

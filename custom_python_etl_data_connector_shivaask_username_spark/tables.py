@@ -270,7 +270,12 @@ def plan_star_join(
     the models for that edge. When the models agree the path stays
     completely scan-free — the probe is the insurance premium, paid
     only on the joins per-table statistics demonstrably cannot
-    settle. Returns ``(joined DataFrame, planner-chosen order)``."""
+    settle. Preconditions (round-10 advisory, loud instead of silent):
+    probing arbitrates histogram-vs-Selinger disagreement, so it fires
+    only on edges where BOTH key columns carry histograms (others keep
+    their model estimate), and it is inner-join-only — requesting it
+    with any other ``how`` raises rather than no-op'ing. Returns
+    ``(joined DataFrame, planner-chosen order)``."""
     from pyspark.sql import functions as F
 
     from .plans.column_groups import apply_eq_conjunction_to_stats
@@ -278,6 +283,13 @@ def plan_star_join(
 
     if probe not in (None, "auto"):
         raise ValueError(f"probe must be None or 'auto', got {probe!r}")
+    if probe == "auto" and how.replace("_", "").lower() != "inner":
+        # silent no-op would let a caller believe the join was probed
+        # (round-10 advisory): the X41 probe semantics are defined for
+        # inner equi-joins only
+        raise ValueError(
+            f"probe='auto' supports inner joins only, got how={how!r}"
+        )
     names = {t for e in edges for t in (e[0], e[2])}
     tbls = {
         n: load_table(spark, sf_dir, n)

@@ -430,3 +430,38 @@ def test_intended_column_subset_persists_across_refresh(spark, tmp_path):
     assert b1["columns"] == [] and all(
         e["columns"] == {} for e in b1["files"]
     )
+
+
+def test_one_off_narrow_refresh_does_not_narrow_the_index(spark, tmp_path):
+    """Round-10 advisory (the inverse of the round-9 trap): an explicit
+    per-call `columns` argument to refresh_file_index stats THAT call's
+    new files on the narrow subset but must NOT overwrite the persisted
+    `columns` key — a later default refresh tracks the build-time
+    subset again. Pre-fix, one narrow refresh permanently narrowed all
+    future refreshes."""
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.file_index import (
+        refresh_file_index,
+    )
+
+    path = str(tmp_path / "narrowing")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("value"), (F.col("id") % 7).alias("other")
+    )
+    mk(0, 1_000).write.parquet(path)
+    idx = build_file_index(spark, path)  # columns=None -> track all
+    assert idx["columns"] is None
+
+    mk(5_000, 5_100).write.mode("append").parquet(path)
+    narrow = refresh_file_index(spark, path, columns=["value"])
+    # this call's new entries are narrow, the persisted intent is not
+    assert narrow["columns"] is None
+
+    mk(9_000, 9_100).write.mode("append").parquet(path)
+    after = refresh_file_index(spark, path)
+    assert after["columns"] is None
+    # the newest files are statted on the FULL subset again
+    known_narrow = {e["file"] for e in narrow["files"]}
+    newest = [e for e in after["files"] if e["file"] not in known_narrow]
+    assert newest and all(
+        {"value", "other"} <= set(e["columns"]) for e in newest
+    )

@@ -7,6 +7,8 @@ import datetime as dt
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
@@ -486,8 +488,23 @@ def test_quantile_partials_round_trip_and_error_band(spark, tmp_path):
             rollup_quantiles(spark, one, qs, resolution="day").collect(),
         )
     ) == sorted(
-        map(tuple, rollup_quantiles(spark, day_store, qs).collect())
+        map(
+            tuple,
+            rollup_quantiles(
+                spark, day_store, qs, resolution="day"
+            ).collect(),
+        )
     )
+    # round 11 (advisory): serving FINER than the stored grain used to
+    # silently return stored-grain windows labeled as finer ones — the
+    # default resolution="hour" on this day-grain store now refuses
+    with pytest.raises(ValueError, match="finer"):
+        rollup_quantiles(spark, day_store, qs)
+    with pytest.raises(ValueError, match="finer"):
+        cascade_rollup(spark, day_store, resolution="minute").collect()
+    # refusing a mixed-grain delivery into an existing store
+    with pytest.raises(ValueError, match="grain"):
+        refresh_rollup(ev, day_store, batch_id=99, resolution="hour")
 
     # compaction folds qhist equivalently, and read_rollup's public
     # schema is unchanged by the new partial column
@@ -631,3 +648,53 @@ def test_mixed_legacy_store_refused_and_compaction_degrades(spark, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_snapshot_quantiles_ignore_uncommitted_legacy_delivery(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 (advisory): the qhist coverage audit is scoped to the
+    SNAPSHOT-VISIBLE file set when snapshot=True — an uncommitted (torn)
+    legacy no-qhist delivery must not permanently block snapshot
+    quantile reads whose rows it never serves. Pre-fix, the audit read
+    every data file and refused 'mixed'. Also pins the per-file footer
+    cache: a second call must not re-open any footer (file paths are
+    immutable in this store's write protocols)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators import rollup as R
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        rollup_quantiles,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [(1, 10, 0, "view", float(v)) for v in range(20)]
+    refresh_rollup(_events(spark, rows), store, batch_id=0)  # committed
+
+    # a torn LEGACY delivery: pre-round-10 partials (no qhist column)
+    # appended under batch_id=7 with NO _commits/7 marker
+    legacy = (
+        rollup_partials(_events(spark, [(2, 9, 0, "view", 5.0)]))
+        .drop("qhist")
+        .withColumn("batch_id", F.lit(7))
+    )
+    legacy.write.mode("append").partitionBy("day", "batch_id").parquet(store)
+
+    # full-store audit still refuses loudly (cnt/sum would cover the
+    # legacy rows but the histogram would exclude them)
+    with pytest.raises(ValueError, match="mixes"):
+        rollup_quantiles(spark, store, [0.5])
+    # the snapshot never serves batch 7 (no marker) -> quantiles serve
+    got = rollup_quantiles(spark, store, [0.5], snapshot=True).collect()
+    assert got, "snapshot quantiles should serve the committed batch"
+
+    # footer-cache pin: poison the footer parser; the re-audit must
+    # succeed purely from the per-path cache (no footer re-parses —
+    # the cache check precedes the open in _qhist_coverage)
+    import pyarrow.parquet as pq
+
+    def boom(*a, **k):
+        raise AssertionError("footer re-parsed despite cache")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    got2 = rollup_quantiles(spark, store, [0.5], snapshot=True).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+    assert R._QHIST_FOOTER_CACHE  # the cache is the mechanism

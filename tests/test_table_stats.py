@@ -1130,6 +1130,10 @@ def test_plan_star_join_declarative_filters(spark, sf_dir):
             spark, sf_dir, edges,
             filters={"orders": ("o_orderdate", (">", cutoff))},
         )
+    # round-10 advisory: probe='auto' with a non-inner how used to be a
+    # silent no-op — the caller believed the join was probed
+    with pytest.raises(ValueError, match="inner joins only"):
+        plan_star_join(spark, sf_dir, edges, how="left", probe="auto")
 
 
 def test_plan_join_tree_exchange_aware_chain_ordering(spark):

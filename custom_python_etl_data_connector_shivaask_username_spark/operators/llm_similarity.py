@@ -112,10 +112,95 @@ ORDER BY label, vec_a, vec_b
 MAX_LABEL_BLOCK = 10_000
 
 
+#: rows per GEMM slab inside the Arrow pair kernel: bounds the score
+#: matrix a task holds at slab × max_block doubles (2048 × 10k × 8 B ≈
+#: 160 MB) however large the block, without changing results
+_GEMM_SLAB = 2048
+
+#: in-kernel candidate slack below the threshold: the kernel filters on
+#: the RAW cosine, the JVM applies the authoritative round-then-compare
+#: membership. Spark's round (shortest-decimal HALF_UP) can lift a raw
+#: value by at most 5e-7 + repr slack, so keeping raw ≥ threshold − 1e-6
+#: provably loses no member pair while shipping only ~the members back
+#: through Arrow
+_GEMM_SLACK = 1e-6
+
+
+def _gemm_pairs_fn(threshold: float):
+    """Per-block all-pairs cosine as a normalized matrix product —
+    the BLAS kernel behind ``kernel="arrow"`` (round-11 verdict ask #1:
+    ~205M per-pair zip_with folds were the wrong tool for dense linear
+    algebra; the topology — label blocking, sub-block LSH — is
+    unchanged). Pairs are emitted with the RAW double cosine; rounding
+    and threshold membership stay JVM-side so the decision semantics
+    are bit-identical to the HOF form's `F.round` (numpy's half-even
+    round on binary expansions is NOT Spark's shortest-decimal HALF_UP).
+
+    Semantics parity with the HOF form, edge for edge: NULL embeddings
+    drop (their HOF cosine is NULL), mixed-dimension pairs drop (HOF
+    zip_with null-pads → NULL), zero-norm vectors drop (0/0 → NaN fails
+    the threshold), and ``vec_a < vec_b`` comes from sorting the block
+    by vec_id and taking the strict upper triangle."""
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"label": [], "vec_a": [], "vec_b": [], "raw_sim": []}
+        )
+        pdf = pdf[pdf["embedding"].notna()]
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        out_a, out_b, out_s = [], [], []
+        # one GEMM per embedding dimension present: cross-dimension
+        # pairs are NULL under the HOF form and simply absent here
+        for _dim, sub in pdf.groupby(
+            pdf["embedding"].map(len), sort=False
+        ):
+            n = len(sub)
+            if n < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            M = np.array(
+                [np.asarray(e, dtype=np.float64) for e in sub["embedding"]]
+            )
+            norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for lo in range(0, n, _GEMM_SLAB):
+                    hi = min(lo + _GEMM_SLAB, n)
+                    S = (M[lo:hi] @ M.T) / np.outer(
+                        norms[lo:hi], norms
+                    )
+                    # strict upper triangle (j > i, global indices)
+                    cols = np.arange(n)[None, :]
+                    rows_g = np.arange(lo, hi)[:, None]
+                    keep = (cols > rows_g) & (S >= threshold - _GEMM_SLACK)
+                    ii, jj = np.nonzero(keep)
+                    if len(ii):
+                        out_a.append(ids[ii + lo])
+                        out_b.append(ids[jj])
+                        out_s.append(S[ii, jj])
+        if not out_a:
+            return empty
+        lab = pdf["label"].iloc[0]
+        a = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "label": np.full(len(a), lab),
+                "vec_a": a,
+                "vec_b": np.concatenate(out_b),
+                "raw_sim": np.concatenate(out_s),
+            }
+        )
+
+    return fn
+
+
 def similar_pairs_within_label_df(
     emb: DataFrame,
     threshold: float = PAIR_THRESHOLD,
     max_block: int = MAX_LABEL_BLOCK,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """L4 blocked pair join with a big-block skew guard.
 
@@ -128,12 +213,47 @@ def similar_pairs_within_label_df(
     recall on planted dups pinned in tests). Membership is decided on
     the ROUNDED cosine so engines agree at the threshold boundary.
 
+    ``kernel`` picks the per-pair compute (round-11 verdict ask #1;
+    topology identical either way):
+
+    - ``"arrow"`` (default): per-block normalized matrix product in an
+      `applyInPandas` kernel — dense all-pairs cosine is a GEMM, and
+      BLAS does in milliseconds what ~n²/2 64-element codegen folds do
+      in seconds (measured 206 s → see SCALE.md round-11 row at
+      sf1.0). Raw scores come back; rounding + threshold membership
+      stay JVM-side (`F.round` semantics), so the two kernels agree —
+      pinned pair-for-pair on the fixture and on planted boundary data.
+    - ``"hof"``: the round-7 zip_with/aggregate fold form, kept as the
+      equivalence baseline and for Arrow-less runtimes.
+
     The per-label row counts are a tiny broadcast (distinct labels ≪
     corpus), so routing adds no corpus-scale shuffle; both branches
     share the one label-keyed exchange geometry.
     """
+    if kernel not in ("arrow", "hof"):
+        raise ValueError(f"kernel must be 'arrow' or 'hof', got {kernel!r}")
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
     base = emb.join(F.broadcast(counts), "label")
+
+    def pair_gemm(side: DataFrame, extra_keys: list[str]) -> DataFrame:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField("label", side.schema["label"].dataType),
+                StructField("vec_a", side.schema["vec_id"].dataType),
+                StructField("vec_b", side.schema["vec_id"].dataType),
+                StructField("raw_sim", DoubleType()),
+            ]
+        )
+        return (
+            side.select("label", *extra_keys, "vec_id", "embedding")
+            .groupBy("label", *extra_keys)
+            .applyInPandas(_gemm_pairs_fn(threshold), out_schema)
+            .withColumn("cos_sim", F.round(F.col("raw_sim"), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("label", "vec_a", "vec_b", "cos_sim")
+        )
 
     def pair_join(side: DataFrame, extra_keys: list[str]) -> DataFrame:
         # per-ROW norms computed BEFORE the join: cosine(a,b) expands to
@@ -164,13 +284,21 @@ def similar_pairs_within_label_df(
         )
         for k in extra_keys:
             cond = cond & (F.col(k) == F.col(f"{k}_b"))
+        # zero-norm guard (round 11, found by the kernel-parity pin):
+        # Spark 4's ANSI mode raises DIVIDE_BY_ZERO on double division,
+        # so one all-zero vector used to crash the whole query; NULL
+        # cosine drops the pair instead — same outcome as the Arrow
+        # kernel's NaN-drop and the pre-ANSI NaN semantics
+        denom = F.col("norm_a") * F.col("norm_b")
         return (
             a.join(b, cond)
             .withColumn(
                 "cos_sim",
                 F.round(
-                    dot(F.col("emb_a"), F.col("emb_b"))
-                    / (F.col("norm_a") * F.col("norm_b")),
+                    F.when(
+                        denom != 0.0,
+                        dot(F.col("emb_a"), F.col("emb_b")) / denom,
+                    ),
                     6,
                 ),
             )
@@ -178,7 +306,8 @@ def similar_pairs_within_label_df(
             .select("label", "vec_a", "vec_b", "cos_sim")
         )
 
-    small = pair_join(base.filter(F.col("_n") <= max_block), [])
+    pairs = pair_gemm if kernel == "arrow" else pair_join
+    small = pairs(base.filter(F.col("_n") <= max_block), [])
     # sub-block planes must match the ACTUAL embedding dimension — the
     # pinned 64-dim planes null-pad any other width and collapse every
     # row into bucket 0, silently voiding the max_block bound (round-6
@@ -189,7 +318,7 @@ def similar_pairs_within_label_df(
         .first()
     )
     planes = planes_for_dim(dim_row["d"]) if dim_row else None
-    big = pair_join(
+    big = pairs(
         base.filter(F.col("_n") > max_block).withColumn(
             "bucket", lsh_bucket(F.col("embedding"), planes)
         ),

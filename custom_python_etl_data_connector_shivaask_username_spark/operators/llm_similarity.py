@@ -1286,34 +1286,142 @@ def pq_train(
     return books
 
 
+#: raw-score gap below which the Arrow encoder falls back to the exact
+#: JVM-semantics assignment for that row: Spark's form rounds every
+#: score to 9 decimals before the argmax, rounding moves a double by
+#: < 1e-9, and the two engines' raw scores differ by ~1e-13 (GEMM vs
+#: sequential-fold summation order) — a gap above 1e-8 therefore cannot
+#: flip the winner under either effect, so only sub-gap rows (exact
+#: duplicate centroids, pathological near-ties) pay the slow path
+_PQ_TIE_GAP = 1e-8
+
+
+def _jvm_round9(x: float) -> float:
+    """Spark's ``F.round(double, 9)``: HALF_UP on the double's shortest
+    decimal representation (``BigDecimal.valueOf`` goes through
+    ``Double.toString``; Python's ``repr`` is the same shortest-decimal
+    contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _jvm_l2_scores(x, book: list[list[float]]) -> list[float]:
+    """Bit-exact reproduction of the SQL form's per-centroid score
+    ``round(2·dot − ‖c‖², 9)`` for one subvector: the dot follows
+    `_lit_dot`'s evaluation order (flat left-to-right sum for sub ≤ 16,
+    0.0-seeded left fold above), ‖c‖² is the plan-time Python
+    ``float(sum(...))`` literal, and the round is `_jvm_round9` — every
+    step the same IEEE-double op sequence the JVM executes, so the two
+    engines cannot disagree (the qhist-key discipline)."""
+    out = []
+    for c in book:
+        if len(c) <= 16:
+            s = float(x[0]) * float(c[0])
+            for j in range(1, len(c)):
+                s = s + float(x[j]) * float(c[j])
+        else:
+            s = 0.0
+            for j in range(len(c)):
+                s = s + float(x[j]) * float(c[j])
+        n2 = float(sum(w * w for w in c))
+        out.append(_jvm_round9(2.0 * s - n2))
+    return out
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: tuple = (),
+    engine: str = "arrow",
 ) -> DataFrame:
-    """Encode each vector as ``m`` small codes — map-only, literal
-    codebooks, one L2-argmin expression per subspace (the
-    :func:`_nearest_centroid_l2` idiom on a slice).
+    """Encode each vector as ``m`` small codes — map-only either way.
 
     The stored index is ``(id, codes array<int>)``: with the default
     8×16 layout that is 8 codes (4 bits of information each) replacing
     64 floats — the 100 TB fleet keeps the WHOLE index hot where raw
     vectors would spill (float32 64-dim = 256 B/vec vs ≤ 8 B/vec
     encoded; parquet dictionary encoding realizes most of the 32×).
+
+    ``engine`` (round 11, the measured lsh-suite tail): the literal
+    ``"sql"`` form is one projection but its m×k = 128 tiny argmin dots
+    per row evaluate as interpreted HOF trees — profiled at 4.9 s for
+    50k vectors at sf0.1, the dominant cost inside `ivfpq_build` and
+    the suite's pq branch. ``"arrow"`` (default) computes the same
+    scores as ``m`` slab GEMMs in one `mapInPandas` kernel — map-only
+    like the literal form (NO shuffle; the join-table rendering
+    `pq_train` uses would shuffle corpus×m×k rows, wrong for encode),
+    with assignment parity guarded the qhist way: rows whose top-2 raw
+    score gap is under `_PQ_TIE_GAP` re-score through
+    `_jvm_l2_scores`, an op-for-op IEEE replay of the SQL expression
+    (pinned equal on fixture + planted exact-tie data).
+
+    ``keep`` carries extra input columns through (e.g. the IVF cell),
+    so callers need no corpus-scale re-join to reattach them.
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    codes = F.array(
-        *[
-            _nearest_centroid_l2(
-                F.slice(vec_col, mi * sub + 1, sub),
-                list(enumerate(codebooks[mi])),
-            )
-            for mi in range(m)
-        ]
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
+    if engine == "sql":
+        codes = F.array(
+            *[
+                _nearest_centroid_l2(
+                    F.slice(vec_col, mi * sub + 1, sub),
+                    list(enumerate(codebooks[mi])),
+                )
+                for mi in range(m)
+            ]
+        )
+        return emb.select(F.col(id_col), *keep, codes.alias("codes"))
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    src = emb.select(id_col, *keep, vec_col)
+    out_schema = StructType(
+        [src.schema[c] for c in (id_col, *keep)]
+        + [StructField("codes", ArrayType(IntegerType()))]
     )
-    return emb.select(F.col(id_col), codes.alias("codes"))
+    books = [
+        [[float(w) for w in c] for c in book] for book in codebooks
+    ]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for mi in range(m):
+                S = M[:, mi * sub : (mi + 1) * sub]
+                C = np.array(books[mi], dtype=np.float64)
+                n2 = np.array(
+                    [float(sum(w * w for w in c)) for c in books[mi]]
+                )
+                raw = 2.0 * (S @ C.T) - n2[None, :]
+                best = np.argmax(raw, axis=1)  # first max = lowest cid
+                srt = np.sort(raw, axis=1)
+                amb = (srt[:, -1] - srt[:, -2]) < _PQ_TIE_GAP
+                for i in np.nonzero(amb)[0]:
+                    sc = _jvm_l2_scores(S[i], books[mi])
+                    best[i] = sc.index(max(sc))
+                codes[:, mi] = best
+            out = {c: pdf[c] for c in (id_col, *keep)}
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def pq_topk(
@@ -1415,8 +1523,12 @@ def ivfpq_build(
         id_col=id_col,
         train_fraction=train_fraction,
     )
-    codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
-    codes_df = residuals.select(id_col, "cell").join(codes, id_col)
+    # keep=("cell",): the cell rides the one encode pass — the round-10
+    # form re-computed the residuals a second time and paid a
+    # corpus-scale join just to reattach it
+    codes_df = pq_encode(
+        residuals, books, vec_col=vec_col, id_col=id_col, keep=("cell",)
+    ).select(id_col, "cell", "codes")
     return coarse, books, codes_df
 
 
@@ -1458,8 +1570,9 @@ def ivfpq_encode(
     per batch without retraining) — assignment, residual, PQ codes, all
     map-only. Returns ``(id, cell, codes)``."""
     residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
-    codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
-    return residuals.select(id_col, "cell").join(codes, id_col)
+    return pq_encode(
+        residuals, books, vec_col=vec_col, id_col=id_col, keep=("cell",)
+    ).select(id_col, "cell", "codes")
 
 
 def ivfpq_topk(

@@ -878,6 +878,7 @@ def plan_join_tree(
     broadcast_threshold: int | None = None,
     edge_rows: dict[tuple[str, str, str, str], float] | None = None,
     partitioned_on: dict[str, list[str]] | None = None,
+    probe: str | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Greedy left-deep join ordering with stats-driven broadcast hints.
 
@@ -958,6 +959,12 @@ def plan_join_tree(
     """
     if not edges:
         raise ValueError("plan_join_tree needs at least one join edge")
+    if probe not in (None, "auto"):
+        raise ValueError(f"probe must be None or 'auto', got {probe!r}")
+    if probe == "auto" and how.replace("_", "").lower() != "inner":
+        raise ValueError(
+            f"probe='auto' supports inner joins only, got how={how!r}"
+        )
     unknown = {t for e in edges for t in (e[0], e[2])} - set(tables)
     if unknown:
         raise ValueError(f"edges reference unknown tables: {sorted(unknown)}")
@@ -1083,7 +1090,9 @@ def plan_join_tree(
         n: set(cols) for n, cols in (partitioned_on or {}).items()
     }
 
-    def fold_estimate(e, owner, cur_col, incoming, inc_col, cur_rows):
+    def fold_estimate(
+        e, owner, cur_col, incoming, inc_col, cur_rows, keep_hist=False
+    ):
         """Estimated rows after folding ``incoming`` into an
         intermediate of ``cur_rows`` rows whose ``cur_col`` attribute
         comes from ``owner`` — shared by the greedy's cand_est and the
@@ -1092,13 +1101,22 @@ def plan_join_tree(
         side's surviving fraction; otherwise the owner's key stats
         are used with its histogram dropped and NDV capped at
         cur_rows (a selective fold already paid that selectivity —
-        a full-table histogram would re-inflate it)."""
+        a full-table histogram would re-inflate it).
+
+        ``keep_hist`` (round 11) keeps the owner's histogram instead:
+        the OTHER defensible model of the same fold (skewed hot keys
+        contribute their quadratic mass; the chain is assumed to
+        preserve the base distribution's shape). The bushy rung runs
+        both models through the chain and treats a >10× gap as "the
+        statistics cannot settle this subtree" — the X41 probe
+        trigger."""
         if tuple(e) in measured:
             own_n = float(max(1, int(stats[owner]["row_count"] or 1)))
             return measured[tuple(e)] * min(1.0, cur_rows / own_n)
         own = stats[owner]["columns"].get(cur_col)
         if own:
-            own = {k: v for k, v in own.items() if k != "histogram"}
+            if not keep_hist:
+                own = {k: v for k, v in own.items() if k != "histogram"}
             if own.get("ndv"):
                 own["ndv"] = max(1, min(int(own["ndv"]), int(cur_rows) or 1))
         cur_view = {
@@ -1107,16 +1125,23 @@ def plan_join_tree(
         }
         return estimate_join_rows(cur_view, cur_col, stats[incoming], inc_col)
 
-    def chain_fold(lead, fold_edges):
+    def chain_fold(lead, fold_edges, lead_frame=None):
         """Broadcast-chain fold: ``lead`` streams, every other table
         hash-attaches map-side via an explicit broadcast hint;
         redundant edges between already-joined tables become filters.
-        Returns (df, order, estimated_rows) — the estimate threads
-        fold_estimate through the same fold sequence."""
-        cur = tables[lead]
+        Returns (df, order, estimated_rows, hist_estimated_rows) — the
+        two estimates thread fold_estimate (histogram-stripped and
+        histogram-kept) through the same fold sequence; they diverge
+        only where a fold's key stats carry histograms that contradict
+        the uniform-NDV model. ``lead_frame`` substitutes the lead's
+        frame (the subtree probe folds the same chain over a SAMPLE of
+        the lead — attribute ids survive a unary sample node, so the
+        edge predicates still resolve)."""
+        cur = tables[lead] if lead_frame is None else lead_frame
         joined = {lead}
         order = [lead]
         est = float(max(0, stats[lead]["row_count"] or 0))
+        est_h = est
         remaining = list(fold_edges)
         while remaining:
             progressed = False
@@ -1125,6 +1150,9 @@ def plan_join_tree(
                 if ln in joined and rn in joined:
                     cur = cur.filter(tables[ln][lc] == tables[rn][rc])
                 elif ln in joined:
+                    est_h = fold_estimate(
+                        e, ln, lc, rn, rc, est_h, keep_hist=True
+                    )
                     est = fold_estimate(e, ln, lc, rn, rc, est)
                     cur = cur.join(
                         F.broadcast(tables[rn]),
@@ -1133,6 +1161,9 @@ def plan_join_tree(
                     joined.add(rn)
                     order.append(rn)
                 elif rn in joined:
+                    est_h = fold_estimate(
+                        e, rn, rc, ln, lc, est_h, keep_hist=True
+                    )
                     est = fold_estimate(e, rn, rc, ln, lc, est)
                     cur = cur.join(
                         F.broadcast(tables[ln]),
@@ -1149,7 +1180,7 @@ def plan_join_tree(
                     "join graph is disconnected: cannot reach "
                     f"{sorted({t for e in remaining for t in (e[0], e[2])} - joined)}"
                 )
-        return cur, order, est
+        return cur, order, est, est_h
 
     # Broadcast-chain rung (round 9): if at most ONE table exceeds the
     # build budget, intermediate cardinality is the WRONG objective —
@@ -1166,7 +1197,7 @@ def plan_join_tree(
     big = [n for n in sizes if not fits(sizes[n])]
     if len(big) <= 1 and broadcast_threshold > 0 and len(sizes) > 1:
         lead = big[0] if big else max(sizes, key=lambda n: sizes[n])
-        cur, order, _ = chain_fold(lead, edges)
+        cur, order, _, _ = chain_fold(lead, edges)
         return cur, order
 
     # Bushy rung (round 10): ≥2 big tables, each carrying its OWN halo
@@ -1234,7 +1265,35 @@ def plan_join_tree(
                 comp_edges = [
                     e for e in halo if e[0] in ms and e[2] in ms
                 ]
-                df, order, est = chain_fold(cname, comp_edges)
+                df, order, est, est_h = chain_fold(cname, comp_edges)
+                # Subtree-level probe dispatch (round 11, X41×X50): the
+                # combine's broadcast decision rides this chain
+                # estimate, and a mis-estimated subtree near the build
+                # budget mis-broadcasts — the single worst planning
+                # mistake at fact scale. When the two chain models
+                # (histogram-stripped vs histogram-kept folds)
+                # disagree >10×, the statistics demonstrably cannot
+                # settle the subtree; probe="auto" then measures it:
+                # the SAME chain folded over a Bernoulli sample of the
+                # lead (each output row descends from exactly one lead
+                # row through broadcast-attached halo dims, so
+                # count/fraction is unbiased). Agreeing chains stay
+                # completely scan-free — the probe is the insurance
+                # premium, paid only on subtrees the models dispute.
+                if probe == "auto" and comp_edges:
+                    ratio = max(est, 1.0) / max(est_h, 1.0)
+                    if (
+                        ratio > PROBE_DISAGREEMENT
+                        or ratio < 1.0 / PROBE_DISAGREEMENT
+                    ):
+                        s_df, _, _, _ = chain_fold(
+                            cname,
+                            comp_edges,
+                            lead_frame=tables[cname].sample(
+                                fraction=SUBTREE_PROBE_FRACTION, seed=42
+                            ),
+                        )
+                        est = probe_subtree_rows(s_df)
                 cols = list(df.columns)
                 width_sum = sum(width(m) for m in ms)
                 colstats: dict[str, Any] = {}
@@ -1521,6 +1580,27 @@ def table_stats_report(stats: dict[str, Any]) -> str:
 #: disagreement ratio between the histogram and Selinger estimates
 #: above which a sample probe is worth one cheap pass per side
 PROBE_DISAGREEMENT = 10.0
+
+
+#: Bernoulli fraction for the bushy rung's subtree probe — the same
+#: premium scale as probe_join_rows' per-edge default
+SUBTREE_PROBE_FRACTION = 0.01
+
+
+def probe_subtree_rows(
+    sampled_chain: DataFrame, fraction: float = SUBTREE_PROBE_FRACTION
+) -> float:
+    """X41 subtree probe (round 11): cardinality of a halo chain from
+    the SAME chain folded over a Bernoulli sample of its lead fact —
+    every chain output row descends from exactly one lead row (halo
+    dims attach via broadcast joins), so each survives the sampling
+    with probability ``fraction`` independently and count/fraction is
+    unbiased. Cost: a fraction-of-the-fact scan plus the same
+    broadcast attaches the real chain pays anyway. Same zero-count
+    caveat as :func:`probe_join_rows`: 0.0 means "≲ 1/fraction", which
+    for the broadcast decision this probe serves is exactly the safe
+    direction (a tiny subtree broadcasts)."""
+    return sampled_chain.count() / fraction
 
 
 def probe_join_rows(

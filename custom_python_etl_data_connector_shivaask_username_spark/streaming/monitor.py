@@ -41,6 +41,88 @@ from ..sources.layout import fs_read_text, fs_write_text
 #: sidecar dir, sibling of the store's ``_commits/`` epoch log
 MONITOR_DIR = "_monitor"
 
+#: per-epoch served percentiles (X51×X30, round 11), sibling of both
+QUANTILES_DIR = "_quantiles"
+
+
+def serve_quantiles_epoch(
+    spark: SparkSession,
+    store_path: str,
+    epoch: int,
+    qs=(0.5, 0.9, 0.99),
+    resolution: str = "hour",
+) -> dict:
+    """Serve the X51 quantile partials as a per-epoch REPORT beside the
+    commit log (round-11 verdict ask #3): after an epoch's cells land,
+    the store's accumulated histograms answer the requested percentiles
+    once and the result persists as ``_quantiles/<epoch>`` — a
+    percentile dashboard then reads epoch-fresh JSON without issuing a
+    query, exactly like the X49 ``_monitor/<epoch>`` audit trail.
+
+    The read is snapshot-isolated (only committed epochs), so calling
+    this right after `refresh_rollup`'s commit marker serves exactly
+    "the store as of this epoch"; a replayed epoch recomputes from the
+    same committed state and overwrites its own report with identical
+    content (pinned). Cost per epoch: one `rollup_quantiles` pass —
+    cells × occupied-bucket rows, metadata-scale, independent of how
+    many raw events the store has absorbed (the X51 contract; nothing
+    here is ∝ history)."""
+    from ..operators.rollup import rollup_quantiles
+
+    rows = rollup_quantiles(
+        spark, store_path, list(qs), resolution=resolution, snapshot=True
+    ).collect()
+    report = {
+        "epoch": int(epoch),
+        "resolution": resolution,
+        "qs": [float(q) for q in qs],
+        "cells": [
+            {
+                "window_start": str(r["window_start"]),
+                "event_type": r["event_type"],
+                "q": r["q"],
+                "value": r["value"],
+            }
+            for r in rows
+        ],
+    }
+    fs_write_text(
+        spark,
+        f"{store_path.rstrip('/')}/{QUANTILES_DIR}/{int(epoch)}",
+        json.dumps(report),
+    )
+    return report
+
+
+def read_quantile_reports(
+    spark: SparkSession, store_path: str
+) -> list[dict]:
+    """All per-epoch quantile reports, ascending by epoch — the
+    dashboard's no-query read path."""
+    import pyarrow.fs as pafs
+
+    from ..sources.rollup_store import _fs_and_path
+
+    fs, store = _fs_and_path(store_path)
+    infos = fs.get_file_info(
+        pafs.FileSelector(
+            f"{store}/{QUANTILES_DIR}", allow_not_found=True
+        )
+    )
+    epochs = sorted(
+        int(os.path.basename(i.path))
+        for i in infos
+        if i.is_file and os.path.basename(i.path).lstrip("-").isdigit()
+    )
+    out = []
+    for e in epochs:
+        raw = fs_read_text(
+            spark, f"{store_path.rstrip('/')}/{QUANTILES_DIR}/{e}"
+        )
+        if raw is not None:
+            out.append(json.loads(raw))
+    return out
+
 
 def monitor_epoch(
     batch: DataFrame,
@@ -112,6 +194,7 @@ def stream_cells_monitored(
     type_col: str = "event_type",
     k: int = 5,
     available_now: bool = True,
+    quantiles=None,
 ):
     """The monitored twin of `sources.rollup_store.stream_cells`: a
     ``foreachBatch`` loop where each epoch (1) delivers its rollup
@@ -120,7 +203,15 @@ def stream_cells_monitored(
     folded-watermark protection — and (2) lands its monitor report via
     :func:`monitor_epoch`. Use this form when the audit must run in
     the ingest loop itself; the pure DSv2 sink (`stream_cells`) stays
-    the zero-shuffle fast path when monitoring runs elsewhere."""
+    the zero-shuffle fast path when monitoring runs elsewhere (running
+    Spark queries from inside a DSv2 commit callback is the wrong
+    layer — the callback may execute in a fresh writer process with no
+    session, so epoch-side serving lives in THIS loop by design).
+
+    ``quantiles`` (round 11): a list of fractions arms
+    :func:`serve_quantiles_epoch` after each delivery — the epoch's
+    served percentiles land as ``_quantiles/<epoch>`` beside the
+    commit marker and the monitor report."""
     from ..operators.rollup import refresh_rollup
 
     # materialize the tiny reference frame once: foreachBatch re-executes
@@ -135,6 +226,14 @@ def stream_cells_monitored(
         monitor_epoch(
             batch, store_path, int(epoch), spec, ref_cached, type_col, k
         )
+        if quantiles:
+            serve_quantiles_epoch(
+                batch.sparkSession,
+                store_path,
+                int(epoch),
+                qs=quantiles,
+                resolution=resolution,
+            )
 
     w = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -391,4 +391,7 @@ def plan_star_join(
         broadcast_threshold=broadcast_threshold,
         edge_rows=edge_rows,
         partitioned_on=partitioned_on,
+        # round 11: the bushy rung dispatches its own subtree probes
+        # under the same flag (X41×X50 — see plan_join_tree)
+        probe=probe,
     )

@@ -70,17 +70,23 @@ def test_dedupe_near_keeps_representative(spark):
     assert 4 in kept  # unrelated doc untouched
 
 
-def test_minhash_forms_agree(spark):
-    """All three MinHash renderings — array-HOF, row-wise groupBy, and
-    the map-only single-traversal aggregate — produce exactly the same
-    signatures (same base hash, same seeded family, same minimum)."""
+def test_minhash_forms_agree(spark, sf_dir):
+    """All FOUR MinHash renderings — array-HOF, row-wise groupBy, the
+    map-only single-traversal aggregate, and (round 11) the Arrow
+    kernel whose seeded re-hashes are a numpy uint64 replay of Spark's
+    XxHash64 fold — produce exactly the same signatures (same base
+    hash, same seeded family, same minimum), on the synthetic docs AND
+    on the fixture corpus (bit-equality, the qhist cross-engine
+    discipline)."""
     from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
         NUM_HASHES,
         minhash_signature,
         minhash_signature_agg,
+        minhash_signature_pandas,
         minhash_signature_rows,
         word_shingles,
     )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
     docs = _docs(spark)
     hof = {
@@ -103,6 +109,29 @@ def test_minhash_forms_agree(spark):
     }
     assert hof == rows
     assert hof == agg
+    arrow = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signature_pandas(docs).collect()
+    }
+    assert hof == arrow
+
+    # fixture corpus: the Arrow kernel is bit-equal to the agg form on
+    # real text (incl. empty-shingle docs keeping the all-max identity)
+    corpus = load_table(spark, sf_dir, "documents")
+    agg_fx = {
+        r["doc_id"]: list(r["sig"])
+        for r in corpus.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            minhash_signature_agg(word_shingles(F.col("text"))).alias("sig"),
+        )
+        .collect()
+    }
+    arrow_fx = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signature_pandas(corpus).collect()
+    }
+    assert agg_fx == arrow_fx
 
 
 def test_simhash_hamming_orders_similarity(spark):

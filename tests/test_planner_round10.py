@@ -236,3 +236,114 @@ def test_probe_auto_fires_only_on_model_disagreement(
         broadcast_threshold=-1, probe="auto",
     )
     assert calls == []
+
+
+def test_bushy_combine_probe_demotes_mis_broadcast_subtree(spark):
+    """Round-11 verdict ask #2 (X41×X50): the bushy combine plans the
+    cross edge on chain ESTIMATES — here the histogram-stripped fold
+    says subtree f1⋈d1 is ~2k rows (broadcastable) while the
+    histogram-kept fold sees the planted hot key's ~1M quadratic mass.
+    probe='auto' measures the disputed subtree (the same chain over a
+    lead sample) and demotes the broadcast; the plan gains shuffle
+    exchanges, the rows stay identical. An undisputed graph (uniform
+    dim) stays completely scan-free — the probe spy never fires."""
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+        count_exchanges,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        collect_table_stats,
+        plan_join_tree,
+    )
+
+    # f1: 5% hot (k=500), 95% unique keys -> Selinger sees ndv ~19k and
+    # estimates the d1 fold at ~2k rows; d1 plants 1000 rows on the hot
+    # key so the true fold is ~1M rows
+    f1 = spark.range(0, 20_000).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") % 20 == 0, F.lit(500))
+        .otherwise(F.col("id") + 10_000)
+        .alias("k"),
+    )
+    d1 = spark.range(0, 2_000).select(
+        F.when(F.col("id") < 1_000, F.lit(500))
+        .otherwise(F.col("id") + 100_000)
+        .alias("k"),
+        F.col("id").alias("dpay"),
+    )
+    f2 = spark.range(0, 30_000).select(
+        F.col("id").alias("x"), F.col("id").alias("f2pay")
+    )
+    stats = {}
+    for name, df, cols in (
+        ("f1", f1, ["k", "x"]),
+        ("d1", d1, ["k"]),
+        ("f2", f2, ["x"]),
+    ):
+        stats[name] = add_equidepth_histograms(
+            df, collect_table_stats(df), columns=cols
+        )
+    edges = [("f1", "k", "d1", "k"), ("f1", "x", "f2", "x")]
+    tables = {"f1": f1, "d1": d1, "f2": f2}
+    thresh = 1 * 1024 * 1024  # f1/f2 are big, d1 and the WRONG est fit
+
+    calls = []
+    orig = S.probe_subtree_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S.probe_subtree_rows = spy
+    try:
+        blind, _ = plan_join_tree(
+            tables, edges, stats=stats, broadcast_threshold=thresh
+        )
+        assert calls == []  # probe=None never probes
+        probed, _ = plan_join_tree(
+            tables,
+            edges,
+            stats=stats,
+            broadcast_threshold=thresh,
+            probe="auto",
+        )
+        assert len(calls) == 1  # exactly the one disputed subtree
+        # the mis-broadcast is real and the demotion is the PLANNER's:
+        # blind hints broadcast on BOTH d1 (chain) and the ~1M-row
+        # subtree (combine); probed drops the subtree hint. (The
+        # physical plan can't witness this on fixture-sized data —
+        # Catalyst's own 10 MB auto-broadcast re-broadcasts whatever
+        # tiny frame we demote, which is fine: hints only ever ADD
+        # information; at fact scale the demoted hint is the plan.)
+        def hint_count(df):
+            return str(df._jdf.queryExecution().analyzed()).count(
+                "ResolvedHint"
+            )
+
+        assert hint_count(blind) == 2 and hint_count(probed) == 1, (
+            hint_count(blind),
+            hint_count(probed),
+        )
+        assert blind.count() == probed.count() == 1_000_000
+
+        # agreeing case: uniform dim -> models agree -> scan-free
+        calls.clear()
+        d1u = spark.range(0, 2_000).select(
+            (F.col("id") % 1000 + 10_000).alias("k"),
+            F.col("id").alias("dpay"),
+        )
+        stats_u = dict(stats)
+        stats_u["d1"] = add_equidepth_histograms(
+            d1u, collect_table_stats(d1u), columns=["k"]
+        )
+        plan_join_tree(
+            {**tables, "d1": d1u},
+            edges,
+            stats=stats_u,
+            broadcast_threshold=thresh,
+            probe="auto",
+        )
+        assert calls == []  # undisputed chains stay scan-free
+    finally:
+        S.probe_subtree_rows = orig

@@ -143,3 +143,88 @@ def test_monitored_stream_equals_batch_and_lands_beside_commits(
     # report with identical content
     monitor_epoch(slices[1], store, 1, spec, ref_shares, k=2)
     assert read_monitor(spark, store) == reports
+
+
+def test_quantile_reports_land_per_epoch_and_match_batch(spark, tmp_path):
+    """Round-11 verdict ask #3 (X51×X30): with `quantiles` armed, every
+    monitored epoch also lands `_quantiles/<epoch>` beside the commit
+    marker — the percentile dashboard's no-query read. Pins: the
+    streamed reports equal a batch-fed twin EXACTLY; the final report
+    equals a live rollup_quantiles query on the same store (the JSON
+    is the query, one epoch earlier); epoch 0's report reflects only
+    epoch 0's data (epoch-fresh, snapshot-isolated); and a replayed
+    epoch overwrites its own report with identical content."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        rollup_quantiles,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.monitor import (
+        QUANTILES_DIR,
+        read_quantile_reports,
+        serve_quantiles_epoch,
+    )
+
+    slices = [_slice_df(spark, 6_000, 0.0), _slice_df(spark, 6_000, 700.0)]
+    spec, ref_shares = freeze_histogram(
+        slices[0].select("value"), "value", n_buckets=10
+    )
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for i, df in enumerate(slices):
+        _write_one_file(df, f"{input_dir}/slice-{i}.parquet")
+    store = str(tmp_path / "store")
+    qs = [0.5, 0.9]
+    q = stream_cells_monitored(
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir),
+        store,
+        str(tmp_path / "cp"),
+        spec,
+        ref_shares,
+        k=2,
+        quantiles=qs,
+    )
+    q.awaitTermination(120)
+
+    assert sorted(
+        f
+        for f in os.listdir(f"{store}/{QUANTILES_DIR}")
+        if not f.startswith(".")
+    ) == ["0", "1"]
+    reports = read_quantile_reports(spark, store)
+    assert [r["epoch"] for r in reports] == [0, 1]
+
+    # stream == batch: the same slices through refresh_rollup +
+    # serve_quantiles_epoch land IDENTICAL reports
+    batch_store = str(tmp_path / "batch_store")
+    for i, df in enumerate(slices):
+        refresh_rollup(df, batch_store, batch_id=i)
+        got = serve_quantiles_epoch(spark, batch_store, i, qs=qs)
+        assert got == reports[i], (got, reports[i])
+
+    # the dashboard JSON is the query: the last report equals a live
+    # rollup_quantiles run over the full store
+    live = [
+        {
+            "window_start": str(r["window_start"]),
+            "event_type": r["event_type"],
+            "q": r["q"],
+            "value": r["value"],
+        }
+        for r in rollup_quantiles(spark, store, qs, snapshot=True).collect()
+    ]
+    assert reports[1]["cells"] == live
+
+    # epoch-fresh: epoch 0's report is the store as of epoch 0 only —
+    # the drifted slice (+700) must not appear in its values
+    v0 = {c["value"] for c in reports[0]["cells"]}
+    v1 = {c["value"] for c in reports[1]["cells"]}
+    assert v0 != v1
+    store0 = str(tmp_path / "only0")
+    refresh_rollup(slices[0], store0, batch_id=0)
+    only0 = serve_quantiles_epoch(spark, store0, 0, qs=qs)
+    assert only0["cells"] == reports[0]["cells"]
+
+    # replay: redelivering epoch 1's report overwrites identically
+    serve_quantiles_epoch(spark, store, 1, qs=qs)
+    assert read_quantile_reports(spark, store) == reports

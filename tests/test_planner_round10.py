@@ -248,9 +248,6 @@ def test_bushy_combine_probe_demotes_mis_broadcast_subtree(spark):
     exchanges, the rows stay identical. An undisputed graph (uniform
     dim) stays completely scan-free — the probe spy never fires."""
     import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
-    from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
-        count_exchanges,
-    )
     from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
         add_equidepth_histograms,
         collect_table_stats,

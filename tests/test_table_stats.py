@@ -1528,3 +1528,89 @@ def test_plan_join_tree_flip_keeps_streamed_scan_partitioning(spark):
         .count()
     )
     assert joined.count() == want
+
+
+def test_composite_key_edges_plan_on_group_ndv(spark):
+    """Round-11 verdict ask #6: `plan_join_tree` edges accept column
+    TUPLES. The composite join's NDV comes from X37 group statistics
+    when collected (falling back to the max single-column NDV — the
+    provable lower bound), and only the tuple edge plans the star
+    correctly: per-column Selinger over (a, b) overestimates this
+    planted pair-key join ~150x, so both the fallback and the old
+    two-single-edges encoding defer the selective composite fold and
+    drag a 80x-larger intermediate through the remaining join. Results
+    are identical either way. Also pins the tuple threading through
+    the exchange-aware partitioning keys (subset rule: a partitioning
+    on (a,b) satisfies an edge only if {a,b} <= its columns)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_column_group_stats,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        _part_satisfied,
+        _scan_part_satisfied,
+        estimate_join_rows,
+    )
+
+    B = spark.range(0, 30_000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.col("id") / 200).cast("long").alias("b"),
+        F.col("id").alias("bpay"),
+    )
+    A = spark.range(0, 10_000).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 3) % 150).alias("b"),
+        (F.col("id") % 500).alias("x"),
+        F.col("id").alias("apay"),
+    )
+    C = spark.range(0, 40_000).select(
+        (F.col("id") % 500).alias("x"), F.col("id").alias("cpay")
+    )
+    sa, sb, sc = (
+        collect_table_stats(A),
+        collect_table_stats(B),
+        collect_table_stats(C),
+    )
+    sag = collect_column_group_stats(A, sa, [["a", "b"]])
+    sbg = collect_column_group_stats(B, sb, [["a", "b"]])
+
+    truth = A.join(B, ["a", "b"]).count()
+    est_group = estimate_join_rows(sag, ("a", "b"), sbg, ("a", "b"))
+    est_fallback = estimate_join_rows(sa, ("a", "b"), sb, ("a", "b"))
+    assert abs(est_group - truth) <= 0.2 * truth, (est_group, truth)
+    assert est_fallback > 50 * truth  # the per-column overestimate
+
+    tbl = {"A": A, "B": B, "C": C}
+    edges_t = [("A", ("a", "b"), "B", ("a", "b")), ("A", "x", "C", "x")]
+    th = 1024 * 1024  # B and C are too big to broadcast, A fits
+    good, o_good = plan_join_tree(
+        tbl, edges_t, stats={"A": sag, "B": sbg, "C": sc},
+        broadcast_threshold=th,
+    )
+    # only the group-NDV estimate folds the selective composite join
+    # FIRST (10k intermediate into C) — the fallback and the legacy
+    # two-single-edges encoding both defer B behind an 800k intermediate
+    assert o_good == ["A", "B", "C"], o_good
+    blind, o_blind = plan_join_tree(
+        tbl, edges_t, stats={"A": sa, "B": sb, "C": sc},
+        broadcast_threshold=th,
+    )
+    assert o_blind == ["A", "C", "B"], o_blind
+    legacy, o_legacy = plan_join_tree(
+        tbl,
+        [("A", "a", "B", "a"), ("A", "b", "B", "b"), ("A", "x", "C", "x")],
+        stats={"A": sa, "B": sb, "C": sc},
+        broadcast_threshold=th,
+    )
+    assert o_legacy == ["A", "C", "B"], o_legacy
+    assert good.count() == blind.count() == legacy.count() == 800_000
+
+    # arity mismatch is a loud error, not a silent zip truncation
+    with pytest.raises(ValueError, match="arity"):
+        plan_join_tree(tbl, [("A", ("a", "b"), "B", "a")], stats={})
+
+    # partitioning subset rule: (a,b) satisfies an edge on (a,b) or
+    # wider, never an edge on a alone
+    assert _scan_part_satisfied({"T": ["a", "b"]}, "T", ("a", "b"))
+    assert not _scan_part_satisfied({"T": ["a", "b"]}, "T", ("a",))
+    assert _part_satisfied({("T", ("a",))}, "T", ("a", "b"))
+    assert not _part_satisfied({("T", ("a", "b"))}, "T", ("a",))

@@ -126,7 +126,7 @@ _GEMM_SLAB = 2048
 _GEMM_SLACK = 1e-6
 
 
-def _gemm_pairs_fn(threshold: float):
+def _gemm_pairs_fn(threshold: float, star_over: int | None = None):
     """Per-block all-pairs cosine as a normalized matrix product —
     the BLAS kernel behind ``kernel="arrow"`` (round-11 verdict ask #1:
     ~205M per-pair zip_with folds were the wrong tool for dense linear
@@ -140,7 +140,12 @@ def _gemm_pairs_fn(threshold: float):
     drop (their HOF cosine is NULL), mixed-dimension pairs drop (HOF
     zip_with null-pads → NULL), zero-norm vectors drop (0/0 → NaN fails
     the threshold), and ``vec_a < vec_b`` comes from sorting the block
-    by vec_id and taking the strict upper triangle."""
+    by vec_id and taking the strict upper triangle.
+
+    ``star_over`` (round 11, the emb_dup wiring): blocks LARGER than
+    this emit STAR pairs around the min-id row — (members[0], m) for
+    every other member, one 1×n GEMV instead of n²/2 — the same
+    template-spam guard the HOF bucket form applies, id-for-id."""
     import pandas as pd
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -151,14 +156,19 @@ def _gemm_pairs_fn(threshold: float):
         if len(pdf) < 2:
             return empty
         pdf = pdf.sort_values("vec_id")
+        star = star_over is not None and len(pdf) > star_over
         out_a, out_b, out_s = [], [], []
         # one GEMM per embedding dimension present: cross-dimension
-        # pairs are NULL under the HOF form and simply absent here
+        # pairs are NULL under the HOF form and simply absent here.
+        # (Star mode keys the hub on the GLOBAL min id — exactly the
+        # sorted-members[0] the HOF form stars around — so the hub's
+        # dimension group is the only one that emits.)
+        hub_id = pdf["vec_id"].iloc[0]
         for _dim, sub in pdf.groupby(
             pdf["embedding"].map(len), sort=False
         ):
             n = len(sub)
-            if n < 2:
+            if n < 2 and not star:
                 continue
             ids = sub["vec_id"].to_numpy()
             M = np.array(
@@ -166,6 +176,19 @@ def _gemm_pairs_fn(threshold: float):
             )
             norms = np.sqrt(np.einsum("ij,ij->i", M, M))
             with np.errstate(divide="ignore", invalid="ignore"):
+                if star:
+                    if ids[0] != hub_id:
+                        continue  # hub pairs only, like the HOF star
+                    S = (M[:1] @ M.T) / np.outer(norms[:1], norms)
+                    keep = (np.arange(n)[None, :] > 0) & (
+                        S >= threshold - _GEMM_SLACK
+                    )
+                    ii, jj = np.nonzero(keep)
+                    if len(ii):
+                        out_a.append(ids[ii])
+                        out_b.append(ids[jj])
+                        out_s.append(S[ii, jj])
+                    continue
                 for lo in range(0, n, _GEMM_SLAB):
                     hi = min(lo + _GEMM_SLAB, n)
                     S = (M[lo:hi] @ M.T) / np.outer(
@@ -610,6 +633,7 @@ def embedding_near_dup_pairs(
     threshold: float = NEAR_DUP_COSINE,
     max_bucket: int = MAX_EMB_BUCKET,
     config: tuple[int, int, list[list[float]]] | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, verified exactly.
 
@@ -637,22 +661,59 @@ def embedding_near_dup_pairs(
     and with it candidate generation per vector — constant at any
     scale. The default stays the frozen 4x8 layout the registry oracle
     is generated from.
+
+    ``kernel`` (round 11): the sf1.0 profile put this branch's cost in
+    the VERIFY — 3.6M quadratic candidates across 1,024 buckets, each
+    paying an interpreted 64-element dot. ``"arrow"`` (default) runs
+    the verify as the per-bucket GEMM kernel (`_gemm_pairs_fn` with
+    the star guard in-kernel), deduping across bands AFTER the verify
+    — the same pair set, since a pair's cosine is identical in every
+    band that proposes it; rounding + membership stay JVM-side.
+    ``"hof"``: the candidate-join + hoisted-norm fold form, retained
+    as the pinned-equal baseline. Measured: 12.2 s → see SCALE.md.
     """
     n_bands, n_bits, planes = config or (
         EMB_DUP_BANDS,
         EMB_DUP_BAND_BITS,
         EMB_DUP_PLANES,
     )
+    if kernel not in ("arrow", "hof"):
+        raise ValueError(f"kernel must be 'arrow' or 'hof', got {kernel!r}")
+    buckets_arr = F.array(
+        *[
+            _band_bucket(F.col("embedding"), b, n_bits, planes)
+            for b in range(n_bands)
+        ]
+    )
+    if kernel == "arrow":
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        blocks = emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(buckets_arr).alias("label"),
+        )
+        out_schema = StructType(
+            [
+                StructField("label", blocks.schema["label"].dataType),
+                StructField("vec_a", blocks.schema["vec_id"].dataType),
+                StructField("vec_b", blocks.schema["vec_id"].dataType),
+                StructField("raw_sim", DoubleType()),
+            ]
+        )
+        return (
+            blocks.groupBy("label")
+            .applyInPandas(
+                _gemm_pairs_fn(threshold, star_over=max_bucket), out_schema
+            )
+            .withColumn("cos_sim", F.round(F.col("raw_sim"), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"])
+            .select("vec_a", "vec_b", "cos_sim")
+        )
     sig = emb.select(
         F.col("vec_id"),
-        F.explode(
-            F.array(
-                *[
-                    _band_bucket(F.col("embedding"), b, n_bits, planes)
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(buckets_arr).alias("bucket"),
     )
     grouped = (
         sig.groupBy("bucket")
@@ -689,17 +750,40 @@ def embedding_near_dup_pairs(
         .select("p.*")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # norms hoisted BEFORE the join (round 11, the similar_pairs trick
+    # measured at 3x there): cosine(a,b) expands to three 64-element
+    # folds per PAIR; per-row norms make it one fold per pair plus one
+    # per vector. Bit-identical — the hoisted norm is the same
+    # expression over the same array, the per-pair dot keeps its fold
+    # order, and the oracle stays green. The NULL-on-zero denominator
+    # guard mirrors the pair_join ANSI fix (one zero vector used to
+    # crash the whole query with DIVIDE_BY_ZERO; NULL drops the pair,
+    # the pre-ANSI NaN outcome).
+    from ..functions.vector import norm
+
     emb_a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("_norm_a"),
     )
     emb_b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("_norm_b"),
     )
+    denom = F.col("_norm_a") * F.col("_norm_b")
     return (
         pairs.join(emb_a, "vec_a")
         .join(emb_b, "vec_b")
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+            "cos_sim",
+            F.round(
+                F.when(
+                    denom != 0.0,
+                    dot(F.col("emb_a"), F.col("emb_b")) / denom,
+                ),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")

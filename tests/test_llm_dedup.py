@@ -1720,3 +1720,51 @@ def test_pair_kernel_arrow_equals_hof(spark, sf_dir):
     ) == rows(
         similar_pairs_within_label_df(big, threshold=-1.1, max_block=50, kernel="hof")
     )
+
+
+def test_emb_dup_kernel_arrow_equals_hof(spark, sf_dir):
+    """Round 11: embedding_near_dup_pairs' verify runs as the
+    per-bucket GEMM kernel (dedup across bands AFTER the verify — the
+    same pair set, since a pair's cosine is identical in every band
+    that proposes it). Pinned pair-for-pair equal to the HOF
+    candidate-join form on the fixture at the registry threshold AND
+    through the giant-bucket star guard (in-kernel star mode around
+    the global min-id hub, id-for-id the HOF star semantics)."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        embedding_near_dup_pairs,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert rows(
+        embedding_near_dup_pairs(emb, threshold=0.3, kernel="arrow")
+    ) == rows(embedding_near_dup_pairs(emb, threshold=0.3, kernel="hof"))
+
+    # star regime: a tight cluster puts every band's bucket over the
+    # cap; the kernel's star mode must match the HOF star exactly
+    rng = np.random.RandomState(5)
+    v = rng.standard_normal(64)
+    v /= np.linalg.norm(v)
+    big = spark.createDataFrame(
+        [
+            (i, (v + rng.standard_normal(64) * 1e-4).tolist(), 0)
+            for i in range(300)
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    a = rows(
+        embedding_near_dup_pairs(
+            big, threshold=0.5, max_bucket=100, kernel="arrow"
+        )
+    )
+    h = rows(
+        embedding_near_dup_pairs(
+            big, threshold=0.5, max_bucket=100, kernel="hof"
+        )
+    )
+    assert a == h and len(a) == 299  # hub stars to every member

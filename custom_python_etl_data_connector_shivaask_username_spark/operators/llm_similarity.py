@@ -126,7 +126,7 @@ _GEMM_SLAB = 2048
 _GEMM_SLACK = 1e-6
 
 
-def _gemm_pairs_fn(threshold: float, star_over: int | None = None):
+def _gemm_pairs_fn(threshold: float):
     """Per-block all-pairs cosine as a normalized matrix product —
     the BLAS kernel behind ``kernel="arrow"`` (round-11 verdict ask #1:
     ~205M per-pair zip_with folds were the wrong tool for dense linear
@@ -140,13 +140,14 @@ def _gemm_pairs_fn(threshold: float, star_over: int | None = None):
     drop (their HOF cosine is NULL), mixed-dimension pairs drop (HOF
     zip_with null-pads → NULL), zero-norm vectors drop (0/0 → NaN fails
     the threshold), and ``vec_a < vec_b`` comes from sorting the block
-    by vec_id and taking the strict upper triangle.
-
-    ``star_over`` (round 11, the emb_dup wiring): blocks LARGER than
-    this emit STAR pairs around the min-id row — (members[0], m) for
-    every other member, one 1×n GEMV instead of n²/2 — the same
-    template-spam guard the HOF bucket form applies, id-for-id."""
+    by vec_id and taking the strict upper triangle."""
     import pandas as pd
+
+    # (a kernel-level star mode for oversized blocks was built and
+    # REMOVED in the round-11 review: oversized cells are starred at
+    # the CANDIDATE level by every caller, and verifying the same pair
+    # through differently-shaped BLAS calls risks last-ulp divergence
+    # at a 6dp rounding boundary — the determinism doctrine forbids it)
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -156,19 +157,14 @@ def _gemm_pairs_fn(threshold: float, star_over: int | None = None):
         if len(pdf) < 2:
             return empty
         pdf = pdf.sort_values("vec_id")
-        star = star_over is not None and len(pdf) > star_over
         out_a, out_b, out_s = [], [], []
         # one GEMM per embedding dimension present: cross-dimension
-        # pairs are NULL under the HOF form and simply absent here.
-        # (Star mode keys the hub on the GLOBAL min id — exactly the
-        # sorted-members[0] the HOF form stars around — so the hub's
-        # dimension group is the only one that emits.)
-        hub_id = pdf["vec_id"].iloc[0]
+        # pairs are NULL under the HOF form and simply absent here
         for _dim, sub in pdf.groupby(
             pdf["embedding"].map(len), sort=False
         ):
             n = len(sub)
-            if n < 2 and not star:
+            if n < 2:
                 continue
             ids = sub["vec_id"].to_numpy()
             M = np.array(
@@ -176,24 +172,15 @@ def _gemm_pairs_fn(threshold: float, star_over: int | None = None):
             )
             norms = np.sqrt(np.einsum("ij,ij->i", M, M))
             with np.errstate(divide="ignore", invalid="ignore"):
-                if star:
-                    if ids[0] != hub_id:
-                        continue  # hub pairs only, like the HOF star
-                    S = (M[:1] @ M.T) / np.outer(norms[:1], norms)
-                    keep = (np.arange(n)[None, :] > 0) & (
-                        S >= threshold - _GEMM_SLACK
-                    )
-                    ii, jj = np.nonzero(keep)
-                    if len(ii):
-                        out_a.append(ids[ii])
-                        out_b.append(ids[jj])
-                        out_s.append(S[ii, jj])
-                    continue
                 for lo in range(0, n, _GEMM_SLAB):
                     hi = min(lo + _GEMM_SLAB, n)
-                    S = (M[lo:hi] @ M.T) / np.outer(
-                        norms[lo:hi], norms
-                    )
+                    S = M[lo:hi] @ M.T
+                    # broadcast divides, not np.outer: the outer
+                    # product would materialize a SECOND slab×n matrix
+                    # beside S, doubling the documented memory bound
+                    # (round-11 review finding)
+                    S /= norms[lo:hi, None]
+                    S /= norms[None, :]
                     # strict upper triangle (j > i, global indices)
                     cols = np.arange(n)[None, :]
                     rows_g = np.arange(lo, hi)[:, None]
@@ -664,13 +651,22 @@ def embedding_near_dup_pairs(
 
     ``kernel`` (round 11): the sf1.0 profile put this branch's cost in
     the VERIFY — 3.6M quadratic candidates across 1,024 buckets, each
-    paying an interpreted 64-element dot. ``"arrow"`` (default) runs
-    the verify as the per-bucket GEMM kernel (`_gemm_pairs_fn` with
-    the star guard in-kernel), deduping across bands AFTER the verify
-    — the same pair set, since a pair's cosine is identical in every
-    band that proposes it; rounding + membership stay JVM-side.
-    ``"hof"``: the candidate-join + hoisted-norm fold form, retained
-    as the pinned-equal baseline. Measured: 12.2 s → see SCALE.md.
+    paying an interpreted 64-element dot. Candidate generation (band
+    buckets, star guard, cross-band dedup) is IDENTICAL for both
+    kernels; only the verify differs:
+
+    - ``"arrow"`` (default): one `mapInPandas` pass over the deduped
+      candidate rows computes every pair's cosine as a vectorized
+      row-wise reduction (``einsum('ij,ij->i')``) — ONE evaluation per
+      pair whatever batch it lands in, so the served value is
+      deterministic by construction (a per-bucket GEMM variant was
+      rejected in review: the same pair verified through two
+      differently-shaped BLAS calls can differ in the last ulp, making
+      a 6dp-boundary pair's membership depend on which duplicate the
+      dedup kept). Rounding + membership stay JVM-side.
+    - ``"hof"``: the hoisted-norm fold form, retained as the
+      pinned-equal baseline. Measured at sf1.0: 16.2 → 12.2 s (norm
+      hoist) → 3.8 s (row-wise kernel); see SCALE.md.
     """
     n_bands, n_bits, planes = config or (
         EMB_DUP_BANDS,
@@ -685,32 +681,6 @@ def embedding_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    if kernel == "arrow":
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        blocks = emb.select(
-            "vec_id",
-            "embedding",
-            F.explode(buckets_arr).alias("label"),
-        )
-        out_schema = StructType(
-            [
-                StructField("label", blocks.schema["label"].dataType),
-                StructField("vec_a", blocks.schema["vec_id"].dataType),
-                StructField("vec_b", blocks.schema["vec_id"].dataType),
-                StructField("raw_sim", DoubleType()),
-            ]
-        )
-        return (
-            blocks.groupBy("label")
-            .applyInPandas(
-                _gemm_pairs_fn(threshold, star_over=max_bucket), out_schema
-            )
-            .withColumn("cos_sim", F.round(F.col("raw_sim"), 6))
-            .filter(F.col("cos_sim") >= threshold)
-            .dropDuplicates(["vec_a", "vec_b"])
-            .select("vec_a", "vec_b", "cos_sim")
-        )
     sig = emb.select(
         F.col("vec_id"),
         F.explode(buckets_arr).alias("bucket"),
@@ -771,11 +741,74 @@ def embedding_near_dup_pairs(
         F.col("embedding").alias("emb_b"),
         norm(F.col("embedding")).alias("_norm_b"),
     )
+    joined = pairs.join(emb_a, "vec_a").join(emb_b, "vec_b")
+    if kernel == "arrow":
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                joined.schema["vec_a"],
+                joined.schema["vec_b"],
+                StructField("raw_sim", DoubleType()),
+            ]
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                # NULL / mixed-dimension / zero-norm pairs drop, the
+                # HOF outcomes (NULL cosine / NULL zip_with / NaN)
+                va = pdf["emb_a"].notna() & pdf["emb_b"].notna()
+                la = pdf["emb_a"].map(
+                    lambda e: -1 if e is None else len(e)
+                )
+                lb = pdf["emb_b"].map(
+                    lambda e: -1 if e is None else len(e)
+                )
+                ok = va & (la == lb)
+                sub = pdf[ok]
+                if len(sub) == 0:
+                    continue
+                out_a, out_b, out_s = [], [], []
+                for _d, grp in sub.groupby(la[ok], sort=False):
+                    A = np.array(
+                        [np.asarray(e, dtype=np.float64) for e in grp["emb_a"]]
+                    )
+                    B = np.array(
+                        [np.asarray(e, dtype=np.float64) for e in grp["emb_b"]]
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        raw = np.einsum("ij,ij->i", A, B) / (
+                            np.sqrt(np.einsum("ij,ij->i", A, A))
+                            * np.sqrt(np.einsum("ij,ij->i", B, B))
+                        )
+                    keep = raw >= threshold - _GEMM_SLACK
+                    if keep.any():
+                        out_a.append(grp["vec_a"].to_numpy()[keep])
+                        out_b.append(grp["vec_b"].to_numpy()[keep])
+                        out_s.append(raw[keep])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": np.concatenate(out_a),
+                            "vec_b": np.concatenate(out_b),
+                            "raw_sim": np.concatenate(out_s),
+                        }
+                    )
+
+        return (
+            joined.select("vec_a", "vec_b", "emb_a", "emb_b")
+            .mapInPandas(gen, out_schema)
+            .withColumn("cos_sim", F.round(F.col("raw_sim"), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("vec_a", "vec_b", "cos_sim")
+        )
     denom = F.col("_norm_a") * F.col("_norm_b")
     return (
-        pairs.join(emb_a, "vec_a")
-        .join(emb_b, "vec_b")
-        .withColumn(
+        joined.withColumn(
             "cos_sim",
             F.round(
                 F.when(
@@ -1463,11 +1496,20 @@ def pq_encode(
                 for mi in range(m)
             ]
         )
+        # NULL embedding → NULL codes on BOTH engines (round-11 review:
+        # the bare literal form's null behavior was accidental —
+        # array_position over an all-NULL sims array lands on an
+        # arbitrary centroid — and the Arrow kernel used to crash)
+        codes = F.when(F.col(vec_col).isNotNull(), codes)
         return emb.select(F.col(id_col), *keep, codes.alias("codes"))
 
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
-    src = emb.select(id_col, *keep, vec_col)
+    # keep may name vec_col itself (e.g. reconstruction carrying the
+    # residual through) — select each column once
+    src = emb.select(
+        id_col, *[k for k in keep if k != vec_col], vec_col
+    )
     out_schema = StructType(
         [src.schema[c] for c in (id_col, *keep)]
         + [StructField("codes", ArrayType(IntegerType()))]
@@ -1480,29 +1522,55 @@ def pq_encode(
         import pandas as pd
 
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            M = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            codes = np.empty((n, m), dtype=np.int32)
-            for mi in range(m):
-                S = M[:, mi * sub : (mi + 1) * sub]
-                C = np.array(books[mi], dtype=np.float64)
-                n2 = np.array(
-                    [float(sum(w * w for w in c)) for c in books[mi]]
+            # a NULL embedding yields NULL codes — the defined contract
+            # on both engines (round-11 review finding: one None row
+            # used to crash np.array with an inhomogeneous shape, and
+            # the bare SQL form landed on an arbitrary centroid)
+            valid = pdf[vec_col].notna()
+            vpdf = pdf[valid]
+            n = len(vpdf)
+            out_codes: list = [None] * len(pdf)
+            if n:
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in vpdf[vec_col]]
                 )
-                raw = 2.0 * (S @ C.T) - n2[None, :]
-                best = np.argmax(raw, axis=1)  # first max = lowest cid
-                srt = np.sort(raw, axis=1)
-                amb = (srt[:, -1] - srt[:, -2]) < _PQ_TIE_GAP
-                for i in np.nonzero(amb)[0]:
-                    sc = _jvm_l2_scores(S[i], books[mi])
-                    best[i] = sc.index(max(sc))
-                codes[:, mi] = best
+                codes = np.empty((n, m), dtype=np.int32)
+                for mi in range(m):
+                    S = M[:, mi * sub : (mi + 1) * sub]
+                    C = np.array(books[mi], dtype=np.float64)
+                    n2 = np.array(
+                        [float(sum(w * w for w in c)) for c in books[mi]]
+                    )
+                    raw = 2.0 * (S @ C.T) - n2[None, :]
+                    best = np.argmax(raw, axis=1)  # first max = lowest cid
+                    if raw.shape[1] > 1:
+                        # ambiguity guard scaled to the SCORE MAGNITUDE
+                        # (round-11 review finding: GEMM-vs-fold
+                        # divergence is relative ~d·eps·|score|, so a
+                        # fixed 1e-8 under-guards unnormalized
+                        # large-magnitude vectors); k=1 codebooks have
+                        # no second place to compare (and used to
+                        # IndexError)
+                        srt = np.sort(raw, axis=1)
+                        scale = np.maximum(
+                            np.abs(srt[:, -1]), np.abs(srt[:, -2])
+                        )
+                        amb = (srt[:, -1] - srt[:, -2]) < (
+                            _PQ_TIE_GAP + 1e-12 * scale
+                        )
+                        for i in np.nonzero(amb)[0]:
+                            sc = _jvm_l2_scores(S[i], books[mi])
+                            best[i] = sc.index(max(sc))
+                    codes[:, mi] = best
+                vi = 0
+                for pos, ok in enumerate(valid.to_numpy()):
+                    if ok:
+                        out_codes[pos] = codes[vi]
+                        vi += 1
             out = {c: pdf[c] for c in (id_col, *keep)}
-            out["codes"] = list(codes)
+            out["codes"] = out_codes
             yield pd.DataFrame(out)
 
     return src.mapInPandas(gen, out_schema)
@@ -1801,8 +1869,13 @@ def ivfpq_reconstruction_mse(
     run per ingest batch. Drift in the ingest distribution shows up as
     this number rising against the value recorded at build time."""
     residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
-    codes = pq_encode(residuals, books, vec_col=vec_col, id_col=id_col)
-    joined = residuals.join(codes, id_col)
+    # keep=(vec_col,): the residual vector rides the one encode pass —
+    # the old form re-computed the residuals a second time and paid a
+    # corpus-scale join just to reattach them (round-11 review finding:
+    # the exact waste the keep= mechanism was added to remove)
+    joined = pq_encode(
+        residuals, books, vec_col=vec_col, id_col=id_col, keep=(vec_col,)
+    )
     books_lit = F.array(
         *[
             F.array(*[lit_vector(word) for word in book])

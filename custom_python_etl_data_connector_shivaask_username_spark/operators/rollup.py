@@ -36,6 +36,7 @@ the same cadence as the X7 small-file compaction.
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -305,15 +306,50 @@ def _snapshot_parts(
     (Deliberately NO ``mergeSchema``: the store supports mixed
     timestamp flavors across the batch/stream writers, which strict
     schema merging refuses; qhist presence is audited per-footer by
-    :func:`_qhist_coverage` instead.)"""
-    parts = spark.read.parquet(store_path)
-    if snapshot:
-        from ..sources.rollup_store import committed_epochs
+    :func:`_qhist_coverage` instead.)
 
-        wm = _folded_watermark(spark, store_path)
-        keep = [-1] + [e for e in committed_epochs(store_path) if e > wm]
-        parts = parts.filter(F.col("batch_id").isin(keep))
-    return parts
+    Snapshot reads are PATH-scoped (round-11 review finding): listing
+    only the visible ``day=*/batch_id=<id>`` directories keeps schema
+    inference away from excluded deliveries' footers — a full-store
+    read with a batch_id filter would still infer its schema from
+    whatever file sorts first, so an uncommitted legacy (no-qhist)
+    delivery at a low batch id could hide the qhist column from the
+    whole snapshot and crash serving the audit had just green-lit.
+    The directory walk is metadata-scale (days × visible epochs)."""
+    if not snapshot:
+        return spark.read.parquet(store_path)
+    import pyarrow.fs as pafs
+
+    from ..sources.rollup_store import _fs_and_path, committed_epochs
+
+    wm = _folded_watermark(spark, store_path)
+    keep = {-1} | {e for e in committed_epochs(store_path) if e > wm}
+    fs, store = _fs_and_path(store_path)
+    day_dirs = [
+        i.path
+        for i in fs.get_file_info(pafs.FileSelector(store))
+        if not i.is_file and os.path.basename(i.path).startswith("day=")
+    ]
+    visible = []
+    for d in day_dirs:
+        for i in fs.get_file_info(pafs.FileSelector(d)):
+            base = os.path.basename(i.path)
+            if i.is_file or not base.startswith("batch_id="):
+                continue
+            try:
+                bid = int(base[len("batch_id="):])
+            except ValueError:
+                continue
+            if bid in keep:
+                visible.append(f"{store_path.rstrip('/')}/"
+                               f"{os.path.basename(d)}/{base}")
+    if not visible:
+        # nothing committed yet: the full read filtered to the visible
+        # id set (empty) keeps the old empty-result behavior
+        return spark.read.parquet(store_path).filter(
+            F.col("batch_id").isin(list(keep))
+        )
+    return spark.read.option("basePath", store_path).parquet(*visible)
 
 
 #: per-file footer verdicts ("does this data file carry qhist?") —
@@ -666,14 +702,24 @@ def _rollup_quantiles_arrow(
         uk, inv = np.unique(ks, return_inverse=True)
         cnt = np.zeros(len(uk), dtype=np.int64)
         np.add.at(cnt, inv, vs)
-        # integer surrogate of the VALUE order: zero key → 0, positive
-        # (even) keys ascend with key16, negative (odd) keys descend —
-        # exact integer arithmetic, so the ordering is the rep ordering
-        # without computing a single rep
+        # integer surrogate of the VALUE order: every negative-value
+        # (odd) key sorts below zero, every positive-value (even) key
+        # above, and within a sign class key16 orders by magnitude —
+        # exact integer arithmetic, no rep computed. key16 is NEGATIVE
+        # for |v| < 1 (octaves run -63..63, key16 ∈ [-1008, 1023]), so
+        # the class offset must clear its WHOLE span; the first
+        # rendering offset by ±1 only, interleaving fractional
+        # positives below zero and through the negatives (round-11
+        # review finding: 1,330 inversions across the key domain —
+        # wrong percentiles on any cell mixing sign classes with
+        # fractional magnitudes; pinned by the fractional-value case
+        # in test_quantile_partials_round_trip_and_error_band).
+        span = np.int64(4096)  # > 2·max|key16|
+        key16 = np.where(uk % 2 == 0, uk // 2, (uk - 1) // 2)
         sortv = np.where(
             uk == QHIST_ZERO_KEY,
             np.int64(0),
-            np.where(uk % 2 == 0, uk // 2 + 1, -((uk - 1) // 2) - 1),
+            np.where(uk % 2 == 0, key16 + span, -key16 - span),
         )
         order = np.argsort(sortv)
         cum = np.cumsum(cnt[order])

@@ -1768,3 +1768,41 @@ def test_emb_dup_kernel_arrow_equals_hof(spark, sf_dir):
         )
     )
     assert a == h and len(a) == 299  # hub stars to every member
+
+
+def test_pq_encode_arrow_nulls_k1_and_magnitude_parity(spark):
+    """Round-11 review findings on the Arrow encoder: (1) a NULL
+    embedding yields the SQL engine's exact rendering — an array of m
+    NULL codes — instead of crashing the batch; (2) k=1 codebooks
+    encode (no second place for the tie check to index); (3) the
+    ambiguity guard is scaled to the score magnitude, so unnormalized
+    large-magnitude vectors keep engine parity."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.standard_normal(64) * 1000.0).tolist()) for i in range(80)]
+    rows.append((900, None))  # NULL embedding
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_train(emb.filter("embedding IS NOT NULL"), iters=1)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    s = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, books, engine="sql").collect()
+    }
+    assert a == s, [k for k in a if a[k] != s[k]][:3]
+    assert a[900] is None
+
+    # k=1: exactly one centroid per subspace
+    books1 = [[book[0]] for book in books]
+    a1 = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books1).collect()}
+    s1 = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, books1, engine="sql").collect()
+    }
+    assert a1 == s1
+    assert all(c == [0] * len(books1) for k, c in a1.items() if k != 900)

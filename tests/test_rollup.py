@@ -478,6 +478,41 @@ def test_quantile_partials_round_trip_and_error_band(spark, tmp_path):
                     ).collect(),
                 )
             ) == got_one, impl
+    # round-11 review finding: the arrow impl's first integer sort
+    # surrogate interleaved FRACTIONAL magnitudes (|v| < 1, where
+    # key16 goes negative) across the sign classes — wrong percentiles
+    # on exactly the mixed-sign fractional cells this store plants
+    # (values in [-2, 2) at 0.01 grain, zero included)
+    frac = str(tmp_path / "frac")
+    evf = spark.range(0, 20_000).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-03-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("id") % 3600).cast("int"))
+        ).alias("ts"),
+        F.lit("u0").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("id") % 400).cast("double") / 200.0 - 1.5).alias("value"),
+    )
+    refresh_rollup(evf, frac, batch_id=0)
+    frac_base = sorted(
+        map(
+            tuple,
+            rollup_quantiles(spark, frac, qs, impl="exploded").collect(),
+        )
+    )
+    assert any(v < 0 for *_k, v in frac_base) and any(
+        0 < v < 1 for *_k, v in frac_base
+    ), "fixture must exercise fractional mixed-sign percentiles"
+    for impl in ("cellfold", "arrow"):
+        assert sorted(
+            map(
+                tuple,
+                rollup_quantiles(spark, frac, qs, impl=impl).collect(),
+            )
+        ) == frac_base, impl
 
     exact = {
         (r["w"], r["event_type"], q): r["v"]
@@ -684,11 +719,15 @@ def test_snapshot_quantiles_ignore_uncommitted_legacy_delivery(
     refresh_rollup(_events(spark, rows), store, batch_id=0)  # committed
 
     # a torn LEGACY delivery: pre-round-10 partials (no qhist column)
-    # appended under batch_id=7 with NO _commits/7 marker
+    # with NO commit marker, under batch_id=-5 so its file SORTS FIRST
+    # in the store listing — round-11 review finding: a full-store
+    # read's single-footer schema inference then lands on the legacy
+    # footer and hides qhist from the whole snapshot; the path-scoped
+    # snapshot read must never see the excluded directory at all
     legacy = (
         rollup_partials(_events(spark, [(2, 9, 0, "view", 5.0)]))
         .drop("qhist")
-        .withColumn("batch_id", F.lit(7))
+        .withColumn("batch_id", F.lit(-5))
     )
     legacy.write.mode("append").partitionBy("day", "batch_id").parquet(store)
 

@@ -645,6 +645,33 @@ def rollup_quantiles(
     return picked.orderBy("window_start", "event_type", "q")
 
 
+def _qhist_sort_surrogate(uk):
+    """Integer surrogate of the VALUE order for an array of histogram
+    keys: every negative-value (odd) key sorts below zero, every
+    positive-value (even) key above, and within a sign class key16
+    orders by magnitude — exact integer arithmetic, no rep computed.
+    key16 is NEGATIVE for |v| < 1 (octaves run -63..63,
+    key16 ∈ [-1008, 1023]), so the class offset must clear its WHOLE
+    span; the first rendering offset by ±1 only, interleaving
+    fractional positives below zero and through the negatives
+    (round-11 review finding: 1,330 inversions across the key domain —
+    wrong percentiles on any cell mixing sign classes with fractional
+    magnitudes). Pinned against the true rep order over the whole key
+    domain by a hypothesis property
+    (test_properties.py::test_qhist_arrow_sort_surrogate_matches_rep_order)
+    and end-to-end by the mixed-sign fractional store case in
+    test_quantile_partials_round_trip_and_error_band."""
+    import numpy as np
+
+    span = np.int64(4096)  # > 2·max|key16|
+    key16 = np.where(uk % 2 == 0, uk // 2, (uk - 1) // 2)
+    return np.where(
+        uk == QHIST_ZERO_KEY,
+        np.int64(0),
+        np.where(uk % 2 == 0, key16 + span, -key16 - span),
+    )
+
+
 def _rollup_quantiles_arrow(
     parts: DataFrame, qs: list[float], resolution: str
 ) -> DataFrame:
@@ -702,26 +729,7 @@ def _rollup_quantiles_arrow(
         uk, inv = np.unique(ks, return_inverse=True)
         cnt = np.zeros(len(uk), dtype=np.int64)
         np.add.at(cnt, inv, vs)
-        # integer surrogate of the VALUE order: every negative-value
-        # (odd) key sorts below zero, every positive-value (even) key
-        # above, and within a sign class key16 orders by magnitude —
-        # exact integer arithmetic, no rep computed. key16 is NEGATIVE
-        # for |v| < 1 (octaves run -63..63, key16 ∈ [-1008, 1023]), so
-        # the class offset must clear its WHOLE span; the first
-        # rendering offset by ±1 only, interleaving fractional
-        # positives below zero and through the negatives (round-11
-        # review finding: 1,330 inversions across the key domain —
-        # wrong percentiles on any cell mixing sign classes with
-        # fractional magnitudes; pinned by the fractional-value case
-        # in test_quantile_partials_round_trip_and_error_band).
-        span = np.int64(4096)  # > 2·max|key16|
-        key16 = np.where(uk % 2 == 0, uk // 2, (uk - 1) // 2)
-        sortv = np.where(
-            uk == QHIST_ZERO_KEY,
-            np.int64(0),
-            np.where(uk % 2 == 0, key16 + span, -key16 - span),
-        )
-        order = np.argsort(sortv)
+        order = np.argsort(_qhist_sort_surrogate(uk))
         cum = np.cumsum(cnt[order])
         tot = float(cum[-1])
         picks = [

@@ -970,7 +970,9 @@ def plan_join_tree(
     pair-key joins), and threads the tuple through the exchange-aware
     partitioning keys (subset rule). Composite cross edges make the
     bushy rung ineligible (guarded fall-through to the greedy); the
-    per-edge histogram model and X41 probes stay single-column.
+    per-edge histogram model stays single-column, while X41 probes
+    handle tuples (group-NDV vs independence-product arbitration in
+    `estimate_join_rows_validated`, sampled AND-join probe).
 
     Order (``how="inner"`` only — reordering is an inner-join
     identity), three rungs. Rung 1, the broadcast chain (round 9):
@@ -1746,12 +1748,21 @@ def probe_join_rows(
     inverted from the model estimators' (models err on BIG skewed
     joins, the probe errs on TINY ones), which is why
     :func:`estimate_join_rows_validated` uses the probe only to
-    arbitrate when the models disagree by >10×."""
+    arbitrate when the models disagree by >10×.
+
+    Composite keys (round 11): ``lcol``/``rcol`` may be tuples — the
+    sample projects the key columns and the join ANDs the component
+    equalities, same estimator, same cost shape."""
     if not 0 < fraction <= 1:
         raise ValueError("fraction must be in (0, 1]")
-    sl = left.select(lcol).sample(fraction=fraction, seed=seed)
-    sr = right.select(rcol).sample(fraction=fraction, seed=seed + 1)
-    pairs = sl.join(sr, on=sl[lcol] == sr[rcol]).count()
+    lcs, rcs = _cols(lcol), _cols(rcol)
+    sl = left.select(*lcs).sample(fraction=fraction, seed=seed)
+    sr = right.select(*rcs).sample(fraction=fraction, seed=seed + 1)
+    cond = None
+    for a, b in zip(lcs, rcs):
+        term = sl[a] == sr[b]
+        cond = term if cond is None else cond & term
+    pairs = sl.join(sr, on=cond).count()
     return pairs / (fraction * fraction)
 
 
@@ -1770,16 +1781,48 @@ def estimate_join_rows_validated(
     and uniform-NDV Selinger — and, when they disagree by more than
     ``disagreement``× AND the frames are provided, arbitrate with one
     :func:`probe_join_rows` sample probe. Returns ``(rows, source)``
-    with source ∈ {"histogram", "selinger", "probe"} so plan audits
-    can see which model decided. Without frames (sidecar-only
-    planning) the histogram estimate wins ties — it strictly
-    dominates Selinger's information."""
-    lsegs = _hist_segments(left_stats, lcol)
-    rsegs = _hist_segments(right_stats, rcol)
+    with source ∈ {"histogram", "selinger", "probe"} (composite keys:
+    {"group", "independence", "probe"}) so plan audits can see which
+    model decided. Without frames (sidecar-only planning) the
+    histogram estimate wins ties — it strictly dominates Selinger's
+    information.
+
+    Composite (tuple) keys (round 11): the two models are the
+    group-NDV estimate (`_group_ndv` — X37 evidence when collected,
+    max-component lower bound otherwise) and the per-column
+    INDEPENDENCE product ``|L|·|R| / Π max(ndv_aᵢ, ndv_bᵢ)``. These
+    disagree structurally whenever key columns correlate — which is
+    exactly when per-table statistics cannot settle the join and one
+    sampled probe is the insurance premium. Without frames the
+    group-NDV estimate wins (it can only RAISE the selectivity toward
+    truth: gndv ≤ Π ndv always)."""
+    lcs, rcs = _cols(lcol), _cols(rcol)
     nl = max(0, int(left_stats.get("row_count") or 0))
     nr = max(0, int(right_stats.get("row_count") or 0))
     if nl == 0 or nr == 0:
-        return 0.0, "selinger"
+        return 0.0, "selinger" if len(lcs) == 1 else "independence"
+    if len(lcs) > 1:
+        grp = estimate_join_rows(left_stats, lcs, right_stats, rcs)
+        denom = 1.0
+        for a, b in zip(lcs, rcs):
+            denom *= max(_ndv(left_stats, a, nl), _ndv(right_stats, b, nr))
+        indep = nl * nr / max(denom, 1.0)
+        ratio = max(grp, 1.0) / max(indep, 1.0)
+        if (
+            left is not None
+            and right is not None
+            and (ratio > disagreement or ratio < 1.0 / disagreement)
+        ):
+            probed = probe_join_rows(left, lcs, right, rcs, fraction)
+            if probed > 0:
+                return probed, "probe"
+            return min(grp, indep), (
+                "group" if grp <= indep else "independence"
+            )
+        return grp, "group"
+    lcol, rcol = lcs[0], rcs[0]  # 1-tuples normalize to the plain path
+    lsegs = _hist_segments(left_stats, lcol)
+    rsegs = _hist_segments(right_stats, rcol)
     if not (lsegs and rsegs):
         return estimate_join_rows(left_stats, lcol, right_stats, rcol), (
             "selinger"

@@ -1614,3 +1614,70 @@ def test_composite_key_edges_plan_on_group_ndv(spark):
     assert not _scan_part_satisfied({"T": ["a", "b"]}, "T", ("a",))
     assert _part_satisfied({("T", ("a",))}, "T", ("a", "b"))
     assert not _part_satisfied({("T", ("a", "b"))}, "T", ("a",))
+
+
+def test_composite_key_probe_arbitrates_correlation(spark):
+    """Round 11 (X41×X55): for a TUPLE edge the validated estimator's
+    two models are the group-NDV estimate and the per-column
+    independence product — they disagree exactly when the key columns
+    correlate, and one sampled AND-join probe arbitrates. Pinned: the
+    planted fully-correlated pair key (b = a, so gndv == ndv_a while
+    independence divides by ndv_a²) probes and lands near the true
+    size; a genuinely independent pair key agrees and stays scan-free;
+    sidecar-only planning (no frames) never probes and the group
+    estimate wins."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_column_group_stats,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        estimate_join_rows_validated,
+    )
+
+    # fully correlated: b == a (both sides), 200 distinct pairs
+    L = spark.range(0, 20_000).select(
+        (F.col("id") % 200).alias("a"), (F.col("id") % 200).alias("b")
+    )
+    R = spark.range(0, 10_000).select(
+        (F.col("id") % 200).alias("a"), (F.col("id") % 200).alias("b")
+    )
+    sl = collect_column_group_stats(L, collect_table_stats(L), [["a", "b"]])
+    sr = collect_column_group_stats(R, collect_table_stats(R), [["a", "b"]])
+    actual = L.join(R, ["a", "b"]).count()
+    est, source = estimate_join_rows_validated(
+        sl, ("a", "b"), sr, ("a", "b"), left=L, right=R, fraction=0.05
+    )
+    assert source == "probe"
+    assert abs(est - actual) <= 0.35 * actual, (est, actual)
+    # sidecar-only: group evidence wins, no probe possible
+    est2, source2 = estimate_join_rows_validated(
+        sl, ("a", "b"), sr, ("a", "b")
+    )
+    assert source2 == "group"
+    assert abs(est2 - actual) <= 0.35 * actual, (est2, actual)
+
+    # independent pair key: gndv ~ ndv_a x ndv_b, models agree, no scan
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
+
+    Li = spark.range(0, 20_000).select(
+        (F.col("id") % 40).alias("a"), ((F.col("id") / 40) % 50).cast("long").alias("b")
+    )
+    Ri = spark.range(0, 10_000).select(
+        (F.col("id") % 40).alias("a"), ((F.col("id") / 40) % 50).cast("long").alias("b")
+    )
+    sli = collect_column_group_stats(Li, collect_table_stats(Li), [["a", "b"]])
+    sri = collect_column_group_stats(Ri, collect_table_stats(Ri), [["a", "b"]])
+    calls = []
+    orig = S.probe_join_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S.probe_join_rows = spy
+    try:
+        _est3, source3 = estimate_join_rows_validated(
+            sli, ("a", "b"), sri, ("a", "b"), left=Li, right=Ri
+        )
+    finally:
+        S.probe_join_rows = orig
+    assert source3 == "group" and calls == []

@@ -39,6 +39,27 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
+
+def _vetted_global_key(col: str):
+    """Constant-0 partition key for a VETTED metadata-scale global
+    window (round-12 verdict advisory #3). Semantically identical to an
+    empty ``partitionBy`` — ``pmod(xxhash64(col), 1)`` is 0 on every
+    row, including NULLs (xxhash64 is total) — but the partition spec
+    stays non-empty, so the benign sites stop printing `WindowExec: No
+    Partition Defined` and that warning class becomes always-fatal
+    signal for genuinely unpartitioned corpus windows. The optimizer
+    provably keeps it: ``x % 1`` has no simplification rule (probed on
+    this Spark: foldable keys and even ``coalesce(x,0)*0`` fold away;
+    pmod survives). Every use MUST sit beside an in-plan
+    ``assert_true`` frame cap — the key silences the warning only
+    because the bound is now enforced loudly instead."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(1))
+
+
+#: loud cap for the mixing-summary global window: far above any real
+#: language-stratum count, far below anything corpus-scale
+_MAX_MIX_STRATA = 100_000
+
 #: per-language keep rates (percent) — the mixing policy under test
 SAMPLE_RATE_PCT = {"en": 60, "zh": 40, "de": 30, "fr": 30, "es": 20}
 DEFAULT_RATE_PCT = 25
@@ -329,10 +350,31 @@ def two_level_prefix_sum(
     )
     cells = parted.withColumn(out_col, F.sum(value_col).over(w_cell))
 
+    # round 12 (verdict advisory #3): the offset pass is a DOCUMENTED
+    # metadata-scale global window (frame = partitions × strata rows),
+    # but its empty partitionBy printed the benign `WindowExec: No
+    # Partition Defined` warning on every run — noise that would let a
+    # future REAL unpartitioned corpus window scroll past unseen. The
+    # vetted-global device: partition on a provably-constant key the
+    # optimizer cannot fold (`pmod(xxhash64(_pid), 1)` ≡ 0; xxhash64 is
+    # total, so NULLs can't split the group) — same single group, no
+    # warning — and assert the frame bound IN-PLAN so the cap is loud:
+    # any row past num_partitions means the metadata-scale premise
+    # broke and the query dies instead of single-tasking corpus rows.
+    zkey = _vetted_global_key("_pid")
     w_off = (
-        Window.partitionBy(*strata)
+        Window.partitionBy(*strata, zkey)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # full-frame count for the cap assert; ordered by _pid with an
+    # explicit unbounded frame (same whole-frame count, shares w_off's
+    # sort, and the spec names the _pid cell key like every other
+    # corpus-side window here)
+    w_frame = (
+        Window.partitionBy(*strata, zkey)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     offsets = (
         parted.groupBy(*strata, "_pid")
@@ -340,7 +382,16 @@ def two_level_prefix_sum(
         .select(
             *[F.col(c).alias(f"_o_{c}") for c in strata],
             F.col("_pid").alias("_o_pid"),
-            F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
+            F.when(
+                F.assert_true(
+                    F.count(F.lit(1)).over(w_frame)
+                    <= F.lit(int(num_partitions)),
+                    "two_level_prefix_sum: offset frame exceeds the "
+                    "partition count — the metadata-scale premise of "
+                    "the global offset window is broken",
+                ).isNull(),
+                F.coalesce(F.sum("_psum").over(w_off), F.lit(0)),
+            ).alias("_off"),
         )
     )
 
@@ -725,14 +776,30 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonicalizer-fragile even when bit-identical to the oracle).
     from pyspark.sql import Window
 
-    w = Window.partitionBy()
+    # round 12 (verdict advisory #3): vetted-global key + loud frame
+    # cap replace the empty partitionBy — same single group, no benign
+    # `WindowExec` warning, and the metadata-scale premise (input =
+    # one row per language) is now ASSERTED in-plan instead of assumed.
+    # keyed on n_docs (any total column works — the key is constant 0);
+    # NOT on lang, so the "windows naming lang must involve _pid" plan
+    # pin keeps meaning corpus-side windows only
+    w = Window.partitionBy(_vetted_global_key("n_docs"))
     return (
         joined.withColumn(
             "mix_weight_ppm",
-            F.round(
-                F.col("tokens_selected") * F.lit(1000000.0)
-                / F.sum("tokens_selected").over(w)
-            ).cast("bigint"),
+            F.when(
+                F.assert_true(
+                    F.count(F.lit(1)).over(w) <= F.lit(_MAX_MIX_STRATA),
+                    "curation mix: the per-stratum summary exceeds "
+                    f"{_MAX_MIX_STRATA} rows — not a per-language "
+                    "aggregate any more; the global mixing window "
+                    "would single-task corpus-scale data",
+                ).isNull(),
+                F.round(
+                    F.col("tokens_selected") * F.lit(1000000.0)
+                    / F.sum("tokens_selected").over(w)
+                ).cast("bigint"),
+            ),
         )
         .orderBy("lang")
     )

@@ -256,8 +256,16 @@ def similar_pairs_within_label_df(
                 StructField("raw_sim", DoubleType()),
             ]
         )
+        # round 12 (advice): groupBy RETAINS null grouping keys while the
+        # hof form's bucket == bucket_b equality DROPS them — a NULL
+        # lsh_bucket (e.g. a dimension-mismatched embedding) would form
+        # a group the kernel pairs but the join never sees. Filter NULL
+        # extra keys first so both kernels share equality-join semantics.
+        grouped = side.select("label", *extra_keys, "vec_id", "embedding")
+        for k in extra_keys:
+            grouped = grouped.filter(F.col(k).isNotNull())
         return (
-            side.select("label", *extra_keys, "vec_id", "embedding")
+            grouped
             .groupBy("label", *extra_keys)
             .applyInPandas(_gemm_pairs_fn(threshold), out_schema)
             .withColumn("cos_sim", F.round(F.col("raw_sim"), 6))

@@ -297,8 +297,23 @@ def _finalize(merged: DataFrame) -> DataFrame:
     )
 
 
+def _visible_epochs(spark: SparkSession, store_path: str) -> set[int]:
+    """The X34 snapshot visibility set: the compacted base (-1) plus
+    every committed epoch past the folded watermark. Computed ONCE per
+    serving call and passed to both the qhist audit and the snapshot
+    read (round-12 advice: two independent computations let an epoch
+    committed between the audit and the read be served unaudited)."""
+    from ..sources.rollup_store import committed_epochs
+
+    wm = _folded_watermark(spark, store_path)
+    return {-1} | {e for e in committed_epochs(store_path) if e > wm}
+
+
 def _snapshot_parts(
-    spark: SparkSession, store_path: str, snapshot: bool
+    spark: SparkSession,
+    store_path: str,
+    snapshot: bool,
+    keep: set[int] | None = None,
 ) -> DataFrame:
     """Store partials, optionally snapshot-isolated (X34): only the
     compacted base plus batches with a durable commit marker.
@@ -320,10 +335,10 @@ def _snapshot_parts(
         return spark.read.parquet(store_path)
     import pyarrow.fs as pafs
 
-    from ..sources.rollup_store import _fs_and_path, committed_epochs
+    from ..sources.rollup_store import _fs_and_path
 
-    wm = _folded_watermark(spark, store_path)
-    keep = {-1} | {e for e in committed_epochs(store_path) if e > wm}
+    if keep is None:
+        keep = _visible_epochs(spark, store_path)
     fs, store = _fs_and_path(store_path)
     day_dirs = [
         i.path
@@ -374,7 +389,10 @@ def _file_batch_id(path: str) -> int | None:
 
 
 def _qhist_coverage(
-    spark: SparkSession, store_path: str, snapshot: bool = False
+    spark: SparkSession,
+    store_path: str,
+    snapshot: bool = False,
+    keep: set[int] | None = None,
 ) -> str:
     """``'all'`` / ``'none'`` / ``'mixed'``: whether the store's data
     files carry the qhist column — per-FOOTER, because Spark's
@@ -393,12 +411,12 @@ def _qhist_coverage(
     never serves its rows (round-10 advisory)."""
     import pyarrow.parquet as pq
 
-    from ..sources.rollup_store import _fs_and_path, committed_epochs
+    from ..sources.rollup_store import _fs_and_path
 
     files = spark.read.parquet(store_path).inputFiles()
     if snapshot:
-        wm = _folded_watermark(spark, store_path)
-        keep = {-1} | {e for e in committed_epochs(store_path) if e > wm}
+        if keep is None:
+            keep = _visible_epochs(spark, store_path)
         files = [f for f in files if _file_batch_id(f) in keep]
     have = 0
     for f in files:
@@ -455,15 +473,25 @@ def record_resolution(
     spark: SparkSession, store_path: str, resolution: str
 ) -> None:
     """Record (or verify) the store's grain. A store fed at two
-    different grains would serve meaningless merges — refuse loudly."""
+    different grains would serve meaningless merges — refuse loudly.
+
+    First write is CREATE-EXCLUSIVE (round-12 advice): two concurrent
+    first deliveries at different grains used to both observe a
+    missing sidecar and both write — silent last-writer-wins instead
+    of the promised refusal. Now the loser of the create race re-reads
+    the winner's grain and verifies against it."""
     have = stored_resolution(spark, store_path)
     if have is None:
-        fs_write_text(
+        from ..sources.layout import fs_write_text_exclusive
+
+        if fs_write_text_exclusive(
             spark,
             _resolution_sidecar_path(store_path),
             json.dumps({"resolution": resolution}),
-        )
-    elif have != resolution:
+        ):
+            return
+        have = stored_resolution(spark, store_path)
+    if have != resolution:
         raise ValueError(
             f"store {store_path!r} was built at {have!r} grain; "
             f"refusing a {resolution!r} delivery into it"
@@ -534,7 +562,13 @@ def rollup_quantiles(
             f"impl must be 'cellfold', 'exploded' or 'arrow', got {impl!r}"
         )
     _check_serving_resolution(spark, store_path, resolution)
-    coverage = _qhist_coverage(spark, store_path, snapshot=snapshot)
+    # ONE visibility computation shared by the audit and the read
+    # (round-12 advice): an epoch committing between two independent
+    # computations would be served unaudited — a legacy no-qhist epoch
+    # landing in that window would silently contribute zero histogram
+    # rows instead of raising 'mixes'.
+    keep = _visible_epochs(spark, store_path) if snapshot else None
+    coverage = _qhist_coverage(spark, store_path, snapshot=snapshot, keep=keep)
     if coverage == "none":
         raise ValueError(
             f"store {store_path!r} carries no quantile partials "
@@ -551,7 +585,7 @@ def rollup_quantiles(
             "exclude the legacy events — re-land or re-aggregate "
             "those batches first"
         )
-    parts = _snapshot_parts(spark, store_path, snapshot)
+    parts = _snapshot_parts(spark, store_path, snapshot, keep=keep)
     if impl == "exploded":
         return _rollup_quantiles_exploded(parts, qs, resolution)
     if impl == "arrow":

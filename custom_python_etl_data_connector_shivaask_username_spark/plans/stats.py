@@ -1803,6 +1803,15 @@ def estimate_join_rows_validated(
         return 0.0, "selinger" if len(lcs) == 1 else "independence"
     if len(lcs) > 1:
         grp = estimate_join_rows(left_stats, lcs, right_stats, rcs)
+        if grp == 0.0:
+            # round 12 (advice): a disjoint component range PROVED the
+            # join empty (the only way grp can be 0 here — the nl/nr==0
+            # cases returned above). The independence product ignores
+            # ranges, so without this short-circuit the >10× model
+            # disagreement would fire a sampling probe for exactly the
+            # join the stats already settled — breaking the scan-free
+            # contract on the cheapest case.
+            return 0.0, "group"
         denom = 1.0
         for a, b in zip(lcs, rcs):
             denom *= max(_ndv(left_stats, a, nl), _ndv(right_stats, b, nr))

@@ -303,6 +303,33 @@ def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
     out.close()
 
 
+def fs_write_text_exclusive(
+    spark: SparkSession, path: str, content: str
+) -> bool:
+    """Create-exclusive variant of :func:`fs_write_text`: write only if
+    the file does not already exist (``FileSystem.create(path,
+    overwrite=False)``), returning True on the write and False when a
+    concurrent writer got there first. The loser re-reads and verifies
+    instead of clobbering — the loud-refusal sidecars (grain records)
+    need first-write-wins, not last-writer-wins (round-12 advice:
+    record_resolution's read-check-write was non-atomic)."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), spark._jsc.hadoopConfiguration()
+    )
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(path), False)
+    except Py4JJavaError as e:
+        if "AlreadyExists" in str(e.java_exception):
+            return False
+        raise
+    out.write(bytearray(content.encode("utf-8")))
+    out.close()
+    return True
+
+
 def fs_read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text sidecar through the Hadoop FileSystem API;
     ``None`` if the file does not exist (first run). Same URI coverage

@@ -821,3 +821,52 @@ def test_export_packed_shards_validates_and_clamps(spark, tmp_path):
     assert [s["shard"] for s in m["shards"]] == [0, 1, 2]
     on_disk = json.load(open(str(tmp_path / "y" / "_manifest.json")))
     assert on_disk == m
+
+
+def test_no_unpartitioned_windows_in_curation_plans(spark, sf_dir):
+    """Round-12 verdict advisory #3: the two documented metadata-scale
+    global windows (the prefix-sum offset pass and the mixing summary)
+    now partition on a vetted constant key, so NO windowspecdefinition
+    in either plan is partition-less — the benign `WindowExec: No
+    Partition Defined` warnings are gone and that warning class is
+    always-fatal signal for real unpartitioned corpus windows. The
+    frame caps ride in-plan as assert_true (raise_error in the
+    optimized plan)."""
+    import re
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    for qname in ("q_curation_mix", "q_pack_sequences"):
+        plan = formatted_plan(QUERIES[qname](spark, sf_dir))
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert specs, qname
+        for spec in specs:
+            assert not spec.startswith(
+                "windowspecdefinition(specifiedwindowframe"
+            ), f"{qname}: unpartitioned window survived: {spec}"
+        assert "raise_error" in plan, f"{qname}: frame cap missing"
+
+
+def test_mix_summary_cap_trips_loudly(spark, sf_dir, monkeypatch):
+    """The cap beside the mixing-summary global window is live: shrink
+    it below the fixture's language count and the query must DIE with
+    the documented message instead of silently single-tasking."""
+    import pytest
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.llm_curation as C
+    from custom_python_etl_data_connector_shivaask_username_spark.registry import (
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    monkeypatch.setattr(C, "_MAX_MIX_STRATA", 2)
+    df = QUERIES["q_curation_mix"](spark, sf_dir)
+    with pytest.raises(Exception, match="per-stratum summary exceeds"):
+        df.collect()

@@ -1806,3 +1806,51 @@ def test_pq_encode_arrow_nulls_k1_and_magnitude_parity(spark):
     }
     assert a1 == s1
     assert all(c == [0] * len(books1) for k, c in a1.items() if k != 900)
+
+
+def test_pair_gemm_drops_null_bucket_rows_like_hof(spark, monkeypatch):
+    """Round-12 advice pin: in the over-cap sub-block branch, groupBy
+    RETAINS a NULL bucket key while the HOF form's bucket == bucket_b
+    equality DROPS those rows — so the Arrow kernel used to pair two
+    NULL-bucket near-duplicates the join form never saw. The shipped
+    lsh_bucket never emits NULL (NULL dots take the otherwise-0 bit),
+    so the divergence is planted by a NULL-on-dimension-mismatch
+    bucketing — the shape the advice named. Pinned: both kernels drop
+    NULL-bucket rows; kernel parity holds."""
+    import numpy as np
+
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity as S
+
+    orig = S.lsh_bucket
+
+    def null_on_mismatch(emb_col, planes=None):
+        dim = len(planes[0]) if planes else S.LSH_DIM
+        return F.when(F.size(emb_col) == dim, orig(emb_col, planes))
+
+    monkeypatch.setattr(S, "lsh_bucket", null_on_mismatch)
+
+    rng = np.random.RandomState(12)
+    rows = []
+    for i in range(30):  # over-cap label of ordinary 64-dim vectors
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    w = rng.standard_normal(32)
+    w = (w / np.linalg.norm(w)).tolist()
+    rows.append((500, w, 0))  # identical 32-dim pair: cos = 1.0, but
+    rows.append((501, w, 0))  # dim-mismatch -> NULL bucket -> dropped
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+
+    def pairs(kernel):
+        return sorted(
+            tuple(r)
+            for r in S.similar_pairs_within_label_df(
+                emb, threshold=0.9, max_block=20, kernel=kernel
+            ).collect()
+        )
+
+    arrow, hof = pairs("arrow"), pairs("hof")
+    assert arrow == hof
+    ids = {p[1] for p in arrow} | {p[2] for p in arrow}
+    assert 500 not in ids and 501 not in ids

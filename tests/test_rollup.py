@@ -751,3 +751,85 @@ def test_snapshot_quantiles_ignore_uncommitted_legacy_delivery(
     got2 = rollup_quantiles(spark, store, [0.5], snapshot=True).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
     assert R._QHIST_FOOTER_CACHE  # the cache is the mechanism
+
+
+def test_record_resolution_first_write_is_create_exclusive(spark, tmp_path):
+    """Round-12 advice pin: two concurrent FIRST deliveries at
+    different grains must not silently install last-writer-wins — the
+    sidecar write is create-exclusive, and the create-race loser
+    re-reads the winner's grain and verifies. Simulated race: the
+    loser's pre-check reads None (stale), but the winner's sidecar is
+    already on disk when the loser's exclusive create runs."""
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.rollup as R
+    from custom_python_etl_data_connector_shivaask_username_spark.sources.layout import (
+        fs_write_text_exclusive,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    side = R._resolution_sidecar_path(store)
+
+    # the exclusive primitive: first create wins, second refuses
+    assert fs_write_text_exclusive(spark, side, '{"resolution": "hour"}')
+    assert not fs_write_text_exclusive(
+        spark, side, '{"resolution": "minute"}'
+    )
+    assert R.stored_resolution(spark, store) == "hour"
+
+    # race loser at the SAME grain: verify-equal, quiet success
+    reads = []
+    orig = R.stored_resolution
+
+    def stale_then_real(sp, p):
+        reads.append(1)
+        return None if len(reads) == 1 else orig(sp, p)
+
+    try:
+        R.stored_resolution = stale_then_real
+        R.record_resolution(spark, store, "hour")
+    finally:
+        R.stored_resolution = orig
+    assert len(reads) == 2  # lost the create race, re-read to verify
+
+    # race loser at a DIFFERENT grain: loud refusal, winner intact
+    reads.clear()
+    try:
+        R.stored_resolution = stale_then_real
+        with pytest.raises(ValueError, match="refusing"):
+            R.record_resolution(spark, store, "minute")
+    finally:
+        R.stored_resolution = orig
+    assert R.stored_resolution(spark, store) == "hour"
+
+
+def test_quantile_snapshot_audit_and_read_share_one_keep_set(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 advice pin: rollup_quantiles(snapshot=True) computes
+    the visible-epoch set ONCE and hands it to both the qhist audit
+    and the snapshot read — two independent computations let an epoch
+    committed in between be served unaudited (a legacy no-qhist epoch
+    landing in that window would silently contribute zero histogram
+    rows instead of raising 'mixes')."""
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.rollup as R
+
+    store = str(tmp_path / "store")
+    refresh_rollup(
+        _events(spark, [(1, 8, 0, "view", 1.0), (1, 8, 30, "click", 2.0)]),
+        store,
+        batch_id=0,
+    )
+    calls = []
+    orig = R._visible_epochs
+
+    def spy(sp, p):
+        calls.append(1)
+        return orig(sp, p)
+
+    monkeypatch.setattr(R, "_visible_epochs", spy)
+    got = R.rollup_quantiles(spark, store, [0.5], snapshot=True).collect()
+    assert len(got) > 0
+    assert len(calls) == 1, (
+        "audit and read must share one visibility computation, "
+        f"saw {len(calls)}"
+    )

@@ -1681,3 +1681,43 @@ def test_composite_key_probe_arbitrates_correlation(spark):
     finally:
         S.probe_join_rows = orig
     assert source3 == "group" and calls == []
+
+
+def test_composite_disjoint_range_never_probes(spark):
+    """Round-12 advice pin: when a composite component's ranges are
+    provably disjoint, the group estimate is 0 — the join is SETTLED
+    by the sidecars, and firing probe_join_rows (a sampling scan of
+    both tables) for it broke the scan-free contract on exactly the
+    cheapest case (the independence product ignores ranges, so the
+    >10x disagreement always tripped). Pin: (0.0, "group"), zero
+    probe calls even with frames provided."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_column_group_stats,
+    )
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
+
+    L = spark.range(0, 5_000).select(
+        (F.col("id") % 100).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    R = spark.range(0, 5_000).select(
+        (F.col("id") % 100 + 1_000).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    sl = collect_column_group_stats(L, collect_table_stats(L), [["a", "b"]])
+    sr = collect_column_group_stats(R, collect_table_stats(R), [["a", "b"]])
+    calls = []
+    orig = S.probe_join_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S.probe_join_rows = spy
+    try:
+        est, source = S.estimate_join_rows_validated(
+            sl, ("a", "b"), sr, ("a", "b"), left=L, right=R
+        )
+    finally:
+        S.probe_join_rows = orig
+    assert (est, source) == (0.0, "group")
+    assert calls == [], "disjoint-range join must plan scan-free"
+    assert L.join(R, ["a", "b"]).count() == 0  # the proof is true

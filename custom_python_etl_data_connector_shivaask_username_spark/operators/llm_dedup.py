@@ -1031,19 +1031,42 @@ def incremental_dedup(
         .withColumn("_near_c", F.lit(True))
     )
 
-    return (
-        inc_h.select("id")
-        .join(exact_c, "id", "left")
-        .join(exact_b, "id", "left")
-        .join(near_c, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.when(F.col("_exact_c"), F.lit("exact_dup_corpus"))
-            .when(F.col("_exact_b"), F.lit("exact_dup_batch"))
-            .when(F.col("_near_c"), F.lit("near_dup_corpus"))
-            .otherwise(F.lit("kept"))
-            .alias("disposition"),
-        )
+    # Round 12 (verdict ask #1 — planner dogfooding): the disposition
+    # fold routes through plan_join_tree. All four frames share the
+    # increment's lineage, which is exactly the graph shape the X57
+    # USING mode exists for (explicit attribute predicates would
+    # resolve trivially-true); the planner folds the three left edges
+    # as written and contributes stats-driven broadcast hints on the
+    # flag frames. Stats are Catalyst logical estimates
+    # (stats_from_plan) — every flag frame is increment-bounded (one
+    # row per increment doc at most), no Generate node sits on the
+    # OUTPUT side of any of them, and the increment itself is the
+    # small side of this workload by definition.
+    from ..plans.stats import plan_join_tree, stats_from_plan
+
+    frames = {
+        "inc": inc_h.select("id"),
+        "exact_c": exact_c,
+        "exact_b": exact_b,
+        "near_c": near_c,
+    }
+    folded, _order = plan_join_tree(
+        frames,
+        [
+            ("inc", "id", "exact_c", "id"),
+            ("inc", "id", "exact_b", "id"),
+            ("inc", "id", "near_c", "id"),
+        ],
+        stats={n: stats_from_plan(f) for n, f in frames.items()},
+        how="left",
+    )
+    return folded.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("_exact_c"), F.lit("exact_dup_corpus"))
+        .when(F.col("_exact_b"), F.lit("exact_dup_batch"))
+        .when(F.col("_near_c"), F.lit("near_dup_corpus"))
+        .otherwise(F.lit("kept"))
+        .alias("disposition"),
     )
 
 

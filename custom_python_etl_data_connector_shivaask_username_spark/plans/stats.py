@@ -146,6 +146,45 @@ def collect_table_stats(
     return stats
 
 
+def stats_from_plan(df: DataFrame) -> dict[str, Any]:
+    """Planner statistics for a DERIVED frame (aggregate, union, join
+    output) from Catalyst's own logical-plan statistics — zero scans
+    (X57, round 12: the planner-dogfooding bridge).
+
+    ``optimizedPlan().stats()`` always carries ``sizeInBytes``
+    (propagated bottom-up from scan sizes through Catalyst's per-node
+    visitors) and, when size-only estimation can, a ``rowCount``.
+    Both land in the planner's stats-dict shape; a missing rowCount
+    stays None and `plan_join_tree`'s conservative-huge rule derives
+    rows from bytes at the default width. No column stats (Catalyst
+    keeps none without CBO ANALYZE) — callers with better knowledge
+    (e.g. "this aggregate is per-customer") should overlay
+    ``columns``/``row_count`` from the base table's sidecar instead.
+
+    KNOWN BIAS, measured on this Spark (round 12): size-only
+    estimation passes the CHILD's sizeInBytes through both Aggregate
+    and Generate nodes. For aggregates that is pessimistic (never a
+    mistaken broadcast — safe). For Generate (explode) it is
+    OPTIMISTIC — an exploded-grams frame measured 27.8 KB claimed vs
+    ~700 KB real at sf0.01, a gap that GROWS with scale — so a
+    generator-heavy frame fed to `plan_join_tree` through this bridge
+    could be mistakenly broadcast at exactly the scale where that
+    kills the driver. Callers MUST overlay honest bounds for frames
+    downstream of explode (see `lm_quality_scores` for the pattern:
+    gram mass bounded by base text bytes from the sidecar)."""
+    js = df._jdf.queryExecution().optimizedPlan().stats()
+    # py4j auto-converts scala.math.BigInt via its int view on some
+    # call paths and hands back the object on others — str() is the
+    # one rendering both share
+    size = int(str(js.sizeInBytes()))
+    rc = js.rowCount()
+    return {
+        "row_count": int(str(rc.get())) if rc.isDefined() else None,
+        "size_bytes": size,
+        "columns": {},
+    }
+
+
 def collect_table_stats_sampled(
     df: DataFrame,
     fraction: float,
@@ -1060,6 +1099,57 @@ def plan_join_tree(
                 f"edge {e}: composite key tuples must have equal arity"
             )
 
+    # Explicit predicates (edge_pred) are built as tables[ln][a] ==
+    # tables[rn][b]: if two graph names share attribute ids (common
+    # lineage — derived frames of one base read, df.alias(), a
+    # self-join), both sides can resolve to ONE attribute and the
+    # condition goes trivially true / ambiguous. Round 12 (X57,
+    # planner dogfooding): instead of rejecting every such graph,
+    # shared lineage switches the WHOLE tree to USING-column joins
+    # (`on=[name, ...]`) — the analyzer's relation-deduplication rule
+    # re-aliases conflicting sides, which is exactly how the
+    # hand-written `df.join(other, "key")` chains these graphs come
+    # from already work. USING requires name-equal keys per edge and
+    # merges each key to a single output column (left side's value for
+    # inner/left-family; coalesce for full outer) — graphs needing
+    # per-side key columns after an outer join (or differently-named
+    # keys) must still pass lineage-distinct frames.
+    import re as _re
+
+    attr_ids: dict[str, set[str]] = {}
+    lineage_shared = False
+    for name in {t for e in edges for t in (e[0], e[2])}:
+        out = str(
+            tables[name]._jdf.queryExecution().analyzed().outputSet()
+        )
+        ids = set(_re.findall(r"#(\d+)", out))
+        for other, oids in attr_ids.items():
+            if ids == oids:
+                # the SAME plan under two names (also df.alias(),
+                # which keeps ids) stays a loud error: a true
+                # self-join needs a distinct plan per graph name so
+                # the two sides are distinguishable at all (e.g. a
+                # second spark.read of the table gets fresh ids)
+                raise ValueError(
+                    f"tables {other!r} and {name!r} share ALL attribute "
+                    "ids (same underlying plan / alias): self-joins "
+                    "through plan_join_tree need a distinct plan per "
+                    "graph name (e.g. re-read the table)"
+                )
+            if ids & oids:
+                lineage_shared = True
+        attr_ids[name] = ids
+    if lineage_shared:
+        for e in edges:
+            if _cols(e[1]) != _cols(e[3]):
+                raise ValueError(
+                    "tables in this join graph share attribute ids "
+                    "(common lineage / alias), which forces USING-column "
+                    f"joins — but edge {e} joins differently-named keys. "
+                    "Rename the keys to match or pass lineage-distinct "
+                    "frames (e.g. re-read the table)."
+                )
+
     def edge_pred(ln, lc, rn, rc):
         """AND of per-column equalities — one column or a tuple
         (composite key, round 11)."""
@@ -1068,29 +1158,30 @@ def plan_join_tree(
             term = tables[ln][a] == tables[rn][b]
             cond = term if cond is None else cond & term
         return cond
-    # predicates are built as edge_pred(ln, lc, rn, rc): if two
-    # graph names carry the SAME underlying plan (self-join — also
-    # df.alias(), which keeps attribute ids), both sides resolve to
-    # one attribute and the condition is trivially true / ambiguous.
-    # Reject loudly; a self-join needs a distinct plan per name (e.g.
-    # a second spark.read of the table), which gets fresh expr ids.
-    import re as _re
 
-    attr_ids: dict[str, set[str]] = {}
-    for name in {t for e in edges for t in (e[0], e[2])}:
-        out = str(
-            tables[name]._jdf.queryExecution().analyzed().outputSet()
-        )
-        ids = set(_re.findall(r"#(\d+)", out))
-        for other, oids in attr_ids.items():
-            if ids & oids:
-                raise ValueError(
-                    f"tables {other!r} and {name!r} share attribute ids "
-                    "(same underlying plan / alias): self-joins through "
-                    "plan_join_tree are unsupported — pass a distinct "
-                    "plan per graph name (e.g. re-read the table)"
-                )
-        attr_ids[name] = ids
+    def edge_on(ln, lc, rn, rc):
+        """The ``on=`` argument for an edge: USING column names when
+        the graph shares lineage (X57), else the explicit attribute
+        predicate (which keeps both key columns in the output — the
+        historical form every existing plan pin rides on)."""
+        if lineage_shared:
+            return list(_cols(lc))
+        return edge_pred(ln, lc, rn, rc)
+
+    def edge_filter(cur, ln, lc, rn, rc):
+        """Residual predicate for an edge whose BOTH sides are already
+        folded. Inexpressible in USING mode (the per-side attributes
+        were merged) — such cyclic graphs must pass lineage-distinct
+        frames."""
+        if lineage_shared:
+            raise ValueError(
+                f"edge ({ln}, {rn}) is residual (both sides already "
+                "joined) but the graph shares lineage: a USING join "
+                "merged the key columns, so the residual equality has "
+                "nothing to compare. Pass lineage-distinct frames for "
+                "cyclic graphs."
+            )
+        return cur.filter(edge_pred(ln, lc, rn, rc))
     spark = next(iter(tables.values())).sparkSession
     stats = dict(stats or {})
     norm_how = how.replace("_", "").lower()
@@ -1176,7 +1267,7 @@ def plan_join_tree(
                 if hintable
                 else tables[rn]
             )
-            cur = cur.join(inc, on=edge_pred(ln, lc, rn, rc), how=how)
+            cur = cur.join(inc, on=edge_on(ln, lc, rn, rc), how=how)
             joined.add(rn)
             order.append(rn)
         return cur, order
@@ -1269,7 +1360,7 @@ def plan_join_tree(
             for e in list(remaining):
                 ln, lc, rn, rc = e
                 if ln in joined and rn in joined:
-                    cur = cur.filter(edge_pred(ln, lc, rn, rc))
+                    cur = edge_filter(cur, ln, lc, rn, rc)
                 elif ln in joined:
                     est_h = fold_estimate(
                         e, ln, lc, rn, rc, est_h, keep_hist=True
@@ -1277,7 +1368,7 @@ def plan_join_tree(
                     est = fold_estimate(e, ln, lc, rn, rc, est)
                     cur = cur.join(
                         F.broadcast(tables[rn]),
-                        on=edge_pred(ln, lc, rn, rc),
+                        on=edge_on(ln, lc, rn, rc),
                     )
                     joined.add(rn)
                     order.append(rn)
@@ -1288,7 +1379,7 @@ def plan_join_tree(
                     est = fold_estimate(e, rn, rc, ln, lc, est)
                     cur = cur.join(
                         F.broadcast(tables[ln]),
-                        on=edge_pred(ln, lc, rn, rc),
+                        on=edge_on(rn, rc, ln, lc),
                     )
                     joined.add(ln)
                     order.append(ln)
@@ -1637,13 +1728,13 @@ def plan_join_tree(
         remaining.remove(e)
         ln, lc, rn, rc = e
         if incoming is None:
-            cur = cur.filter(edge_pred(ln, lc, rn, rc))
+            cur = edge_filter(cur, ln, lc, rn, rc)
             continue
         est = cand_est(best)
         inc_bytes = _est_bytes(
             stats[incoming], stats[incoming]["row_count"]
         )
-        pred = edge_pred(ln, lc, rn, rc)
+        pred = edge_on(ln, lc, rn, rc)
         if fits(inc_bytes):
             cur = cur.join(
                 maybe_broadcast(incoming, stats[incoming]["row_count"]),

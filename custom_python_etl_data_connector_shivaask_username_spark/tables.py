@@ -236,6 +236,7 @@ def plan_star_join(
     edge_rows: dict[tuple[str, str, str, str], float] | None = None,
     partitioned_on: dict[str, list[str]] | None = None,
     probe: str | None = None,
+    history: str | dict | None = None,
 ):
     """The engine's own optimizer entry point: load the edge-referenced
     fixture tables, attach cached/sidecar statistics (X31/X33/X38) and
@@ -274,7 +275,17 @@ def plan_star_join(
     probing arbitrates histogram-vs-Selinger disagreement, so it fires
     only on edges where BOTH key columns carry histograms (others keep
     their model estimate), and it is inner-join-only — requesting it
-    with any other ``how`` raises rather than no-op'ing. Returns
+    with any other ``how`` raises rather than no-op'ing.
+
+    ``history`` (X56, round 12): a measured-cardinality memory — a
+    sidecar path (read/written through the Hadoop-FS helpers) or a
+    caller-held dict. Fresh entries (X38 drift check against the
+    recorded table signatures, filter-digest keyed) become that edge's
+    measured ``edge_rows`` BEFORE any model or probe runs — so a
+    mis-estimated edge pays its one probe scan the first time and
+    plans scan-free from memory afterwards, until either table drifts
+    past the staleness thresholds. New probe measurements are recorded
+    back (and persisted when ``history`` is a path). Returns
     ``(joined DataFrame, planner-chosen order)``."""
     from pyspark.sql import functions as F
 
@@ -369,20 +380,75 @@ def plan_star_join(
         tbls.update(tables)
     if stats:
         sts.update(stats)
+    # X56 (round 12): remembered measurements outrank models — and
+    # satisfy the probe, so a mis-estimated edge pays its sampling
+    # scan ONCE and plans from history afterwards. Entries are served
+    # only while both sides' current stats sit inside the X38 drift
+    # thresholds of the recorded signatures (plans/history.py).
+    hist = None
+    hist_dirty = False
+    fdigest = ""
+    if history is not None:
+        from .plans.history import (
+            edge_history_key,
+            filters_digest,
+            fresh_edge_rows,
+            load_history,
+        )
+
+        fdigest = filters_digest(filters)
+        hist = (
+            history
+            if isinstance(history, dict)
+            else load_history(spark, history)
+        )
+        er = {tuple(k): v for k, v in (edge_rows or {}).items()}
+        for e in edges:
+            if tuple(e) in er:
+                continue  # a caller-measured value outranks history
+            ln, lc, rn, rc = e
+            remembered = fresh_edge_rows(
+                hist,
+                edge_history_key(ln, lc, rn, rc, fdigest),
+                sts.get(ln, {}),
+                sts.get(rn, {}),
+            )
+            if remembered is not None:
+                er[tuple(e)] = remembered
+        edge_rows = er or None
     if probe == "auto" and how.replace("_", "").lower() == "inner":
         from .plans.stats import estimate_join_rows_validated
 
         er = {tuple(k): v for k, v in (edge_rows or {}).items()}
         for e in edges:
             if tuple(e) in er:
-                continue  # a caller-measured value outranks the probe
+                continue  # a caller/history value outranks the probe
             ln, lc, rn, rc = e
             rows, source = estimate_join_rows_validated(
                 sts[ln], lc, sts[rn], rc, left=tbls[ln], right=tbls[rn]
             )
             if source == "probe":
                 er[tuple(e)] = rows
+                if hist is not None:
+                    from .plans.history import (
+                        edge_history_key,
+                        record_edge_rows,
+                    )
+
+                    record_edge_rows(
+                        hist,
+                        edge_history_key(ln, lc, rn, rc, fdigest),
+                        rows,
+                        sts.get(ln),
+                        sts.get(rn),
+                        source="probe",
+                    )
+                    hist_dirty = True
         edge_rows = er or None
+    if hist_dirty and isinstance(history, str):
+        from .plans.history import save_history
+
+        save_history(spark, history, hist)
     return plan_join_tree(
         tbls,
         edges,

@@ -212,3 +212,63 @@ def test_incremental_dedup_plan_shapes(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 10
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_planner_routed_queries_exchange_neutral(spark, sf_dir):
+    """Round-12 migration pins (verdict ask #1): three more registry
+    queries route their joins through plan_star_join/plan_join_tree —
+    q_customer_order_counts (left/semi/anti folds + the counts⋈presence
+    inner fold + the full-outer nation branch), q_incremental_dedup
+    (the shared-lineage disposition fold, X57 USING mode), and
+    q_lm_quality (the corpus probe join with honest gram-mass stats).
+    The migration must be exchange-NEUTRAL: the planner reproduces the
+    hand-written plans' shuffle counts (measured on the round-11 tree:
+    5 / 10 / 8)."""
+    assert count_exchanges(QUERIES["q_customer_order_counts"](spark, sf_dir)) == 5
+    assert count_exchanges(QUERIES["q_incremental_dedup"](spark, sf_dir)) == 10
+    assert count_exchanges(QUERIES["q_lm_quality"](spark, sf_dir)) == 8
+
+
+def test_lm_probe_join_scale_adaptive(spark, sf_dir):
+    """The planner's probe-join decision flips with the claimed scale:
+    under the broadcast budget the model side broadcasts (one fewer
+    corpus exchange — the round-12 fixture plan), past it both sides
+    exceed and the fold is the gram-keyed shuffle join the 100 TB
+    doctrine documents. Pinned by planning the SAME two-frame graph
+    with small vs fact-sized stats."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+    from pyspark.sql import functions as F
+
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 50).cast("string")).alias("gram"),
+    )
+    model = big.groupBy("gram").count()
+
+    def planned(rows):
+        st = {
+            "big": {"row_count": rows, "size_bytes": rows * 24, "columns": {}},
+            "model_scored": {"row_count": rows, "size_bytes": rows * 16, "columns": {}},
+        }
+        df, _ = plan_join_tree(
+            {"big": big, "model_scored": model},
+            [("big", "gram", "model_scored", "gram")],
+            stats=st,
+            broadcast_threshold=10 * 1024 * 1024,
+        )
+        return formatted_plan(df)
+
+    # Catalyst's own size estimate would auto-broadcast these tiny
+    # REAL frames and mask the planner's (lack of) hint — pin with the
+    # session threshold off and the planner's budget passed explicitly
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = planned(10_000)           # ~240 KB: model broadcasts
+        assert "BroadcastHashJoin" in small
+        huge = planned(10_000_000_000)    # ~240 GB/side: no broadcast
+        assert "SortMergeJoin" in huge and "BroadcastHashJoin" not in huge
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

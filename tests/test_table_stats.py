@@ -1721,3 +1721,218 @@ def test_composite_disjoint_range_never_probes(spark):
     assert (est, source) == (0.0, "group")
     assert calls == [], "disjoint-range join must plan scan-free"
     assert L.join(R, ["a", "b"]).count() == 0  # the proof is true
+
+
+def test_plan_join_tree_using_mode_shared_lineage(spark):
+    """X57 (round 12, planner dogfooding): a join graph whose frames
+    share lineage — flag frames derived from one base, the
+    incremental-dedup disposition shape — switches to USING-column
+    joins, which the analyzer's relation dedup resolves exactly like
+    the hand-written `df.join(other, "key")` chains. Pinned: left-family
+    fold over shared-lineage frames returns the hand-written rows; the
+    all-ids-shared self-join still raises; differing key names in a
+    shared-lineage graph raise; residual (cyclic) edges raise."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    fa = base.filter("g = 0").select("id", F.lit(True).alias("fa"))
+    fb = base.filter("g = 1").select("id", F.lit(True).alias("fb"))
+    lead = base.select("id")
+    st = {
+        "lead": {"row_count": 100, "size_bytes": 800, "columns": {}},
+        "fa": {"row_count": 15, "size_bytes": 200, "columns": {}},
+        "fb": {"row_count": 15, "size_bytes": 200, "columns": {}},
+    }
+    folded, order = plan_join_tree(
+        {"lead": lead, "fa": fa, "fb": fb},
+        [("lead", "id", "fa", "id"), ("lead", "id", "fb", "id")],
+        stats=st,
+        how="left",
+    )
+    want = sorted(
+        tuple(r)
+        for r in lead.join(fa, "id", "left").join(fb, "id", "left").collect()
+    )
+    assert sorted(tuple(r) for r in folded.collect()) == want
+    assert order == ["lead", "fa", "fb"]
+
+    # inner greedy through USING mode: equality vs hand-written
+    inner, _ = plan_join_tree(
+        {"lead": lead, "fa": fa},
+        [("lead", "id", "fa", "id")],
+        stats={k: st[k] for k in ("lead", "fa")},
+    )
+    assert sorted(tuple(r) for r in inner.collect()) == sorted(
+        tuple(r) for r in lead.join(fa, "id").collect()
+    )
+
+    # ALL ids shared (same plan / alias) stays the loud self-join error
+    with pytest.raises(ValueError, match="self-join"):
+        plan_join_tree(
+            {"a": lead, "b": lead}, [("a", "id", "b", "id")], stats={}
+        )
+    # shared lineage + differently-named keys cannot USING: fc keeps
+    # the shared `id` attribute aboard (select("id", ...) preserves the
+    # expr id; an alias would mint a fresh one and leave the graph
+    # lineage-distinct) while the edge joins on the derived id2
+    fc = base.filter("g = 2").select(
+        "id", (F.col("id") + 0).alias("id2"), F.lit(True).alias("fc")
+    )
+    with pytest.raises(ValueError, match="USING"):
+        plan_join_tree(
+            {"lead": lead, "fc": fc},
+            [("lead", "id", "fc", "id2")],
+            stats={},
+        )
+    # residual (cyclic) edge in USING mode is inexpressible — inner,
+    # because the non-inner fold already rejects double-incoming edges
+    with pytest.raises(ValueError, match="residual"):
+        plan_join_tree(
+            {"lead": lead, "fa": fa, "fb": fb},
+            [
+                ("lead", "id", "fa", "id"),
+                ("lead", "id", "fb", "id"),
+                ("fa", "id", "fb", "id"),
+            ],
+            stats=st,
+        ).__class__  # the error fires during planning, not collect
+
+
+def test_stats_from_plan_bridge_and_generate_bias(spark, sf_dir):
+    """X57 derived-frame stats bridge: scan sizes are real file bytes;
+    and the DOCUMENTED Catalyst bias is pinned so a Spark upgrade that
+    fixes it gets noticed — size-only estimation passes the child's
+    sizeInBytes through Generate (explode), so an exploded frame
+    claims its input's size (optimistic, the reason lm_quality
+    overlays gram-mass bounds instead of trusting the bridge)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        stats_from_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = stats_from_plan(docs)
+    assert st["size_bytes"] > 0
+    assert st["columns"] == {}
+
+    exploded = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    child = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    assert (
+        stats_from_plan(exploded)["size_bytes"]
+        <= stats_from_plan(child)["size_bytes"]
+    ), (
+        "Catalyst now grows sizeInBytes through Generate — revisit the "
+        "lm_quality overlay comment (the bias this pin documents is gone)"
+    )
+
+
+def test_x56_history_second_run_plans_scan_free(spark, tmp_path):
+    """X56 pin (round-12 verdict ask #2): a mis-estimated edge pays its
+    probe scan ONCE. Run 1 (correlated composite key, models disagree
+    ~200x) fires exactly one probe and records the measurement into
+    the history sidecar; run 2 with the same history plans with ZERO
+    probes (spy) and the same join output; a history entry whose
+    recorded signature drifted past the X38 thresholds is ignored and
+    the probe fires again."""
+    import json
+
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.history import (
+        edge_history_key,
+        fresh_edge_rows,
+        record_edge_rows,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import plan_star_join
+
+    sfdir = str(tmp_path)
+    # fully-correlated pair key (b == a both sides): group estimate
+    # ~|L||R|/200, independence ~|L||R|/40000 — >10x apart, probe fires
+    spark.range(0, 20_000).select(
+        (F.col("id") % 200).alias("a"), (F.col("id") % 200).alias("b")
+    ).write.parquet(f"{sfdir}/probel.parquet")
+    spark.range(0, 10_000).select(
+        (F.col("id") % 200).alias("a"), (F.col("id") % 200).alias("b")
+    ).write.parquet(f"{sfdir}/prober.parquet")
+    edges = [("probel", ("a", "b"), "prober", ("a", "b"))]
+    hist_path = f"{sfdir}/_edge_history.json"
+
+    calls = []
+    orig = S.probe_join_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S.probe_join_rows = spy
+    try:
+        j1, _ = plan_star_join(
+            spark, sfdir, edges, probe="auto", history=hist_path
+        )
+        n1 = j1.count()
+        assert calls == [1], "run 1 must probe exactly once"
+
+        calls.clear()
+        j2, _ = plan_star_join(
+            spark, sfdir, edges, probe="auto", history=hist_path
+        )
+        n2 = j2.count()
+        assert calls == [], "run 2 must plan from history, zero probes"
+        assert n2 == n1
+
+        # the recorded measurement is a real cardinality: within 2x of
+        # truth at the default 1% sample (the models were 200x apart —
+        # the probe's job is killing that error class, not precision)
+        hist = json.loads(open(hist_path).read())
+        (key,) = hist.keys()
+        assert n1 / 2 <= hist[key]["rows"] <= 2 * n1, (hist[key], n1)
+        assert hist[key]["source"] == "probe"
+
+        # X38 invalidation: drift the recorded signature >20% and the
+        # entry must be ignored -> the probe fires again
+        calls.clear()
+        stale = dict(hist)
+        ent = dict(stale[key])
+        ent["left_sig"] = {
+            "row_count": int(ent["left_sig"]["row_count"] * 2),
+            "size_bytes": ent["left_sig"]["size_bytes"],
+        }
+        stale[key] = ent
+        j3, _ = plan_star_join(
+            spark, sfdir, edges, probe="auto", history=stale
+        )
+        assert calls == [1], "stale history must not be served"
+    finally:
+        S.probe_join_rows = orig
+
+    # unit: fresh_edge_rows symmetry + no-signature rejection
+    h = {}
+    st = {"row_count": 100, "size_bytes": 1000}
+    record_edge_rows(h, edge_history_key("x", "k", "y", "k"), 42.0, st, st, "probe")
+    assert fresh_edge_rows(h, edge_history_key("y", "k", "x", "k"), st, st) == 42.0
+    h2 = {}
+    record_edge_rows(h2, "k2", 1.0, None, None, "probe")
+    assert fresh_edge_rows(h2, "k2", st, st) is None
+
+
+def test_x56_executed_join_rows_reads_real_metrics(spark, sf_dir):
+    """executed_join_rows surfaces the AQE numOutputRows metric of
+    every join in an EXECUTED plan — the capture half of the feedback
+    loop. Pinned against the join's actual count."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.history import (
+        executed_join_rows,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    # the action must run on THIS frame: count() builds a different
+    # plan and leaves this one's metrics at 0 (documented contract)
+    n = len(j.collect())
+    joins = executed_join_rows(j)
+    assert joins, "no join metrics found in the executed plan"
+    assert any(rec["rows"] == n for rec in joins), (joins, n)

@@ -19,8 +19,83 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 SALT_COL = "_salt"
+
+#: planner-form salt columns — per-side names so the explicit join
+#: predicate (which references BASE attributes that survive the salt
+#: withColumn) can add an unambiguous salt equality on top
+SALT_HOT = "_salt_h"
+SALT_OTHER = "_salt_o"
+
+
+def _hashable(dt: DataType) -> bool:
+    """xxhash64 rejects MapType (at any nesting depth) — hash order
+    over map entries is undefined. Everything else is fair game."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def hashable_columns(df: DataFrame) -> list[str]:
+    """Columns of ``df`` that ``xxhash64`` accepts (no MapType at any
+    nesting level) — the salt-derivation input set."""
+    return [f.name for f in df.schema.fields if _hashable(f.dataType)]
+
+
+def salted_shuffle_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    salt_side: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Planner form of :func:`salted_join` (X58, round 12): inner-join
+    ``left`` and ``right`` on an explicit attribute predicate with the
+    HOT side's rows spread across ``n_salts`` reducers.
+
+    Differences from the user-facing ``salted_join``: the key columns
+    may be differently named on the two sides (``on`` is the already
+    built equality predicate — its base attributes survive the salt
+    ``withColumn``, so it still resolves), no row-unique column is
+    assumed (the salt is ``xxhash64`` over EVERY hashable column of the
+    hot side — deterministic under task retry, and a hot key's rows
+    spread as long as they differ in any other column; fully duplicate
+    rows share a salt, which costs spread, never correctness), and the
+    output column ORDER is exactly the unsalted ``left.join(right)``'s
+    (salts are appended last and dropped). Inner-join only: the
+    exploded side would duplicate ITS unmatched rows under right/full
+    semantics.
+    """
+    if salt_side not in ("left", "right"):
+        raise ValueError(f"salt_side must be 'left' or 'right', got {salt_side!r}")
+    hot, other = (left, right) if salt_side == "left" else (right, left)
+    hash_cols = hashable_columns(hot)
+    if not hash_cols:
+        raise ValueError(
+            "salted_shuffle_join: the hot side has no xxhash64-hashable "
+            "column to derive a deterministic salt from"
+        )
+    hot = hot.withColumn(
+        SALT_HOT,
+        F.pmod(F.xxhash64(*[hot[c] for c in hash_cols]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    other = other.withColumn(
+        SALT_OTHER,
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    lf, rf = (hot, other) if salt_side == "left" else (other, hot)
+    out = lf.join(
+        rf, on=on & (F.col(SALT_HOT) == F.col(SALT_OTHER)), how="inner"
+    )
+    return out.drop(SALT_HOT, SALT_OTHER)
 
 
 def salted_join(

@@ -621,6 +621,39 @@ def estimate_range_rows(
     return est
 
 
+def hot_key_rows(stats: dict[str, Any], col: str) -> float:
+    """Estimated rows held by the single HOTTEST value of ``col``,
+    read from its equi-DEPTH histogram (X58, round 12 — the planner's
+    skew-dispatch evidence).
+
+    Quantile bounds pile up on a heavy value: a run of ``m`` equal
+    consecutive bounds is ``m-1`` zero-width buckets of
+    ``rows_per_bucket`` each, so the value's mass is at least
+    ``(m-1)·rpb`` (and at most that plus the two straddling partial
+    buckets — an under-estimate by construction, which is the safe
+    direction for a dispatch that pays dim duplication). Returns 0.0
+    when the column carries no equi-depth histogram or no zero-width
+    bucket: equi-WIDTH histograms cannot isolate a single value, and
+    no-evidence means no salting — the dispatch is strictly
+    evidence-driven, never heuristic on NDV alone.
+    """
+    cstat = stats.get("columns", {}).get(col) or {}
+    hist = cstat.get("histogram") or {}
+    bounds = hist.get("bounds")
+    if not bounds:
+        return 0.0
+    rpb = float(hist.get("rows_per_bucket") or 0.0)
+    best = run = 0
+    for i in range(len(bounds) - 1):
+        if bounds[i] == bounds[i + 1]:
+            run += 1
+            if run > best:
+                best = run
+        else:
+            run = 0
+    return best * rpb
+
+
 def apply_filter_to_stats(
     stats: dict[str, Any],
     col: str,
@@ -992,6 +1025,8 @@ def plan_join_tree(
     edge_rows: dict[tuple[str, str, str, str], float] | None = None,
     partitioned_on: dict[str, list[str]] | None = None,
     probe: str | None = None,
+    skew: str | None = None,
+    skew_salts: int = 8,
 ) -> tuple[DataFrame, list[str]]:
     """Greedy left-deep join ordering with stats-driven broadcast hints.
 
@@ -1070,6 +1105,23 @@ def plan_join_tree(
     the scan partitioning costs only a mis-ordering, never a wrong
     result (Catalyst inserts the real exchanges regardless).
 
+    ``skew="auto"`` (X58, round 12): when the greedy emits a
+    shuffle join (neither side broadcastable, no flip) on a
+    single-column key whose equi-depth histogram carries zero-width
+    hot buckets, and the hot value alone exceeds ``SKEW_HOT_FACTOR``×
+    its side's average post-shuffle partition, the join is emitted as
+    ``functions.skew.salted_shuffle_join`` — the hot side spread over
+    ``skew_salts`` reducers by a deterministic row hash, the other
+    side exploded — provided the explosion shuffles fewer extra rows
+    than the skewed side itself (``other_rows × skew_salts ≤
+    skewed_rows``). Results are identical to the unsalted join (pinned
+    in tests/test_bucketing_skew.py); graphs with no histogram-proven
+    hot key never salt. Inner-only, never in USING mode, and the
+    salted output claims NO reusable partitioning (it is partitioned
+    on the dropped (key, salt)). The bushy combine inherits the flag,
+    but subtree stat surfacing strips histograms, so skew evidence
+    currently dispatches only on base-table edges inside the greedy.
+
     ``edge_rows`` (X41 wired in, round 9): MEASURED base-pair
     cardinalities — from :func:`probe_join_rows` or
     :func:`exact_join_rows_agg` — keyed by the exact edge tuple.
@@ -1086,6 +1138,12 @@ def plan_join_tree(
         raise ValueError("plan_join_tree needs at least one join edge")
     if probe not in (None, "auto"):
         raise ValueError(f"probe must be None or 'auto', got {probe!r}")
+    if skew not in (None, "auto"):
+        raise ValueError(f"skew must be None or 'auto', got {skew!r}")
+    if skew == "auto" and how.replace("_", "").lower() != "inner":
+        raise ValueError(
+            f"skew='auto' supports inner joins only, got how={how!r}"
+        )
     if probe == "auto" and how.replace("_", "").lower() != "inner":
         raise ValueError(
             f"probe='auto' supports inner joins only, got how={how!r}"
@@ -1596,6 +1654,8 @@ def plan_join_tree(
                         c: ks for c, ks in sub_part.items() if ks
                     }
                     or None,
+                    skew=skew,
+                    skew_salts=skew_salts,
                 )
                 return joined, [
                     t for c in rec_order for t in sub_order[c]
@@ -1743,13 +1803,78 @@ def plan_join_tree(
             )
             # broadcast fold: cur's partitioning is untouched
         elif not fits(cur_rows * cur_width):
-            cur = cur.join(tables[incoming], on=pred, how=how)
-            # shuffle join: the output is co-partitioned on BOTH key
-            # tuples — later same-key edges reuse the exchange
-            cur_keys = {
-                (_owner, _cols(cur_col)),
-                (incoming, _cols(inc_col)),
-            }
+            # Skew dispatch (X58, round 12): before emitting the plain
+            # shuffle join, consult the per-key evidence the planner
+            # already carries — equi-depth histograms' zero-width hot
+            # buckets (`hot_key_rows`). AQE's skew split handles the
+            # sort-merge case at runtime, but a hot key's single
+            # reducer is still the straggler when the split can't
+            # apply; salting fixes it at PLAN time by spreading the hot
+            # side over (key, salt) reducers at the price of exploding
+            # the other side ×n_salts. Strictly evidence-driven gates:
+            # (a) the hot value alone exceeds SKEW_HOT_FACTOR× the
+            # average post-shuffle partition of its side (the AQE
+            # skewedPartitionFactor doctrine, plan-time), and (b) the
+            # other side's duplication shuffles fewer extra rows than
+            # the skewed side itself (explosion bounded by the cost it
+            # removes). Single-column keys only (the histogram model is
+            # per-column) and never in USING mode (the salt equality
+            # needs per-side attributes). The salted output is
+            # partitioned on (key, salt) — salt dropped — so NO
+            # partitioning survives for later edges (cur_keys cleared,
+            # not claimed: a bare-key claim would cost a later same-key
+            # edge a phantom free shuffle).
+            salted = False
+            if (
+                skew == "auto"
+                and not lineage_shared
+                and len(_cols(cur_col)) == 1
+            ):
+                from ..functions import skew as _skew_mod
+
+                parts = int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+                own_n = float(max(1, int(stats[_owner]["row_count"] or 1)))
+                hot_cur = hot_key_rows(
+                    stats[_owner], _cols(cur_col)[0]
+                ) * min(1.0, cur_rows / own_n)
+                inc_rows = float(
+                    max(0, stats[incoming]["row_count"] or 0)
+                )
+                hot_inc = hot_key_rows(stats[incoming], _cols(inc_col)[0])
+                sides = sorted(
+                    (
+                        ("left", hot_cur, cur_rows, inc_rows),
+                        ("right", hot_inc, inc_rows, cur_rows),
+                    ),
+                    key=lambda s: s[1],
+                    reverse=True,
+                )
+                for salt_side, hot_rows, side_rows, other_rows in sides:
+                    if (
+                        hot_rows
+                        > SKEW_HOT_FACTOR * (side_rows / max(1, parts))
+                        and other_rows * skew_salts <= side_rows
+                    ):
+                        cur = _skew_mod.salted_shuffle_join(
+                            cur,
+                            tables[incoming],
+                            on=pred,
+                            salt_side=salt_side,
+                            n_salts=skew_salts,
+                        )
+                        cur_keys = set()
+                        salted = True
+                        break
+            if not salted:
+                cur = cur.join(tables[incoming], on=pred, how=how)
+                # shuffle join: the output is co-partitioned on BOTH key
+                # tuples — later same-key edges reuse the exchange
+                cur_keys = {
+                    (_owner, _cols(cur_col)),
+                    (incoming, _cols(inc_col)),
+                }
         else:
             # build-side flip: the incoming table is too big to
             # broadcast but the accumulated intermediate FITS — hint
@@ -1793,6 +1918,11 @@ def table_stats_report(stats: dict[str, Any]) -> str:
 
 #: disagreement ratio between the histogram and Selinger estimates
 #: above which a sample probe is worth one cheap pass per side
+#: skew dispatch (X58): a key value is "hot" when its estimated rows
+#: exceed this multiple of its side's average post-shuffle partition —
+#: the plan-time twin of AQE's skewedPartitionFactor=5 doctrine
+SKEW_HOT_FACTOR = 4.0
+
 PROBE_DISAGREEMENT = 10.0
 
 

@@ -237,6 +237,8 @@ def plan_star_join(
     partitioned_on: dict[str, list[str]] | None = None,
     probe: str | None = None,
     history: str | dict | None = None,
+    skew: str | None = None,
+    skew_salts: int = 8,
 ):
     """The engine's own optimizer entry point: load the edge-referenced
     fixture tables, attach cached/sidecar statistics (X31/X33/X38) and
@@ -460,4 +462,8 @@ def plan_star_join(
         # round 11: the bushy rung dispatches its own subtree probes
         # under the same flag (X41×X50 — see plan_join_tree)
         probe=probe,
+        # round 12 (X58): histogram-evidenced hot keys on a planned
+        # shuffle join dispatch the salted form — see plan_join_tree
+        skew=skew,
+        skew_salts=skew_salts,
     )

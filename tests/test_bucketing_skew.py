@@ -182,3 +182,188 @@ def test_planner_exploits_declared_bucketing(spark, bucketed_tables, sf_dir):
         assert declared.count() == want and plain.count() == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# X58 (round 12): planner skew dispatch — histogram-evidenced hot keys
+# on a planned shuffle join emit the salted form automatically.
+# ---------------------------------------------------------------------------
+
+
+def _planted_skew_frames(spark, fact_rows=4000, hot_frac=0.5, dim_rows=300):
+    """fact.fk: one hot value (0) carrying ``hot_frac`` of the rows,
+    the rest uniform over a wide range; dim.dk: unique ints."""
+    hot_n = int(fact_rows * hot_frac)
+    fact = spark.createDataFrame(
+        [
+            Row(
+                row_id=i,
+                fk=0 if i < hot_n else 1 + (i * 37) % 1000,
+                v=float(i),
+            )
+            for i in range(fact_rows)
+        ]
+    )
+    dim = spark.createDataFrame(
+        [Row(dk=i, name=f"dim{i}") for i in range(dim_rows)]
+    )
+    return fact, dim
+
+
+def _skew_stats(tables):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        collect_table_stats,
+    )
+
+    key = {"fact": ["fk"], "dim": ["dk"]}
+    return {
+        n: add_equidepth_histograms(df, collect_table_stats(df), key[n])
+        for n, df in tables.items()
+    }
+
+
+def _salt_spy(monkeypatch):
+    """Count (and delegate) planner dispatches to salted_shuffle_join."""
+    from custom_python_etl_data_connector_shivaask_username_spark.functions import (
+        skew as skew_mod,
+    )
+
+    calls = []
+    real = skew_mod.salted_shuffle_join
+
+    def spy(*a, **kw):
+        calls.append(kw.get("salt_side") or a[3])
+        return real(*a, **kw)
+
+    monkeypatch.setattr(skew_mod, "salted_shuffle_join", spy)
+    return calls
+
+
+def test_hot_key_rows_reads_zero_width_buckets(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        hot_key_rows,
+    )
+
+    fact, dim = _planted_skew_frames(spark)
+    stats = _skew_stats({"fact": fact, "dim": dim})
+    est = hot_key_rows(stats["fact"], "fk")
+    assert 0.75 * 2000 <= est <= 1.25 * 2000, est
+    # unique-key dim: no zero-width bucket, no evidence, zero
+    assert hot_key_rows(stats["dim"], "dk") == 0.0
+    # no histogram at all: zero (evidence-driven, never NDV-heuristic)
+    assert hot_key_rows({"columns": {"fk": {"ndv": 2}}}, "fk") == 0.0
+
+
+@pytest.fixture()
+def high_parts(spark):
+    """The dispatch trigger compares the hot value against the average
+    post-shuffle partition — at the test session's 4 partitions no key
+    can exceed 4x the average, so raise the conf for these pins."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_planner_auto_salts_planted_skew(spark, monkeypatch, high_parts):
+    """Planted hot key + shuffle-forced join: skew='auto' emits exactly
+    one salted join, on the FACT (incoming) side, and the results are
+    row-for-row the unsalted plan's."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+
+    fact, dim = _planted_skew_frames(spark)
+    tables = {"fact": fact, "dim": dim}
+    stats = _skew_stats(tables)
+    edges = [("fact", "fk", "dim", "dk")]
+    calls = _salt_spy(monkeypatch)
+    salted, _ = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=1, skew="auto"
+    )
+    assert calls == ["right"], calls
+    plain, _ = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=1
+    )
+    assert salted.columns == plain.columns
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_planner_never_salts_without_evidence(spark, monkeypatch, high_parts):
+    """Uniform keys: equi-depth bounds are all distinct, hot_key_rows
+    is 0 on both sides, and the spy sees ZERO salting."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+
+    fact, dim = _planted_skew_frames(spark, hot_frac=0.0)
+    tables = {"fact": fact, "dim": dim}
+    stats = _skew_stats(tables)
+    calls = _salt_spy(monkeypatch)
+    out, _ = plan_join_tree(
+        tables,
+        [("fact", "fk", "dim", "dk")],
+        stats=stats,
+        broadcast_threshold=1,
+        skew="auto",
+    )
+    assert calls == []
+    assert out.count() > 0
+
+
+def test_planner_no_salt_when_explosion_dominates(
+    spark, monkeypatch, high_parts
+):
+    """Gate (b): exploding the other side x n_salts must shuffle fewer
+    extra rows than the skewed side itself — a small skewed fact next
+    to a comparatively large dim stays unsalted."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+
+    fact, dim = _planted_skew_frames(spark, fact_rows=1000, dim_rows=300)
+    tables = {"fact": fact, "dim": dim}
+    stats = _skew_stats(tables)
+    calls = _salt_spy(monkeypatch)
+    out, _ = plan_join_tree(
+        tables,
+        [("fact", "fk", "dim", "dk")],
+        stats=stats,
+        broadcast_threshold=1,
+        skew="auto",
+    )
+    assert calls == []
+    assert out.count() > 0
+
+
+def test_skew_auto_rejects_non_inner(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        plan_join_tree,
+    )
+
+    fact, dim = _planted_skew_frames(spark, fact_rows=10, dim_rows=5)
+    with pytest.raises(ValueError, match="inner joins only"):
+        plan_join_tree(
+            {"fact": fact, "dim": dim},
+            [("fact", "fk", "dim", "dk")],
+            how="left",
+            skew="auto",
+        )
+
+
+def test_salted_shuffle_join_requires_hashable_salt_source(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.functions.skew import (
+        salted_shuffle_join,
+    )
+
+    left = spark.createDataFrame(
+        [Row(m={"a": 1})]
+    )  # MapType only: nothing to hash
+    right = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError, match="hashable"):
+        salted_shuffle_join(
+            left, right, on=F.lit(True), salt_side="left"
+        )

@@ -1447,14 +1447,36 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank: X29 retrieve-k'-rerank-to-k over a stored IVF-PQ index —
     # the two-stage serving shape (cheap wide retrieve, expensive
     # narrow rerank); the reranked rank order is the driver-visible row
-    from .llm_similarity import ivfpq_build, ivfpq_topk_rerank
+    from .llm_similarity import (
+        ivfpq_build,
+        ivfpq_topk_rerank,
+        kmeans_centroids,
+    )
 
+    # ONE coarse quantizer for the rerank index AND the semdedup cells
+    # (round 12, suite-tail cut): both are L2 k-means over the same
+    # embedding space, and training it twice bought nothing but the
+    # second Lloyd's pass — trained here with EXACTLY the parameters
+    # the rerank branch always used (sampled quarter, one iteration),
+    # so the rerank rows are bit-unchanged; semdedup's cells move to
+    # the shared quantizer, which cannot change its output here: its
+    # verified pairs are a subset of the brute-force ≥0.95 pairs under
+    # ANY cell assignment, and the fixture has none (the zero-drop
+    # assertion this branch exists for).
+    shared_coarse = kmeans_centroids(
+        emb_pq.filter(F.col("vec_id") != 0),
+        n_clusters=8,
+        iters=1,
+        train_fraction=0.25,
+        metric="l2",
+    )
     rr_coarse, rr_books, rr_codes = ivfpq_build(
         emb_pq.filter(F.col("vec_id") != 0),
         n_clusters=8,
         coarse_iters=1,
         pq_iters=1,
         train_fraction=0.25,
+        coarse=shared_coarse,
     )
     rerank = ivfpq_topk_rerank(
         rr_codes,
@@ -1486,7 +1508,12 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the suite's quadratic term stays bounded at any sweep scale
     # (sf0.01 cells are ~60 rows and take the exact path unchanged)
     sem_kept = semantic_dedup(
-        emb, threshold=0.95, n_clusters=8, max_cell=2000, iters=2
+        emb,
+        threshold=0.95,
+        n_clusters=8,
+        max_cell=2000,
+        iters=2,
+        centroids=shared_coarse,
     )
     sem_dropped = emb.join(sem_kept, "vec_id", "left_anti").select(
         F.lit("semdedup").alias("branch"),

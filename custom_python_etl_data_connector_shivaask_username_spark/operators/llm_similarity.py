@@ -541,6 +541,13 @@ EMB_DUP_PLANES: list[list[float]] = _dup_rng.standard_normal(
     (EMB_DUP_BANDS * EMB_DUP_BAND_BITS, LSH_DIM)
 ).tolist()
 NEAR_DUP_COSINE = 0.95
+
+#: corpus-matrix byte budget under which the emb-dup Arrow verify
+#: gathers vectors from a broadcast instead of joining them onto every
+#: candidate pair (round 12 — the broadcast-decision idiom; 128 MiB
+#: broadcasts in single-digit seconds on commodity executors, and the
+#: id-pair-only Arrow traffic is 2 longs/pair instead of 2·dim doubles)
+EMB_GATHER_BUDGET = 128 * 1024 * 1024
 #: cells larger than this emit star pairs (hub = min vec_id) instead of
 #: all pairs — b−1 edges, not b(b−1)/2. Greedy/CC dedup only needs
 #: connectivity to a surviving representative, so the cap trades pair
@@ -629,6 +636,7 @@ def embedding_near_dup_pairs(
     max_bucket: int = MAX_EMB_BUCKET,
     config: tuple[int, int, list[list[float]]] | None = None,
     kernel: str = "arrow",
+    gather_budget: int | None = EMB_GATHER_BUDGET,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, verified exactly.
 
@@ -663,18 +671,27 @@ def embedding_near_dup_pairs(
     buckets, star guard, cross-band dedup) is IDENTICAL for both
     kernels; only the verify differs:
 
-    - ``"arrow"`` (default): one `mapInPandas` pass over the deduped
-      candidate rows computes every pair's cosine as a vectorized
-      row-wise reduction (``einsum('ij,ij->i')``) — ONE evaluation per
-      pair whatever batch it lands in, so the served value is
-      deterministic by construction (a per-bucket GEMM variant was
-      rejected in review: the same pair verified through two
-      differently-shaped BLAS calls can differ in the last ulp, making
-      a 6dp-boundary pair's membership depend on which duplicate the
-      dedup kept). Rounding + membership stay JVM-side.
-    - ``"hof"``: the hoisted-norm fold form, retained as the
-      pinned-equal baseline. Measured at sf1.0: 16.2 → 12.2 s (norm
-      hoist) → 3.8 s (row-wise kernel); see SCALE.md.
+    - ``"arrow"`` (default): a `mapInPandas` pass computes every
+      candidate's cosine as a vectorized ROW-WISE reduction
+      (``einsum('ij,ij->i')``) — per-row independent, so a pair's
+      value is identical whatever batch (or band) it lands in, and the
+      cross-band dedup runs AFTER the verify on the few surviving rows
+      (round 12; dedup-then-verify and verify-then-dedup are the same
+      pair set precisely because the reduction is row-wise — the
+      per-bucket GEMM variant this doctrine rejected in round-11
+      review could not have moved its dedup). Rounding + membership
+      stay JVM-side. ``gather_budget`` (round 12) picks the transport:
+      a corpus whose (ids, float64 matrix) fits the budget is
+      broadcast once and the kernel ships only id pairs (2 longs/pair,
+      64× less Arrow traffic at dim=64; 11.9 → 3.1 s at sf1.0); past
+      the budget — the 100 TB regime — candidates join the corpus
+      exactly as before. Both transports widen the same stored floats
+      to float64 and run the same row-wise einsum: pinned
+      pair-for-pair equal in tests/test_llm_dedup.py.
+    - ``"hof"``: the hoisted-norm fold form (pre-verify dedup, join
+      transport), retained as the pinned-equal baseline. Measured at
+      sf1.0: 16.2 → 12.2 s (norm hoist) → 3.8 s (row-wise kernel);
+      see SCALE.md.
     """
     n_bands, n_bits, planes = config or (
         EMB_DUP_BANDS,
@@ -717,17 +734,13 @@ def embedding_near_dup_pairs(
             m.alias("vec_b"),
         ),
     )
-    pairs = (
-        grouped.select(
-            F.explode(
-                F.when(F.size("members") <= max_bucket, all_pairs).otherwise(
-                    star_pairs
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    exploded = grouped.select(
+        F.explode(
+            F.when(F.size("members") <= max_bucket, all_pairs).otherwise(
+                star_pairs
+            )
+        ).alias("p")
+    ).select("p.*")
     # norms hoisted BEFORE the join (round 11, the similar_pairs trick
     # measured at 3x there): cosine(a,b) expands to three 64-element
     # folds per PAIR; per-row norms make it one fold per pair plus one
@@ -739,6 +752,200 @@ def embedding_near_dup_pairs(
     # the pre-ANSI NaN outcome).
     from ..functions.vector import norm
 
+    if kernel == "arrow":
+        # Round 12 (suite-tail cut, measured at sf1.0): two changes to
+        # the TRANSPORT, none to the math.
+        #
+        # (1) The cross-band dropDuplicates moves AFTER the verify for
+        # this kernel: a pair's cosine is identical in every band that
+        # proposes it (same two vectors, same reduction), so
+        # verify-then-dedup is the same pair set as dedup-then-verify —
+        # but the dedup now runs on the handful of rows that cleared
+        # the threshold instead of millions of candidates, and the
+        # candidate stream flows straight from the bucket explode into
+        # the kernel with no exchange in between (the pre-dedup form
+        # also baited AQE into broadcasting the multi-million-row pair
+        # side of the embedding joins). Duplicate candidates pay a
+        # duplicate dot (~1% of rows at the fixture's band overlap) —
+        # measured far cheaper than the corpus-pair shuffle they
+        # replaced: 11.9 → 6.0 s at sf1.0.
+        #
+        # (2) When the whole corpus matrix fits ``gather_budget``
+        # (n·dim·8 bytes — the broadcast-decision idiom), the kernel
+        # ships ONLY (vec_a, vec_b) id pairs and gathers both vectors
+        # from a broadcast (ids, matrix) pair instead of joining the
+        # embeddings onto every candidate row: the Arrow traffic drops
+        # from 2·dim doubles per pair to 2 longs (64× at dim=64;
+        # 6.0 → 3.1 s measured). Values are identical by construction:
+        # both transports widen the same stored float32s to float64
+        # (exact) and run the same row-wise einsum — pinned
+        # pair-for-pair in tests/test_llm_dedup.py. Past the budget
+        # the join transport runs unchanged (at 100 TB the corpus is
+        # not broadcast material; candidates-join-corpus is the
+        # documented scale shape).
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = exploded.schema["vec_a"].dataType
+        out_schema = StructType(
+            [
+                StructField("vec_a", id_type),
+                StructField("vec_b", id_type),
+                StructField("raw_sim", DoubleType()),
+            ]
+        )
+
+        def _einsum_cos(A, B):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.einsum("ij,ij->i", A, B) / (
+                    np.sqrt(np.einsum("ij,ij->i", A, A))
+                    * np.sqrt(np.einsum("ij,ij->i", B, B))
+                )
+
+        gathered = None
+        if gather_budget and gather_budget > 0:
+            n_rows = emb.count()
+            if n_rows * 8 <= gather_budget:
+                probe = emb.select("embedding").first()
+                dim = len(probe[0]) if probe and probe[0] is not None else 1
+                if n_rows * max(1, dim) * 8 <= gather_budget:
+                    rows = emb.select("vec_id", "embedding").collect()
+                    # per-dimension groups: a NULL embedding joins no
+                    # group (its pairs drop — the join transport's
+                    # isnotnull outcome), and a mixed-dimension pair's
+                    # sides live in different groups (drops — the
+                    # length-mismatch outcome)
+                    by_dim: dict[int, list] = {}
+                    for r in rows:
+                        e = r["embedding"]
+                        if e is not None:
+                            by_dim.setdefault(len(e), []).append(r)
+                    groups = []
+                    for d, rs in sorted(by_dim.items()):
+                        ids = np.array(
+                            [r["vec_id"] for r in rs], dtype=np.int64
+                        )
+                        M = np.array(
+                            [
+                                np.asarray(r["embedding"], dtype=np.float64)
+                                for r in rs
+                            ]
+                        )
+                        order = np.argsort(ids)
+                        groups.append((ids[order], M[order]))
+                    gathered = emb.sparkSession.sparkContext.broadcast(
+                        groups
+                    )
+
+        if gathered is not None:
+            bc = gathered
+
+            def gen(batches):
+                import pandas as pd
+
+                groups = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    a = pdf["vec_a"].to_numpy(dtype=np.int64)
+                    b = pdf["vec_b"].to_numpy(dtype=np.int64)
+                    out_a, out_b, out_s = [], [], []
+                    for ids, M in groups:
+                        ia = np.clip(
+                            np.searchsorted(ids, a), 0, len(ids) - 1
+                        )
+                        ib = np.clip(
+                            np.searchsorted(ids, b), 0, len(ids) - 1
+                        )
+                        both = (ids[ia] == a) & (ids[ib] == b)
+                        if not both.any():
+                            continue
+                        raw = _einsum_cos(M[ia[both]], M[ib[both]])
+                        keep = raw >= threshold - _GEMM_SLACK
+                        if keep.any():
+                            out_a.append(a[both][keep])
+                            out_b.append(b[both][keep])
+                            out_s.append(raw[keep])
+                    if out_a:
+                        yield pd.DataFrame(
+                            {
+                                "vec_a": np.concatenate(out_a),
+                                "vec_b": np.concatenate(out_b),
+                                "raw_sim": np.concatenate(out_s),
+                            }
+                        )
+
+            verified = exploded.mapInPandas(gen, out_schema)
+        else:
+            emb_a = emb.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+            )
+            emb_b = emb.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+            )
+            joined = exploded.join(emb_a, "vec_a").join(emb_b, "vec_b")
+
+            def gen(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    # NULL / mixed-dimension / zero-norm pairs drop, the
+                    # HOF outcomes (NULL cosine / NULL zip_with / NaN)
+                    va = pdf["emb_a"].notna() & pdf["emb_b"].notna()
+                    la = pdf["emb_a"].map(
+                        lambda e: -1 if e is None else len(e)
+                    )
+                    lb = pdf["emb_b"].map(
+                        lambda e: -1 if e is None else len(e)
+                    )
+                    ok = va & (la == lb)
+                    sub = pdf[ok]
+                    if len(sub) == 0:
+                        continue
+                    out_a, out_b, out_s = [], [], []
+                    for _d, grp in sub.groupby(la[ok], sort=False):
+                        A = np.array(
+                            [
+                                np.asarray(e, dtype=np.float64)
+                                for e in grp["emb_a"]
+                            ]
+                        )
+                        B = np.array(
+                            [
+                                np.asarray(e, dtype=np.float64)
+                                for e in grp["emb_b"]
+                            ]
+                        )
+                        raw = _einsum_cos(A, B)
+                        keep = raw >= threshold - _GEMM_SLACK
+                        if keep.any():
+                            out_a.append(grp["vec_a"].to_numpy()[keep])
+                            out_b.append(grp["vec_b"].to_numpy()[keep])
+                            out_s.append(raw[keep])
+                    if out_a:
+                        yield pd.DataFrame(
+                            {
+                                "vec_a": np.concatenate(out_a),
+                                "vec_b": np.concatenate(out_b),
+                                "raw_sim": np.concatenate(out_s),
+                            }
+                        )
+
+            verified = joined.select(
+                "vec_a", "vec_b", "emb_a", "emb_b"
+            ).mapInPandas(gen, out_schema)
+
+        return (
+            verified.withColumn("cos_sim", F.round(F.col("raw_sim"), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"])
+            .select("vec_a", "vec_b", "cos_sim")
+        )
+
+    pairs = exploded.dropDuplicates(["vec_a", "vec_b"])
     emb_a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -750,70 +957,6 @@ def embedding_near_dup_pairs(
         norm(F.col("embedding")).alias("_norm_b"),
     )
     joined = pairs.join(emb_a, "vec_a").join(emb_b, "vec_b")
-    if kernel == "arrow":
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        out_schema = StructType(
-            [
-                joined.schema["vec_a"],
-                joined.schema["vec_b"],
-                StructField("raw_sim", DoubleType()),
-            ]
-        )
-
-        def gen(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                # NULL / mixed-dimension / zero-norm pairs drop, the
-                # HOF outcomes (NULL cosine / NULL zip_with / NaN)
-                va = pdf["emb_a"].notna() & pdf["emb_b"].notna()
-                la = pdf["emb_a"].map(
-                    lambda e: -1 if e is None else len(e)
-                )
-                lb = pdf["emb_b"].map(
-                    lambda e: -1 if e is None else len(e)
-                )
-                ok = va & (la == lb)
-                sub = pdf[ok]
-                if len(sub) == 0:
-                    continue
-                out_a, out_b, out_s = [], [], []
-                for _d, grp in sub.groupby(la[ok], sort=False):
-                    A = np.array(
-                        [np.asarray(e, dtype=np.float64) for e in grp["emb_a"]]
-                    )
-                    B = np.array(
-                        [np.asarray(e, dtype=np.float64) for e in grp["emb_b"]]
-                    )
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        raw = np.einsum("ij,ij->i", A, B) / (
-                            np.sqrt(np.einsum("ij,ij->i", A, A))
-                            * np.sqrt(np.einsum("ij,ij->i", B, B))
-                        )
-                    keep = raw >= threshold - _GEMM_SLACK
-                    if keep.any():
-                        out_a.append(grp["vec_a"].to_numpy()[keep])
-                        out_b.append(grp["vec_b"].to_numpy()[keep])
-                        out_s.append(raw[keep])
-                if out_a:
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": np.concatenate(out_a),
-                            "vec_b": np.concatenate(out_b),
-                            "raw_sim": np.concatenate(out_s),
-                        }
-                    )
-
-        return (
-            joined.select("vec_a", "vec_b", "emb_a", "emb_b")
-            .mapInPandas(gen, out_schema)
-            .withColumn("cos_sim", F.round(F.col("raw_sim"), 6))
-            .filter(F.col("cos_sim") >= threshold)
-            .select("vec_a", "vec_b", "cos_sim")
-        )
     denom = F.col("_norm_a") * F.col("_norm_b")
     return (
         joined.withColumn(
@@ -924,6 +1067,7 @@ def semantic_dedup(
     iters: int = 3,
     train_fraction: float | None = None,
     max_cell: int = MAX_LABEL_BLOCK,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """X24 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means-clustering the embedding space and
@@ -952,7 +1096,13 @@ def semantic_dedup(
     """
     from .llm_dedup import connected_components
 
-    cents = kmeans_centroids(
+    # ``centroids`` (round 12): accept a precomputed L2 coarse
+    # quantizer instead of training one — SemDeDup's cells and an
+    # IVF/IVF-PQ index's cells are the SAME object (k-means over the
+    # same embedding space), so a pipeline that builds both pays ONE
+    # training pass and the assignments stay mutually consistent.
+    # Training params are ignored when centroids are supplied.
+    cents = centroids if centroids is not None else kmeans_centroids(
         emb,
         n_clusters=n_clusters,
         iters=iters,
@@ -1644,6 +1794,7 @@ def ivfpq_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     train_fraction: float | None = None,
+    coarse: list[tuple[int, list[float]]] | None = None,
 ):
     """Build the two-level compressed index: an IVF coarse quantizer
     (L2 cells) plus PQ codebooks trained on RESIDUALS (vector − its
@@ -1659,15 +1810,19 @@ def ivfpq_build(
     Lloyd's, :func:`pq_encode`'s map-only coding. Write ``codes_df``
     sorted by ``cell`` and probes prune row groups on the cell column.
     """
-    coarse = kmeans_centroids(
-        emb,
-        n_clusters,
-        coarse_iters,
-        vec_col=vec_col,
-        id_col=id_col,
-        train_fraction=train_fraction,
-        metric="l2",
-    )
+    # ``coarse`` (round 12): accept a precomputed L2 quantizer — the
+    # suite shares one between this build and SemDeDup (same space,
+    # same metric); n_clusters/coarse_iters are ignored when supplied
+    if coarse is None:
+        coarse = kmeans_centroids(
+            emb,
+            n_clusters,
+            coarse_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+            train_fraction=train_fraction,
+            metric="l2",
+        )
     residuals = _ivfpq_residuals(emb, coarse, vec_col, id_col)
     # round 10: train_fraction reaches the RESIDUAL codebook training
     # too — it previously bounded only the coarse quantizer, leaving

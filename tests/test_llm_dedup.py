@@ -1854,3 +1854,80 @@ def test_pair_gemm_drops_null_bucket_rows_like_hof(spark, monkeypatch):
     assert arrow == hof
     ids = {p[1] for p in arrow} | {p[2] for p in arrow}
     assert 500 not in ids and 501 not in ids
+
+
+def test_emb_dup_gather_transport_equals_join_transport(spark):
+    """Round 12: the Arrow verify's two TRANSPORTS — broadcast-gather
+    (corpus matrix under ``gather_budget``, kernel ships id pairs
+    only) vs candidate-join (the 100 TB shape, ``gather_budget=0``) —
+    are pinned pair-for-pair equal, including the degenerate rows the
+    join transport's masks define the contract for: a NULL embedding
+    and a mixed-dimension vector drop their pairs in both, and both
+    match the HOF baseline."""
+    import numpy as np
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(12)
+    base = rng.standard_normal(64)
+    rows_data = []
+    for i in range(120):
+        # correlated cloud: plenty of pairs straddle a 0.3 threshold
+        v = base * (i % 7) / 7.0 + rng.standard_normal(64)
+        rows_data.append((i, v.tolist()))
+    rows_data.append((500, None))  # NULL embedding: pairs must drop
+    rows_data.append((501, rng.standard_normal(32).tolist()))  # mixed dim
+    emb = spark.createDataFrame(
+        rows_data, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    gather = rows(
+        embedding_near_dup_pairs(emb, threshold=0.3, kernel="arrow")
+    )
+    join_t = rows(
+        embedding_near_dup_pairs(
+            emb, threshold=0.3, kernel="arrow", gather_budget=0
+        )
+    )
+    hof = rows(embedding_near_dup_pairs(emb, threshold=0.3, kernel="hof"))
+    assert gather == join_t == hof
+    assert len(gather) > 0  # the pin bites: real pairs flowed through
+    flat = {i for p in gather for i in p[:2]}
+    assert 500 not in flat and 501 not in flat
+
+
+def test_semantic_dedup_and_ivfpq_share_a_coarse_quantizer(spark, sf_dir):
+    """Round 12 (suite-tail cut): ``semantic_dedup(centroids=...)`` and
+    ``ivfpq_build(coarse=...)`` accept a precomputed L2 quantizer.
+    Init determinism makes the contract checkable exactly: a quantizer
+    trained OUTSIDE with the same parameters yields bit-identical
+    results to each function training its own."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_similarity import (
+        ivfpq_build,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shared = kmeans_centroids(emb, n_clusters=4, iters=2, metric="l2")
+
+    own = semantic_dedup(emb, threshold=0.8, n_clusters=4, iters=2)
+    via = semantic_dedup(emb, threshold=0.8, centroids=shared)
+    assert rows(own) == rows(via)
+
+    co_own, bk_own, codes_own = ivfpq_build(
+        emb, n_clusters=4, coarse_iters=2, pq_iters=1
+    )
+    co_sh, bk_sh, codes_sh = ivfpq_build(emb, pq_iters=1, coarse=shared)
+    assert co_sh == shared == co_own
+    assert bk_sh == bk_own
+    assert rows(codes_sh) == rows(codes_own)

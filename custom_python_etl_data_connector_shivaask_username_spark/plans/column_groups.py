@@ -215,6 +215,274 @@ def apply_eq_conjunction_to_stats(
     return out
 
 
+# --- X60 (round 12): 2-D histograms — correlated RANGE conjunctions --------
+#
+# X37's group NDV retires independence for EQUALITY conjunctions; range
+# conjunctions still multiplied per-column histogram selectivities,
+# which underestimates by the full correlation factor on exactly the
+# predicates warehouses see most (event time vs ingest time, price vs
+# tax, derived numeric pairs). The public fix is the same one the
+# equality side used — collect the JOINT distribution: a buckets×buckets
+# equi-width grid of conditional counts per declared column pair (one
+# extra scan, deterministic map-side partial sums, 256 counters per
+# pair at the default 16 — metadata next to the scan, like X36). A
+# range conjunction over a collected pair then reads its mass off the
+# grid instead of multiplying marginals.
+
+
+def collect_histogram_2d(
+    df: DataFrame,
+    stats: dict[str, Any],
+    pairs: list[list[str]],
+    buckets: int = 16,
+) -> dict[str, Any]:
+    """One scan adds a 2-D equi-width histogram for each 2-column pair
+    under ``column_groups[key]["hist2d"]`` (merged into the X37 entry
+    when one exists). Axes follow the 1-D collector's rules: numeric /
+    date / timestamp columns with a sane collected min/max span; a pair
+    with a degenerate axis is skipped (min/max fallback remains). Rows
+    where EITHER column is NULL are excluded — a range conjunction
+    cannot match them."""
+    import math
+
+    from .stats import _axis_value, _hist_axis
+
+    if not pairs:
+        return stats
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    targets = []
+    for p in pairs:
+        if len(p) != 2:
+            raise ValueError(f"hist2d pairs are exactly 2 columns: {p}")
+        missing = set(p) - set(df.columns)
+        if missing:
+            raise ValueError(f"pair {p} references absent columns: {missing}")
+        cols = sorted(p)
+        axes = []
+        for c in cols:
+            cstat = stats.get("columns", {}).get(c, {})
+            axis, kind = _hist_axis(c, cstat.get("type", ""), tz)
+            if axis is None:
+                axes = None
+                break
+            lo = _axis_value(cstat.get("min"), kind)
+            hi = _axis_value(cstat.get("max"), kind)
+            if lo is None or hi is None or not hi > lo:
+                axes = None
+                break
+            width = (hi - lo) / buckets
+            if not math.isfinite(width) or width <= 4 * max(
+                math.ulp(lo), math.ulp(hi)
+            ):
+                axes = None
+                break
+            axes.append((c, axis, kind, lo, hi, width))
+        if axes:
+            targets.append((group_key(cols), cols, axes))
+    if not targets:
+        return stats
+    aggs = []
+    for k, _cols, axes in targets:
+        idx = []
+        for _c, axis, _kind, lo, _hi, width in axes:
+            idx.append(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(buckets - 1),
+                        F.floor((axis - F.lit(lo)) / F.lit(width)),
+                    ),
+                )
+            )
+        present = axes[0][1].isNotNull() & axes[1][1].isNotNull()
+        for i in range(buckets):
+            for j in range(buckets):
+                aggs.append(
+                    F.sum(
+                        (present & (idx[0] == i) & (idx[1] == j)).cast(
+                            "long"
+                        )
+                    ).alias(f"__h2__{k}__{i}__{j}")
+                )
+    row = df.agg(*aggs).first()
+    out = {**stats, "column_groups": dict(stats.get("column_groups", {}))}
+    for k, cols, axes in targets:
+        entry = dict(out["column_groups"].get(k, {"columns": cols}))
+        entry["hist2d"] = {
+            "buckets": buckets,
+            "x": {
+                "col": axes[0][0],
+                "kind": axes[0][2],
+                "lo": axes[0][3],
+                "hi": axes[0][4],
+            },
+            "y": {
+                "col": axes[1][0],
+                "kind": axes[1][2],
+                "lo": axes[1][3],
+                "hi": axes[1][4],
+            },
+            "counts": [
+                int(row[f"__h2__{k}__{i}__{j}"] or 0)
+                for i in range(buckets)
+                for j in range(buckets)
+            ],
+        }
+        out["column_groups"][k] = entry
+    return out
+
+
+def _axis_overlaps(ax: dict, lo, hi, buckets: int) -> list[float] | None:
+    """Per-bucket overlap fraction of the (clamped) query range with
+    one grid axis — None when the clamped range has zero measure (a
+    point query: the grid cannot price it; callers fall back to the
+    1-D point model via independence)."""
+    from .stats import _axis_value
+
+    alo, ahi = float(ax["lo"]), float(ax["hi"])
+    qlo = alo if lo is None else max(_axis_value(lo, ax["kind"]), alo)
+    qhi = ahi if hi is None else min(_axis_value(hi, ax["kind"]), ahi)
+    if qhi < qlo:
+        return [0.0] * buckets
+    if qhi == qlo:
+        return None
+    width = (ahi - alo) / buckets
+    out = []
+    for i in range(buckets):
+        blo = alo + i * width
+        bhi = blo + width
+        overlap = min(qhi, bhi) - max(qlo, blo)
+        out.append(min(1.0, overlap / width) if overlap > 0 else 0.0)
+    return out
+
+
+def _hist2d_cover(
+    stats: dict[str, Any], rngs: dict[str, tuple]
+) -> tuple[list[dict], set[str]]:
+    """Disjoint cover of the range-filtered columns by collected 2-D
+    grids (both columns filtered, positive-measure ranges on both
+    axes); leftovers fall back to per-column histograms
+    (independence)."""
+    chosen = []
+    remaining = set(rngs)
+    for g in stats.get("column_groups", {}).values():
+        h = g.get("hist2d")
+        if not h:
+            continue
+        cx, cy = h["x"]["col"], h["y"]["col"]
+        if not {cx, cy} <= remaining:
+            continue
+        fx = _axis_overlaps(h["x"], *rngs[cx], h["buckets"])
+        fy = _axis_overlaps(h["y"], *rngs[cy], h["buckets"])
+        if fx is None or fy is None:
+            continue  # point query on an axis: the 1-D model prices it
+        chosen.append({"hist": h, "fx": fx, "fy": fy})
+        remaining -= {cx, cy}
+    return chosen, remaining
+
+
+def estimate_range_conjunction_rows(
+    stats: dict[str, Any], rngs: dict[str, tuple]
+) -> float:
+    """Estimated rows matching AND-ed range predicates
+    ``{col: (lo, hi)}`` (either bound None-able). Pairs covered by a
+    collected 2-D grid contribute their JOINT mass (grid counts ×
+    per-axis overlap fractions); leftover columns multiply their 1-D
+    selectivities (independence, the X36 model). Capped by every
+    single-column estimate — adding a predicate can never return more
+    rows — with the X33 sampled-stats zero-proof exemption the
+    equality twin uses."""
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    if n == 0 or not rngs:
+        return n
+    chosen, leftover = _hist2d_cover(stats, rngs)
+    sel = 1.0
+    for c in chosen:
+        h, fx, fy = c["hist"], c["fx"], c["fy"]
+        b = h["buckets"]
+        counts = h["counts"]
+        mass = 0.0
+        for i in range(b):
+            if fx[i] == 0.0:
+                continue
+            base = i * b
+            for j in range(b):
+                if fy[j]:
+                    mass += counts[base + j] * fx[i] * fy[j]
+        sel *= min(1.0, mass / n)
+    for c in leftover:
+        lo, hi = rngs[c]
+        sel *= min(1.0, estimate_range_rows(stats, c, lo, hi) / n)
+    est = n * sel
+    sampled = bool(stats.get("sampled"))
+    for c, (lo, hi) in rngs.items():
+        single = estimate_range_rows(stats, c, lo, hi)
+        if single > 0 or not sampled:
+            est = min(est, single)
+    return max(0.0, est)
+
+
+def apply_range_conjunction_to_stats(
+    stats: dict[str, Any], rngs: dict[str, tuple]
+) -> dict[str, Any]:
+    """Metadata-only stats for the table AFTER the range conjunction —
+    the range twin of :func:`apply_eq_conjunction_to_stats`. Row count
+    from :func:`estimate_range_conjunction_rows`; each filtered
+    column's min/max clamp to its predicate and its nulls drop; every
+    other column's NDV caps at the new row count; 1-D histograms and
+    group stats drop (no longer valid); ``size_bytes`` scales."""
+    from .stats import _axis_value, _kind_of
+
+    n = float(max(0, int(stats.get("row_count") or 0)))
+    if n == 0:
+        return stats
+    est = estimate_range_conjunction_rows(stats, rngs)
+    sel = min(1.0, est / n)
+    new_n = int(round(est))
+    out: dict[str, Any] = {
+        **stats,
+        "row_count": new_n,
+        "size_bytes": (
+            int(stats["size_bytes"] * sel)
+            if stats.get("size_bytes")
+            else stats.get("size_bytes")
+        ),
+        "columns": {},
+    }
+    out.pop("column_groups", None)
+    for c, cs in stats.get("columns", {}).items():
+        cs = dict(cs)
+        cs.pop("histogram", None)
+        if cs.get("ndv"):
+            cs["ndv"] = max(1, min(int(cs["ndv"]), new_n))
+        if c in rngs:
+            cs["null_count"] = 0
+            lo, hi = rngs[c]
+            kind = _kind_of(cs.get("type", ""))
+            if kind in ("numeric", "date", "timestamp", "timestamp_ntz"):
+
+                def _clamped(cur, bound, keep_greater):
+                    try:
+                        a = _axis_value(cur, kind)
+                        b = _axis_value(bound, kind)
+                    except (ValueError, TypeError):
+                        return cur
+                    if b is None:
+                        return cur
+                    if a is None:
+                        return bound
+                    return bound if (b > a) == keep_greater else cur
+
+                if lo is not None:
+                    cs["min"] = _clamped(cs.get("min"), lo, True)
+                if hi is not None:
+                    cs["max"] = _clamped(cs.get("max"), hi, False)
+        else:
+            cs["null_count"] = int(round(cs.get("null_count", 0) * sel))
+        out["columns"][c] = cs
+    return out
+
+
 # --- round 9: workload-driven group selection ------------------------------
 
 #: attribute-eq-literal inside a Filter condition: `(name#123 = lit)`

@@ -259,7 +259,12 @@ def plan_star_join(
     through `apply_eq_conjunction_to_stats` (X37) — so when the
     statistics carry a matching column-group NDV, the planner stops
     assuming independence on exactly the conjunctions workloads
-    correlate (X47 exists because they do). ``tables`` overrides
+    correlate (X47 exists because they do). Round 12 (X60): ≥2 RANGE
+    specs over distinct columns route through
+    `apply_range_conjunction_to_stats` when the statistics carry a
+    matching 2-D histogram (`collect_histogram_2d`) — joint mass off
+    the grid instead of multiplied marginals; without a grid the
+    historical one-at-a-time folds run bit-compatibly. ``tables`` overrides
     individual frames (a `spread_small_input` fact, a non-declarative
     transform); ``stats`` overrides statistics outright (both applied
     AFTER ``filters`` — an explicit override wins). ``edge_rows``
@@ -291,7 +296,11 @@ def plan_star_join(
     ``(joined DataFrame, planner-chosen order)``."""
     from pyspark.sql import functions as F
 
-    from .plans.column_groups import apply_eq_conjunction_to_stats
+    from .plans.column_groups import (
+        _hist2d_cover,
+        apply_eq_conjunction_to_stats,
+        apply_range_conjunction_to_stats,
+    )
     from .plans.stats import apply_filter_to_stats, plan_join_tree
 
     if probe not in (None, "auto"):
@@ -341,6 +350,7 @@ def plan_star_join(
         # into one conjunction so group-NDV statistics (X37) can
         # correct the independence assumption.
         eqs: dict[str, object] = {}
+        rng_specs: list[tuple[str, object, object]] = []
         for one in specs:
             col, *bounds = one
             if len(bounds) == 1 and isinstance(bounds[0], tuple):
@@ -363,15 +373,29 @@ def plan_star_join(
                 if hi is not None:
                     f = f.filter(F.col(col) <= _lit(hi, n, col))
                 tbls[n] = f
-                if n in sts:
-                    sts[n] = apply_filter_to_stats(
-                        sts[n], col, lo=lo, hi=hi
-                    )
+                rng_specs.append((col, lo, hi))
             else:
                 raise ValueError(
                     f"filter spec for {n!r} must be (col, lo, hi) or "
                     f"(col, ('=', value)); got {one!r}"
                 )
+        if rng_specs and n in sts:
+            # ≥2 ranges over distinct columns with a collected 2-D grid
+            # covering a pair route through the X60 joint estimator —
+            # the range twin of the X37 dispatch below; anything else
+            # keeps the historical one-at-a-time independence folds
+            # bit-compatibly (same order, same numbers)
+            cols = [c for c, _lo, _hi in rng_specs]
+            rngs = {c: (lo, hi) for c, lo, hi in rng_specs}
+            if len(set(cols)) == len(cols) and len(cols) >= 2 and (
+                _hist2d_cover(sts[n], rngs)[0]
+            ):
+                sts[n] = apply_range_conjunction_to_stats(sts[n], rngs)
+            else:
+                for col, lo, hi in rng_specs:
+                    sts[n] = apply_filter_to_stats(
+                        sts[n], col, lo=lo, hi=hi
+                    )
         if eqs and n in sts:
             if len(eqs) == 1:
                 ((col, v),) = eqs.items()

@@ -4,6 +4,8 @@ per-column NDV; the metadata-only filtered-stats twin stays sane."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -215,3 +217,197 @@ def test_disjunctions_do_not_vote(spark, correlated):
     ]
     got = suggest_column_groups(mixed, min_count=2)
     assert [g["columns"] for g in got] == [["a", "b"]]
+
+
+# --- X60 (round 12): 2-D histograms for correlated RANGE conjunctions ------
+
+
+@pytest.fixture(scope="module")
+def corr_ranges(spark):
+    # y tracks x (y = x + small deterministic jitter): a conjunctive
+    # range on both is ~one range's selectivity, not the product
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 1000).cast("double").alias("x"),
+        ((F.col("id") % 1000) + (F.col("id") % 7)).cast("double").alias("y"),
+        (F.col("id") % 4).alias("c"),
+    )
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def _h2_stats(df):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_histogram_2d,
+    )
+
+    return collect_histogram_2d(df, collect_table_stats(df), [["x", "y"]])
+
+
+def test_hist2d_corrects_correlated_ranges(spark, corr_ranges):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        estimate_range_conjunction_rows,
+    )
+
+    base = collect_table_stats(corr_ranges)
+    stats = _h2_stats(corr_ranges)
+    rngs = {"x": (100.0, 199.0), "y": (100.0, 205.0)}
+    actual = corr_ranges.filter(
+        (F.col("x") >= 100) & (F.col("x") <= 199)
+        & (F.col("y") >= 100) & (F.col("y") <= 205)
+    ).count()
+    joint = estimate_range_conjunction_rows(stats, rngs)
+    independent = estimate_range_conjunction_rows(base, rngs)
+    # ~10% of rows match; independence claims ~1%
+    assert abs(joint - actual) <= 0.35 * actual, (joint, actual)
+    assert independent < actual / 3, (independent, actual)
+
+
+def test_hist2d_estimate_capped_by_single_columns(corr_ranges):
+    """Monotonicity: the joint estimate never exceeds any single
+    predicate's own histogram estimate, and leftover columns still
+    multiply independently."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        estimate_range_conjunction_rows,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        estimate_range_rows,
+    )
+
+    stats = _h2_stats(corr_ranges)
+    rngs = {"x": (100.0, 199.0), "y": (100.0, 205.0)}
+    joint = estimate_range_conjunction_rows(stats, rngs)
+    for c, (lo, hi) in rngs.items():
+        assert joint <= estimate_range_rows(stats, c, lo, hi) + 1e-9
+    # leftover column composes by independence on top of the grid
+    with_c = estimate_range_conjunction_rows(
+        stats, {**rngs, "c": (0, 0)}
+    )
+    assert with_c <= joint
+
+
+def test_hist2d_survives_sidecar_roundtrip(spark, corr_ranges, tmp_path):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        estimate_range_conjunction_rows,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        read_stats_sidecar,
+        write_stats_sidecar,
+    )
+
+    stats = _h2_stats(corr_ranges)
+    path = str(tmp_path / "t")
+    os.makedirs(path, exist_ok=True)
+    write_stats_sidecar(spark, path, stats)
+    revived = read_stats_sidecar(spark, path)
+    rngs = {"x": (100.0, 199.0), "y": (100.0, 205.0)}
+    assert estimate_range_conjunction_rows(
+        revived, rngs
+    ) == estimate_range_conjunction_rows(stats, rngs)
+
+
+def test_apply_range_conjunction_to_stats_metadata_only(corr_ranges):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        apply_range_conjunction_to_stats,
+    )
+
+    stats = _h2_stats(corr_ranges)
+    f = apply_range_conjunction_to_stats(
+        stats, {"x": (100.0, 199.0), "y": (100.0, 205.0)}
+    )
+    actual = corr_ranges.filter(
+        (F.col("x") >= 100) & (F.col("x") <= 199)
+        & (F.col("y") >= 100) & (F.col("y") <= 205)
+    ).count()
+    assert abs(f["row_count"] - actual) <= 0.35 * actual
+    assert f["columns"]["x"]["min"] == 100.0
+    assert f["columns"]["x"]["max"] == 199.0
+    assert f["columns"]["x"]["null_count"] == 0
+    assert f["columns"]["c"]["ndv"] <= f["row_count"]
+    assert "column_groups" not in f
+
+
+def test_point_range_falls_back_to_1d_model(corr_ranges):
+    """A zero-measure (point) range on an axis is not priceable off a
+    continuous grid — the pair falls back to the 1-D point model via
+    independence instead of claiming zero mass."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        estimate_range_conjunction_rows,
+    )
+
+    stats = _h2_stats(corr_ranges)
+    est = estimate_range_conjunction_rows(
+        stats, {"x": (100.0, 100.0), "y": (100.0, 107.0)}
+    )
+    assert est > 0.0
+
+
+def test_plan_star_join_routes_range_conjunctions_through_hist2d(
+    spark, monkeypatch
+):
+    """Wiring pin: with a 2-D grid in the pre-filter statistics, two
+    range specs on one table dispatch the X60 joint estimator exactly
+    once; without the grid, the historical one-at-a-time folds run and
+    the joint estimator is never called. Results identical either way
+    (the filters themselves are frame predicates)."""
+    from custom_python_etl_data_connector_shivaask_username_spark import tables as tables_mod
+    from custom_python_etl_data_connector_shivaask_username_spark.plans import (
+        column_groups as cg,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_histogram_2d,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+        plan_star_join,
+    )
+
+    sf = SF_DIR if "SF_DIR" in globals() else os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    orders = load_table(spark, sf, "orders")
+    base = collect_table_stats(orders)
+    with_grid = collect_histogram_2d(
+        orders, base, [["o_totalprice", "o_orderkey"]]
+    )
+
+    calls = []
+    real = cg.apply_range_conjunction_to_stats
+
+    def spy(st, rngs):
+        calls.append(sorted(rngs))
+        return real(st, rngs)
+
+    monkeypatch.setattr(cg, "apply_range_conjunction_to_stats", spy)
+
+    filters = {
+        "orders": [
+            ("o_totalprice", 0.0, 100_000.0),
+            ("o_orderkey", None, 3_000),
+        ]
+    }
+    edges = [("orders", "o_custkey", "customer", "c_custkey")]
+
+    monkeypatch.setattr(
+        tables_mod,
+        "table_stats_cached",
+        lambda _s, _d, n, **kw: dict(with_grid)
+        if n == "orders"
+        else collect_table_stats(load_table(spark, sf, n)),
+    )
+    df_joint, _ = plan_star_join(spark, sf, edges, filters=filters)
+    assert calls == [["o_orderkey", "o_totalprice"]]
+
+    calls.clear()
+    monkeypatch.setattr(
+        tables_mod,
+        "table_stats_cached",
+        lambda _s, _d, n, **kw: dict(base)
+        if n == "orders"
+        else collect_table_stats(load_table(spark, sf, n)),
+    )
+    df_legacy, _ = plan_star_join(spark, sf, edges, filters=filters)
+    assert calls == []
+    assert sorted(map(tuple, df_joint.collect())) == sorted(
+        map(tuple, df_legacy.collect())
+    )

@@ -518,6 +518,68 @@ def filter_eq_conjunctions(plan: str) -> list[list[str]]:
     return out
 
 
+#: attribute range comparison inside a Filter node: `(name#123 >= lit)`
+#: (or >, <=, <) and the literal-first mirror — the X60 twin of the
+#: equality patterns above
+_RANGE_ATTR_LEFT = r"\(([A-Za-z_]\w*)#\d+L? (?:>=|<=|>|<) [^()#]+\)"
+_RANGE_ATTR_RIGHT = r"\([^()#]+ (?:>=|<=|>|<) ([A-Za-z_]\w*)#\d+L?\)"
+
+
+def filter_range_conjunctions(plan: str) -> list[list[str]]:
+    """Range-conjunction column sets, one per Filter node — the X60
+    twin of :func:`filter_eq_conjunctions`: only attribute-vs-literal
+    range comparisons count, a node votes only when ≥2 distinct
+    columns are range-bounded (single-column ranges are what 1-D
+    histograms already model), and nodes containing a disjunction are
+    skipped outright (the round-9 advisory's reasoning applies
+    verbatim: an OR is not conjunction evidence)."""
+    import re
+
+    out: list[list[str]] = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Filter ") or " OR " in s:
+            continue
+        cols = set(re.findall(_RANGE_ATTR_LEFT, s)) | set(
+            re.findall(_RANGE_ATTR_RIGHT, s)
+        )
+        if len(cols) >= 2:
+            out.append(sorted(cols))
+    return out
+
+
+def suggest_histogram_pairs(
+    workload: list[Any],
+    min_count: int = 2,
+    max_pairs: int = 8,
+) -> list[dict[str, Any]]:
+    """X60 pair selection mined from the workload (the
+    :func:`suggest_column_groups` doctrine applied to RANGE
+    conjunctions): every Filter node range-bounding ≥2 columns votes
+    for each PAIR of those columns (grids are 2-column by
+    construction); pairs seen at least ``min_count`` times return
+    most-frequent first, capped at ``max_pairs``. Feed the winners to
+    :func:`collect_histogram_2d`."""
+    from itertools import combinations
+
+    votes: dict[tuple[str, str], int] = {}
+    for item in workload:
+        plan = (
+            item
+            if isinstance(item, str)
+            else str(item._jdf.queryExecution().optimizedPlan())
+        )
+        for cols in filter_range_conjunctions(plan):
+            for pair in combinations(cols, 2):
+                votes[pair] = votes.get(pair, 0) + 1
+    ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        {"columns": list(pair), "count": n}
+        for pair, n in ranked
+        if n >= min_count
+    ][:max_pairs]
+
+
 def suggest_column_groups(
     workload: list[Any],
     min_count: int = 2,

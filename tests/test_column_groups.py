@@ -411,3 +411,34 @@ def test_plan_star_join_routes_range_conjunctions_through_hist2d(
     assert sorted(map(tuple, df_joint.collect())) == sorted(
         map(tuple, df_legacy.collect())
     )
+
+
+def test_suggest_histogram_pairs_mines_range_workload(spark, corr_ranges):
+    """X60 miner: Filter nodes range-bounding >=2 columns vote their
+    pairs; single-column ranges and disjunctions never vote (the X47
+    doctrine on the range side)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        filter_range_conjunctions,
+        suggest_histogram_pairs,
+    )
+
+    conj = corr_ranges.filter(
+        (F.col("x") >= 100) & (F.col("x") <= 200) & (F.col("y") <= 250)
+    )
+    single = corr_ranges.filter(F.col("x") >= 500)
+    disj = corr_ranges.filter((F.col("x") >= 100) | (F.col("y") <= 50))
+
+    assert filter_range_conjunctions(
+        str(conj._jdf.queryExecution().optimizedPlan())
+    ) == [["x", "y"]]
+    assert filter_range_conjunctions(
+        str(single._jdf.queryExecution().optimizedPlan())
+    ) == []
+    assert filter_range_conjunctions(
+        str(disj._jdf.queryExecution().optimizedPlan())
+    ) == []
+
+    got = suggest_histogram_pairs([conj, conj, single, disj])
+    assert got == [{"columns": ["x", "y"], "count": 2}]
+    # below min_count: no recommendation
+    assert suggest_histogram_pairs([conj, single]) == []

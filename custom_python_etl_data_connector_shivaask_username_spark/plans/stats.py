@@ -638,6 +638,13 @@ def hot_key_rows(stats: dict[str, Any], col: str) -> float:
     evidence-driven, never heuristic on NDV alone.
     """
     cstat = stats.get("columns", {}).get(col) or {}
+    # a pre-computed scalar overrides the histogram read: the bushy
+    # combine surfaces subtree column stats with histograms STRIPPED
+    # (halo folds invalidate their shape), so the subtree builder
+    # forwards the base table's hot mass — scaled by the subtree's
+    # surviving fraction, the measured-edge doctrine — as `hot_rows`
+    if cstat.get("hot_rows") is not None:
+        return float(cstat["hot_rows"])
     hist = cstat.get("histogram") or {}
     bounds = hist.get("bounds")
     if not bounds:
@@ -1118,9 +1125,12 @@ def plan_join_tree(
     in tests/test_bucketing_skew.py); graphs with no histogram-proven
     hot key never salt. Inner-only, never in USING mode, and the
     salted output claims NO reusable partitioning (it is partitioned
-    on the dropped (key, salt)). The bushy combine inherits the flag,
-    but subtree stat surfacing strips histograms, so skew evidence
-    currently dispatches only on base-table edges inside the greedy.
+    on the dropped (key, salt)). The bushy combine inherits the flag
+    AND the evidence: subtree stat surfacing strips histograms, so
+    the builder forwards each cross-edge column's hottest-value mass
+    as a survival-scaled ``hot_rows`` scalar, and the recursive
+    combine's shuffle joins — exactly where fact-fact skew lives —
+    dispatch on it like any base edge (pinned).
 
     ``edge_rows`` (X41 wired in, round 9): MEASURED base-pair
     cardinalities — from :func:`probe_join_rows` or
@@ -1600,6 +1610,26 @@ def plan_join_tree(
                             if cs.get("ndv"):
                                 cs["ndv"] = max(
                                     1, min(int(cs["ndv"]), int(est) or 1)
+                                )
+                            # X58 through the combine (round 12): the
+                            # stripped histogram takes the skew
+                            # evidence with it, so forward the base
+                            # table's hottest-value mass scaled by the
+                            # subtree's surviving fraction — the
+                            # combine's shuffle joins are exactly
+                            # where fact-fact skew lives
+                            hot = hot_key_rows(stats[tn], tc)
+                            if hot > 0:
+                                base_n = float(
+                                    max(
+                                        1,
+                                        int(
+                                            stats[tn]["row_count"] or 1
+                                        ),
+                                    )
+                                )
+                                cs["hot_rows"] = hot * min(
+                                    1.0, float(est) / base_n
                                 )
                             colstats[tc] = cs
                 sub_tables[cname] = df

@@ -367,3 +367,76 @@ def test_salted_shuffle_join_requires_hashable_salt_source(spark):
         salted_shuffle_join(
             left, right, on=F.lit(True), salt_side="left"
         )
+
+
+def test_bushy_combine_salts_skewed_cross_edge(spark, monkeypatch, high_parts):
+    """X58 through the bushy combine (round 12): subtree stat
+    surfacing strips histograms, so the builder forwards each
+    cross-edge column's hottest-value mass as a survival-scaled
+    ``hot_rows`` scalar — and the recursive combine's shuffle join
+    (exactly where fact-fact skew lives) salts on it. Planted: two
+    halo'd facts meeting on a key where one fact is 50%-hot; the
+    combine emits exactly one salted join on the hot (incoming) side,
+    results row-for-row the unsalted plan's. The uniform twin never
+    salts."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        collect_table_stats,
+        plan_join_tree,
+    )
+
+    def mk_tables(hot):
+        f1 = spark.createDataFrame(
+            [
+                Row(
+                    rid=i,
+                    k=0 if (hot and i < 5000) else 1 + (i * 37) % 1000,
+                    d1=i % 5,
+                )
+                for i in range(10_000)
+            ]
+        )
+        f2 = spark.createDataFrame(
+            [Row(k2=i % 1000, d2=i % 5, v=float(i)) for i in range(1_000)]
+        )
+        dim1 = spark.createDataFrame(
+            [Row(d1k=i, n1=f"a{i}") for i in range(5)]
+        )
+        dim2 = spark.createDataFrame(
+            [Row(d2k=i, n2=f"b{i}") for i in range(5)]
+        )
+        tables = {"f1": f1, "f2": f2, "dim1": dim1, "dim2": dim2}
+        stats = {n: collect_table_stats(df) for n, df in tables.items()}
+        stats["f1"] = add_equidepth_histograms(f1, stats["f1"], ["k"])
+        stats["f2"] = add_equidepth_histograms(f2, stats["f2"], ["k2"])
+        return tables, stats
+
+    edges = [
+        ("f1", "k", "f2", "k2"),
+        ("f1", "d1", "dim1", "d1k"),
+        ("f2", "d2", "dim2", "d2k"),
+    ]
+
+    tables, stats = mk_tables(hot=True)
+    calls = _salt_spy(monkeypatch)
+    salted, order = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=1000, skew="auto"
+    )
+    assert calls == ["right"], calls
+    # the bushy rung really ran: each fact folds its own halo first
+    assert set(order[:2]) in ({"f1", "dim1"}, {"f2", "dim2"}), order
+    plain, _ = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=1000
+    )
+    assert salted.columns == plain.columns
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    tables_u, stats_u = mk_tables(hot=False)
+    calls = _salt_spy(monkeypatch)
+    out, _ = plan_join_tree(
+        tables_u, edges, stats=stats_u, broadcast_threshold=1000, skew="auto"
+    )
+    assert calls == []
+    assert out.count() > 0

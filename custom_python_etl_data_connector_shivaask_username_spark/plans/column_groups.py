@@ -381,6 +381,22 @@ def _hist2d_cover(
     return chosen, remaining
 
 
+def hist2d_applicable(
+    stats: dict[str, Any], rngs: dict[str, tuple]
+) -> bool:
+    """True when any collected grid touches a range-filtered column —
+    either a covered pair (joint mass replaces the independence
+    product) or a one-sided partner (the unfiltered column's
+    `axis_range` clamps to the surviving cells). The plan_star_join
+    dispatch predicate: without a touching grid the historical
+    one-at-a-time folds run bit-compatibly."""
+    for g in stats.get("column_groups", {}).values():
+        h = g.get("hist2d")
+        if h and ({h["x"]["col"], h["y"]["col"]} & set(rngs)):
+            return True
+    return False
+
+
 def estimate_range_conjunction_rows(
     stats: dict[str, Any], rngs: dict[str, tuple]
 ) -> float:
@@ -480,6 +496,58 @@ def apply_range_conjunction_to_stats(
         else:
             cs["null_count"] = int(round(cs.get("null_count", 0) * sel))
         out["columns"][c] = cs
+    # Partner clamp (round 12): a grid pairing a FILTERED column with
+    # an UNfiltered one localizes the survivors — the unfiltered
+    # column's rows can only live in cells with surviving joint mass.
+    # Record that support as `axis_range` (axis floats; `_range`
+    # intersects it with min/max, so it only tightens the containment
+    # refinement in estimate_join_rows — an event-time filter
+    # shrinking a correlated join key's effective domain is exactly
+    # the case). Conservative: a cell counts as surviving when the
+    # filter overlaps it AT ALL (fractional overlap might miss rows
+    # at the cell's unfiltered end); both-filtered pairs need no
+    # clamp beyond their own predicates.
+    for g in stats.get("column_groups", {}).values():
+        h = g.get("hist2d")
+        if not h:
+            continue
+        cx, cy = h["x"]["col"], h["y"]["col"]
+        if (cx in rngs) == (cy in rngs):
+            continue  # both filtered (covered) or neither: no clamp
+        f_ax, o_ax = ("x", "y") if cx in rngs else ("y", "x")
+        f_col = h[f_ax]["col"]
+        o_col = h[o_ax]["col"]
+        if o_col not in out["columns"]:
+            continue
+        b = h["buckets"]
+        fr = _axis_overlaps(h[f_ax], *rngs[f_col], b)
+        if fr is None:
+            continue  # point range: the grid cannot localize it
+        counts = h["counts"]
+        support = []
+        for o_i in range(b):
+            mass = 0
+            for f_i in range(b):
+                if fr[f_i] > 0.0:
+                    idx = (
+                        f_i * b + o_i if f_ax == "x" else o_i * b + f_i
+                    )
+                    mass += counts[idx]
+            if mass:
+                support.append(o_i)
+        if not support:
+            continue  # filter kills everything: row_count already ~0
+        alo, ahi = float(h[o_ax]["lo"]), float(h[o_ax]["hi"])
+        width = (ahi - alo) / b
+        new_lo = alo + support[0] * width
+        new_hi = alo + (support[-1] + 1) * width
+        cs = out["columns"][o_col]
+        prev = cs.get("axis_range")
+        if prev:
+            new_lo, new_hi = max(new_lo, float(prev[0])), min(
+                new_hi, float(prev[1])
+            )
+        cs["axis_range"] = [new_lo, new_hi]
     return out
 
 

@@ -812,6 +812,21 @@ def _range(stats: dict, col: str):
         return None
     if lo is None or hi is None:
         return None
+    # `axis_range` (X60, round 12): a tighter AXIS-value support
+    # recorded by the range-conjunction stats twin — a filter on a
+    # grid-partnered column clamps this column to the cells with
+    # surviving joint mass (event-time filters shrinking a correlated
+    # join key is the canonical case). Intersected with min/max and
+    # ignored if inconsistent, so it can only TIGHTEN the containment
+    # refinement, never widen or invalidate it.
+    ar = c.get("axis_range")
+    if ar:
+        try:
+            alo, ahi = float(ar[0]), float(ar[1])
+        except (TypeError, ValueError):
+            return lo, hi
+        if max(lo, alo) <= min(hi, ahi):
+            lo, hi = max(lo, alo), min(hi, ahi)
     return lo, hi
 
 

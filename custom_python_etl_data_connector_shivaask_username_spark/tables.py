@@ -259,12 +259,15 @@ def plan_star_join(
     through `apply_eq_conjunction_to_stats` (X37) — so when the
     statistics carry a matching column-group NDV, the planner stops
     assuming independence on exactly the conjunctions workloads
-    correlate (X47 exists because they do). Round 12 (X60): ≥2 RANGE
+    correlate (X47 exists because they do). Round 12 (X60): RANGE
     specs over distinct columns route through
     `apply_range_conjunction_to_stats` when the statistics carry a
-    matching 2-D histogram (`collect_histogram_2d`) — joint mass off
-    the grid instead of multiplied marginals; without a grid the
-    historical one-at-a-time folds run bit-compatibly. ``tables`` overrides
+    touching 2-D histogram (`collect_histogram_2d`) — joint mass off
+    the grid for covered pairs instead of multiplied marginals, and a
+    one-sided grid clamps its unfiltered partner's `axis_range` to
+    the surviving cells (a time filter shrinking a correlated join
+    key's containment refinement); without a grid the historical
+    one-at-a-time folds run bit-compatibly. ``tables`` overrides
     individual frames (a `spread_small_input` fact, a non-declarative
     transform); ``stats`` overrides statistics outright (both applied
     AFTER ``filters`` — an explicit override wins). ``edge_rows``
@@ -297,9 +300,9 @@ def plan_star_join(
     from pyspark.sql import functions as F
 
     from .plans.column_groups import (
-        _hist2d_cover,
         apply_eq_conjunction_to_stats,
         apply_range_conjunction_to_stats,
+        hist2d_applicable,
     )
     from .plans.stats import apply_filter_to_stats, plan_join_tree
 
@@ -380,15 +383,17 @@ def plan_star_join(
                     f"(col, ('=', value)); got {one!r}"
                 )
         if rng_specs and n in sts:
-            # ≥2 ranges over distinct columns with a collected 2-D grid
-            # covering a pair route through the X60 joint estimator —
-            # the range twin of the X37 dispatch below; anything else
-            # keeps the historical one-at-a-time independence folds
-            # bit-compatibly (same order, same numbers)
+            # ranges over distinct columns touching a collected 2-D
+            # grid route through the X60 estimator — joint mass for
+            # covered pairs, axis_range partner clamps for one-sided
+            # grids (a time filter shrinking a correlated join key's
+            # effective domain); anything else keeps the historical
+            # one-at-a-time independence folds bit-compatibly (same
+            # order, same numbers)
             cols = [c for c, _lo, _hi in rng_specs]
             rngs = {c: (lo, hi) for c, lo, hi in rng_specs}
-            if len(set(cols)) == len(cols) and len(cols) >= 2 and (
-                _hist2d_cover(sts[n], rngs)[0]
+            if len(set(cols)) == len(cols) and hist2d_applicable(
+                sts[n], rngs
             ):
                 sts[n] = apply_range_conjunction_to_stats(sts[n], rngs)
             else:

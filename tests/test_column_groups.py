@@ -442,3 +442,123 @@ def test_suggest_histogram_pairs_mines_range_workload(spark, corr_ranges):
     assert got == [{"columns": ["x", "y"], "count": 2}]
     # below min_count: no recommendation
     assert suggest_histogram_pairs([conj, single]) == []
+
+
+def test_one_sided_grid_clamps_join_key_containment(spark):
+    """X60 partner clamp: a range filter on a grid-partnered column
+    localizes the unfiltered column to the cells with surviving joint
+    mass (`axis_range`), and estimate_join_rows' containment
+    refinement reads it — an event-time filter shrinks a correlated
+    join key's effective domain. Planted: k tracks ts; filtering ts to
+    its first 10% cuts the k-uniform dim join ~10x where the legacy
+    filtered stats (full k range survives) stay ~10x over. The clamp
+    can only tighten: axis_range intersects min/max and an
+    inconsistent record is ignored."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        apply_range_conjunction_to_stats,
+        collect_histogram_2d,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        _range,
+        apply_filter_to_stats,
+        estimate_join_rows,
+    )
+
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 1000).cast("double").alias("ts"),
+        ((F.col("id") % 1000) + (F.col("id") % 5)).cast("double").alias("k"),
+    )
+    # the dim covers ONLY the low key range: containment is exactly
+    # the refinement that sees a disjoint/barely-overlapping domain
+    dim = spark.range(0, 2_000).select(
+        (F.col("id") % 100).cast("double").alias("k2")
+    )
+    base = collect_table_stats(fact)
+    grid = collect_histogram_2d(fact, base, [["ts", "k"]])
+    dim_stats = collect_table_stats(dim)
+
+    # sanity of the clamp itself on a low filter: conservative cell
+    # bounds around the true conditional support [0, 103] (16 cells
+    # over ~[0, 1003] are ~63 wide)
+    f_low = apply_range_conjunction_to_stats(grid, {"ts": (0.0, 99.0)})
+    ar = f_low["columns"]["k"].get("axis_range")
+    assert ar is not None
+    assert ar[0] <= 0.0 + 1e-9 and 103.0 <= ar[1] <= 260.0, ar
+
+    # a LATE-time filter moves the correlated key out of the dim's
+    # domain entirely: the clamp proves the join ~empty, the legacy
+    # filtered stats (full k range survives the ts filter) cannot
+    f = apply_range_conjunction_to_stats(grid, {"ts": (900.0, 999.0)})
+    truth = (
+        fact.filter((F.col("ts") >= 900) & (F.col("ts") <= 999))
+        .join(dim, F.col("k") == F.col("k2"))
+        .count()
+    )
+    assert truth == 0
+    clamped = estimate_join_rows(f, "k", dim_stats, "k2")
+    legacy = estimate_join_rows(
+        apply_filter_to_stats(base, "ts", lo=900.0, hi=999.0),
+        "k",
+        dim_stats,
+        "k2",
+    )
+    assert clamped == 0.0, clamped
+    assert legacy >= 1000, legacy
+
+    # the clamp only ever tightens: an inconsistent axis_range is
+    # ignored and a consistent one intersects min/max
+    st = {
+        "row_count": 10,
+        "columns": {
+            "k": {"type": "double", "min": 0.0, "max": 100.0,
+                  "axis_range": [200.0, 300.0]},
+        },
+    }
+    assert _range(st, "k") == (0.0, 100.0)
+    st["columns"]["k"]["axis_range"] = [50.0, 400.0]
+    assert _range(st, "k") == (50.0, 100.0)
+
+
+def test_plan_star_join_dispatches_one_sided_grid(spark, monkeypatch):
+    """A SINGLE range spec with a one-sided partner grid also routes
+    through the X60 twin (the partner clamp is the benefit); without
+    any touching grid the legacy fold runs."""
+    from custom_python_etl_data_connector_shivaask_username_spark import tables as tables_mod
+    from custom_python_etl_data_connector_shivaask_username_spark.plans import (
+        column_groups as cg,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_histogram_2d,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import (
+        load_table,
+        plan_star_join,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    orders = load_table(spark, sf, "orders")
+    base = collect_table_stats(orders)
+    with_grid = collect_histogram_2d(
+        orders, base, [["o_totalprice", "o_orderkey"]]
+    )
+
+    calls = []
+    real = cg.apply_range_conjunction_to_stats
+
+    def spy(st, rngs):
+        calls.append(sorted(rngs))
+        return real(st, rngs)
+
+    monkeypatch.setattr(cg, "apply_range_conjunction_to_stats", spy)
+    monkeypatch.setattr(
+        tables_mod,
+        "table_stats_cached",
+        lambda _s, _d, n, **kw: dict(with_grid)
+        if n == "orders"
+        else collect_table_stats(load_table(spark, sf, n)),
+    )
+    filters = {"orders": [("o_totalprice", 0.0, 100_000.0)]}
+    edges = [("orders", "o_custkey", "customer", "c_custkey")]
+    df, _ = plan_star_join(spark, sf, edges, filters=filters)
+    assert calls == [["o_totalprice"]]
+    assert df.count() > 0

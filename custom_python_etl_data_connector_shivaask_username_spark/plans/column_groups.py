@@ -407,7 +407,18 @@ def estimate_range_conjunction_rows(
     selectivities (independence, the X36 model). Capped by every
     single-column estimate — adding a predicate can never return more
     rows — with the X33 sampled-stats zero-proof exemption the
-    equality twin uses."""
+    equality twin uses.
+
+    Model boundary (round 12, hypothesis-found): a ZERO-measure axis
+    range (a point) is not priceable off a continuous grid, so such
+    pairs fall back to the 1-D equality convention — and containment
+    monotonicity is therefore guaranteed only WITHIN the grid-priced
+    regime (positive-measure rectangles, pinned as a property) and
+    within the 1-D paths (endpoint-lifted, same pin file), not across
+    the point/range model switch: the no-evidence point convention
+    deliberately over-claims, and flooring the grid at it would undo
+    exactly the disjoint-correlated-range correction the grid exists
+    to make."""
     n = float(max(0, int(stats.get("row_count") or 0)))
     if n == 0 or not rngs:
         return n

@@ -556,7 +556,17 @@ def estimate_range_rows(
             ndv = cstat.get("ndv")
             return nn / float(ndv) if ndv else nn
         frac = 1.0 if span <= 0 else (qhi - qlo) / span
-        return nn * frac
+        # containment monotonicity (round 12, hypothesis-found — the
+        # fallback twin of the round-10 equi-depth lift): a narrow
+        # range must never estimate BELOW the equality model of a
+        # value inside it, or est(A) ≤ est(B) breaks for A ⊆ B
+        # exactly at the point/range boundary. Lift only when an NDV
+        # was collected: without one the point model claims nn (the
+        # no-evidence convention), which is not a floor ranges
+        # should inherit.
+        ndv = cstat.get("ndv")
+        floor = nn / float(ndv) if ndv else 0.0
+        return max(nn * frac, floor)
     kind = hist["kind"]
     if "bounds" in hist:  # equi-depth: quantile bounds, uniform mass
         bounds, rpb = hist["bounds"], hist["rows_per_bucket"]
@@ -614,11 +624,18 @@ def estimate_range_rows(
         est += cnt * min(1.0, overlap / width)
     # a degenerate point range (lo == hi) has zero measure on a
     # continuous axis; model it like equality instead of 0
-    if est == 0.0 and qlo == qhi:
-        i = min(len(counts) - 1, int((qlo - hist["lo"]) / width))
+    def point(x: float) -> float:
+        i = min(len(counts) - 1, int((x - hist["lo"]) / width))
         ndv = float(stats.get("columns", {}).get(col, {}).get("ndv") or n)
-        est = counts[i] / max(1.0, ndv / len(counts))
-    return est
+        return counts[i] / max(1.0, ndv / len(counts))
+
+    if est == 0.0 and qlo == qhi:
+        return point(qlo)
+    # containment monotonicity (round 12 — the equi-width twin of the
+    # round-10 equi-depth lift): a narrow range never estimates below
+    # its endpoints' point models, restoring est(A) ≤ est(B) for
+    # A ⊆ B across the point/range boundary
+    return max(est, point(qlo), point(qhi))
 
 
 def hot_key_rows(stats: dict[str, Any], col: str) -> float:

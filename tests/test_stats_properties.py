@@ -301,3 +301,149 @@ def test_equidepth_estimate_bounded_and_conservative(data, a, b):
         assert est <= wider + 1e-9
     top = max(data)
     assert estimate_range_rows(stats, "x", top + 1, top + 2) == 0.0
+
+
+# --- X60 (round 12): 2-D grid estimator invariants -------------------------
+
+
+def _grid_stats(pts: list[tuple[float, float]]) -> dict:
+    """Hand-build stats + hist2d exactly as collect_table_stats +
+    collect_histogram_2d would for two non-null double columns."""
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    n = len(pts)
+    stats = {
+        "row_count": n,
+        "columns": {
+            "x": {"type": "double", "ndv": len(set(xs)),
+                  "min": min(xs), "max": max(xs), "null_count": 0},
+            "y": {"type": "double", "ndv": len(set(ys)),
+                  "min": min(ys), "max": max(ys), "null_count": 0},
+        },
+    }
+    lx, hx = min(xs), max(xs)
+    ly, hy = min(ys), max(ys)
+    wx = (hx - lx) / BUCKETS
+    wy = (hy - ly) / BUCKETS
+    if wx <= 4 * max(math.ulp(lx), math.ulp(hx)) or wy <= 4 * max(
+        math.ulp(ly), math.ulp(hy)
+    ):
+        return stats  # degenerate axis: the collector skips the pair
+    counts = [0] * (BUCKETS * BUCKETS)
+    for x, y in pts:
+        i = max(0, min(BUCKETS - 1, int(math.floor((x - lx) / wx))))
+        j = max(0, min(BUCKETS - 1, int(math.floor((y - ly) / wy))))
+        counts[i * BUCKETS + j] += 1
+    stats["column_groups"] = {
+        "x|y": {
+            "columns": ["x", "y"],
+            "hist2d": {
+                "buckets": BUCKETS,
+                "x": {"col": "x", "kind": "numeric", "lo": lx, "hi": hx},
+                "y": {"col": "y", "kind": "numeric", "lo": ly, "hi": hy},
+                "counts": counts,
+            },
+        }
+    }
+    return stats
+
+
+_pts = st.lists(
+    st.tuples(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=4,
+    max_size=120,
+)
+
+_lo_frac = st.floats(min_value=0.0, max_value=0.5)
+_w_frac = st.floats(min_value=0.05, max_value=0.5)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_pts, _lo_frac, _w_frac, _lo_frac, _w_frac,
+       _lo_frac, _w_frac, _lo_frac, _w_frac)
+def test_range_conjunction_bounded_and_monotone(
+    pts, a1, w1, c1, v1, a2, w2, c2, v2
+):
+    """Joint-grid range-conjunction estimates are (1) bounded by
+    [0, row_count], (2) bounded by every single-column estimate, and
+    (3) monotone under rectangle containment WITHIN the grid-priced
+    regime (positive-measure rectangles — a zero-measure axis falls
+    back to the 1-D equality convention, a different model by
+    documented design); (4) the full-domain rectangle recovers the
+    row count exactly when a grid exists."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        estimate_range_conjunction_rows,
+    )
+
+    stats = _grid_stats(pts)
+    n = stats["row_count"]
+    xs = stats["columns"]["x"]
+    ys = stats["columns"]["y"]
+
+    def rect(alo, ahi, blo, bhi):
+        return {"x": (alo, ahi), "y": (blo, bhi)}
+
+    def lerp(lo, hi, t):
+        return lo + (hi - lo) * t
+
+    # outer rectangle with positive width on both axes; inner strictly
+    # positive-width and contained within it
+    ox = [lerp(xs["min"], xs["max"], a1), lerp(xs["min"], xs["max"], a1 + w1)]
+    oy = [lerp(ys["min"], ys["max"], a2), lerp(ys["min"], ys["max"], a2 + w2)]
+    ix = [lerp(ox[0], ox[1], c1), lerp(ox[0], ox[1], c1 + v1)]
+    iy = [lerp(oy[0], oy[1], c2), lerp(oy[0], oy[1], c2 + v2)]
+
+    outer = estimate_range_conjunction_rows(stats, rect(*ox, *oy))
+    inner = estimate_range_conjunction_rows(stats, rect(*ix, *iy))
+    assert 0.0 <= outer <= n + 1e-6
+    assert inner <= outer + 1e-6 * max(1.0, outer)
+    for c, (lo, hi) in rect(*ox, *oy).items():
+        assert (
+            outer
+            <= estimate_range_rows(stats, c, lo, hi)
+            + 1e-6 * max(1.0, outer)
+        )
+    full = estimate_range_conjunction_rows(
+        stats,
+        rect(xs["min"], xs["max"], ys["min"], ys["max"]),
+    )
+    assert abs(full - n) <= 1e-6 * max(1.0, n)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    st.floats(min_value=-2e6, max_value=2e6, allow_nan=False,
+              allow_infinity=False),
+    st.floats(min_value=-2e6, max_value=2e6, allow_nan=False,
+              allow_infinity=False),
+)
+def test_axis_range_only_tightens(mn, mx, alo, ahi):
+    """`axis_range` can never WIDEN a column's containment range:
+    the result is always a sub-interval of the min/max range, and an
+    inconsistent record (empty intersection) is ignored outright."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import _range
+
+    if mx < mn:
+        mn, mx = mx, mn
+    if ahi < alo:
+        alo, ahi = ahi, alo
+    st_dict = {
+        "row_count": 10,
+        "columns": {
+            "k": {
+                "type": "double", "min": mn, "max": mx,
+                "axis_range": [alo, ahi],
+            }
+        },
+    }
+    lo, hi = _range(st_dict, "k")
+    assert mn <= lo <= hi <= mx

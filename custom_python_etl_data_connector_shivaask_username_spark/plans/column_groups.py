@@ -627,6 +627,29 @@ def filter_range_conjunctions(plan: str) -> list[list[str]]:
     return out
 
 
+def filter_columns(plan: str) -> set[str]:
+    """ALL attribute columns compared against literals (equality or
+    range) in a plan's Filter nodes — the 1-D histogram candidates
+    for `analyze_for_workload` (single-column filters count here:
+    that is exactly what per-column histograms model). Disjunction
+    nodes are skipped, consistent with the miners above."""
+    import re
+
+    out: set[str] = set()
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Filter ") or " OR " in s:
+            continue
+        for pat in (
+            _EQ_ATTR_LEFT,
+            _EQ_ATTR_RIGHT,
+            _RANGE_ATTR_LEFT,
+            _RANGE_ATTR_RIGHT,
+        ):
+            out |= set(re.findall(pat, s))
+    return out
+
+
 def suggest_histogram_pairs(
     workload: list[Any],
     min_count: int = 2,

@@ -243,11 +243,105 @@ def refresh_stats_if_stale(
         groups = [
             g["columns"]
             for g in old.get("column_groups", {}).values()
-            if all(c in df.columns for c in g.get("columns", []))
+            if g.get("ndv") is not None
+            and all(c in df.columns for c in g.get("columns", []))
         ]
         if groups:
             from .column_groups import collect_column_group_stats
 
             stats = collect_column_group_stats(df, stats, groups)
+        # X60 grids are enrichments too (round 12): a refresh that
+        # dropped them would silently demote range-conjunction
+        # planning back to independence — re-collect every pair the
+        # old sidecar carried a hist2d for (after the group NDVs, so
+        # the grid merges into the re-collected entry)
+        pairs = [
+            [g["hist2d"]["x"]["col"], g["hist2d"]["y"]["col"]]
+            for g in old.get("column_groups", {}).values()
+            if g.get("hist2d")
+            and g["hist2d"]["x"]["col"] in df.columns
+            and g["hist2d"]["y"]["col"] in df.columns
+        ]
+        if pairs:
+            from .column_groups import collect_histogram_2d
+
+            stats = collect_histogram_2d(df, stats, pairs)
     write_stats_sidecar(spark, path, stats)
     return stats, True
+
+
+def analyze_for_workload(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    workload: list[Any],
+    sample_fraction: float | None = None,
+    min_count: int = 2,
+    max_groups: int = 8,
+    max_pairs: int = 8,
+) -> dict[str, Any]:
+    """One-call workload-driven ANALYZE (round 12 capstone): mine the
+    workload's plans for what the planner will actually be asked to
+    price, collect exactly those statistics in the standard passes,
+    and persist the sidecar.
+
+    - every filtered column (equality or range, single-column
+      included — `filter_columns`) gets an equi-depth histogram: the
+      1-D selectivity model AND the X58 skew-dispatch evidence ride
+      the same collection;
+    - equality conjunctions repeated ≥ ``min_count`` times become X37
+      column groups (`suggest_column_groups` — group NDV retires
+      independence on eq-conjunctions);
+    - range conjunctions become X60 2-D grids
+      (`suggest_histogram_pairs` — joint mass + partner clamps).
+
+    ``workload`` is DataFrames and/or plan strings, the
+    `suggest_column_groups` convention; ``sample_fraction`` routes the
+    base collection through the X33 sampled path (the 100 TB default —
+    the enrichment passes still scan, bounded by their own geometry:
+    percentile sketches, one HLL per group, 256 counters per pair).
+    Returns the written stats. Pair with `refresh_stats_if_stale`
+    (which preserves all three enrichment kinds across refreshes) for
+    the maintenance loop.
+    """
+    from .column_groups import (
+        collect_column_group_stats,
+        collect_histogram_2d,
+        filter_columns,
+        suggest_column_groups,
+        suggest_histogram_pairs,
+    )
+    from .stats import add_equidepth_histograms
+
+    plans = [
+        item
+        if isinstance(item, str)
+        else str(item._jdf.queryExecution().optimizedPlan())
+        for item in workload
+    ]
+    if sample_fraction is not None:
+        stats = collect_table_stats_sampled(df, sample_fraction, path=path)
+    else:
+        stats = collect_table_stats(df, path=path)
+    fcols = sorted(
+        set().union(*(filter_columns(p) for p in plans), set())
+        & set(df.columns)
+    )
+    if fcols:
+        stats = add_equidepth_histograms(df, stats, columns=fcols)
+    groups = [
+        g["columns"]
+        for g in suggest_column_groups(plans, min_count, max_groups)
+        if all(c in df.columns for c in g["columns"])
+    ]
+    if groups:
+        stats = collect_column_group_stats(df, stats, groups)
+    pairs = [
+        p["columns"]
+        for p in suggest_histogram_pairs(plans, min_count, max_pairs)
+        if all(c in df.columns for c in p["columns"])
+    ]
+    if pairs:
+        stats = collect_histogram_2d(df, stats, pairs)
+    write_stats_sidecar(spark, path, stats)
+    return stats

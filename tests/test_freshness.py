@@ -222,3 +222,65 @@ def test_refresh_preserves_enrichments(spark, tmp_path):
     assert "bounds" in fresh["columns"]["v"]["histogram"]  # equi-depth
     assert "k|v" in fresh["column_groups"]
     assert sum(fresh["columns"]["k"]["histogram"]["counts"]) == 6000
+
+
+def test_refresh_preserves_hist2d(spark, tmp_path):
+    """Round 12: X60 grids are enrichments too — a refresh re-collects
+    every pair the old sidecar carried a hist2d for, over the CURRENT
+    data (counts sum to the new row count), merged into the
+    re-collected group entry."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        collect_histogram_2d,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, 0, 2000).coalesce(1).write.parquet(path)
+    df0 = spark.read.parquet(path)
+    st = collect_table_stats(df0, path=path)
+    st = collect_histogram_2d(df0, st, [["k", "v"]])
+    write_stats_sidecar(spark, path, st)
+    _mk(spark, 2000, 6000).coalesce(1).write.mode("append").parquet(path)
+    df1 = spark.read.parquet(path)
+    fresh, refreshed = refresh_stats_if_stale(spark, df1, path)
+    assert refreshed
+    h = fresh["column_groups"]["k|v"]["hist2d"]
+    assert sum(h["counts"]) == 6000  # re-collected over the new data
+
+
+def test_analyze_for_workload_collects_what_queries_price(spark, tmp_path):
+    """Round-12 capstone: one call mines the workload and collects
+    exactly the statistics its filters ask the planner to price —
+    equi-depth histograms on every filtered column (single-column
+    included), X37 group NDV for repeated eq-conjunctions, X60 grid
+    for repeated range conjunctions — and writes the sidecar."""
+    from pyspark.sql import functions as F
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.freshness import (
+        analyze_for_workload,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        read_stats_sidecar,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, 0, 4000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    eq_q = df.filter((F.col("k") == 5) & (F.col("v") == 50.0))
+    rng_q = df.filter(
+        (F.col("k") >= 0) & (F.col("k") <= 100) & (F.col("v") <= 500.0)
+    )
+    single_q = df.filter(F.col("v") >= 100.0)
+    stats = analyze_for_workload(
+        spark, df, path, [eq_q, eq_q, rng_q, rng_q, single_q]
+    )
+    # filtered columns carry equi-depth histograms
+    assert "bounds" in stats["columns"]["k"]["histogram"]
+    assert "bounds" in stats["columns"]["v"]["histogram"]
+    g = stats["column_groups"]["k|v"]
+    assert g.get("ndv")  # X37 from the repeated eq-conjunction
+    assert g.get("hist2d")  # X60 from the repeated range conjunction
+    assert sum(g["hist2d"]["counts"]) == 4000
+    # persisted: the sidecar round-trips the full enrichment set
+    revived = read_stats_sidecar(spark, path)
+    assert revived["column_groups"]["k|v"]["hist2d"]["buckets"] == \
+        g["hist2d"]["buckets"]

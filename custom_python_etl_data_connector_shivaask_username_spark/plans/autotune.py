@@ -1,0 +1,189 @@
+"""X61 (round 13): the self-tuning statistics loop.
+
+Round 12 built every piece of a feedback-driven optimizer — workload
+miners (X47 groups, X60 grid pairs, `filter_columns`), the one-call
+workload ANALYZE (`freshness.analyze_for_workload`), measured-edge
+history (X56) — but each had to be invoked by hand with a hand-carried
+workload. This module closes the loop at the SESSION level: runners
+`observe` the queries they execute (plan strings — driver-side,
+bounded), and `autotune` mines the observed log, compares it against
+the statistics the session already holds, and collects ONLY the missing
+enrichments, updating the same session cache (`tables._STATS_CACHE`)
+every planner-routed query plans from. The next planning of the same
+workload prices its predicates off real histograms/groups/grids instead
+of min/max containment — no hand-declared statistic anywhere.
+
+Division of labor with the siblings:
+- `freshness.analyze_for_workload` is the COLD-start batch ANALYZE
+  (one table, full collection, explicit workload, persists);
+- `tables.harvest_executed` feeds measured JOIN cardinalities (X56);
+- `autotune` is the WARM loop: incremental (never re-collects a
+  statistic the session already has — a second call with no new
+  observations is a no-op with zero Spark jobs), session-cache-first,
+  sidecar persistence opt-in (`write=True`, for writable lakes).
+
+Scale shape: the observed log is plan STRINGS (bounded deque, driver
+RAM); mining is pure string work; collection passes are the standard
+bounded ones (percentile sketches per histogram column, one HLL per
+group, 256 counters per grid pair) and run at most once per statistic
+per session. At 100 TB the loop is exactly the DBA playbook —
+observe → ANALYZE what the workload prices → plans improve —
+without the DBA.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: per-sf_dir bounded log of observed optimized-plan strings
+_PLAN_LOG: dict[str, deque] = {}
+
+#: per-sf_dir record of statistics autotune already collected, so a
+#: re-run with the same observations stays a zero-scan no-op even if
+#: a caller evicted the stats cache in between
+_COLLECTED: dict[str, set] = {}
+
+PLAN_LOG_LIMIT = 200
+
+
+def observe(df: DataFrame, sf_dir: str) -> None:
+    """Record one executed (or about-to-execute) query's optimized plan
+    into the session's workload log for ``sf_dir``. Driver-side py4j
+    plan stringification (~tens of ms) — call OFF the timed path (the
+    bench calls it from the warm run, next to `harvest_executed`)."""
+    log = _PLAN_LOG.setdefault(sf_dir, deque(maxlen=PLAN_LOG_LIMIT))
+    log.append(str(df._jdf.queryExecution().optimizedPlan()))
+
+
+def observed_count(sf_dir: str) -> int:
+    return len(_PLAN_LOG.get(sf_dir, ()))
+
+
+def reset(sf_dir: str | None = None) -> None:
+    """Drop observations (and the collected-marker set) — test/tool
+    hook, mirrors `tables.invalidate_table_cache`."""
+    if sf_dir is None:
+        _PLAN_LOG.clear()
+        _COLLECTED.clear()
+    else:
+        _PLAN_LOG.pop(sf_dir, None)
+        _COLLECTED.pop(sf_dir, None)
+
+
+def autotune(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 2,
+    max_groups: int = 8,
+    max_pairs: int = 8,
+    write: bool = False,
+) -> dict[str, Any]:
+    """Mine the session's observed workload and collect exactly the
+    statistics it prices that the session does not yet hold.
+
+    For each fixture table: equi-depth histograms on newly-mined
+    filter columns (1-D selectivity + X58 skew evidence), X37 group
+    NDVs on newly-mined equality conjunctions, X60 2-D grids on
+    newly-mined range-conjunction pairs. Everything lands in the
+    session stats cache (`tables.table_stats_cached`'s memo), so the
+    next planner-routed construction plans from it with no further
+    scans; ``write=True`` additionally persists each updated sidecar
+    next to its table (writable stores only — fixture dirs are
+    read-only by driver contract).
+
+    Returns ``{table: {"histograms": [...], "groups": [...],
+    "pairs": [...]}}`` for what was ADDED this call (empty dict when
+    the session is already tuned — the incremental no-op the pin
+    asserts runs zero Spark jobs)."""
+    from .. import tables
+    from .column_groups import (
+        collect_column_group_stats,
+        collect_histogram_2d,
+        filter_columns,
+        suggest_column_groups,
+        suggest_histogram_pairs,
+    )
+    from .stats import add_equidepth_histograms, write_stats_sidecar
+
+    plans = list(_PLAN_LOG.get(sf_dir, ()))
+    if not plans:
+        return {}
+    fcols: set[str] = set()
+    for p in plans:
+        fcols |= filter_columns(p)
+    groups = [
+        g["columns"]
+        for g in suggest_column_groups(plans, min_count, max_groups)
+    ]
+    pairs = [
+        p["columns"]
+        for p in suggest_histogram_pairs(plans, min_count, max_pairs)
+    ]
+    done = _COLLECTED.setdefault(sf_dir, set())
+    report: dict[str, Any] = {}
+    for t in tables.TABLES:
+        try:
+            df = tables.load_table(spark, sf_dir, t)
+        except Exception:
+            continue  # partial dirs (a lake holds what it holds)
+        cols = set(df.columns)
+        # cheap pre-gate on the schema alone: a table the mined
+        # workload never filters/conjoins must not even pay the base
+        # table_stats_cached collection here
+        if not (
+            (fcols & cols)
+            or any(set(g) <= cols for g in groups)
+            or any(set(p) <= cols for p in pairs)
+        ):
+            continue
+        st = tables.table_stats_cached(spark, sf_dir, t)
+        need_hist = sorted(
+            c
+            for c in fcols & cols
+            if ("hist", t, c) not in done
+            and not (st.get("columns", {}).get(c) or {}).get("histogram")
+        )
+        need_groups = [
+            g
+            for g in groups
+            if set(g) <= cols
+            and ("group", t, tuple(sorted(g))) not in done
+            and "|".join(sorted(g)) not in (st.get("column_groups") or {})
+        ]
+        need_pairs = [
+            p
+            for p in pairs
+            if set(p) <= cols
+            and ("pair", t, tuple(sorted(p))) not in done
+            and not any(
+                g.get("hist2d")
+                and {g["hist2d"]["x"]["col"], g["hist2d"]["y"]["col"]}
+                == set(p)
+                for g in (st.get("column_groups") or {}).values()
+            )
+        ]
+        if not (need_hist or need_groups or need_pairs):
+            continue
+        if need_hist:
+            st = add_equidepth_histograms(df, st, columns=need_hist)
+            done.update(("hist", t, c) for c in need_hist)
+        if need_groups:
+            st = collect_column_group_stats(df, st, need_groups)
+            done.update(
+                ("group", t, tuple(sorted(g))) for g in need_groups
+            )
+        if need_pairs:
+            st = collect_histogram_2d(df, st, need_pairs)
+            done.update(("pair", t, tuple(sorted(p))) for p in need_pairs)
+        tables._STATS_CACHE[(sf_dir, t)] = st
+        if write:
+            write_stats_sidecar(spark, f"{sf_dir}/{t}.parquet", st)
+        report[t] = {
+            "histograms": need_hist,
+            "groups": ["|".join(sorted(g)) for g in need_groups],
+            "pairs": ["|".join(sorted(p)) for p in need_pairs],
+        }
+    return report

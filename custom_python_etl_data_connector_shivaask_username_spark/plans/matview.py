@@ -1,0 +1,157 @@
+"""X62 (round 13): the aggregate navigator — materialized-view routing
+onto the rollup store.
+
+The engine has maintained mergeable time-bucket partials since round 8
+(`operators/rollup.py` + the X30 streaming sink + X34 snapshot reads +
+X51 quantile partials), but USING them was the caller's job: a query
+that wanted daily event counts had to know the store existed and call
+`read_rollup` itself, while the same aggregate written against the raw
+table paid a full scan. This module is the missing navigator: give it
+the aggregate's shape (grain, optional time range / type filter) and it
+decides — serve from the store's metadata-scale partials when the store
+CAN answer and IS fresh, otherwise compute from the raw table — and
+both paths return the identical schema, so callers never branch.
+
+Can-answer: the requested grain must be coarser-or-equal to the stored
+grain (`stored_resolution`; partials only merge coarser), and the
+requested measures must derive from the stored partials (count / sum /
+avg / min / max — the `_finalize` surface).
+
+Is-fresh (the X38 doctrine applied to view maintenance): the store's
+own visible row mass (Σ cnt over its partials — metadata-scale) must
+equal the raw table's statistics row count (X31, session-cached,
+sidecar-served on a real lake). The store is maintained FROM this
+table's feed (refresh_rollup / the X30 sink), so a count mismatch means
+undelivered or torn data — route to raw. Count-equality is the same
+drift trigger re-ANALYZE uses; a production deployment would carry the
+refresh watermark in the store (it does: `_folded_watermark` +
+committed epochs gate what Σ cnt even sees under ``snapshot=True``).
+
+Scale shape: the served path reads cells × days of partial rows
+(KB–MB at 100 TB of raw events) with the day partition pruned by any
+time range; the freshness probe is one aggregate over those same
+partials plus a metadata stats lookup. The raw fallback is exactly the
+aggregation the caller would have written — nothing is ever worse than
+not having the navigator.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def route_event_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    resolution: str = "day",
+    time_range: tuple | None = None,
+    event_types: list[str] | None = None,
+    snapshot: bool = False,
+) -> tuple[DataFrame, str]:
+    """The navigator: ``(frame, route)`` where ``route`` is ``"store"``
+    (served from rollup partials) or ``"raw"`` (computed from the
+    events table). Identical schema either way: (window_start,
+    event_type, event_count, total_value, avg_value, min_value,
+    max_value) at the requested grain, optionally bounded to
+    ``time_range = (lo, hi)`` on the bucket start and filtered to
+    ``event_types``."""
+    route = "store"
+    try:
+        from ..operators.rollup import _check_serving_resolution
+
+        _check_serving_resolution(spark, store_path, resolution)
+    except Exception:
+        route = "raw"  # finer than stored grain (or unreadable store)
+    if route == "store" and not _store_fresh(
+        spark, sf_dir, store_path, snapshot
+    ):
+        route = "raw"
+    if route == "store":
+        df = _serve_from_store(spark, store_path, resolution, snapshot)
+    else:
+        df = _compute_from_raw(spark, sf_dir, resolution)
+    if event_types is not None:
+        df = df.filter(F.col("event_type").isin(list(event_types)))
+    if time_range is not None:
+        lo, hi = time_range
+        # literal cast to the bucket column's own type (ntz vs tz):
+        # a mismatched literal would cast the COLUMN and kill the
+        # day-partition pruning the served path exists for
+        wtype = df.schema["window_start"].dataType
+        if lo is not None:
+            df = df.filter(F.col("window_start") >= F.lit(lo).cast(wtype))
+        if hi is not None:
+            df = df.filter(F.col("window_start") <= F.lit(hi).cast(wtype))
+    return df, route
+
+
+def _store_fresh(
+    spark: SparkSession, sf_dir: str, store_path: str, snapshot: bool
+) -> bool:
+    """Σ cnt over the store's visible partials == the raw table's X31
+    row count. Metadata-scale on the store side; session-cached
+    statistics on the raw side — no raw scan."""
+    try:
+        from ..operators.rollup import _snapshot_parts
+        from ..tables import table_stats_cached
+
+        parts = _snapshot_parts(spark, store_path, snapshot)
+        [(store_rows,)] = parts.agg(
+            F.sum("cnt").alias("n")
+        ).collect()
+        raw_rows = table_stats_cached(spark, sf_dir, "events").get(
+            "row_count"
+        )
+        return (
+            store_rows is not None
+            and raw_rows is not None
+            and int(store_rows) == int(raw_rows)
+        )
+    except Exception:
+        return False  # unreadable store: the raw path always works
+
+
+def _serve_from_store(
+    spark: SparkSession,
+    store_path: str,
+    resolution: str,
+    snapshot: bool,
+) -> DataFrame:
+    """Merge the visible partials to the requested grain — the X34
+    snapshot-aware twin of `cascade_rollup` (which reads every file
+    unconditionally)."""
+    from ..operators.rollup import (
+        _finalize,
+        _merge_partials,
+        _snapshot_parts,
+    )
+
+    parts = _snapshot_parts(spark, store_path, snapshot)
+    return _finalize(
+        _merge_partials(
+            parts, F.date_trunc(resolution, F.col("bucket_start"))
+        )
+    )
+
+
+def _compute_from_raw(
+    spark: SparkSession, sf_dir: str, resolution: str
+) -> DataFrame:
+    """The aggregate the caller would have written: one scan + one
+    shuffle over the raw events, in EXACTLY the partials' arithmetic
+    (decimal sums, same finalize casts) so store-served and
+    raw-computed answers are bit-identical, not merely close."""
+    from ..operators.rollup import (
+        _finalize,
+        _merge_partials,
+        rollup_partials,
+    )
+    from ..tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    parts = rollup_partials(events, resolution=resolution)
+    return _finalize(_merge_partials(parts, F.col("bucket_start")))

@@ -1,0 +1,120 @@
+"""X61 pins (round 13): the self-tuning statistics loop.
+
+The session observes the workload it executes, autotune mines the
+observations and collects exactly the statistics the workload prices
+that the session lacks, the session stats cache is updated in place,
+and the next planning improves — no hand-declared statistic anywhere.
+Incrementality is the load-bearing property: a second autotune with no
+new observations is a zero-Spark-job no-op.
+
+All tests run against a writable COPY of the fixture tables so the
+mutated session stats can never leak plan changes into other test
+modules' pinned expectations.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from custom_python_etl_data_connector_shivaask_username_spark import registry, tables
+from custom_python_etl_data_connector_shivaask_username_spark.plans import autotune
+from custom_python_etl_data_connector_shivaask_username_spark.plans.inspect import count_exchanges
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def tuned_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("autotune_sf"))
+    for t in tables.TABLES:
+        tables.load_table(spark, sf_dir, t).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+def _last_job_id(spark) -> int:
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.2)
+    ids = spark.sparkContext.statusTracker().getJobIdsForGroup()
+    return max(ids) if ids else -1
+
+
+def test_observe_autotune_improves_next_planning(spark, tuned_dir):
+    out = tuned_dir
+    autotune.reset(out)
+    tables.session_history(out).clear()
+
+    fn = registry.QUERIES["q_revenue_by_nation"]
+    df1 = fn(spark, out)
+    rows1 = df1.collect()
+    autotune.observe(df1, out)
+    assert autotune.observed_count(out) == 1
+
+    x_before = count_exchanges(df1)
+    report = autotune.autotune(spark, out)
+    # the revenue star's declared o_orderdate range predicate is what
+    # the workload prices — the miner must find it and nothing forces
+    # statistics onto tables the workload never filters
+    assert "o_orderdate" in report.get("orders", {}).get(
+        "histograms", []
+    ), report
+    st = tables.table_stats_cached(spark, out, "orders")
+    h = st["columns"]["o_orderdate"].get("histogram")
+    assert h and "bounds" in h, "session cache must hold the new stats"
+
+    df2 = fn(spark, out)
+    assert count_exchanges(df2) <= x_before
+    assert sorted(map(str, df2.collect())) == sorted(map(str, rows1))
+
+
+def test_autotune_is_incremental_and_scan_free_when_tuned(
+    spark, tuned_dir
+):
+    out = tuned_dir
+    # (runs after the test above in file order, but self-sufficient:
+    # observing the same query again adds no new mined need)
+    fn = registry.QUERIES["q_revenue_by_nation"]
+    df = fn(spark, out)
+    autotune.observe(df, out)
+    autotune.autotune(spark, out)  # ensure tuned
+    before = _last_job_id(spark)
+    report = autotune.autotune(spark, out)
+    after = _last_job_id(spark)
+    assert report == {}, report
+    assert after == before, (
+        "a tuned session's autotune must be a zero-Spark-job no-op"
+    )
+
+
+def test_autotune_write_persists_sidecar(spark, sf_dir, tmp_path):
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import read_stats_sidecar
+
+    out = str(tmp_path)
+    for t in ("orders", "lineitem", "customer", "nation", "region"):
+        tables.load_table(spark, sf_dir, t).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    # minimal synthetic observation: a plan string filtering orders
+    autotune.reset(out)
+    df = tables.load_table(spark, out, "orders").filter(
+        "o_totalprice >= 1000.0"
+    )
+    autotune.observe(df, out)
+    report = autotune.autotune(spark, out, write=True)
+    assert "o_totalprice" in report.get("orders", {}).get(
+        "histograms", []
+    ), report
+    side = read_stats_sidecar(spark, f"{out}/orders.parquet")
+    assert side is not None
+    assert "bounds" in side["columns"]["o_totalprice"]["histogram"]
+
+
+def test_reset_drops_observations(spark, tuned_dir):
+    autotune.reset(tuned_dir)
+    assert autotune.observed_count(tuned_dir) == 0
+    assert autotune.autotune(spark, tuned_dir) == {}

@@ -607,9 +607,12 @@ def test_plan_join_tree_rejects_self_join_shared_plan(spark, sf_dir):
             {"a": nation, "b": nation.alias("b")},
             [("a", "n_nationkey", "b", "n_nationkey")],
         )
-    # two independent reads of the same table get fresh attribute
-    # ids — a legitimate self-join spelled the supported way
-    fresh = load_table(spark, sf_dir, "nation")
+    # a genuinely fresh read of the same table gets fresh attribute
+    # ids — the legitimate self-join spelling. Round 13: load_table is
+    # memoized per (session, sf_dir, table), so it now returns the
+    # SAME plan object by design; the fresh read must come straight
+    # from spark.read (exactly what the error message prescribes).
+    fresh = spark.read.parquet(f"{sf_dir}/nation.parquet")
     if fresh._jdf.queryExecution().analyzed().sameResult(
         nation._jdf.queryExecution().analyzed()
     ):

@@ -513,3 +513,64 @@ def test_hist2d_gap_sliver_consistent_with_1d():
         {"x": (xs["min"], xs["max"]), "y": (ys["min"], ys["max"])},
     )
     assert abs(full - n) <= 1e-6 * n
+
+
+# --- round 13: the X58 evidence function's safety contract as a property ----
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=8, max_size=400),
+    st.integers(4, 16),
+)
+def test_hot_key_rows_never_overstates_the_hot_value(data, buckets):
+    """The skew dispatch pays real costs (salting explodes the other
+    side ×n_salts), so its evidence must be an UNDER-estimate of the
+    hottest value's mass up to the two straddling partial buckets —
+    the documented contract, here as a property on hand-built
+    quantile grids instead of one planted example. Also: when no
+    value repeats enough to pin a zero-width bucket, the evidence is
+    exactly 0 (never heuristic)."""
+    from collections import Counter
+
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import hot_key_rows
+
+    s = sorted(data)
+    n = len(s)
+    rpb = n / buckets
+    bounds = [
+        float(s[min(n - 1, int(round(i * (n - 1) / buckets)))])
+        for i in range(buckets + 1)
+    ]
+    stats = {
+        "row_count": n,
+        "columns": {
+            "x": {
+                "type": "double",
+                "ndv": len(set(data)),
+                "null_count": 0,
+                "histogram": {
+                    "kind": "numeric",
+                    "bounds": bounds,
+                    "rows_per_bucket": rpb,
+                },
+            }
+        },
+    }
+    est = hot_key_rows(stats, "x")
+    true_hot = max(Counter(data).values())
+    assert est >= 0.0
+    # under-estimate up to the two straddling partials: a value
+    # spanning m-1 zero-width buckets holds ≥ (m-1)·rpb rows minus
+    # what the two partial neighbours absorbed
+    assert est <= true_hot + 2 * rpb + 1e-9, (est, true_hot, rpb)
+    # evidence-driven: all-distinct data pins no zero-width bucket —
+    # provided the grid is strictly coarser than the data (a grid
+    # finer than the value count repeats INDEX positions, a harness
+    # artifact the real percentile_approx collector never produces
+    # on the table sizes histograms are collected for)
+    if len(set(data)) == len(data) and n > buckets + 1:
+        assert est == 0.0
+    # and a value holding over half the rows ALWAYS leaves evidence
+    if true_hot > n / 2 and buckets >= 4:
+        assert est > 0.0, (est, true_hot, n, bounds)

@@ -102,7 +102,7 @@ def autotune(
     from .column_groups import (
         collect_column_group_stats,
         collect_histogram_2d,
-        filter_columns,
+        filter_columns_by_relation,
         suggest_column_groups,
         suggest_histogram_pairs,
     )
@@ -111,9 +111,16 @@ def autotune(
     plans = list(_PLAN_LOG.get(sf_dir, ()))
     if not plans:
         return {}
+    # mined filter columns carry their RELATION (round-13 advisor): a
+    # name shared by several tables must only charge the table the
+    # workload actually filtered. Columns no Relation claims fall back
+    # to the old every-table behavior (keep evidence over precision).
+    rel_fcols: list[tuple[frozenset, set]] = []
     fcols: set[str] = set()
     for p in plans:
-        fcols |= filter_columns(p)
+        attributed, leftover = filter_columns_by_relation(p)
+        rel_fcols += attributed
+        fcols |= leftover
     groups = [
         g["columns"]
         for g in suggest_column_groups(plans, min_count, max_groups)
@@ -130,11 +137,18 @@ def autotune(
         except Exception:
             continue  # partial dirs (a lake holds what it holds)
         cols = set(df.columns)
+        # this table's attributed filter columns: relations whose
+        # attribute-name set matches this schema (⊆ tolerates plan
+        # string truncation), plus the unattributed leftovers
+        t_fcols = fcols & cols
+        for rnames, rcols in rel_fcols:
+            if rnames <= cols:
+                t_fcols |= rcols & cols
         # cheap pre-gate on the schema alone: a table the mined
         # workload never filters/conjoins must not even pay the base
         # table_stats_cached collection here
         if not (
-            (fcols & cols)
+            t_fcols
             or any(set(g) <= cols for g in groups)
             or any(set(p) <= cols for p in pairs)
         ):
@@ -142,7 +156,7 @@ def autotune(
         st = tables.table_stats_cached(spark, sf_dir, t)
         need_hist = sorted(
             c
-            for c in fcols & cols
+            for c in t_fcols
             if ("hist", t, c) not in done
             and not (st.get("columns", {}).get(c) or {}).get("histogram")
         )

@@ -658,6 +658,63 @@ def filter_columns(plan: str) -> set[str]:
     return out
 
 
+#: the four filter-comparison shapes again, but CAPTURING the attribute
+#: id too — `name#id` binds a filtered column to the Relation node that
+#: outputs it, which is what relation attribution needs
+_ATTR_ID_PATS = (
+    r"\(([A-Za-z_]\w*)#(\d+)L? = [^()#]+\)",
+    r"\([^()#]+ = ([A-Za-z_]\w*)#(\d+)L?\)",
+    r"\(([A-Za-z_]\w*)#(\d+)L? (?:>=|<=|>|<) [^()#]+\)",
+    r"\([^()#]+ (?:>=|<=|>|<) ([A-Za-z_]\w*)#(\d+)L?\)",
+)
+
+
+def filter_columns_by_relation(
+    plan: str,
+) -> tuple[list[tuple[frozenset, set]], set[str]]:
+    """:func:`filter_columns` with RELATION attribution (round-13
+    advisor finding: a bare global name set makes a column name shared
+    by several tables pay base-stats collection and a full histogram
+    scan on every table containing it, though the workload only ever
+    filtered one).
+
+    Attribution rides the plan's own binding: a Filter's ``name#id``
+    attribute is output by exactly one Relation node, whose bracket
+    list carries the same ``name#id``. Returns ``(attributed,
+    leftover)`` — ``attributed`` is one ``(frozenset(relation attr
+    names), {filtered cols})`` entry per Relation that owns filtered
+    attributes (the name set identifies the table by schema matching),
+    ``leftover`` is filtered columns no parsed Relation claims
+    (truncated attribute lists, exotic nodes) for which callers should
+    keep the old every-table fallback rather than drop evidence."""
+    import re
+
+    filt: set[tuple[str, str]] = set()
+    rels: list[set[tuple[str, str]]] = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if s.startswith("Filter ") and " OR " not in s:
+            for pat in _ATTR_ID_PATS:
+                filt |= set(re.findall(pat, s))
+        elif s.startswith("Relation"):
+            m = re.search(r"Relation\s*\[([^\]]*)\]", s)
+            if m:
+                rels.append(
+                    set(re.findall(r"([A-Za-z_]\w*)#(\d+)", m.group(1)))
+                )
+    attributed: list[tuple[frozenset, set]] = []
+    claimed: set[tuple[str, str]] = set()
+    for attrs in rels:
+        owned = filt & attrs
+        if owned:
+            attributed.append(
+                (frozenset(n for n, _ in attrs), {n for n, _ in owned})
+            )
+            claimed |= owned
+    leftover = {n for n, _ in filt - claimed}
+    return attributed, leftover
+
+
 def suggest_histogram_pairs(
     workload: list[Any],
     min_count: int = 2,

@@ -51,6 +51,7 @@ def route_event_rollup(
     time_range: tuple | None = None,
     event_types: list[str] | None = None,
     snapshot: bool = False,
+    refresh: bool = False,
 ) -> tuple[DataFrame, str]:
     """The navigator: ``(frame, route)`` where ``route`` is ``"store"``
     (served from rollup partials) or ``"raw"`` (computed from the
@@ -58,20 +59,48 @@ def route_event_rollup(
     event_type, event_count, total_value, avg_value, min_value,
     max_value) at the requested grain, optionally bounded to
     ``time_range = (lo, hi)`` on the bucket start and filtered to
-    ``event_types``."""
+    ``event_types``.
+
+    Staleness caveat (round-13 advisor): the freshness probe and the
+    raw fallback both read the events table through the session memos
+    (`load_table`'s parquet file listing and `table_stats_cached`'s
+    row count), which freeze at first touch. On a LIVE-FED events dir
+    that grows mid-session — the exact scenario a maintained store
+    targets — pass ``refresh=True``, or call
+    ``tables.invalidate_table_cache(sf_dir)`` after each feed:
+    otherwise the route can report "fresh"/"raw" off old counts and
+    the raw path silently misses files appended after the first load.
+    Fixture dirs are immutable, so registry traffic never needs it."""
+    if refresh:
+        from ..tables import invalidate_table_cache
+
+        invalidate_table_cache(sf_dir)
     route = "store"
+    keep = None
     try:
-        from ..operators.rollup import _check_serving_resolution
+        from ..operators.rollup import (
+            _check_serving_resolution,
+            _visible_epochs,
+        )
 
         _check_serving_resolution(spark, store_path, resolution)
+        if snapshot:
+            # compute the visibility set ONCE and hand the SAME set to
+            # the freshness aggregate and the serving read (round-13
+            # advisor: independent computations let an epoch committed
+            # between probe and serve be counted by neither — served
+            # rows the Σcnt == raw_rows audit never saw)
+            keep = _visible_epochs(spark, store_path)
     except Exception:
         route = "raw"  # finer than stored grain (or unreadable store)
     if route == "store" and not _store_fresh(
-        spark, sf_dir, store_path, snapshot
+        spark, sf_dir, store_path, snapshot, keep
     ):
         route = "raw"
     if route == "store":
-        df = _serve_from_store(spark, store_path, resolution, snapshot)
+        df = _serve_from_store(
+            spark, store_path, resolution, snapshot, keep
+        )
     else:
         df = _compute_from_raw(spark, sf_dir, resolution)
     if event_types is not None:
@@ -90,16 +119,21 @@ def route_event_rollup(
 
 
 def _store_fresh(
-    spark: SparkSession, sf_dir: str, store_path: str, snapshot: bool
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    snapshot: bool,
+    keep: set[int] | None = None,
 ) -> bool:
     """Σ cnt over the store's visible partials == the raw table's X31
     row count. Metadata-scale on the store side; session-cached
-    statistics on the raw side — no raw scan."""
+    statistics on the raw side — no raw scan. ``keep`` is the caller's
+    pre-computed visibility set, shared with the serving read."""
     try:
         from ..operators.rollup import _snapshot_parts
         from ..tables import table_stats_cached
 
-        parts = _snapshot_parts(spark, store_path, snapshot)
+        parts = _snapshot_parts(spark, store_path, snapshot, keep=keep)
         [(store_rows,)] = parts.agg(
             F.sum("cnt").alias("n")
         ).collect()
@@ -120,17 +154,19 @@ def _serve_from_store(
     store_path: str,
     resolution: str,
     snapshot: bool,
+    keep: set[int] | None = None,
 ) -> DataFrame:
     """Merge the visible partials to the requested grain — the X34
     snapshot-aware twin of `cascade_rollup` (which reads every file
-    unconditionally)."""
+    unconditionally). ``keep`` is the same visibility set the
+    freshness probe audited — never recomputed here."""
     from ..operators.rollup import (
         _finalize,
         _merge_partials,
         _snapshot_parts,
     )
 
-    parts = _snapshot_parts(spark, store_path, snapshot)
+    parts = _snapshot_parts(spark, store_path, snapshot, keep=keep)
     return _finalize(
         _merge_partials(
             parts, F.date_trunc(resolution, F.col("bucket_start"))

@@ -639,23 +639,30 @@ def estimate_range_rows(
         est += cnt * min(1.0, overlap / width)
     # a degenerate point range (lo == hi) has zero measure on a
     # continuous axis; model it like equality instead of 0
-    def point(x: float) -> float:
+    def point(x: float, sliver_ok: bool = False) -> float:
         i = min(len(counts) - 1, int((x - hist["lo"]) / width))
         blo = hist["lo"] + i * width
         bhi = hist["lo"] + (i + 1) * width
         if not (blo <= x <= bhi):
             # x sits in the rounding sliver ABOVE the last bucket's
             # nominal top: that bucket's count there is exactly the
-            # values the clamp displaced, and pricing a sliver point
-            # at the whole bucket is the round-12 counterexample —
-            # the interpolated overlap (already in `est`) is the
-            # honest price, so the equality lift contributes nothing
-            return 0.0
+            # values the clamp displaced. In the RANGE-lift path the
+            # interpolated overlap (already in `est`) is the honest
+            # price — pricing a sliver point at the whole bucket was
+            # the round-12 counterexample — so the lift contributes
+            # nothing. But a DEGENERATE point query (est == 0,
+            # qlo == qhi) carries no overlap at all, and x ≤ hi is an
+            # observed value (hi is the column max): hard-zeroing it
+            # rules out an existing value (round-13 advisor finding).
+            # There the bucket-B-1 equality estimate is the honest
+            # price: the sliver's mass IS in that bucket by clamp.
+            if not (sliver_ok and hist["lo"] <= x <= hist["hi"]):
+                return 0.0
         ndv = float(stats.get("columns", {}).get(col, {}).get("ndv") or n)
         return counts[i] / max(1.0, ndv / len(counts))
 
     if est == 0.0 and qlo == qhi:
-        return point(qlo)
+        return point(qlo, sliver_ok=True)
     # containment monotonicity (round 12 — the equi-width twin of the
     # round-10 equi-depth lift): a narrow range never estimates below
     # its endpoints' point models, restoring est(A) ≤ est(B) for

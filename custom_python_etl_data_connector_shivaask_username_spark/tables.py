@@ -86,16 +86,30 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 
 
 def invalidate_table_cache(sf_dir: str | None = None) -> None:
-    """Drop memoized table DataFrames — required after MUTATING a
-    table dir (`load_table` captures the file listing at creation, so
-    a cached plan would miss files added later). Fixture dirs are
-    read-only; only writer-side tests ever need this."""
+    """Drop memoized per-``sf_dir`` session state — required after
+    MUTATING a table dir (`load_table` captures the file listing at
+    creation, so a cached plan would miss files added later). Fixture
+    dirs are read-only; only writer-side tests ever need this.
+
+    Clears the DataFrame memo, the ANALYZE stats memo, and the X56
+    pending-fold registry (including sticky ambiguity marks — this is
+    the one sanctioned way to clear them). The session edge-cardinality
+    HISTORY is deliberately kept: its entries are signature-gated
+    against stats drift (`plans/history.fresh_edge_rows`), so a real
+    mutation invalidates them at serve time."""
     for per_session in _TABLE_CACHE.values():
         if sf_dir is None:
             per_session.clear()
         else:
             for k in [k for k in per_session if k[0] == sf_dir]:
                 del per_session[k]
+    if sf_dir is None:
+        _STATS_CACHE.clear()
+        _PENDING_FOLDS.clear()
+    else:
+        for k in [k for k in _STATS_CACHE if k[0] == sf_dir]:
+            del _STATS_CACHE[k]
+        _PENDING_FOLDS.pop(sf_dir, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -561,7 +575,17 @@ def plan_star_join(
                 colset = frozenset([*_cols(lc), *_cols(rc)])
                 key = edge_history_key(ln, lc, rn, rc, fdigest)
                 prev = pend.get(colset)
-                if prev is not None and prev["key"] != key:
+                if prev is not None and (
+                    prev["key"] != key or prev.get("ambiguous")
+                ):
+                    # sticky for the session (round-13 advisor): once a
+                    # colset has seen two distinct history keys, it is
+                    # never harvested again — re-planning the FIRST
+                    # query must not resurrect it, or a later harvest
+                    # of the SECOND query's frame (same key columns)
+                    # would record its cardinality under the first
+                    # query's filter digest. Cleared only by
+                    # invalidate_table_cache's session reset.
                     prev["ambiguous"] = True
                     continue
                 pend[colset] = {

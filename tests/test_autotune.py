@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_shivaask_username_spark import registry, tables
 from custom_python_etl_data_connector_shivaask_username_spark.plans import autotune
@@ -112,6 +113,64 @@ def test_autotune_write_persists_sidecar(spark, sf_dir, tmp_path):
     side = read_stats_sidecar(spark, f"{out}/orders.parquet")
     assert side is not None
     assert "bounds" in side["columns"]["o_totalprice"]["histogram"]
+
+
+def test_miner_attributes_filter_columns_to_their_relation():
+    """Round-13 advisor finding, miner half: the `name#id` binding in
+    the plan string ties each filtered column to the Relation that
+    outputs it; columns no Relation claims stay in the leftover set."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.column_groups import (
+        filter_columns_by_relation,
+    )
+
+    plan = (
+        "Join Inner, (o_orderkey#0L = user_id#9L)\n"
+        ":- Filter ((isnotnull(o_orderdate#4) AND "
+        "(o_orderdate#4 >= 1995-01-01 00:00:00)))\n"
+        ":  +- Relation [o_orderkey#0L,o_custkey#1L,o_orderdate#4]"
+        " parquet\n"
+        "+- Filter (value#11 > 10.0)\n"
+        "   +- Relation [event_id#7L,user_id#9L,value#11] parquet\n"
+        "+- Filter (orphan#99 = 3)\n"
+    )
+    attributed, leftover = filter_columns_by_relation(plan)
+    by_rel = {rnames: rcols for rnames, rcols in attributed}
+    assert by_rel == {
+        frozenset({"o_orderkey", "o_custkey", "o_orderdate"}): {
+            "o_orderdate"
+        },
+        frozenset({"event_id", "user_id", "value"}): {"value"},
+    }, attributed
+    assert leftover == {"orphan"}
+
+
+def test_autotune_charges_only_the_filtered_relation(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 advisor finding, loop half: a column name present in
+    SEVERAL tables must only trigger collection on the table the
+    workload filtered — no silent cross-table histogram scans."""
+    out = str(tmp_path)
+    ev = tables.load_table(spark, sf_dir, "events")
+    # two tables sharing the column name `value`: the real events and
+    # a doctored documents table carrying a `value` column too
+    ev.write.parquet(f"{out}/events.parquet")
+    tables.load_table(spark, sf_dir, "documents").withColumn(
+        "value", F.col("n_chars").cast("double")
+    ).write.parquet(f"{out}/documents.parquet")
+    autotune.reset(out)
+    df = tables.load_table(spark, out, "events").filter("value > 10.0")
+    autotune.observe(df, out)
+    report = autotune.autotune(spark, out)
+    assert "value" in report.get("events", {}).get("histograms", []), (
+        report
+    )
+    assert "documents" not in report, (
+        "the workload never filtered documents.value — collecting its "
+        "histogram is the cross-table collision the miner must prevent"
+    )
+    # and the stats cache never even paid documents' base collection
+    assert (out, "documents") not in tables._STATS_CACHE
 
 
 def test_reset_drops_observations(spark, tuned_dir):

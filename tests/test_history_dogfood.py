@@ -109,3 +109,43 @@ def test_harvest_skips_ambiguous_and_zero_row_folds(spark, sf_dir):
     j3, _ = tables.plan_star_join(spark, sf_dir, edge, history="session")
     assert tables.harvest_executed(spark, j3, sf_dir) == 0
     assert tables.session_history(sf_dir) == {}
+
+
+def test_fold_ambiguity_is_sticky_for_the_session(spark, sf_dir):
+    """Round-13 advisor finding: re-planning the FIRST query after a
+    second query marked the colset ambiguous used to overwrite the
+    entry with ambiguous=False — a later harvest of the SECOND query's
+    executed frame (same key-column set) would then record its
+    cardinality under the FIRST query's filter-digest key, poisoning
+    the history. Ambiguity must survive re-planning; only
+    invalidate_table_cache clears it."""
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+    edge = [("nation", "n_regionkey", "region", "r_regionkey")]
+    filt = {"region": ("r_name", ("=", "EUROPE"))}
+    tables.plan_star_join(spark, sf_dir, edge, history="session")
+    j2, _ = tables.plan_star_join(
+        spark, sf_dir, edge, filters=filt, history="session"
+    )
+    # re-plan the FIRST (unfiltered) query: the entry must stay
+    # ambiguous, and harvesting the SECOND query's executed frame must
+    # record nothing
+    tables.plan_star_join(spark, sf_dir, edge, history="session")
+    pend = tables._PENDING_FOLDS[sf_dir]
+    assert all(v["ambiguous"] for v in pend.values()), pend
+    j2.collect()
+    assert tables.harvest_executed(spark, j2, sf_dir) == 0
+    assert tables.session_history(sf_dir) == {}
+
+    # the sanctioned reset clears the mark (and the stats memo)
+    tables.invalidate_table_cache(sf_dir)
+    assert sf_dir not in tables._PENDING_FOLDS
+    assert not any(k[0] == sf_dir for k in tables._STATS_CACHE)
+    j4, _ = tables.plan_star_join(spark, sf_dir, edge, history="session")
+    j4.collect()
+    assert tables.harvest_executed(spark, j4, sf_dir) == 1
+    hist = tables.session_history(sf_dir)
+    assert hist and all(v["source"] == "executed" for v in hist.values())
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)

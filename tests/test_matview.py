@@ -108,3 +108,74 @@ def test_missing_store_falls_back(spark, sf_dir, tmp_path):
     )
     assert route == "raw"
     assert len(df.take(1)) == 1
+
+
+def test_snapshot_visibility_set_computed_once(
+    spark, sf_dir, fresh_store, monkeypatch
+):
+    """Round-13 advisor finding: the freshness probe and the serving
+    read used to each compute the visible-epoch set independently — an
+    epoch committed between the two would be SERVED without being
+    COUNTED by the Σcnt == raw_rows audit. The router now computes the
+    set once and hands the same object to both `_snapshot_parts`
+    calls."""
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.rollup as R
+
+    vis_calls: list[int] = []
+    keeps: list[object] = []
+    orig_vis = R._visible_epochs
+    orig_parts = R._snapshot_parts
+
+    def vis_spy(*a, **k):
+        vis_calls.append(1)
+        return orig_vis(*a, **k)
+
+    def parts_spy(spark_, path, snapshot, keep=None):
+        keeps.append(keep)
+        return orig_parts(spark_, path, snapshot, keep=keep)
+
+    monkeypatch.setattr(R, "_visible_epochs", vis_spy)
+    monkeypatch.setattr(R, "_snapshot_parts", parts_spy)
+    df, route = route_event_rollup(
+        spark, sf_dir, fresh_store, resolution="day", snapshot=True
+    )
+    assert route == "store"
+    assert len(vis_calls) == 1, "visibility set must be computed ONCE"
+    assert len(keeps) == 2, "probe + serve must both take the set"
+    assert keeps[0] is not None and keeps[0] is keeps[1], (
+        "probe and serve must share the SAME visibility set object"
+    )
+    assert _rows(df) == _rows(_compute_from_raw(spark, sf_dir, "day"))
+
+
+def test_refresh_sees_live_fed_events(spark, sf_dir, tmp_path):
+    """Round-13 advisor scenario: a live-fed events dir grows
+    mid-session. The session memos (load_table file listing +
+    table_stats_cached row count) freeze at first touch, so without
+    `refresh=True` the raw path silently misses appended files; with
+    it, the router re-lists and the counts double."""
+    from pyspark.sql import functions as F
+
+    live = str(tmp_path / "live")
+    nostore = str(tmp_path / "nostore")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(f"{live}/events.parquet")
+
+    def total(df):
+        return df.agg(F.sum("event_count").alias("n")).collect()[0]["n"]
+
+    df1, route1 = route_event_rollup(spark, live, nostore, resolution="day")
+    assert route1 == "raw"
+    n1 = total(df1)
+    # the feed grows mid-session
+    ev.write.mode("append").parquet(f"{live}/events.parquet")
+    df_stale, _ = route_event_rollup(spark, live, nostore, resolution="day")
+    assert total(df_stale) == n1, (
+        "premise: without refresh the memoized listing misses the "
+        "appended files (the advisor's silent-staleness scenario)"
+    )
+    df2, route2 = route_event_rollup(
+        spark, live, nostore, resolution="day", refresh=True
+    )
+    assert route2 == "raw"
+    assert total(df2) == 2 * n1, "refresh=True must see the appended feed"

@@ -88,6 +88,11 @@ values = st.lists(
     a=1.0,
     b=2.2250738585e-313,
 ).via('discovered failure')
+@example(
+    data=[0.0, 0.0, 1.401298464324817e-45, -1.0],
+    a=1.401298464324817e-45,
+    b=1.401298464324817e-45,
+).via('advisor r13: point query at x == hi in the rounding sliver')
 def test_equiwidth_estimate_exact_up_to_edge_buckets(data, a, b):
     lo, hi = (a, b) if a <= b else (b, a)
     stats = _equiwidth_stats(data)
@@ -485,6 +490,30 @@ def test_equiwidth_gap_sliver_not_priced_at_whole_bucket():
     assert est <= covering + 1e-9
     full = estimate_range_rows(stats, "x")
     assert abs(full - len(data)) <= 1e-6 * len(data)
+
+
+def test_equiwidth_sliver_point_at_max_never_zero():
+    """Round-13 advisor finding: the sliver guard must not hard-zero a
+    DEGENERATE point query at x == hist['hi'] — hi is the observed
+    column max, a value guaranteed to hold >=1 row (possibly a whole
+    bucket of clamp-displaced values). The guard's 'overlap already in
+    est' rationale only holds for ranges; a zero-measure point query
+    has no overlap to lean on, so it falls back to bucket B-1's
+    equality estimate. The RANGE-lift path keeps the 0 contribution
+    (see test_equiwidth_gap_sliver_not_priced_at_whole_bucket)."""
+    data = [0.0, 0.0, 1.401298464324817e-45, -1.0]
+    stats = _equiwidth_stats(data)
+    h = stats["columns"]["x"]["histogram"]
+    # the premise: hi sits in the rounding sliver above the nominal top
+    assert h["lo"] + BUCKETS * ((h["hi"] - h["lo"]) / BUCKETS) < h["hi"]
+    est = estimate_range_rows(stats, "x", h["hi"], h["hi"])
+    assert est > 0.0
+    # bounded by the clamped bucket's whole count (the point_slack
+    # contract of the exactness property)
+    assert est <= h["counts"][-1] + 1e-9
+    # and the round-12 pin still holds: the range path is unchanged
+    rng = estimate_range_rows(stats, "x", 2.2250738585e-313, 1.0)
+    assert 0.0 <= rng <= 2.0
 
 
 def test_hist2d_gap_sliver_consistent_with_1d():

@@ -937,6 +937,7 @@ def incremental_dedup(
     text_col: str = "text",
     thr_num: int = CLUSTER_THR_NUM,
     thr_den: int = CLUSTER_THR_DEN,
+    history_sf_dir: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — without ever
     re-pairing the corpus against itself.
@@ -1016,8 +1017,37 @@ def incremental_dedup(
         F.col(id_col).alias("cor_id"),
         F.size(char_ngrams(F.col(text_col), 3)).alias("cor_n"),
     )
+    # Round 14 (VERDICT r13 ask #1 — self-tuning default-on): with a
+    # history scope, the gram probe join routes through plan_star_join
+    # (history="session") under honest gram-mass bounds — char-3-grams
+    # ≈ one per character, characters ≈ 3× parquet bytes — so a
+    # harvested execution's MEASURED probe cardinality serves the next
+    # planning (the registry query passes sf_dir; arbitrary-frame
+    # callers keep the hand-written join bit-compatibly).
+    if history_sf_dir is not None:
+        from ..plans.stats import stats_from_plan
+        from ..tables import plan_star_join
+
+        def _gram_stats(src: DataFrame, width: int) -> dict:
+            n = max(1, 3 * int(stats_from_plan(src)["size_bytes"] or 1))
+            return {"row_count": n, "size_bytes": n * width, "columns": {}}
+
+        gram_pairs, _order = plan_star_join(
+            corpus.sparkSession,
+            history_sf_dir,
+            [("inc_g", "gram", "cor_g", "gram")],
+            tables={"inc_g": inc_g, "cor_g": cor_g},
+            # widths: (inc_id long + 3-char gram) each side
+            stats={
+                "inc_g": _gram_stats(increment, 20),
+                "cor_g": _gram_stats(corpus, 20),
+            },
+            history="session",
+        )
+    else:
+        gram_pairs = inc_g.join(cor_g, "gram")
     near_c = (
-        inc_g.join(cor_g, "gram")
+        gram_pairs
         .groupBy("inc_id", "cor_id")
         .agg(F.count(F.lit(1)).alias("inter"))
         .join(F.broadcast(inc_n), "inc_id")
@@ -1293,7 +1323,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # increments arrive as multi-file scans where spreading no-ops.
     corpus = docs.filter(F.col("doc_id") % INC_SPLIT_MOD != INC_SPLIT_MOD - 1)
     increment = docs.filter(F.col("doc_id") % INC_SPLIT_MOD == INC_SPLIT_MOD - 1)
-    return incremental_dedup(corpus, increment).orderBy("doc_id")
+    return incremental_dedup(
+        corpus, increment, history_sf_dir=sf_dir
+    ).orderBy("doc_id")
 
 
 # --- merged rows-only registry entry (seed-dependent surfaces) -------------

@@ -199,11 +199,19 @@ def executed_equi_joins(df: DataFrame) -> list[dict[str, Any]]:
     """Round 13 (the auto-harvest half of X56): executed equi-join
     nodes of ``df``'s final physical plan with their ``numOutputRows``
     AND their join-key column names — ``{"node", "rows", "keys"}``
-    with ``keys`` a frozenset of both sides' attribute names. The key
-    names are what lets a harvester map a measured join back to the
-    planner fold that produced it WITHOUT positional assumptions: in a
-    prefixed star schema (``l_orderkey``/``o_orderkey``...) each
-    planner edge's key-column set is unique. Non-equi joins
+    with ``keys`` a frozenset of both sides' attribute names and
+    ``join_type`` the node's joinType string ("Inner", "LeftOuter",
+    ...). The key names are what lets a harvester map a measured join
+    back to the planner fold that produced it WITHOUT positional
+    assumptions: in a prefixed star schema
+    (``l_orderkey``/``o_orderkey``...) each planner edge's key-column
+    set is unique. The join type is load-bearing for the harvester
+    (round 14): pending folds are INNER-only, but a DIFFERENT query's
+    outer/semi/anti join over the same key columns (the left
+    customer⋈orders in q_customer_order_counts vs the revenue star's
+    inner fold) produces the same colset with a how-dependent
+    cardinality — recording it would poison the history, so
+    `harvest_executed` records Inner nodes only. Non-equi joins
     (BroadcastNestedLoop — the guarded J6/J8 range shapes) carry no
     leftKeys/rightKeys and are skipped. Same calling contract as
     :func:`executed_join_rows`: only meaningful after an action on
@@ -247,6 +255,10 @@ def executed_equi_joins(df: DataFrame) -> list[dict[str, Any]]:
                 return  # non-equi join node: nothing to map
             if not keys:
                 return
+            try:
+                jt = str(n.joinType().toString())
+            except Exception:
+                jt = ""
             m = n.metrics()
             if m.contains("numOutputRows"):
                 out.append(
@@ -254,6 +266,7 @@ def executed_equi_joins(df: DataFrame) -> list[dict[str, Any]]:
                         "node": name,
                         "rows": float(m.apply("numOutputRows").value()),
                         "keys": keys,
+                        "join_type": jt,
                     }
                 )
 

@@ -284,7 +284,16 @@ def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
     a prefixed star schema — so aggregations or unions wrapped above
     the planner output never misattribute a measurement. Joins whose
     metric reads 0 are skipped (indistinguishable from not-executed
-    under AQE stage reuse)."""
+    under AQE stage reuse). INNER nodes only (round 14): pending folds
+    are inner-only by registration, and a different query's
+    outer/semi/anti join over the same key columns (the left
+    customer⋈orders vs the revenue star's inner fold — both colset
+    {c_custkey, o_custkey}) carries a how-dependent cardinality that
+    must never land under an inner fold's key. A recorded fold is
+    POPPED: the measurement window is one planning→harvest cycle, so
+    a later frame that happens to share the colset cannot overwrite a
+    measurement with traffic the fold never described (the next
+    planning re-registers)."""
     try:
         from .plans.history import executed_equi_joins, record_edge_rows
 
@@ -295,7 +304,12 @@ def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
         n = 0
         for j in executed_equi_joins(frame):
             fold = pend.get(j["keys"])
-            if fold is None or fold.get("ambiguous") or j["rows"] <= 0:
+            if (
+                fold is None
+                or fold.get("ambiguous")
+                or j["rows"] <= 0
+                or j.get("join_type") != "Inner"
+            ):
                 continue
             record_edge_rows(
                 hist,
@@ -305,6 +319,7 @@ def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
                 fold["right_stats"],
                 source="executed",
             )
+            pend.pop(j["keys"], None)
             n += 1
         return n
     except Exception:
@@ -565,12 +580,34 @@ def plan_star_join(
             if isinstance(history, dict)
             else load_history(spark, history)
         )
+        er = {tuple(k): v for k, v in (edge_rows or {}).items()}
+        for e in edges:
+            if tuple(e) in er:
+                continue  # a caller-measured value outranks history
+            ln, lc, rn, rc = e
+            remembered = fresh_edge_rows(
+                hist,
+                edge_history_key(ln, lc, rn, rc, fdigest),
+                sts.get(ln, {}),
+                sts.get(rn, {}),
+            )
+            if remembered is not None:
+                er[tuple(e)] = remembered
         if how.replace("_", "").lower() == "inner":
-            # register each fold for the executed-metrics harvest
-            # (inner only: semi/anti/outer cardinalities depend on
-            # `how`, which the history key deliberately omits)
+            # register each UNMEASURED fold for the executed-metrics
+            # harvest (inner only: semi/anti/outer cardinalities depend
+            # on `how`, which the history key deliberately omits).
+            # Edges a caller measurement or a fresh history entry
+            # already serves are NOT registered (round 14): there is
+            # nothing left to harvest for them, and a stale pending
+            # fold is exactly what lets a LATER query's same-colset
+            # edge (two queries joining on a `gram` column) trip the
+            # sticky ambiguity mark and lock both out of the dogfood
+            # loop for the whole session.
             pend = _PENDING_FOLDS.setdefault(sf_dir, {})
             for e in edges:
+                if tuple(e) in er:
+                    continue
                 ln, lc, rn, rc = e
                 colset = frozenset([*_cols(lc), *_cols(rc)])
                 key = edge_history_key(ln, lc, rn, rc, fdigest)
@@ -594,19 +631,6 @@ def plan_star_join(
                     "right_stats": sts.get(rn),
                     "ambiguous": False,
                 }
-        er = {tuple(k): v for k, v in (edge_rows or {}).items()}
-        for e in edges:
-            if tuple(e) in er:
-                continue  # a caller-measured value outranks history
-            ln, lc, rn, rc = e
-            remembered = fresh_edge_rows(
-                hist,
-                edge_history_key(ln, lc, rn, rc, fdigest),
-                sts.get(ln, {}),
-                sts.get(rn, {}),
-            )
-            if remembered is not None:
-                er[tuple(e)] = remembered
         edge_rows = er or None
     if probe == "auto" and how.replace("_", "").lower() == "inner":
         from .plans.stats import estimate_join_rows_validated

@@ -27,9 +27,20 @@ def _load():
     registry.load_all()
 
 
-def test_revenue_star_second_run_plans_from_harvested_history(
-    spark, sf_dir
-):
+#: every planner-routed registry query in the self-tuning loop
+#: (round 14, VERDICT r13 ask #1: default-on breadth — the revenue
+#: star's inner folds, the counts⋈presence fold, the bigram-LM probe
+#: join, and the incremental-dedup gram probe join)
+SELF_TUNED = [
+    "q_revenue_by_nation",
+    "q_customer_order_counts",
+    "q_lm_quality",
+    "q_incremental_dedup",
+]
+
+
+@pytest.mark.parametrize("name", SELF_TUNED)
+def test_second_run_plans_from_harvested_history(spark, sf_dir, name):
     import custom_python_etl_data_connector_shivaask_username_spark.plans.history as H
     import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
 
@@ -38,12 +49,12 @@ def test_revenue_star_second_run_plans_from_harvested_history(
     tables.session_history(sf_dir).clear()
     tables._PENDING_FOLDS.pop(sf_dir, None)
 
-    fn = registry.QUERIES["q_revenue_by_nation"]
+    fn = registry.QUERIES[name]
     df1 = fn(spark, sf_dir)
     rows1 = df1.collect()
     harvested = tables.harvest_executed(spark, df1, sf_dir)
     assert harvested >= 1, (
-        "the executed revenue star must yield at least one measurable "
+        f"the executed {name} must yield at least one measurable "
         "inner fold"
     )
     hist = tables.session_history(sf_dir)
@@ -147,5 +158,66 @@ def test_fold_ambiguity_is_sticky_for_the_session(spark, sf_dir):
     assert tables.harvest_executed(spark, j4, sf_dir) == 1
     hist = tables.session_history(sf_dir)
     assert hist and all(v["source"] == "executed" for v in hist.values())
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+
+def test_harvest_records_inner_nodes_only(spark, sf_dir):
+    """Round 14: q_customer_order_counts' LEFT customer⋈orders join
+    shares its key-column set {c_custkey, o_custkey} with the revenue
+    star's INNER fold. With the star's fold still pending (planned but
+    never executed), harvesting the other query's frame used to record
+    the OUTER join's cardinality under the inner fold's filter-digest
+    key — a how-dependent number history must never serve. The
+    harvester now keys on join_type == Inner."""
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+    registry.QUERIES["q_revenue_by_nation"](spark, sf_dir)
+    pend = tables._PENDING_FOLDS.get(sf_dir) or {}
+    colset = frozenset({"c_custkey", "o_custkey"})
+    assert colset in pend, "premise: the star's fold is pending"
+    star_key = pend[colset]["key"]
+
+    df = registry.QUERIES["q_customer_order_counts"](spark, sf_dir)
+    df.collect()
+    n = tables.harvest_executed(spark, df, sf_dir)
+    hist = tables.session_history(sf_dir)
+    assert star_key not in hist, (
+        "the LEFT join's cardinality must never land under the inner "
+        "fold's key"
+    )
+    # ...while the query's own INNER counts⋈presence fold did harvest
+    assert n >= 1 and any("counts[" in k for k in hist), hist
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+
+def test_no_reregistration_once_history_serves(spark, sf_dir):
+    """Round 14: an edge a fresh history entry already serves is not
+    re-registered for harvest — a lingering pending fold is exactly
+    what would let a LATER query's same-colset edge (two gram-keyed
+    probe joins: incremental-dedup and the bigram LM) trip the sticky
+    ambiguity mark and lock both out of the loop for the session."""
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+    gram = frozenset({"gram"})
+
+    df = registry.QUERIES["q_incremental_dedup"](spark, sf_dir)
+    df.collect()
+    assert tables.harvest_executed(spark, df, sf_dir) >= 1
+    # recorded + popped: the colset is free again
+    assert gram not in (tables._PENDING_FOLDS.get(sf_dir) or {})
+    # second planning serves from history and must NOT re-register
+    registry.QUERIES["q_incremental_dedup"](spark, sf_dir)
+    assert gram not in (tables._PENDING_FOLDS.get(sf_dir) or {})
+
+    # so the OTHER gram-keyed query registers + harvests cleanly
+    df2 = registry.QUERIES["q_lm_quality"](spark, sf_dir)
+    df2.collect()
+    assert tables.harvest_executed(spark, df2, sf_dir) >= 1
+    hist = tables.session_history(sf_dir)
+    assert any("model_scored[" in k for k in hist), hist
+    assert any("cor_g[" in k for k in hist), hist
     tables.session_history(sf_dir).clear()
     tables._PENDING_FOLDS.pop(sf_dir, None)

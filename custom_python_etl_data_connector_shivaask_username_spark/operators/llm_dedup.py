@@ -30,27 +30,207 @@ from ..tables import load_table, spread_small_input
 
 # --- L1: exact dedup ----------------------------------------------------------
 
-_EXACT_DEDUP_ORACLE = """
-SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupe_count
+#: substring-dedup window width in TOKENS (round 14, VERDICT r13 ask
+#: #2): 16 is the fixture-scaled stand-in for the classic "dedup at the
+#: 50-token-span level" — fixture docs run 10-99 tokens (median 56), so
+#: 16 yields real cross-doc span collisions AND docs too short to span
+#: (the zero-row path); production corpora raise it without changing
+#: the plan shape.
+SPAN_W = 16
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ws[i : i + {SPAN_W - 1}], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, greatest(len(ws) - {SPAN_W - 1}, 0))) AS t(i)
+),
+g AS (
+  SELECT h, COUNT(*) AS total, MIN(doc_id) AS s_doc
+  FROM spans GROUP BY h
+),
+g2 AS (
+  SELECT s.h, MIN(s.pos) AS s_pos
+  FROM spans s JOIN g ON s.h = g.h AND s.doc_id = g.s_doc
+  GROUP BY s.h
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN g.total > 1 THEN 1 ELSE 0 END) AS dup_spans,
+         SUM(CASE WHEN g.total > 1
+                   AND NOT (s.doc_id = g.s_doc AND s.pos = g2.s_pos)
+              THEN 1 ELSE 0 END) AS removed_spans
+  FROM spans s JOIN g USING (h) JOIN g2 USING (h)
+  GROUP BY s.doc_id
+)
+SELECT 'doc' AS branch, MIN(doc_id) AS doc_id,
+       COUNT(*) AS dupe_count,
+       CAST(NULL AS BIGINT) AS n_spans,
+       CAST(NULL AS BIGINT) AS dup_spans,
+       CAST(NULL AS BIGINT) AS removed_spans,
+       CAST(NULL AS DOUBLE) AS dup_frac
 FROM documents
 GROUP BY md5(text)
-ORDER BY doc_id
+UNION ALL
+SELECT 'span', d.doc_id, CAST(NULL AS BIGINT),
+       COALESCE(p.n_spans, 0), COALESCE(p.dup_spans, 0),
+       COALESCE(p.removed_spans, 0),
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+            THEN CAST(p.removed_spans AS DOUBLE) / p.n_spans
+            ELSE 0.0 END
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY branch, doc_id
 """
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SPAN_W,
+    stride: int = 1,
+) -> DataFrame:
+    """Substring-level exact dedup (round 14 — the repeated-SPAN mode
+    the L-family lacked: L1 hashes whole documents, L2/X24 find NEAR
+    duplicates; this finds literally repeated w-token spans, the
+    boilerplate/licence-block/template mass a doc-level pass cannot
+    see).
+
+    Every overlapping ``w``-token window (step ``stride``) is
+    fingerprinted (md5 of the joined tokens — engine-portable), the
+    fingerprints are grouped, and the GLOBAL min-(doc_id, pos)
+    occurrence of each repeated span is the survivor; all other
+    occurrences are "removed" (what a span-level dedup pass would cut).
+    Returns one row per input doc:
+    ``(id_col, n_spans, dup_spans, removed_spans, dup_frac)`` where
+    ``dup_spans`` counts occurrences whose fingerprint appears anywhere
+    else (cross-doc OR within-doc repetition) and ``dup_frac`` =
+    removed/n (0.0 for docs too short to span).
+
+    100 TB shape: span rows ≈ token mass / stride — strictly linear,
+    bucketed by the span hash (never all-pairs); the survivor group-by
+    is THE shuffle (map-side partial agg), the flag join is hash-keyed
+    on the same column (exchange reuse), and the per-doc rollup + the
+    short-doc left join shuffle on the id. Raising ``stride`` to w/2
+    trades recall of short overlaps for proportionally less shuffle
+    mass — same plan, production knob."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n_spans = F.greatest(F.size("ws") - (w - 1), F.lit(0))
+    # NB sequence(1, 0) DESCENDS ([1, 0]); guard the empty case
+    idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans, F.lit(stride)))
+    spans = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.coalesce(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.md5(
+                                F.concat_ws(" ", F.slice("ws", i, w))
+                            ).alias("h"),
+                        ),
+                    ),
+                    F.array().cast("array<struct<pos:int,h:string>>"),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    surv = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.min(F.struct("doc_id", "pos")).alias("s"),
+    )
+    occ = spans.join(surv, "h").select(
+        "doc_id",
+        (F.col("total") > 1).cast("long").alias("is_dup"),
+        (
+            (F.col("total") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("s.doc_id"))
+                & (F.col("pos") == F.col("s.pos"))
+            )
+        )
+        .cast("long")
+        .alias("is_removed"),
+    )
+    per_doc = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("is_dup").alias("dup_spans"),
+        F.sum("is_removed").alias("removed_spans"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("removed_spans", F.lit(0)).alias("removed_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.col("removed_spans").cast("double") / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
 
 
 @query("q_dedup_exact_documents", oracle=_EXACT_DEDUP_ORACLE)
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: one hash-shuffle on the content digest; survivor = min doc_id
-    (deterministic, unlike dropDuplicates' arbitrary row)."""
+    """L1 + the round-14 substring row, as a tagged union:
+
+    - branch ``doc``: one hash-shuffle on the content digest; survivor
+      = min doc_id (deterministic, unlike dropDuplicates' arbitrary
+      row); span columns NULL.
+    - branch ``span``: :func:`span_dedup_stats` — per-doc repeated
+      w-token-span accounting (n_spans / dup_spans / removed_spans /
+      dup_frac), the substring-level mode doc-hashing cannot see;
+      dupe_count NULL.
+
+    Consolidated into ONE registry row (the round-6 tagged-union move)
+    to hold the registry at the driver's 50-query window."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    doc_branch = (
         docs.groupBy(F.md5("text").alias("h"))
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("dupe_count"),
         )
-        .select("doc_id", "dupe_count")
+        .select(
+            F.lit("doc").alias("branch"),
+            "doc_id",
+            "dupe_count",
+            F.lit(None).cast("long").alias("n_spans"),
+            F.lit(None).cast("long").alias("dup_spans"),
+            F.lit(None).cast("long").alias("removed_spans"),
+            F.lit(None).cast("double").alias("dup_frac"),
+        )
     )
+    span_branch = span_dedup_stats(docs).select(
+        F.lit("span").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("dupe_count"),
+        "n_spans",
+        "dup_spans",
+        "removed_spans",
+        "dup_frac",
+    )
+    return doc_branch.unionByName(span_branch).orderBy("branch", "doc_id")
 
 
 # --- shared text shingling ------------------------------------------------------

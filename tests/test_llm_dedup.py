@@ -1931,3 +1931,131 @@ def test_semantic_dedup_and_ivfpq_share_a_coarse_quantizer(spark, sf_dir):
     assert co_sh == shared == co_own
     assert bk_sh == bk_own
     assert rows(codes_sh) == rows(codes_own)
+
+
+# --- round 14: substring-level exact dedup (the repeated-span L-row) --------
+
+
+def _span_docs(spark):
+    """Planted span structure around a 16-token block A:
+    doc 1: A + unique tail          (survivor: earliest doc, pos 1)
+    doc 2: unique head + A          (cross-doc repeat: removed)
+    doc 3: A + A                    (within-doc repeat at pos 17 removed;
+                                     pos-1 copy also removed - doc 1 owns
+                                     the global survivor)
+    doc 4: too short to span        (zero rows -> zero stats)
+    doc 5: all-unique tokens        (spans, none repeated)
+    """
+    from pyspark.sql import Row
+
+    A = " ".join(f"block{i}" for i in range(16))
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=A + " " + " ".join(f"t1u{i}" for i in range(8))),
+            Row(doc_id=2, text=" ".join(f"t2u{i}" for i in range(8)) + " " + A),
+            Row(doc_id=3, text=A + " " + A),
+            Row(doc_id=4, text="tiny doc below the window"),
+            Row(doc_id=5, text=" ".join(f"t5u{i}" for i in range(24))),
+        ]
+    )
+
+
+def test_span_dedup_planted_repeats(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        span_dedup_stats,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(_span_docs(spark)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 4: too short for a single window
+    assert tuple(out[4])[1:] == (0, 0, 0, 0.0)
+    # doc 5: 24 tokens -> 9 spans, all unique
+    assert tuple(out[5])[1:] == (9, 0, 0, 0.0)
+    # doc 1 holds the GLOBAL survivor of A at pos 1: its A occurrence is
+    # dup (A appears elsewhere) but never removed
+    assert out[1]["n_spans"] == 9  # 24 tokens
+    assert out[1]["dup_spans"] == 1
+    assert out[1]["removed_spans"] == 0
+    # doc 2 repeats A at its last window position: removed
+    assert out[2]["dup_spans"] == 1
+    assert out[2]["removed_spans"] == 1
+    # doc 3 = A+A (32 tokens -> 17 spans): BOTH its full-A windows
+    # (pos 1 and pos 17) are dups and both are removed (doc 1 owns the
+    # survivor); the 15 bridging windows are unique to doc 3
+    assert out[3]["n_spans"] == 17
+    assert out[3]["dup_spans"] == 2
+    assert out[3]["removed_spans"] == 2
+    assert abs(out[3]["dup_frac"] - 2 / 17) < 1e-12
+
+
+def test_span_dedup_survivor_is_global_min_doc_pos(spark):
+    """Move the earliest occurrence: when doc 2 holds A at pos 1 and
+    doc 3 at pos 5, doc 2's copy survives and doc 3's is removed."""
+    from pyspark.sql import Row
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        span_dedup_stats,
+    )
+
+    A = " ".join(f"s{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=2, text=A),
+            Row(doc_id=3, text="p0 p1 p2 p3 " + A),
+        ]
+    )
+    out = {r["doc_id"]: r for r in span_dedup_stats(docs).collect()}
+    assert out[2]["removed_spans"] == 0 and out[2]["dup_spans"] == 1
+    assert out[3]["removed_spans"] == 1
+
+
+def test_span_dedup_stride_thins_windows(spark):
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        span_dedup_stats,
+    )
+    import pytest as _pytest
+
+    docs = _span_docs(spark)
+    s1 = {r["doc_id"]: r for r in span_dedup_stats(docs, stride=1).collect()}
+    s8 = {r["doc_id"]: r for r in span_dedup_stats(docs, stride=8).collect()}
+    for d in s8:
+        assert s8[d]["n_spans"] <= s1[d]["n_spans"]
+    # doc 3 (A+A, 18 stride-1 windows): stride 8 samples pos 1, 9, 17 --
+    # pos-1 A still collides with doc 1's pos-1 survivor
+    assert s8[3]["n_spans"] == 3
+    assert s8[3]["dup_spans"] >= 1
+    with _pytest.raises(ValueError):
+        span_dedup_stats(docs, stride=0)
+
+
+def test_q_dedup_exact_documents_branches(spark, sf_dir):
+    """The tagged union keeps the L1 rows bit-identical to the old
+    single-branch query and the span branch covers every doc."""
+    from custom_python_etl_data_connector_shivaask_username_spark.registry import QUERIES
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    out = QUERIES["q_dedup_exact_documents"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    doc_rows = out.filter("branch = 'doc'")
+    span_rows = out.filter("branch = 'span'")
+    legacy = sorted(
+        (r["doc_id"], r["dupe_count"])
+        for r in docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("c"))
+        .withColumnRenamed("c", "dupe_count")
+        .collect()
+    )
+    assert sorted(
+        (r["doc_id"], r["dupe_count"]) for r in doc_rows.collect()
+    ) == legacy
+    assert span_rows.count() == n_docs
+    # span accounting invariants: removed <= dup <= n, frac in [0, 1]
+    bad = span_rows.filter(
+        "removed_spans > dup_spans OR dup_spans > n_spans "
+        "OR dup_frac < 0 OR dup_frac > 1"
+    )
+    assert bad.count() == 0

@@ -296,6 +296,23 @@ def main() -> None:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         names = [n for n in names if n in wanted]
 
+    # canary-only mode (round 14, VERDICT r13 ask #6): measure the
+    # three fixed kernels and exit — the low-contention gate
+    # (bench_ab --gate / scale_lsh_gate.py) subprocesses this to
+    # decide whether a timed run would be attributable before paying
+    # for it. Same session shape as a real bench, so the values are
+    # comparable to any round's noise_floor block.
+    if os.environ.get("SPARK_GRAFT_CANARY_ONLY"):
+        out = {
+            "metric": "canaries",
+            "cpu": _canary(spark),
+            "io": _io_canary(spark, sf_dir)["sec"],
+            "py": _py_canary(spark),
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     canary_pre = _canary(spark)
     io_pre = _io_canary(spark, sf_dir)
     py_pre = _py_canary(spark)

@@ -33,6 +33,16 @@ Verdict heuristic (documented, not hidden): "code" when the per-tree
 totals differ by >10% AND every round agrees on the direction;
 "noise" when the interleaved totals differ by <5%; in between,
 "inconclusive" — collect more rounds before shipping a claim.
+
+Round 14 (VERDICT r13 ask #6) — decorrelating the position effect:
+the 12-run lsh campaign measured position-1 runs 40% slower than
+position-2 on identical code, so a fixed A-then-B order correlates
+position with tree. `--order-seed N` randomizes (seeded, recorded)
+which tree runs first each round; `--warmup` runs one discarded bench
+before the timed rounds; `--gate` polls the three canaries
+(bench.py's SPARK_GRAFT_CANARY_ONLY mode) until they sit inside
+`--gate-band` before each round — the record carries per-round orders
+and gate readings, so a claim's window conditions are inspectable.
 """
 
 from __future__ import annotations
@@ -40,9 +50,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import random
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -64,14 +76,96 @@ def _run_bench(tree: str, sf_dir: str | None, only: str | None) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _canaries(sf_dir: str | None) -> dict:
+    """One cold bench.py subprocess in canary-only mode — the three
+    fixed kernels, nothing timed beyond them."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CANARY_ONLY"] = "1"
+    if sf_dir:
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _wait_for_window(args) -> dict:
+    """The low-contention gate (round 14, VERDICT r13 ask #6): poll
+    the three canaries until all sit inside the pinned band, up to
+    --gate-retries attempts --gate-wait seconds apart. Returns the
+    last reading with an `in_band` flag — the campaign proceeds either
+    way, but the record carries the evidence, so an out-of-band round
+    can never silently masquerade as a clean one."""
+    band = dict(
+        zip(
+            ("cpu", "io", "py"),
+            (float(x) for x in args.gate_band.split(",")),
+        )
+    )
+    c: dict = {}
+    for attempt in range(args.gate_retries):
+        c = _canaries(args.sf_dir)
+        ok = all(c[k] <= band[k] for k in band)
+        print(
+            f"# gate attempt {attempt + 1}/{args.gate_retries}: "
+            f"cpu={c['cpu']} io={c['io']} py={c['py']} in_band={ok}",
+            file=sys.stderr,
+        )
+        if ok:
+            return {**c, "in_band": True, "attempts": attempt + 1}
+        if attempt + 1 < args.gate_retries:
+            time.sleep(args.gate_wait)
+    return {**c, "in_band": False, "attempts": args.gate_retries}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("ref_b", help="git ref of the comparison tree")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--queries", default=None)
+    ap.add_argument(
+        "--order-seed",
+        type=int,
+        default=None,
+        help="seeded per-round randomization of which tree runs first "
+        "(round 14: the 12-run lsh campaign showed position-1 means "
+        "40%% above position-2 — fixed A-then-B order correlates the "
+        "position effect with the tree)",
+    )
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="one discarded bench run before the timed rounds, so "
+        "round 1's position-1 run does not also pay the coldest cache",
+    )
+    ap.add_argument(
+        "--gate",
+        action="store_true",
+        help="before each round, poll the three canaries until they "
+        "sit inside --gate-band (cold-process readings)",
+    )
+    ap.add_argument(
+        "--gate-band",
+        default="0.30,0.62,1.10",
+        help="cpu,io,py canary ceilings in seconds — defaults are "
+        "~1.3x the clean-window cold-process readings at 32 cpus "
+        "(r13 clean window: 0.19/0.47/0.88)",
+    )
+    ap.add_argument("--gate-retries", type=int, default=5)
+    ap.add_argument("--gate-wait", type=float, default=90.0)
     args = ap.parse_args()
 
+    rng = (
+        random.Random(args.order_seed)
+        if args.order_seed is not None
+        else None
+    )
     with tempfile.TemporaryDirectory(prefix="bench_ab_") as tmp:
         tree_b = os.path.join(tmp, "b")
         subprocess.run(
@@ -82,11 +176,34 @@ def main() -> None:
         )
         try:
             runs_a, runs_b = [], []
+            orders: list[str] = []
+            gates: list[dict | None] = []
+            if args.warmup:
+                print("# warmup run (discarded)", file=sys.stderr)
+                _run_bench(REPO, args.sf_dir, args.queries)
             for i in range(args.rounds):
-                runs_a.append(_run_bench(REPO, args.sf_dir, args.queries))
-                runs_b.append(_run_bench(tree_b, args.sf_dir, args.queries))
+                gates.append(
+                    _wait_for_window(args) if args.gate else None
+                )
+                a_first = True if rng is None else rng.random() < 0.5
+                orders.append("AB" if a_first else "BA")
+                if a_first:
+                    runs_a.append(
+                        _run_bench(REPO, args.sf_dir, args.queries)
+                    )
+                    runs_b.append(
+                        _run_bench(tree_b, args.sf_dir, args.queries)
+                    )
+                else:
+                    runs_b.append(
+                        _run_bench(tree_b, args.sf_dir, args.queries)
+                    )
+                    runs_a.append(
+                        _run_bench(REPO, args.sf_dir, args.queries)
+                    )
                 print(
-                    f"# round {i + 1}: A={runs_a[-1]['value']}s "
+                    f"# round {i + 1} ({orders[-1]}): "
+                    f"A={runs_a[-1]['value']}s "
                     f"B={runs_b[-1]['value']}s",
                     file=sys.stderr,
                 )
@@ -140,6 +257,10 @@ def main() -> None:
                 "metric": "ab_compare",
                 "ref_b": args.ref_b,
                 "rounds": args.rounds,
+                "orders": orders,
+                "order_seed": args.order_seed,
+                "warmup": args.warmup,
+                "gates": gates,
                 "a": a,
                 "b": b,
                 "ratio_a_over_b": ratio,

@@ -1181,21 +1181,27 @@ def incremental_dedup(
     undecided = (
         inc_h.join(exact_c, "id", "left_anti").join(exact_b, "id", "left_anti")
     )
+    # the char_ngrams HOF expression tree is ~the largest single py4j
+    # construction here — build each side's ONCE and reuse the Column
+    # (immutable) across the explode and size projections (round 14
+    # plan-time cut; expression trees are shareable, frames are not)
+    inc_grams = char_ngrams(F.col("text"), 3)
+    cor_grams = char_ngrams(F.col(text_col), 3)
     inc_g = undecided.select(
         F.col("id").alias("inc_id"),
-        F.explode(char_ngrams(F.col("text"), 3)).alias("gram"),
+        F.explode(inc_grams).alias("gram"),
     )
     inc_n = undecided.select(
         F.col("id").alias("inc_id"),
-        F.size(char_ngrams(F.col("text"), 3)).alias("inc_n"),
+        F.size(inc_grams).alias("inc_n"),
     )
     cor_g = corpus.select(
         F.col(id_col).alias("cor_id"),
-        F.explode(char_ngrams(F.col(text_col), 3)).alias("gram"),
+        F.explode(cor_grams).alias("gram"),
     )
     cor_n = corpus.select(
         F.col(id_col).alias("cor_id"),
-        F.size(char_ngrams(F.col(text_col), 3)).alias("cor_n"),
+        F.size(cor_grams).alias("cor_n"),
     )
     # Round 14 (VERDICT r13 ask #1 — self-tuning default-on): with a
     # history scope, the gram probe join routes through plan_star_join
@@ -1204,14 +1210,26 @@ def incremental_dedup(
     # harvested execution's MEASURED probe cardinality serves the next
     # planning (the registry query passes sf_dir; arbitrary-frame
     # callers keep the hand-written join bit-compatibly).
+    # ONE Catalyst-estimate read per base frame (round 14, plan-time
+    # cut): stats_from_plan triggers a full optimization of the frame's
+    # logical tree (~40 ms + tree size), so it runs on the two SIMPLE
+    # filtered scans only; every derived bound below is arithmetic on
+    # these two numbers — never on the anti-join/gram mega-trees.
+    from ..plans.stats import stats_from_plan
+
+    s_inc = stats_from_plan(increment)
+    inc_bytes = int(s_inc["size_bytes"] or 1)
+    # increment docs: rowCount when Catalyst has one, else bytes at a
+    # ~300 B/doc fixture width — only feeds small-side broadcast hints
+    n_inc = int(s_inc.get("row_count") or max(1, inc_bytes // 300))
     if history_sf_dir is not None:
-        from ..plans.stats import stats_from_plan
         from ..tables import plan_star_join
 
-        def _gram_stats(src: DataFrame, width: int) -> dict:
-            n = max(1, 3 * int(stats_from_plan(src)["size_bytes"] or 1))
+        def _gram_stats(src_bytes: int, width: int) -> dict:
+            n = max(1, 3 * src_bytes)
             return {"row_count": n, "size_bytes": n * width, "columns": {}}
 
+        cor_bytes = int(stats_from_plan(corpus)["size_bytes"] or 1)
         gram_pairs, _order = plan_star_join(
             corpus.sparkSession,
             history_sf_dir,
@@ -1219,8 +1237,8 @@ def incremental_dedup(
             tables={"inc_g": inc_g, "cor_g": cor_g},
             # widths: (inc_id long + 3-char gram) each side
             stats={
-                "inc_g": _gram_stats(increment, 20),
-                "cor_g": _gram_stats(corpus, 20),
+                "inc_g": _gram_stats(inc_bytes, 20),
+                "cor_g": _gram_stats(cor_bytes, 20),
             },
             history="session",
         )
@@ -1247,12 +1265,21 @@ def incremental_dedup(
     # USING mode exists for (explicit attribute predicates would
     # resolve trivially-true); the planner folds the three left edges
     # as written and contributes stats-driven broadcast hints on the
-    # flag frames. Stats are Catalyst logical estimates
-    # (stats_from_plan) — every flag frame is increment-bounded (one
-    # row per increment doc at most), no Generate node sits on the
-    # OUTPUT side of any of them, and the increment itself is the
-    # small side of this workload by definition.
-    from ..plans.stats import plan_join_tree, stats_from_plan
+    # flag frames. Round 14 (plan-time cut, VERDICT r13 ask #4): the
+    # stats are increment-bounded DERIVATIONS from the one base
+    # estimate above — every flag frame holds at most one 9-byte
+    # (id, bool) row per increment doc by construction — instead of
+    # four stats_from_plan calls, the worst of which re-optimized the
+    # whole near_c gram-pipeline tree on every planning (the 449 ms
+    # plan-construction outlier in SCALE.md's round-13 table).
+    from ..plans.stats import plan_join_tree
+
+    def _inc_bounded(width: int) -> dict:
+        return {
+            "row_count": n_inc,
+            "size_bytes": n_inc * width,
+            "columns": {},
+        }
 
     frames = {
         "inc": inc_h.select("id"),
@@ -1267,7 +1294,12 @@ def incremental_dedup(
             ("inc", "id", "exact_b", "id"),
             ("inc", "id", "near_c", "id"),
         ],
-        stats={n: stats_from_plan(f) for n, f in frames.items()},
+        stats={
+            "inc": _inc_bounded(8),
+            "exact_c": _inc_bounded(9),
+            "exact_b": _inc_bounded(9),
+            "near_c": _inc_bounded(9),
+        },
         how="left",
     )
     return folded.select(

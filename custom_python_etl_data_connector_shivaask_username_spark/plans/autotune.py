@@ -62,6 +62,85 @@ def observed_count(sf_dir: str) -> int:
     return len(_PLAN_LOG.get(sf_dir, ()))
 
 
+def _dir_signature(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Metadata-only per-table scan-bytes signature of ``sf_dir`` —
+    the staleness gate for a persisted observation log. Never a scan:
+    `_scan_bytes` reads the relation's file-index size."""
+    from .. import tables
+    from .freshness import _scan_bytes
+
+    sig: dict[str, float] = {}
+    for t in tables.TABLES:
+        try:
+            sig[t] = float(_scan_bytes(tables.load_table(spark, sf_dir, t)))
+        except Exception:
+            continue  # partial dirs: a lake holds what it holds
+    return sig
+
+
+def save_observation_log(
+    spark: SparkSession, sf_dir: str, path: str
+) -> int:
+    """Persist the session's observed workload (round 14, VERDICT r13
+    ask #7 — the X56-sidecar pattern applied to X61): the bounded plan
+    log plus a per-table scan-bytes signature land as one JSON text at
+    ``path``. Opt-in and writable-lake-only by design — fixture dirs
+    keep the in-memory deque. Returns the number of plans written."""
+    import json
+
+    from ..sources.layout import fs_write_text
+
+    plans = list(_PLAN_LOG.get(sf_dir, ()))[-PLAN_LOG_LIMIT:]
+    fs_write_text(
+        spark,
+        path,
+        json.dumps(
+            {"signature": _dir_signature(spark, sf_dir), "plans": plans}
+        ),
+    )
+    return len(plans)
+
+
+def load_observation_log(
+    spark: SparkSession, sf_dir: str, path: str
+) -> int:
+    """Restore a persisted observation log into the session (the
+    restart half of the X61 loop): plans append to the in-memory
+    deque, GATED on the recorded per-table signature sitting inside
+    the X38 byte-drift threshold — observations mined from a lake that
+    has since grown/shrunk >20% describe a different workload-data
+    pairing and are dropped (returns 0) rather than trusted. A fresh
+    session that loads the log and calls :func:`autotune` against
+    sidecar-persisted statistics (``autotune(write=True)`` in the
+    prior session) re-collects NOTHING: the mined needs are already
+    satisfied by the served sidecars — the restart pin in
+    tests/test_autotune.py. Returns the number of plans restored."""
+    import json
+
+    from ..sources.layout import fs_read_text
+    from .freshness import MAX_BYTES_DRIFT, _rel_drift
+
+    raw = fs_read_text(spark, path)
+    if not raw:
+        return 0
+    try:
+        payload = json.loads(raw)
+        plans = payload.get("plans") or []
+        sig = payload.get("signature") or {}
+    except Exception:
+        return 0
+    cur = _dir_signature(spark, sf_dir)
+    for t, old_bytes in sig.items():
+        if t not in cur:
+            continue
+        drift = _rel_drift(old_bytes, cur[t])
+        if drift is not None and drift > MAX_BYTES_DRIFT:
+            return 0
+    log = _PLAN_LOG.setdefault(sf_dir, deque(maxlen=PLAN_LOG_LIMIT))
+    log.extend(str(p) for p in plans)
+    return len(plans)
+
+
 def reset(sf_dir: str | None = None) -> None:
     """Drop observations (and the collected-marker set) — test/tool
     hook, mirrors `tables.invalidate_table_cache`."""

@@ -173,6 +173,54 @@ def test_autotune_charges_only_the_filtered_relation(
     assert (out, "documents") not in tables._STATS_CACHE
 
 
+def test_observation_log_persists_across_sessions(spark, sf_dir, tmp_path):
+    """Round 14 (X61 persistence): session A observes, autotunes with
+    write=True and saves the log; a 'restarted' session (reset +
+    invalidated caches) loads the persisted log and autotunes against
+    the persisted sidecars with ZERO re-collection and zero Spark
+    jobs. A log whose recorded signature drifted past the X38 byte
+    threshold is refused."""
+    out = str(tmp_path)
+    for t in ("orders", "lineitem", "customer", "nation", "region"):
+        tables.load_table(spark, sf_dir, t).write.parquet(
+            f"{out}/{t}.parquet"
+        )
+    autotune.reset(out)
+    df = tables.load_table(spark, out, "orders").filter(
+        "o_totalprice >= 1000.0"
+    )
+    autotune.observe(df, out)
+    report = autotune.autotune(spark, out, write=True)
+    assert "o_totalprice" in report.get("orders", {}).get(
+        "histograms", []
+    ), report
+    log_path = f"{out}/_observations.json"
+    assert autotune.save_observation_log(spark, out, log_path) == 1
+
+    # restart: drop every piece of session state
+    autotune.reset(out)
+    tables.invalidate_table_cache(out)
+    assert autotune.observed_count(out) == 0
+    assert autotune.load_observation_log(spark, out, log_path) == 1
+    before = _last_job_id(spark)
+    report2 = autotune.autotune(spark, out)
+    after = _last_job_id(spark)
+    assert report2 == {}, (
+        "the restarted session must re-collect nothing the prior "
+        f"session persisted: {report2}"
+    )
+    assert after == before, "restart autotune must run zero Spark jobs"
+
+    # drift gate: a grown lake invalidates the persisted observations
+    tables.load_table(spark, sf_dir, "orders").write.mode(
+        "append"
+    ).parquet(f"{out}/orders.parquet")
+    tables.invalidate_table_cache(out)
+    autotune.reset(out)
+    assert autotune.load_observation_log(spark, out, log_path) == 0
+    assert autotune.observed_count(out) == 0
+
+
 def test_reset_drops_observations(spark, tuned_dir):
     autotune.reset(tuned_dir)
     assert autotune.observed_count(tuned_dir) == 0

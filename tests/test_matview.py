@@ -148,6 +148,35 @@ def test_snapshot_visibility_set_computed_once(
     assert _rows(df) == _rows(_compute_from_raw(spark, sf_dir, "day"))
 
 
+def test_rollup_incremental_served_from_store(spark, sf_dir, monkeypatch):
+    """Round 14 (X62 dogfood): q_rollup_incremental's read path routes
+    through the navigator, the freshly-maintained store passes the
+    Σcnt freshness gate, and the returned frame's plan scans the STORE
+    partials — never the raw events table."""
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.matview as M
+    from custom_python_etl_data_connector_shivaask_username_spark import registry
+
+    registry.load_all()
+    routes: list[str] = []
+    orig = M.route_event_rollup
+
+    def spy(*a, **k):
+        df, route = orig(*a, **k)
+        routes.append(route)
+        return df, route
+
+    monkeypatch.setattr(M, "route_event_rollup", spy)
+    out = registry.QUERIES["q_rollup_incremental"](spark, sf_dir)
+    assert routes == ["store"], routes
+    plan = formatted_plan(out)
+    assert "events.parquet" not in plan, (
+        "the served read must scan the maintained store, not raw events"
+    )
+    # and the serve is value-identical to the direct raw computation
+    raw = _compute_from_raw(spark, sf_dir, "hour")
+    assert _rows(out) == _rows(raw)
+
+
 def test_refresh_sees_live_fed_events(spark, sf_dir, tmp_path):
     """Round-13 advisor scenario: a live-fed events dir grows
     mid-session. The session memos (load_table file listing +

@@ -43,7 +43,12 @@ from custom_python_etl_data_connector_shivaask_username_spark import registry
 PLANNER_ROUTED = [
     ("q_revenue_by_nation", 0.55),
     ("q_customer_order_counts", 0.70),
-    ("q_incremental_dedup", 1.60),
+    # round 14: the four derived-frame stats_from_plan calls (the worst
+    # re-optimized the near_c gram mega-tree every planning) are now
+    # increment-bounded derivations from ONE base estimate; what
+    # remains is per-op eager analysis over the ~30-op pipeline
+    # (min-of-7 measured 359-410 ms at sf0.1/local[32])
+    ("q_incremental_dedup", 1.40),
     ("q_lm_quality", 0.70),
 ]
 

@@ -88,13 +88,58 @@ def stream_events(
     return normalize_events_ts(reader.parquet(src), target="timestamp")
 
 
+#: target bytes of stateful-operator state per state partition — the
+#: sizing rule for `adaptive_state_partitions` (round 14). Each state
+#: partition pays a FIXED maintenance cost per micro-batch (snapshot +
+#: delta file + provider bookkeeping), measured near-linear in the
+#: partition count on the sf1 replays (32→8 partitions: stream-stream
+#: join 10-12.6 s → 3.8 s, tumbling dedup 4.4-5.4 s → 2.8 s, rows
+#: identical) — so bounded replays should run just enough partitions
+#: to keep per-partition state inside memory, not the session's
+#: shuffle default.
+STATE_PARTITION_BYTES = 32 * 1024 * 1024
+MIN_STATE_PARTITIONS = 8
+
+
+def adaptive_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State-partition count for a bounded replay over the events feed:
+    ceil(events scan bytes / STATE_PARTITION_BYTES) — state for the
+    watermarked operators is at most feed-sized — clamped to
+    [MIN_STATE_PARTITIONS, session shuffle partitions]. Metadata-only
+    (the memoized relation's file-index size, no scan). On a real
+    cluster the session conf is the ops-set ceiling; locally this
+    lands at the measured-optimal 8 for every fixture scale."""
+    from ..plans.freshness import _scan_bytes
+    from ..tables import bytes_conf, load_table
+
+    try:
+        bytes_ = _scan_bytes(load_table(spark, sf_dir, "events"))
+    except Exception:
+        return MIN_STATE_PARTITIONS
+    cap = max(
+        1, bytes_conf(spark, "spark.sql.shuffle.partitions", 32)
+    )
+    want = -(-int(bytes_) // STATE_PARTITION_BYTES)  # ceil
+    return max(MIN_STATE_PARTITIONS, min(want, cap))
+
+
 def run_stream_to_df(
     sdf: DataFrame,
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a (bounded) streaming DataFrame to completion and return
-    the materialized result: availableNow trigger + memory sink."""
+    the materialized result: availableNow trigger + memory sink.
+
+    ``state_partitions`` (round 14): shuffle/state partition count for
+    THIS query — stateful operators bake the value active at the first
+    batch into the checkpoint (OffsetSeqMetadata), so it is set before
+    start and restored only after termination (restoring right after
+    ``start()`` races the streaming thread's first-batch planning).
+    Restarts from an existing checkpoint keep the checkpointed value
+    by Spark's own contract, so explicit-checkpoint callers stay
+    consistent across runs either way."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     writer = (
         sdf.writeStream.format("memory")
@@ -104,9 +149,18 @@ def run_stream_to_df(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key) if state_partitions else None
+    if state_partitions:
+        spark.conf.set(key, str(int(state_partitions)))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+    return spark.table(name)
 
 
 def foreach_batch_load(
@@ -367,7 +421,11 @@ def q_stream_tumbling_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = deduped.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("event_count")
     )
-    out = run_stream_to_df(counts, "complete")
+    out = run_stream_to_df(
+        counts,
+        "complete",
+        state_partitions=adaptive_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -413,7 +471,9 @@ def q_stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3: 1-hour windows sliding every 30 minutes — each event lands in
     2 windows (the oracle replicates via the shift cross join)."""
     out = run_stream_to_df(
-        sliding_value_sums(stream_events(spark, sf_dir)), "complete"
+        sliding_value_sums(stream_events(spark, sf_dir)),
+        "complete",
+        state_partitions=adaptive_state_partitions(spark, sf_dir),
     )
     return out.select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
@@ -471,7 +531,9 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (lag → new-session flag → running sum), itself the
     formulation that backfills historical sessions at 100 TB."""
     out = run_stream_to_df(
-        session_stats(stream_events(spark, sf_dir)), "complete"
+        session_stats(stream_events(spark, sf_dir)),
+        "complete",
+        state_partitions=adaptive_state_partitions(spark, sf_dir),
     )
     return out.select(
         F.col("user_id"),
@@ -724,7 +786,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOUR")),
     )
-    out = run_stream_to_df(joined, "append")
+    out = run_stream_to_df(
+        joined,
+        "append",
+        state_partitions=adaptive_state_partitions(spark, sf_dir),
+    )
     return (
         out.groupBy(F.col("v_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("pair_count"))

@@ -665,6 +665,33 @@ def plan_star_join(
         from .plans.history import save_history
 
         save_history(spark, history, hist)
+    if skew is None and how.replace("_", "").lower() == "inner":
+        # round 14 (the X58×X61 closure): auto-enable the skew
+        # dispatch whenever any edge-key column carries an equi-depth
+        # histogram — i.e. exactly when the evidence the dispatch
+        # consults exists (autotune/ANALYZE collected it because the
+        # workload priced the column). Strictly free on uniform data:
+        # `hot_key_rows` reads 0 without zero-width hot buckets, so the
+        # inner gates (hot mass > SKEW_HOT_FACTOR× a partition AND
+        # bounded duplication economics) never fire there. Callers can
+        # still pass skew="auto" explicitly for stats-override folds.
+        from .plans.stats import _cols as _cs
+
+        def _has_depth_hist(st: dict, cols) -> bool:
+            return any(
+                (
+                    (st.get("columns", {}).get(c) or {}).get("histogram")
+                    or {}
+                ).get("bounds")
+                for c in cols
+            )
+
+        if any(
+            _has_depth_hist(sts.get(ln, {}), _cs(lc))
+            or _has_depth_hist(sts.get(rn, {}), _cs(rc))
+            for ln, lc, rn, rc in edges
+        ):
+            skew = "auto"
     return plan_join_tree(
         tbls,
         edges,

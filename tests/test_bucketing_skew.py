@@ -537,3 +537,45 @@ def test_bushy_three_fact_graph_salts_only_the_hot_cross_edge(
     )
     assert calls == []
     assert out.count() > 0
+
+
+def test_plan_star_join_auto_enables_skew_on_histogram_evidence(
+    spark, monkeypatch, high_parts, sf_dir
+):
+    """Round 14 (the X58×X61 closure): plan_star_join defaults the skew
+    dispatch ON exactly when an edge-key column carries an equi-depth
+    histogram — the evidence autotune/ANALYZE collect when the workload
+    prices the column — so planner-routed queries salt planted skew
+    WITHOUT opting in, and histogram-free folds stay on the plain path
+    with zero dispatches."""
+    from custom_python_etl_data_connector_shivaask_username_spark import tables as T
+
+    fact, dim = _planted_skew_frames(spark)
+    frames = {"fact": fact, "dim": dim}
+    stats = _skew_stats(frames)
+    edges = [("fact", "fk", "dim", "dk")]
+    calls = _salt_spy(monkeypatch)
+    out, _ = T.plan_star_join(
+        spark, sf_dir, edges, tables=frames, stats=stats,
+        broadcast_threshold=1,
+    )
+    assert calls == ["right"], calls
+    # histogram-free stats: the auto-enable never triggers
+    bare = {
+        n: {
+            **s,
+            "columns": {
+                c: {k: v for k, v in cs.items() if k != "histogram"}
+                for c, cs in s["columns"].items()
+            },
+        }
+        for n, s in stats.items()
+    }
+    out2, _ = T.plan_star_join(
+        spark, sf_dir, edges, tables=frames, stats=bare,
+        broadcast_threshold=1,
+    )
+    assert calls == ["right"], "no evidence, no dispatch"
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    ), "salted and plain answers must be identical"

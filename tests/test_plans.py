@@ -129,8 +129,22 @@ def test_window_topk_uses_group_limit(spark, sf_dir):
 
 
 def test_dedup_is_single_shuffle(spark, sf_dir):
+    """L1 doc-level dedup stays ONE hash-agg shuffle; the registry row
+    additionally carries the round-14 span branch, whose exchanges are
+    its own (span-hash agg + survivor flag join + per-doc rollup +
+    short-doc join) — pinned loosely so a planner improvement can only
+    tighten it."""
+    from pyspark.sql import functions as F
+
+    from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_only = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id"), F.count(F.lit(1))
+    )
+    assert count_exchanges(doc_only) <= 1  # the L1 operator itself
     df = QUERIES["q_dedup_exact_documents"](spark, sf_dir)
-    assert count_exchanges(df) <= 2  # hash agg + output sort
+    assert count_exchanges(df) <= 8  # both branches + union + sort
 
 
 def test_vector_topk_is_scan_plus_takeordered(spark, sf_dir):
@@ -221,11 +235,16 @@ def test_planner_routed_queries_exchange_neutral(spark, sf_dir):
     inner fold + the full-outer nation branch), q_incremental_dedup
     (the shared-lineage disposition fold, X57 USING mode), and
     q_lm_quality (the corpus probe join with honest gram-mass stats).
-    The migration must be exchange-NEUTRAL: the planner reproduces the
-    hand-written plans' shuffle counts (measured on the round-11 tree:
-    5 / 10 / 8)."""
+    The migration must be exchange-NEUTRAL-or-better: the planner
+    reproduces the hand-written plans' shuffle counts (measured on the
+    round-11 tree: 5 / 10 / 8). Round 14: q_incremental_dedup's gram
+    probe join now routes through plan_star_join under honest
+    gram-mass bounds, and the plan-time broadcast hint on the
+    increment side removes one exchange (10 → 9); at production scale
+    the same bound exceeds the budget and the fold stays the
+    documented gram-keyed shuffle join."""
     assert count_exchanges(QUERIES["q_customer_order_counts"](spark, sf_dir)) == 5
-    assert count_exchanges(QUERIES["q_incremental_dedup"](spark, sf_dir)) == 10
+    assert count_exchanges(QUERIES["q_incremental_dedup"](spark, sf_dir)) == 9
     assert count_exchanges(QUERIES["q_lm_quality"](spark, sf_dir)) == 8
 
 

@@ -465,3 +465,40 @@ def test_stream_upsert_tied_versions_replay_stable(spark, tmp_path):
         assert len(rows) == 1
         winners.append((rows[0]["event_type"], rows[0]["value"]))
     assert winners[0] == winners[1]
+
+
+def test_adaptive_state_partitions_sizing(spark, sf_dir):
+    """Round 14: bounded replays size state partitions to the feed
+    (ceil(bytes/32MB)) clamped to [floor, session conf]; a missing dir
+    takes the safe floor."""
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        MIN_STATE_PARTITIONS,
+        adaptive_state_partitions,
+    )
+
+    n = adaptive_state_partitions(spark, sf_dir)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert MIN_STATE_PARTITIONS <= n <= max(cap, MIN_STATE_PARTITIONS)
+    assert (
+        adaptive_state_partitions(spark, "/nonexistent/dir")
+        == MIN_STATE_PARTITIONS
+    )
+
+
+def test_run_stream_restores_shuffle_conf(spark, sf_dir):
+    """state_partitions is scoped to the one query: the session conf is
+    restored after termination, and the result is unchanged."""
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.pipeline import (
+        run_stream_to_df,
+        stream_events,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    counts = (
+        stream_events(spark, sf_dir).groupBy("event_type").count()
+    )
+    out = run_stream_to_df(counts, "complete", state_partitions=4)
+    assert spark.conf.get(key) == before
+    rows = {r["event_type"]: r["count"] for r in out.collect()}
+    assert rows and all(v > 0 for v in rows.values())

@@ -521,6 +521,7 @@ def rollup_quantiles(
     resolution: str = "hour",
     snapshot: bool = False,
     impl: str = "exploded",
+    keep: set[int] | None = None,
 ) -> DataFrame:
     """Approximate percentiles per (window, event_type) served from the
     STORED quantile partials alone — never a raw-event rescan, and
@@ -567,7 +568,10 @@ def rollup_quantiles(
     # computations would be served unaudited — a legacy no-qhist epoch
     # landing in that window would silently contribute zero histogram
     # rows instead of raising 'mixes'.
-    keep = _visible_epochs(spark, store_path) if snapshot else None
+    if keep is None and snapshot:
+        # a caller-supplied keep (the matview navigator) is the SAME
+        # set its freshness audit counted — never recomputed here
+        keep = _visible_epochs(spark, store_path)
     coverage = _qhist_coverage(spark, store_path, snapshot=snapshot, keep=keep)
     if coverage == "none":
         raise ValueError(
@@ -586,6 +590,16 @@ def rollup_quantiles(
             "those batches first"
         )
     parts = _snapshot_parts(spark, store_path, snapshot, keep=keep)
+    return _quantiles_from_parts(parts, qs, resolution, impl)
+
+
+def _quantiles_from_parts(
+    parts: DataFrame, qs: list[float], resolution: str, impl: str
+) -> DataFrame:
+    """Render quantiles from a frame of X51 partials — shared by the
+    store-serving path above and the matview raw fallback (round 14),
+    which builds the SAME partials from raw events so both routes are
+    bit-identical."""
     if impl == "exploded":
         return _rollup_quantiles_exploded(parts, qs, resolution)
     if impl == "arrow":

@@ -118,6 +118,87 @@ def route_event_rollup(
     return df, route
 
 
+def route_event_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    qs: list[float],
+    resolution: str = "hour",
+    snapshot: bool = False,
+    impl: str = "exploded",
+    refresh: bool = False,
+) -> tuple[DataFrame, str]:
+    """The navigator's QUANTILE route (round 14 — the r13 close's
+    candidate (c)): percentile asks served from the store's X51
+    quantile partials when the store CAN answer (grain coarser-or-equal
+    AND full qhist coverage) and IS fresh (the same Σcnt == raw-stats
+    gate as :func:`route_event_rollup`), else computed from the raw
+    events — by building the SAME quantized-histogram partials in
+    memory and rendering them through the SAME code path, so the two
+    routes are BIT-IDENTICAL, not merely close (the matview doctrine:
+    routing never changes answers). Exact raw percentiles are a
+    different ask — `q_event_type_stats` serves those.
+
+    Returns ``(frame, route)``; schema ``(window_start, event_type, q,
+    value)`` at the requested grain either way. Same staleness caveat
+    as :func:`route_event_rollup` for live-fed dirs (``refresh=True``).
+    """
+    if refresh:
+        from ..tables import invalidate_table_cache
+
+        invalidate_table_cache(sf_dir)
+    route = "store"
+    keep = None
+    try:
+        from ..operators.rollup import (
+            _check_serving_resolution,
+            _qhist_coverage,
+            _visible_epochs,
+        )
+
+        _check_serving_resolution(spark, store_path, resolution)
+        if snapshot:
+            keep = _visible_epochs(spark, store_path)
+        if (
+            _qhist_coverage(spark, store_path, snapshot=snapshot, keep=keep)
+            != "all"
+        ):
+            route = "raw"  # legacy/mixed qhist: serving would refuse
+    except Exception:
+        route = "raw"  # finer than stored grain (or unreadable store)
+    if route == "store" and not _store_fresh(
+        spark, sf_dir, store_path, snapshot, keep
+    ):
+        route = "raw"
+    if route == "store":
+        from ..operators.rollup import rollup_quantiles
+
+        df = rollup_quantiles(
+            spark,
+            store_path,
+            qs,
+            resolution=resolution,
+            snapshot=snapshot,
+            impl=impl,
+            keep=keep,
+        )
+    else:
+        from ..operators.rollup import (
+            _quantiles_from_parts,
+            rollup_partials,
+        )
+        from ..tables import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        df = _quantiles_from_parts(
+            rollup_partials(events, resolution=resolution),
+            qs,
+            resolution,
+            impl,
+        )
+    return df, route
+
+
 def _store_fresh(
     spark: SparkSession,
     sf_dir: str,

@@ -208,3 +208,66 @@ def test_refresh_sees_live_fed_events(spark, sf_dir, tmp_path):
     )
     assert route2 == "raw"
     assert total(df2) == 2 * n1, "refresh=True must see the appended feed"
+
+
+def test_quantile_route_store_and_raw_bit_identical(
+    spark, sf_dir, fresh_store, tmp_path
+):
+    """Round 14 (X62 quantile route): a fresh store serves percentiles
+    from the X51 partials; a stale store computes the SAME
+    quantized-histogram estimate from raw events — rows identical, so
+    routing never changes answers."""
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.matview import (
+        route_event_quantiles,
+    )
+
+    qs = [0.5, 0.95]
+    served, route = route_event_quantiles(
+        spark, sf_dir, fresh_store, qs, resolution="day"
+    )
+    assert route == "store"
+    plan = formatted_plan(served)
+    assert "events.parquet" not in plan
+
+    # stale store (partial feed): raw fallback
+    stale = str(tmp_path / "stale")
+    refresh_rollup(
+        load_table(spark, sf_dir, "events").filter("event_type = 'view'"),
+        stale, batch_id=0, resolution="hour",
+    )
+    raw, route2 = route_event_quantiles(
+        spark, sf_dir, stale, qs, resolution="day"
+    )
+    assert route2 == "raw"
+    assert _rows(served) == _rows(raw), (
+        "store-served and raw-computed quantiles must be bit-identical"
+    )
+
+
+def test_quantile_route_refuses_finer_grain_via_raw(spark, sf_dir, tmp_path):
+    """A day-grain store cannot answer an hour ask: the quantile route
+    falls back to raw, and the result equals the raw rendering."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.rollup import (
+        _quantiles_from_parts,
+        rollup_partials,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.matview import (
+        route_event_quantiles,
+    )
+
+    store = str(tmp_path / "day_store")
+    refresh_rollup(
+        load_table(spark, sf_dir, "events"), store, batch_id=0,
+        resolution="day",
+    )
+    df, route = route_event_quantiles(
+        spark, sf_dir, store, [0.5], resolution="hour"
+    )
+    assert route == "raw"
+    direct = _quantiles_from_parts(
+        rollup_partials(load_table(spark, sf_dir, "events"), "hour"),
+        [0.5],
+        "hour",
+        "exploded",
+    )
+    assert _rows(df) == _rows(direct)

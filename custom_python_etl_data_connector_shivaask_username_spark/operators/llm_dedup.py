@@ -150,6 +150,12 @@ def span_dedup_stats(
         )
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
     )
+    # measured negative (round 14): filtering the survivor side to
+    # total > 1 and LEFT-joining (broadcast the dup set) read as the
+    # obvious cut, but interleaved A/B at sf0.1 measured it SLOWER
+    # (2.05 vs 1.61 s min-of-4) — the filtered aggregate is a barrier
+    # the inner join's AQE pipeline doesn't pay. Keep the plain
+    # h-keyed inner join: it reuses the groupBy's exchange at scale.
     surv = spans.groupBy("h").agg(
         F.count(F.lit(1)).alias("total"),
         F.min(F.struct("doc_id", "pos")).alias("s"),

@@ -337,6 +337,11 @@ def monitor_epoch(
         "heavy": [
             {"item": r["item"], "count": r["count"]} for r in heavy
         ],
+        # round 14: the epoch's per-bucket COUNTS — exact-int mergeable
+        # partials (n_buckets values) that let `rolling_reference`
+        # rebuild a follow-the-healthy-past reference WITHOUT ever
+        # rescanning raw epochs
+        "buckets": _epoch_bucket_counts(batch, spec),
     }
     fs_write_text(
         batch.sparkSession,
@@ -344,6 +349,75 @@ def monitor_epoch(
         json.dumps(report),
     )
     return report
+
+
+def _epoch_bucket_counts(batch: DataFrame, spec: dict) -> list[int]:
+    """Exact per-bucket counts of ``batch`` under the frozen ``spec``
+    — n_buckets ints, the mergeable partial a rolling reference sums.
+    One small aggregate; NULLs excluded exactly as `_bucket_shares`
+    does, so merged shares reproduce the batch-equivalent shares
+    bit-for-bit."""
+    from ..operators.drift import _bucket_expr
+
+    rows = batch.filter(F.col(spec["col"]).isNotNull())
+    got = {
+        r["bucket"]: r["c"]
+        for r in rows.groupBy(_bucket_expr(spec).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    return [int(got.get(i, 0)) for i in range(spec["n_buckets"])]
+
+
+def rolling_reference(
+    spark: SparkSession,
+    store_path: str,
+    spec: dict,
+    window: int = 8,
+    statuses: tuple = ("stable",),
+) -> DataFrame:
+    """An INCREMENTAL drift reference (round 14 — the r13 close's
+    monitor candidate): rebuild ``ref_shares`` from the last ``window``
+    HEALTHY epochs' persisted bucket counts, so a long-running monitor
+    follows legitimate slow drift instead of alarming against a
+    forever-frozen baseline — while drifted/alarming epochs
+    (status outside ``statuses``) never contaminate the reference.
+
+    Metadata-scale by construction: the counts are n_buckets ints per
+    report (written by `monitor_epoch` since round 14); no raw epoch
+    is ever rescanned. Exactness: counts are exact ints and the share
+    division is the same IEEE double op `_bucket_shares` performs, so
+    PSI against a rolling reference is BIT-IDENTICAL to PSI against
+    `freeze_histogram` shares recomputed over the same concatenated
+    slices (pinned in tests/test_stream_monitor.py). Raises when no
+    report carries counts (pre-round-14 trail or nothing healthy yet)
+    — absence of a reference must be loud, not a silent all-stable."""
+    reports = [
+        r
+        for r in read_monitor(spark, store_path)
+        if r.get("buckets") is not None and r.get("status") in statuses
+    ]
+    if not reports:
+        raise ValueError(
+            f"no healthy epoch in {store_path!r} carries bucket counts "
+            f"(statuses {statuses!r}) — freeze a reference explicitly "
+            "or monitor at least one healthy epoch first"
+        )
+    n = int(spec["n_buckets"])
+    sums = [0] * n
+    for r in reports[-window:]:
+        for i, c in enumerate(r["buckets"][:n]):
+            sums[i] += int(c)
+    total = sum(sums)
+    if total == 0:
+        raise ValueError(
+            "the selected healthy epochs hold zero non-null rows — a "
+            "reference of empty shares would mislabel everything"
+        )
+    return spark.createDataFrame(
+        [(i, sums[i] / total) for i in range(n)],
+        "bucket int, ref_share double",
+    )
 
 
 def read_monitor(spark: SparkSession, store_path: str) -> list[dict]:

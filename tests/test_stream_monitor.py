@@ -325,3 +325,78 @@ def test_incremental_quantile_reports_equal_full_reads(spark, tmp_path):
         assert calls == []
     finally:
         rollup_mod._snapshot_parts = real_snapshot
+
+
+def test_rolling_reference_tracks_healthy_epochs(spark, tmp_path):
+    """Round 14: the rolling reference rebuilds ref_shares from the
+    persisted per-epoch bucket counts of HEALTHY epochs only — PSI
+    against it is bit-identical to PSI against freeze_histogram shares
+    recomputed over the same concatenated slices, drifted epochs never
+    contaminate it, and slow legitimate drift stops alarming once the
+    reference follows."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.drift import (
+        drift_psi,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.monitor import (
+        rolling_reference,
+    )
+
+    store = str(tmp_path / "store")
+    ref = _slice_df(spark, 4000, 0)
+    spec, frozen = freeze_histogram(ref, "value", n_buckets=10)
+
+    # three healthy epochs near the reference, one hard-drifted epoch
+    slices = {
+        0: _slice_df(spark, 3000, 0),
+        1: _slice_df(spark, 3000, 30),
+        2: _slice_df(spark, 3000, 60),
+        3: _slice_df(spark, 3000, 5000),  # action-grade drift
+    }
+    for e, df in slices.items():
+        monitor_epoch(df, store, e, spec, frozen)
+    reports = {r["epoch"]: r for r in read_monitor(spark, store)}
+    assert all("buckets" in r for r in reports.values())
+    assert reports[3]["status"] == "action"
+    healthy = [e for e in (0, 1, 2) if reports[e]["status"] == "stable"]
+    assert healthy, reports
+
+    roll = rolling_reference(spark, store, spec, window=8)
+    # bit-identical to freezing over the same concatenated slices
+    concat = slices[healthy[0]]
+    for e in healthy[1:]:
+        concat = concat.unionByName(slices[e])
+    _, recomputed = freeze_histogram(concat, "value", n_buckets=10)
+    # NB freeze_histogram would re-derive lo/hi; shares must come from
+    # the SAME spec, so compare via _bucket_shares under `spec`
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.drift import (
+        _bucket_shares,
+    )
+
+    want = {
+        r["bucket"]: r["ref_share"]
+        for r in _bucket_shares(concat, spec, "ref_share").collect()
+    }
+    got = {r["bucket"]: r["ref_share"] for r in roll.collect()}
+    assert got == want, (got, want)
+
+    # the drifted epoch still alarms against the rolling reference...
+    row = drift_psi(slices[3].select("value"), spec, roll).first()
+    assert row["status"] == "action"
+    # ...and a new epoch NEAR the recent healthy past reads stable
+    # against the rolling reference
+    row2 = drift_psi(
+        _slice_df(spark, 3000, 45).select("value"), spec, roll
+    ).first()
+    assert row2["status"] == "stable"
+
+
+def test_rolling_reference_refuses_without_counts(spark, tmp_path):
+    from custom_python_etl_data_connector_shivaask_username_spark.streaming.monitor import (
+        rolling_reference,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_reference(
+            spark, str(tmp_path / "empty"), {"n_buckets": 10}
+        )

@@ -148,6 +148,57 @@ def fresh_edge_rows(
     return None
 
 
+def subtree_history_key(
+    lead: str, comp_edges: list, filter_digest: str = ""
+) -> str:
+    """Canonical history key for a bushy-rung SUBTREE (round 14 —
+    X56×X53): the lead table plus its halo component's edges, order-
+    free (each edge rendered through the symmetric
+    :func:`edge_history_key`, then sorted). The filter digest
+    distinguishes the same chain planned under different declared
+    predicates, exactly as base edges do."""
+    parts = sorted(edge_history_key(*e) for e in comp_edges)
+    return f"subtree:{lead}|{';'.join(parts)}|{filter_digest}"
+
+
+def record_subtree_rows(
+    history: dict[str, Any],
+    key: str,
+    rows: float,
+    member_stats: dict[str, dict | None],
+) -> None:
+    """Remember one measured subtree cardinality with EVERY member
+    table's signature — the probe rides a Bernoulli sample of the
+    lead, so the measurement describes this exact member set at these
+    sizes and nothing else."""
+    history[key] = {
+        "rows": float(rows),
+        "source": "subtree_probe",
+        "sigs": {m: _signature(s) for m, s in member_stats.items()},
+    }
+
+
+def fresh_subtree_rows(
+    history: dict[str, Any],
+    key: str,
+    member_stats: dict[str, dict],
+) -> float | None:
+    """The remembered subtree cardinality — or None when absent, when
+    the member set changed, or when ANY member's current stats drifted
+    past the X38 thresholds vs its recorded signature."""
+    ent = history.get(key)
+    if not ent:
+        return None
+    sigs = ent.get("sigs") or {}
+    if set(sigs) != set(member_stats):
+        return None
+    if all(
+        _signature_fresh(sigs[m], member_stats[m] or {}) for m in sigs
+    ):
+        return float(ent["rows"])
+    return None
+
+
 def executed_join_rows(df: DataFrame) -> list[dict[str, Any]]:
     """Actual per-join output cardinalities from an EXECUTED frame's
     final physical plan — the numbers the AQE UI shows, read from the

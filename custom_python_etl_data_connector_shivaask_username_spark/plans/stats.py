@@ -1098,6 +1098,8 @@ def plan_join_tree(
     probe: str | None = None,
     skew: str | None = None,
     skew_salts: int = 8,
+    history: dict | None = None,
+    history_digest: str = "",
 ) -> tuple[DataFrame, list[str]]:
     """Greedy left-deep join ordering with stats-driven broadcast hints.
 
@@ -1636,14 +1638,45 @@ def plan_join_tree(
                         ratio > PROBE_DISAGREEMENT
                         or ratio < 1.0 / PROBE_DISAGREEMENT
                     ):
-                        s_df, _, _, _ = chain_fold(
-                            cname,
-                            comp_edges,
-                            lead_frame=tables[cname].sample(
-                                fraction=SUBTREE_PROBE_FRACTION, seed=42
-                            ),
+                        # X56×X53 (round 14): a disputed subtree pays
+                        # its sampling scan ONCE per member-set shape —
+                        # the measured cardinality lands in the same
+                        # session history base edges use, keyed by the
+                        # chain signature + filter digest and gated on
+                        # EVERY member's stats signature, so the next
+                        # planning of the same subtree serves from
+                        # memory with zero probes.
+                        from .history import (
+                            fresh_subtree_rows,
+                            record_subtree_rows,
+                            subtree_history_key,
                         )
-                        est = probe_subtree_rows(s_df)
+
+                        m_stats = {m: stats[m] for m in ms}
+                        hkey = subtree_history_key(
+                            cname, comp_edges, history_digest
+                        )
+                        remembered = (
+                            fresh_subtree_rows(history, hkey, m_stats)
+                            if history is not None
+                            else None
+                        )
+                        if remembered is not None:
+                            est = remembered
+                        else:
+                            s_df, _, _, _ = chain_fold(
+                                cname,
+                                comp_edges,
+                                lead_frame=tables[cname].sample(
+                                    fraction=SUBTREE_PROBE_FRACTION,
+                                    seed=42,
+                                ),
+                            )
+                            est = probe_subtree_rows(s_df)
+                            if history is not None:
+                                record_subtree_rows(
+                                    history, hkey, est, m_stats
+                                )
                 cols = list(df.columns)
                 width_sum = sum(width(m) for m in ms)
                 colstats: dict[str, Any] = {}

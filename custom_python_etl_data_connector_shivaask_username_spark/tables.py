@@ -707,4 +707,9 @@ def plan_star_join(
         # shuffle join dispatch the salted form — see plan_join_tree
         skew=skew,
         skew_salts=skew_salts,
+        # round 14 (X56×X53): disputed bushy subtrees consult/record
+        # the same session history base edges use — probe once per
+        # member-set shape, plan from memory afterwards
+        history=hist,
+        history_digest=fdigest,
     )

@@ -221,3 +221,92 @@ def test_no_reregistration_once_history_serves(spark, sf_dir):
     assert any("cor_g[" in k for k in hist), hist
     tables.session_history(sf_dir).clear()
     tables._PENDING_FOLDS.pop(sf_dir, None)
+
+
+def test_subtree_probe_pays_once_then_plans_from_history(spark):
+    """Round 14 (X56×X53): the disputed bushy subtree's sampling scan
+    runs ONCE — the measured cardinality lands in the session history
+    under the chain signature, gated on every member's stats
+    signature — and a re-planning of the same graph serves it with
+    zero probes. A member whose stats drift past the X38 thresholds
+    invalidates the entry and the next planning re-probes."""
+    from pyspark.sql import functions as F
+
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.stats as S
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.stats import (
+        add_equidepth_histograms,
+        collect_table_stats,
+        plan_join_tree,
+    )
+
+    # the round-11 disputed graph: stripped fold ~2k vs kept fold ~1M
+    f1 = spark.range(0, 20_000).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") % 20 == 0, F.lit(500))
+        .otherwise(F.col("id") + 10_000)
+        .alias("k"),
+    )
+    d1 = spark.range(0, 2_000).select(
+        F.when(F.col("id") < 1_000, F.lit(500))
+        .otherwise(F.col("id") + 100_000)
+        .alias("k"),
+        F.col("id").alias("dpay"),
+    )
+    f2 = spark.range(0, 30_000).select(
+        F.col("id").alias("x"), F.col("id").alias("f2pay")
+    )
+    stats = {}
+    for name, df, cols in (
+        ("f1", f1, ["k", "x"]),
+        ("d1", d1, ["k"]),
+        ("f2", f2, ["x"]),
+    ):
+        stats[name] = add_equidepth_histograms(
+            df, collect_table_stats(df), columns=cols
+        )
+    edges = [("f1", "k", "d1", "k"), ("f1", "x", "f2", "x")]
+    frames = {"f1": f1, "d1": d1, "f2": f2}
+    thresh = 1 * 1024 * 1024
+
+    calls: list[int] = []
+    orig = S.probe_subtree_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    S.probe_subtree_rows = spy
+    hist: dict = {}
+    try:
+        p1, _ = plan_join_tree(
+            frames, edges, stats=stats, broadcast_threshold=thresh,
+            probe="auto", history=hist, history_digest="t",
+        )
+        assert len(calls) == 1, "first planning probes the dispute"
+        assert any(k.startswith("subtree:f1|") for k in hist), hist
+        p2, _ = plan_join_tree(
+            frames, edges, stats=stats, broadcast_threshold=thresh,
+            probe="auto", history=hist, history_digest="t",
+        )
+        assert len(calls) == 1, "second planning serves from history"
+        assert sorted(map(tuple, p2.collect())) == sorted(
+            map(tuple, p1.collect())
+        )
+        # a drifted member invalidates the entry: next planning re-probes
+        drifted = {
+            **stats,
+            "d1": {**stats["d1"], "row_count": stats["d1"]["row_count"] * 2},
+        }
+        plan_join_tree(
+            frames, edges, stats=drifted, broadcast_threshold=thresh,
+            probe="auto", history=hist, history_digest="t",
+        )
+        assert len(calls) == 2, "drifted member stats must re-probe"
+        # a different filter digest is a different subtree context
+        plan_join_tree(
+            frames, edges, stats=stats, broadcast_threshold=thresh,
+            probe="auto", history=hist, history_digest="OTHER",
+        )
+        assert len(calls) == 3
+    finally:
+        S.probe_subtree_rows = orig

@@ -60,12 +60,15 @@ g2 AS (
   GROUP BY s.h
 ),
 per_doc AS (
+  -- SUM over ints is HUGEINT in DuckDB; the driver hashes raw Arrow
+  -- values, so cast to the exact Spark twin (test_oracle_types lint)
   SELECT s.doc_id,
          COUNT(*) AS n_spans,
-         SUM(CASE WHEN g.total > 1 THEN 1 ELSE 0 END) AS dup_spans,
-         SUM(CASE WHEN g.total > 1
+         CAST(SUM(CASE WHEN g.total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_spans,
+         CAST(SUM(CASE WHEN g.total > 1
                    AND NOT (s.doc_id = g.s_doc AND s.pos = g2.s_pos)
-              THEN 1 ELSE 0 END) AS removed_spans
+              THEN 1 ELSE 0 END) AS BIGINT) AS removed_spans
   FROM spans s JOIN g USING (h) JOIN g2 USING (h)
   GROUP BY s.doc_id
 )

@@ -182,10 +182,15 @@ def autotune(
         collect_column_group_stats,
         collect_histogram_2d,
         filter_columns_by_relation,
+        join_key_columns_by_relation,
         suggest_column_groups,
         suggest_histogram_pairs,
     )
-    from .stats import add_equidepth_histograms, write_stats_sidecar
+    from .stats import (
+        add_equidepth_histograms,
+        add_hot_key_evidence,
+        write_stats_sidecar,
+    )
 
     plans = list(_PLAN_LOG.get(sf_dir, ()))
     if not plans:
@@ -196,10 +201,18 @@ def autotune(
     # to the old every-table behavior (keep evidence over precision).
     rel_fcols: list[tuple[frozenset, set]] = []
     fcols: set[str] = set()
+    # round 14: equi-join KEY columns mined separately — they earn
+    # heavy-hitter hot-value evidence (the skew dispatch's input),
+    # which filters never surface
+    rel_jcols: list[tuple[frozenset, set]] = []
+    jcols: set[str] = set()
     for p in plans:
         attributed, leftover = filter_columns_by_relation(p)
         rel_fcols += attributed
         fcols |= leftover
+        jattr, jleft = join_key_columns_by_relation(p)
+        rel_jcols += jattr
+        jcols |= jleft
     groups = [
         g["columns"]
         for g in suggest_column_groups(plans, min_count, max_groups)
@@ -223,11 +236,16 @@ def autotune(
         for rnames, rcols in rel_fcols:
             if rnames <= cols:
                 t_fcols |= rcols & cols
+        t_jcols = jcols & cols
+        for rnames, rcols in rel_jcols:
+            if rnames <= cols:
+                t_jcols |= rcols & cols
         # cheap pre-gate on the schema alone: a table the mined
-        # workload never filters/conjoins must not even pay the base
-        # table_stats_cached collection here
+        # workload never filters/joins/conjoins must not even pay the
+        # base table_stats_cached collection here
         if not (
             t_fcols
+            or t_jcols
             or any(set(g) <= cols for g in groups)
             or any(set(p) <= cols for p in pairs)
         ):
@@ -258,7 +276,14 @@ def autotune(
                 for g in (st.get("column_groups") or {}).values()
             )
         ]
-        if not (need_hist or need_groups or need_pairs):
+        need_hot = sorted(
+            c
+            for c in t_jcols
+            if ("hot", t, c) not in done
+            and (st.get("columns", {}).get(c) or {}).get("hot_rows")
+            is None
+        )
+        if not (need_hist or need_groups or need_pairs or need_hot):
             continue
         if need_hist:
             st = add_equidepth_histograms(df, st, columns=need_hist)
@@ -271,6 +296,9 @@ def autotune(
         if need_pairs:
             st = collect_histogram_2d(df, st, need_pairs)
             done.update(("pair", t, tuple(sorted(p))) for p in need_pairs)
+        if need_hot:
+            st = add_hot_key_evidence(df, st, need_hot)
+            done.update(("hot", t, c) for c in need_hot)
         tables._STATS_CACHE[(sf_dir, t)] = st
         if write:
             write_stats_sidecar(spark, f"{sf_dir}/{t}.parquet", st)
@@ -278,5 +306,6 @@ def autotune(
             "histograms": need_hist,
             "groups": ["|".join(sorted(g)) for g in need_groups],
             "pairs": ["|".join(sorted(p)) for p in need_pairs],
+            "hot_keys": need_hot,
         }
     return report

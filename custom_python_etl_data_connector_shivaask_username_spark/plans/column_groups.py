@@ -715,6 +715,48 @@ def filter_columns_by_relation(
     return attributed, leftover
 
 
+def join_key_columns_by_relation(
+    plan: str,
+) -> tuple[list[tuple[frozenset, set]], set[str]]:
+    """Equi-JOIN key columns mined from a plan's Join nodes, attributed
+    to their relations via the same ``name#id`` binding
+    :func:`filter_columns_by_relation` uses (round 14 — the
+    heavy-hitter skew-evidence miner: join keys are where per-VALUE
+    hot mass decides salting, and filters never mention them).
+    Inner joins only — the skew dispatch is inner-only. Returns
+    ``(attributed, leftover)`` with the same contract as the filter
+    miner."""
+    import re
+
+    keys: set[tuple[str, str]] = set()
+    rels: list[set[tuple[str, str]]] = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if s.startswith("Join Inner"):
+            for pat in (
+                r"\(([A-Za-z_]\w*)#(\d+)L? = [A-Za-z_]\w*#\d+L?\)",
+                r"\([A-Za-z_]\w*#\d+L? = ([A-Za-z_]\w*)#(\d+)L?\)",
+            ):
+                keys |= set(re.findall(pat, s))
+        elif s.startswith("Relation"):
+            m = re.search(r"Relation\s*\[([^\]]*)\]", s)
+            if m:
+                rels.append(
+                    set(re.findall(r"([A-Za-z_]\w*)#(\d+)", m.group(1)))
+                )
+    attributed: list[tuple[frozenset, set]] = []
+    claimed: set[tuple[str, str]] = set()
+    for attrs in rels:
+        owned = keys & attrs
+        if owned:
+            attributed.append(
+                (frozenset(n for n, _ in attrs), {n for n, _ in owned})
+            )
+            claimed |= owned
+    leftover = {n for n, _ in keys - claimed}
+    return attributed, leftover
+
+
 def suggest_histogram_pairs(
     workload: list[Any],
     min_count: int = 2,

@@ -710,6 +710,32 @@ def hot_key_rows(stats: dict[str, Any], col: str) -> float:
     return best * rpb
 
 
+def add_hot_key_evidence(
+    df: DataFrame, stats: dict[str, Any], columns: list[str]
+) -> dict[str, Any]:
+    """Record each column's hottest-VALUE mass as the ``hot_rows``
+    scalar :func:`hot_key_rows` prefers (round 14 — heavy-hitter skew
+    evidence). Equi-depth histograms only expose a hot value through
+    zero-width buckets, which needs the value to swallow whole
+    quantile strides; the two-pass Misra-Gries + exact-verify
+    `heavy_hitters` operator measures the top value's EXACT count in
+    two bounded scans, so join keys too skewed for comfort but too
+    diffuse for zero-width buckets still earn dispatch evidence. The
+    count is exact, hence trivially a safe (non-over-estimating)
+    input for the salting economics. Returns a new stats dict; input
+    untouched."""
+    from ..operators.aggregates import heavy_hitters
+
+    out = {**stats, "columns": {**(stats.get("columns") or {})}}
+    for c in columns:
+        top = heavy_hitters(df, c, k=1).collect()
+        if top and top[0]["count"] is not None:
+            cs = {**(out["columns"].get(c) or {})}
+            cs["hot_rows"] = float(top[0]["count"])
+            out["columns"][c] = cs
+    return out
+
+
 def apply_filter_to_stats(
     stats: dict[str, Any],
     col: str,

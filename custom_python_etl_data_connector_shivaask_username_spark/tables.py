@@ -667,28 +667,31 @@ def plan_star_join(
         save_history(spark, history, hist)
     if skew is None and how.replace("_", "").lower() == "inner":
         # round 14 (the X58×X61 closure): auto-enable the skew
-        # dispatch whenever any edge-key column carries an equi-depth
-        # histogram — i.e. exactly when the evidence the dispatch
-        # consults exists (autotune/ANALYZE collected it because the
-        # workload priced the column). Strictly free on uniform data:
-        # `hot_key_rows` reads 0 without zero-width hot buckets, so the
-        # inner gates (hot mass > SKEW_HOT_FACTOR× a partition AND
-        # bounded duplication economics) never fire there. Callers can
+        # dispatch whenever any edge-key column carries dispatch
+        # evidence — an equi-depth histogram (zero-width hot buckets)
+        # or a heavy-hitter `hot_rows` scalar (`add_hot_key_evidence`,
+        # which autotune collects for mined join keys) — i.e. exactly
+        # when the evidence the dispatch consults exists. Strictly
+        # free on uniform data: `hot_key_rows` reads 0 without
+        # zero-width buckets, and a uniform key's exact top count
+        # never clears the SKEW_HOT_FACTOR×partition gate. Callers can
         # still pass skew="auto" explicitly for stats-override folds.
         from .plans.stats import _cols as _cs
 
-        def _has_depth_hist(st: dict, cols) -> bool:
+        def _has_skew_evidence(st: dict, cols) -> bool:
             return any(
                 (
                     (st.get("columns", {}).get(c) or {}).get("histogram")
                     or {}
                 ).get("bounds")
+                or (st.get("columns", {}).get(c) or {}).get("hot_rows")
+                is not None
                 for c in cols
             )
 
         if any(
-            _has_depth_hist(sts.get(ln, {}), _cs(lc))
-            or _has_depth_hist(sts.get(rn, {}), _cs(rc))
+            _has_skew_evidence(sts.get(ln, {}), _cs(lc))
+            or _has_skew_evidence(sts.get(rn, {}), _cs(rc))
             for ln, lc, rn, rc in edges
         ):
             skew = "auto"

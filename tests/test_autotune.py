@@ -221,6 +221,99 @@ def test_observation_log_persists_across_sessions(spark, sf_dir, tmp_path):
     assert autotune.observed_count(out) == 0
 
 
+def test_autotune_hot_key_evidence_enables_skew_dispatch(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (heavy-hitter skew evidence in the loop): a planted
+    50%-hot join key with NO histogram anywhere — the observed
+    workload's Join node is mined, autotune records the key's exact
+    hottest-value mass via the two-pass heavy hitters, and the next
+    planner-routed fold of the same edge salts with no opt-in and no
+    hand-declared statistic. A uniform key collects evidence but never
+    salts (the dispatch gates hold)."""
+    from pyspark.sql import Row
+
+    from custom_python_etl_data_connector_shivaask_username_spark.functions import (
+        skew as skew_mod,
+    )
+
+    out = str(tmp_path)
+    hot_n, fact_rows = 2000, 4000
+    fact = spark.createDataFrame(
+        [
+            Row(row_id=i, fk=0 if i < hot_n else 1 + (i * 37) % 1000,
+                v=float(i))
+            for i in range(fact_rows)
+        ]
+    )
+    dim = spark.createDataFrame(
+        [Row(dk=i, name=f"d{i}") for i in range(300)]
+    )
+    fact.write.parquet(f"{out}/part.parquet")
+    dim.write.parquet(f"{out}/region.parquet")
+    autotune.reset(out)
+
+    # the workload: one executed inner join over the two tables
+    j = tables.load_table(spark, out, "part").join(
+        tables.load_table(spark, out, "region"),
+        F.col("fk") == F.col("dk"),
+    )
+    autotune.observe(j, out)
+    report = autotune.autotune(spark, out)
+    assert "fk" in report.get("part", {}).get("hot_keys", []), report
+    st = tables.table_stats_cached(spark, out, "part")
+    assert st["columns"]["fk"].get("hot_rows") == float(hot_n)
+    assert not (st["columns"]["fk"].get("histogram") or {}).get(
+        "bounds"
+    ), "premise: the evidence is heavy-hitter, not histogram"
+
+    calls = []
+    real = skew_mod.salted_shuffle_join
+
+    def spy(*a, **kw):
+        calls.append(kw.get("salt_side"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(skew_mod, "salted_shuffle_join", spy)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        salted, _ = tables.plan_star_join(
+            spark, out, [("part", "fk", "region", "dk")],
+            broadcast_threshold=1,
+        )
+        assert calls, "hot-key evidence must dispatch the salted join"
+        plain = tables.load_table(spark, out, "part").join(
+            tables.load_table(spark, out, "region"),
+            F.col("fk") == F.col("dk"),
+        )
+        assert sorted(map(str, salted.collect())) == sorted(
+            map(str, plain.select(*salted.columns).collect())
+        )
+        # uniform twin: evidence collected, dispatch never fires
+        calls.clear()
+        uni = str(tmp_path / "uni")
+        spark.createDataFrame(
+            [Row(row_id=i, fk=i % 1000, v=float(i)) for i in range(4000)]
+        ).write.parquet(f"{uni}/part.parquet")
+        dim.write.parquet(f"{uni}/region.parquet")
+        autotune.reset(uni)
+        j2 = tables.load_table(spark, uni, "part").join(
+            tables.load_table(spark, uni, "region"),
+            F.col("fk") == F.col("dk"),
+        )
+        autotune.observe(j2, uni)
+        rep2 = autotune.autotune(spark, uni)
+        assert "fk" in rep2.get("part", {}).get("hot_keys", [])
+        tables.plan_star_join(
+            spark, uni, [("part", "fk", "region", "dk")],
+            broadcast_threshold=1,
+        )
+        assert calls == [], "uniform key must never salt"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_reset_drops_observations(spark, tuned_dir):
     autotune.reset(tuned_dir)
     assert autotune.observed_count(tuned_dir) == 0

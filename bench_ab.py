@@ -94,6 +94,22 @@ def _canaries(sf_dir: str | None) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _parse_band(spec: str) -> dict:
+    """Parse a cpu,io,py canary-ceiling band. Exactly three values —
+    a truncated flag (round-15 advisor: dict(zip(...)) silently gated
+    on two canaries) must fail loudly, not weaken the gate."""
+    try:
+        vals = [float(x) for x in spec.split(",")]
+    except ValueError:
+        vals = []
+    if len(vals) != 3:
+        raise SystemExit(
+            f"--gate-band needs exactly 3 comma-separated values "
+            f"(cpu,io,py), got {len(vals)}: {spec!r}"
+        )
+    return dict(zip(("cpu", "io", "py"), vals))
+
+
 def _wait_for_window(args) -> dict:
     """The low-contention gate (round 14, VERDICT r13 ask #6): poll
     the three canaries until all sit inside the pinned band, up to
@@ -101,12 +117,7 @@ def _wait_for_window(args) -> dict:
     last reading with an `in_band` flag — the campaign proceeds either
     way, but the record carries the evidence, so an out-of-band round
     can never silently masquerade as a clean one."""
-    band = dict(
-        zip(
-            ("cpu", "io", "py"),
-            (float(x) for x in args.gate_band.split(",")),
-        )
-    )
+    band = _parse_band(args.gate_band)
     c: dict = {}
     for attempt in range(args.gate_retries):
         c = _canaries(args.sf_dir)

@@ -132,6 +132,16 @@ def load_observation_log(
     cur = _dir_signature(spark, sf_dir)
     for t, old_bytes in sig.items():
         if t not in cur:
+            # round-15 advisor: a signature table that DISAPPEARED is
+            # maximal shrink, not "no evidence" — the documented
+            # grown/shrunk-past-threshold refusal applies.
+            return 0
+        if not old_bytes:
+            # _rel_drift returns None on old==0 (no denominator); a
+            # table that was empty and now holds bytes is unbounded
+            # growth — refuse rather than pass the gate by accident.
+            if cur[t]:
+                return 0
             continue
         drift = _rel_drift(old_bytes, cur[t])
         if drift is not None and drift > MAX_BYTES_DRIFT:

@@ -728,7 +728,14 @@ def add_hot_key_evidence(
 
     out = {**stats, "columns": {**(stats.get("columns") or {})}}
     for c in columns:
-        top = heavy_hitters(df, c, k=1).collect()
+        # summary_size explicit (round-15 advisor): the k=1 default
+        # (4*k = 4 counters) only certifies items with global count
+        # > n/5, while the skew dispatch fires on hot mass of a few
+        # multiples of n/shuffle_partitions — far below n/5. 256
+        # counters certify anything > n/257, so every dispatch-worthy
+        # key survives the Misra-Gries pass; the pass-2 count stays
+        # exact either way.
+        top = heavy_hitters(df, c, k=1, summary_size=256).collect()
         if top and top[0]["count"] is not None:
             cs = {**(out["columns"].get(c) or {})}
             cs["hot_rows"] = float(top[0]["count"])

@@ -139,7 +139,17 @@ def run_stream_to_df(
     ``start()`` races the streaming thread's first-batch planning).
     Restarts from an existing checkpoint keep the checkpointed value
     by Spark's own contract, so explicit-checkpoint callers stay
-    consistent across runs either way."""
+    consistent across runs either way.
+
+    CONCURRENCY HAZARD (round-15 advisor): the override mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the duration
+    of this query — any batch or stream query PLANNED in the same
+    SparkSession while this one runs silently inherits the overridden
+    count. Safe for this engine's runners (one query at a time per
+    session, and AQE re-coalesces batch shuffles anyway); a caller
+    multiplexing concurrent queries over one session should either
+    skip ``state_partitions`` or plan the concurrent work on
+    ``spark.newSession()``, which holds its own conf copy."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     writer = (
         sdf.writeStream.format("memory")

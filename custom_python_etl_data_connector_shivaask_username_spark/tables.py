@@ -606,12 +606,25 @@ def plan_star_join(
             # loop for the whole session.
             pend = _PENDING_FOLDS.setdefault(sf_dir, {})
             for e in edges:
-                if tuple(e) in er:
-                    continue
                 ln, lc, rn, rc = e
                 colset = frozenset([*_cols(lc), *_cols(rc)])
                 key = edge_history_key(ln, lc, rn, rc, fdigest)
                 prev = pend.get(colset)
+                if tuple(e) in er:
+                    # round-15 advisor (medium): a served edge skips
+                    # REGISTRATION (nothing to harvest for it) but must
+                    # still trip the sticky ambiguity mark when a
+                    # DIFFERENT query's fold is pending on the same
+                    # colset — otherwise harvest_executed on THIS
+                    # query's executed frame would record this query's
+                    # cardinality under the pending fold's filter
+                    # digest, exactly the history poisoning the mark
+                    # exists to prevent. Same-key re-plans (this query
+                    # served from its own history) leave the fold
+                    # untouched.
+                    if prev is not None and prev["key"] != key:
+                        prev["ambiguous"] = True
+                    continue
                 if prev is not None and (
                     prev["key"] != key or prev.get("ambiguous")
                 ):

@@ -88,6 +88,22 @@ def _append(rec: dict) -> None:
     print(json.dumps(rec), file=sys.stderr)
 
 
+def _parse_band(spec: str) -> dict:
+    """Parse a cpu,io,py canary-ceiling band. Exactly three values —
+    a truncated flag (round-15 advisor: dict(zip(...)) silently gated
+    on two canaries) must fail loudly, not weaken the gate."""
+    try:
+        vals = [float(x) for x in spec.split(",")]
+    except ValueError:
+        vals = []
+    if len(vals) != 3:
+        raise SystemExit(
+            f"--band needs exactly 3 comma-separated values "
+            f"(cpu,io,py), got {len(vals)}: {spec!r}"
+        )
+    return dict(zip(("cpu", "io", "py"), vals))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--attempts", type=int, default=12)
@@ -105,9 +121,7 @@ def main() -> None:
         "timed records",
     )
     args = ap.parse_args()
-    band = dict(
-        zip(("cpu", "io", "py"), (float(x) for x in args.band.split(",")))
-    )
+    band = _parse_band(args.band)
     confirms = 0
     for attempt in range(1, args.attempts + 1):
         pre = _canaries(args.sf_dir)

@@ -221,6 +221,43 @@ def test_observation_log_persists_across_sessions(spark, sf_dir, tmp_path):
     assert autotune.observed_count(out) == 0
 
 
+def test_observation_log_drift_gate_edge_cases(spark, sf_dir, tmp_path):
+    """Round-15 advisor: two lake states _rel_drift alone cannot see
+    must still refuse a persisted observation log — a signature table
+    that DISAPPEARED from the dir (maximal shrink), and a recorded
+    0-byte table that now holds bytes (unbounded growth)."""
+    import json
+
+    out = str(tmp_path)
+    tables.load_table(spark, sf_dir, "region").write.parquet(
+        f"{out}/region.parquet"
+    )
+    log_path = f"{out}/_observations.json"
+    plans = ["Filter (r_name = EUROPE)"]
+
+    # positive control: the true signature loads
+    sig = autotune._dir_signature(spark, out)
+    assert sig.get("region"), "premise: region has bytes"
+    autotune.reset(out)
+    with open(log_path, "w") as fh:
+        json.dump({"signature": sig, "plans": plans}, fh)
+    assert autotune.load_observation_log(spark, out, log_path) == 1
+
+    # vanished table: the signature names a table the dir lacks
+    autotune.reset(out)
+    with open(log_path, "w") as fh:
+        json.dump({"signature": {"nation": 1024.0}, "plans": plans}, fh)
+    assert autotune.load_observation_log(spark, out, log_path) == 0
+
+    # empty-then-populated: old bytes 0, current bytes > 0
+    autotune.reset(out)
+    with open(log_path, "w") as fh:
+        json.dump({"signature": {"region": 0.0}, "plans": plans}, fh)
+    assert autotune.load_observation_log(spark, out, log_path) == 0
+    assert autotune.observed_count(out) == 0
+    autotune.reset(out)
+
+
 def test_autotune_hot_key_evidence_enables_skew_dispatch(
     spark, tmp_path, monkeypatch
 ):

@@ -162,6 +162,46 @@ def test_fold_ambiguity_is_sticky_for_the_session(spark, sf_dir):
     tables._PENDING_FOLDS.pop(sf_dir, None)
 
 
+def test_served_edge_still_marks_foreign_pending_fold(spark, sf_dir):
+    """Round-15 advisor (medium): an edge SERVED from history skips
+    registration (round 14 — nothing left to harvest), but when a
+    DIFFERENT query's fold is still pending on the same colset (its
+    join metric read 0 and was never popped), the skip must still trip
+    the sticky ambiguity mark — otherwise harvesting the served
+    query's executed frame records its cardinality under the pending
+    fold's filter-digest key, the exact poisoning the mark prevents."""
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+    edge = [("nation", "n_regionkey", "region", "r_regionkey")]
+    filt = {"region": ("r_name", ("=", "EUROPE"))}
+    # the filtered query executes + harvests: history now serves it
+    j2, _ = tables.plan_star_join(
+        spark, sf_dir, edge, filters=filt, history="session"
+    )
+    j2.collect()
+    assert tables.harvest_executed(spark, j2, sf_dir) == 1
+    # the UNFILTERED query plans (different digest → not served),
+    # registers its fold, and never executes
+    tables.plan_star_join(spark, sf_dir, edge, history="session")
+    colset = frozenset({"n_regionkey", "r_regionkey"})
+    pend = tables._PENDING_FOLDS[sf_dir]
+    assert colset in pend and not pend[colset]["ambiguous"]
+    q1_key = pend[colset]["key"]
+    # the filtered query re-plans: its edge is history-served, and the
+    # skip path must mark the other query's pending fold ambiguous
+    j2b, _ = tables.plan_star_join(
+        spark, sf_dir, edge, filters=filt, history="session"
+    )
+    assert pend[colset]["ambiguous"] is True, pend
+    # so harvesting the served frame records NOTHING under q1's key
+    j2b.collect()
+    assert tables.harvest_executed(spark, j2b, sf_dir) == 0
+    assert q1_key not in tables.session_history(sf_dir)
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+
 def test_harvest_records_inner_nodes_only(spark, sf_dir):
     """Round 14: q_customer_order_counts' LEFT customer⋈orders join
     shares its key-column set {c_custkey, o_custkey} with the revenue

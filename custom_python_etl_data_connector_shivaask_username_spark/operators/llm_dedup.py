@@ -71,13 +71,53 @@ per_doc AS (
               THEN 1 ELSE 0 END) AS BIGINT) AS removed_spans
   FROM spans s JOIN g USING (h) JOIN g2 USING (h)
   GROUP BY s.doc_id
+),
+-- round 15 (the L11 REMOVAL half): the clean branch mirrors
+-- span_dedup_rewrite — ORIGINAL-case tokens survive unless covered by
+-- a removed span occurrence; per-token lower() fingerprints equal the
+-- spans CTE's lower(text)-first hashes on this ASCII corpus, so the
+-- g/g2 survivor CTEs are shared
+toks_o AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+rem AS (
+  SELECT s.doc_id, s.pos AS lo, s.pos + {SPAN_W - 1} AS hi
+  FROM spans s JOIN g USING (h) JOIN g2 USING (h)
+  WHERE g.total > 1 AND NOT (s.doc_id = g.s_doc AND s.pos = g2.s_pos)
+),
+tok_idx AS (
+  SELECT doc_id, i, ws[i] AS tok
+  FROM toks_o, UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT k.doc_id, k.i, k.tok FROM tok_idx k
+  WHERE NOT EXISTS (SELECT 1 FROM rem r
+                    WHERE r.doc_id = k.doc_id AND k.i BETWEEN r.lo AND r.hi)
+),
+clean AS (
+  SELECT t.doc_id,
+         CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         CAST(COUNT(k.i) AS BIGINT) AS kept_tokens,
+         CAST(len(t.ws) - COUNT(k.i) AS BIGINT) AS removed_tokens,
+         md5(COALESCE(array_to_string(
+               list(k.tok ORDER BY k.i) FILTER (WHERE k.i IS NOT NULL),
+               ' '), '')) AS clean_md5
+  FROM toks_o t LEFT JOIN kept k USING (doc_id)
+  GROUP BY t.doc_id, len(t.ws)
 )
 SELECT 'doc' AS branch, MIN(doc_id) AS doc_id,
        COUNT(*) AS dupe_count,
        CAST(NULL AS BIGINT) AS n_spans,
        CAST(NULL AS BIGINT) AS dup_spans,
        CAST(NULL AS BIGINT) AS removed_spans,
-       CAST(NULL AS DOUBLE) AS dup_frac
+       CAST(NULL AS DOUBLE) AS dup_frac,
+       CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS kept_tokens,
+       CAST(NULL AS BIGINT) AS removed_tokens,
+       CAST(NULL AS VARCHAR) AS clean_md5
 FROM documents
 GROUP BY md5(text)
 UNION ALL
@@ -86,10 +126,71 @@ SELECT 'span', d.doc_id, CAST(NULL AS BIGINT),
        COALESCE(p.removed_spans, 0),
        CASE WHEN COALESCE(p.n_spans, 0) > 0
             THEN CAST(p.removed_spans AS DOUBLE) / p.n_spans
-            ELSE 0.0 END
+            ELSE 0.0 END,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+UNION ALL
+SELECT 'clean', c.doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       c.n_tokens, c.kept_tokens, c.removed_tokens, c.clean_md5
+FROM clean c
 ORDER BY branch, doc_id
 """
+
+
+def _span_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, ws): original-case whitespace tokens — the one
+    tokenization both span passes (stats + rewrite) share."""
+    ws = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+
+
+def _span_occurrences(base: DataFrame, w: int, stride: int):
+    """Every sampled window's (doc_id, pos, h) plus the survivor
+    group-by (h, total, s = min (doc_id, pos)). Shared VERBATIM
+    between :func:`span_dedup_stats` and :func:`span_dedup_rewrite` so
+    that when both ride one query (the registry's tagged union) the
+    expression trees are identical and Spark's ReuseExchange serves
+    the second branch from the first's span shuffle instead of
+    re-exploding the token mass. Fingerprints lowercase per token
+    (md5 of the space-joined window — engine-portable)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    n_spans = F.greatest(F.size("ws") - (w - 1), F.lit(0))
+    # NB sequence(1, 0) DESCENDS ([1, 0]); guard the empty case
+    idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans, F.lit(stride)))
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.coalesce(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.transform(
+                                    F.slice("ws", i, w),
+                                    lambda t: F.lower(t),
+                                ),
+                            )
+                        ).alias("h"),
+                    ),
+                ),
+                F.array().cast("array<struct<pos:int,h:string>>"),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    surv = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.min(F.struct("doc_id", "pos")).alias("s"),
+    )
+    return spans, surv
 
 
 def span_dedup_stats(
@@ -123,46 +224,14 @@ def span_dedup_stats(
     short-doc left join shuffle on the id. Raising ``stride`` to w/2
     trades recall of short overlaps for proportionally less shuffle
     mass — same plan, production knob."""
-    if stride < 1:
-        raise ValueError(f"stride must be >= 1, got {stride}")
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"),
-        lambda x: F.length(x) > 0,
-    )
-    n_spans = F.greatest(F.size("ws") - (w - 1), F.lit(0))
-    # NB sequence(1, 0) DESCENDS ([1, 0]); guard the empty case
-    idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans, F.lit(stride)))
-    spans = (
-        docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.coalesce(
-                    F.transform(
-                        idx,
-                        lambda i: F.struct(
-                            i.alias("pos"),
-                            F.md5(
-                                F.concat_ws(" ", F.slice("ws", i, w))
-                            ).alias("h"),
-                        ),
-                    ),
-                    F.array().cast("array<struct<pos:int,h:string>>"),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    )
+    base = _span_base(docs, id_col, text_col)
     # measured negative (round 14): filtering the survivor side to
     # total > 1 and LEFT-joining (broadcast the dup set) read as the
     # obvious cut, but interleaved A/B at sf0.1 measured it SLOWER
     # (2.05 vs 1.61 s min-of-4) — the filtered aggregate is a barrier
     # the inner join's AQE pipeline doesn't pay. Keep the plain
     # h-keyed inner join: it reuses the groupBy's exchange at scale.
-    surv = spans.groupBy("h").agg(
-        F.count(F.lit(1)).alias("total"),
-        F.min(F.struct("doc_id", "pos")).alias("s"),
-    )
+    spans, surv = _span_occurrences(base, w, stride)
     occ = spans.join(surv, "h").select(
         "doc_id",
         (F.col("total") > 1).cast("long").alias("is_dup"),
@@ -199,21 +268,154 @@ def span_dedup_stats(
     )
 
 
+def span_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SPAN_W,
+    stride: int = 1,
+) -> DataFrame:
+    """The REMOVAL half of L11 (round 15, VERDICT r14 ask #1):
+    :func:`span_dedup_stats` counts repeated spans; this emits the
+    CLEANED text a training pipeline actually consumes.
+
+    Overlap policy (pinned): a token is dropped iff it is covered by
+    at least one REMOVED span occurrence (a span whose fingerprint
+    appears more than once globally and which is not the global
+    min-(doc, pos) survivor occurrence) — *removal wins*: tokens a
+    removed span shares with a surviving or unique span are still
+    dropped, and overlapping/adjacent removed spans merge into one
+    interval so no token is counted twice. The survivor occurrence's
+    tokens survive only if no OTHER removed span covers them (an A+A
+    doc whose both copies lost to an earlier doc drops everything).
+    Conservation law: ``kept_tokens + removed_tokens == n_tokens``
+    per doc, with ``removed_tokens`` = the merged-interval mass.
+
+    Output, one row per input doc: ``(id_col, n_tokens, kept_tokens,
+    removed_tokens, clean_text, clean_md5)``. ``clean_text`` is the
+    surviving ORIGINAL-case tokens re-joined with single spaces (the
+    tokenizer normalizes whitespace; fingerprints lowercase per token,
+    matching the stats pass on whitespace-split text). Docs shorter
+    than ``w`` tokens pass through untouched (modulo whitespace
+    normalization).
+
+    100 TB shape — same linear/bucketed plan as the stats pass, plus
+    two bounded per-doc steps: span rows ≈ token mass / stride, one
+    span-hash shuffle with map-side partial agg (and the flag join
+    reusing its exchange); then ONLY the removed occurrences (a small
+    fraction in real corpora) ride an id-keyed window to merge into
+    intervals, and the per-doc interval ARRAY (bounded by merged-run
+    count, not span count) joins back to the token arrays for a
+    JVM-side filter-with-index — no w× token explosion, no Python.
+    ``stride`` > 1 thins removal recall exactly as it thins the stats.
+    """
+    from pyspark.sql import Window
+
+    base = _span_base(docs, id_col, text_col)
+    spans, surv = _span_occurrences(base, w, stride)
+    rem = (
+        spans.join(surv, "h")
+        .filter(
+            (F.col("total") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("s.doc_id"))
+                & (F.col("pos") == F.col("s.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("lo"),
+            (F.col("pos") + (w - 1)).alias("hi"),
+        )
+    )
+    # merge overlapping/adjacent removed intervals per doc: running-max
+    # end over preceding rows flags island starts, cumulative sum
+    # numbers the islands — the classic interval union, all JVM window
+    # work over ONLY the removed occurrences
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        rem.withColumn("prev_hi", F.max("hi").over(w_prev))
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_hi").isNull()
+                | (F.col("lo") > F.col("prev_hi") + 1)
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w_cum))
+        .groupBy("doc_id", "island")
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    ivs = islands.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("lo", "hi"))).alias("ivs"),
+        F.sum(F.col("hi") - F.col("lo") + 1).alias("removed_tokens"),
+    )
+    joined = base.join(ivs, "doc_id", "left").withColumn(
+        "ivs",
+        F.coalesce("ivs", F.array().cast("array<struct<lo:long,hi:long>>")),
+    )
+    kept = F.filter(
+        "ws",
+        lambda tok, i: ~F.exists(
+            "ivs", lambda iv: (i + 1 >= iv.lo) & (i + 1 <= iv.hi)
+        ),
+    )
+    return joined.select(
+        F.col("doc_id").alias(id_col),
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.coalesce("removed_tokens", F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )
+
+
 @query("q_dedup_exact_documents", oracle=_EXACT_DEDUP_ORACLE)
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1 + the round-14 substring row, as a tagged union:
+    """L1 + the round-14 substring row + the round-15 removal row, as
+    a tagged union:
 
     - branch ``doc``: one hash-shuffle on the content digest; survivor
       = min doc_id (deterministic, unlike dropDuplicates' arbitrary
-      row); span columns NULL.
+      row); span/clean columns NULL.
     - branch ``span``: :func:`span_dedup_stats` — per-doc repeated
       w-token-span accounting (n_spans / dup_spans / removed_spans /
-      dup_frac), the substring-level mode doc-hashing cannot see;
-      dupe_count NULL.
+      dup_frac), the substring-level mode doc-hashing cannot see.
+    - branch ``clean``: :func:`span_dedup_rewrite` — the REMOVAL half
+      (round 15): per-doc token conservation (n_tokens / kept_tokens /
+      removed_tokens) and the md5 of the cleaned text a training
+      pipeline consumes (the text itself is elided from the registry
+      row; the md5 value-checks the full reconstruction against the
+      DuckDB oracle).
 
     Consolidated into ONE registry row (the round-6 tagged-union move)
-    to hold the registry at the driver's 50-query window."""
+    to hold the registry at the driver's 50-query window. The span and
+    clean branches share the span-fingerprint groupBy subtree — AQE's
+    ReuseExchange serves the second branch from the first's shuffle."""
     docs = load_table(spark, sf_dir, "documents")
+    null_span = [
+        F.lit(None).cast("long").alias("n_spans"),
+        F.lit(None).cast("long").alias("dup_spans"),
+        F.lit(None).cast("long").alias("removed_spans"),
+        F.lit(None).cast("double").alias("dup_frac"),
+    ]
+    null_clean = [
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("kept_tokens"),
+        F.lit(None).cast("long").alias("removed_tokens"),
+        F.lit(None).cast("string").alias("clean_md5"),
+    ]
     doc_branch = (
         docs.groupBy(F.md5("text").alias("h"))
         .agg(
@@ -224,10 +426,8 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("doc").alias("branch"),
             "doc_id",
             "dupe_count",
-            F.lit(None).cast("long").alias("n_spans"),
-            F.lit(None).cast("long").alias("dup_spans"),
-            F.lit(None).cast("long").alias("removed_spans"),
-            F.lit(None).cast("double").alias("dup_frac"),
+            *null_span,
+            *null_clean,
         )
     )
     span_branch = span_dedup_stats(docs).select(
@@ -238,8 +438,23 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_spans",
         "removed_spans",
         "dup_frac",
+        *null_clean,
     )
-    return doc_branch.unionByName(span_branch).orderBy("branch", "doc_id")
+    clean_branch = span_dedup_rewrite(docs).select(
+        F.lit("clean").alias("branch"),
+        "doc_id",
+        F.lit(None).cast("long").alias("dupe_count"),
+        *null_span,
+        "n_tokens",
+        "kept_tokens",
+        "removed_tokens",
+        "clean_md5",
+    )
+    return (
+        doc_branch.unionByName(span_branch)
+        .unionByName(clean_branch)
+        .orderBy("branch", "doc_id")
+    )
 
 
 # --- shared text shingling ------------------------------------------------------

@@ -2033,7 +2033,7 @@ def test_span_dedup_stride_thins_windows(spark):
 
 def test_q_dedup_exact_documents_branches(spark, sf_dir):
     """The tagged union keeps the L1 rows bit-identical to the old
-    single-branch query and the span branch covers every doc."""
+    single-branch query; the span and clean branches cover every doc."""
     from custom_python_etl_data_connector_shivaask_username_spark.registry import QUERIES
     from custom_python_etl_data_connector_shivaask_username_spark.tables import load_table
 
@@ -2042,6 +2042,7 @@ def test_q_dedup_exact_documents_branches(spark, sf_dir):
     n_docs = docs.count()
     doc_rows = out.filter("branch = 'doc'")
     span_rows = out.filter("branch = 'span'")
+    clean_rows = out.filter("branch = 'clean'")
     legacy = sorted(
         (r["doc_id"], r["dupe_count"])
         for r in docs.groupBy(F.md5("text"))
@@ -2059,3 +2060,111 @@ def test_q_dedup_exact_documents_branches(spark, sf_dir):
         "OR dup_frac < 0 OR dup_frac > 1"
     )
     assert bad.count() == 0
+    # clean branch (round 15): every doc present, conservation law
+    # kept + removed == n_tokens, md5 always materialized
+    assert clean_rows.count() == n_docs
+    assert (
+        clean_rows.filter(
+            "kept_tokens + removed_tokens != n_tokens "
+            "OR clean_md5 IS NULL OR kept_tokens < 0"
+        ).count()
+        == 0
+    )
+
+
+# --- round 15: the L11 removal half (span_dedup_rewrite) --------------------
+
+
+def test_span_rewrite_planted_boilerplate(spark):
+    """The planted 16-token block A: the survivor doc keeps it intact,
+    every other occurrence is cut wholesale, docs without repeats (or
+    too short to span) pass through modulo whitespace normalization."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        span_dedup_rewrite,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_rewrite(_span_docs(spark)).collect()
+    }
+    A = " ".join(f"block{i}" for i in range(16))
+    # doc 1 owns the global survivor: untouched
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["clean_text"].startswith(A)
+    assert out[1]["kept_tokens"] == out[1]["n_tokens"] == 24
+    # doc 2 loses exactly the 16 boilerplate tokens, keeps its head
+    assert out[2]["removed_tokens"] == 16
+    assert out[2]["clean_text"] == " ".join(f"t2u{i}" for i in range(8))
+    # doc 4 (too short to span) and doc 5 (unique) pass through
+    assert out[4]["clean_text"] == "tiny doc below the window"
+    assert out[5]["removed_tokens"] == 0
+    # conservation law on every doc
+    for r in out.values():
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+        assert r["kept_tokens"] == len(
+            [t for t in r["clean_text"].split(" ") if t]
+        )
+
+
+def test_span_rewrite_removal_wins_and_intervals_merge(spark):
+    """Overlap policy pins: doc 3 = A+A where doc 1 owns A's survivor —
+    both A occurrences are removed and their ADJACENT intervals
+    [1,16]+[17,32] merge, so removed_tokens == 32 (no double count)
+    and kept == 0 even though the 15 bridging windows are unique
+    (removal wins over unique/surviving spans' tokens)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        span_dedup_rewrite,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_rewrite(_span_docs(spark)).collect()
+    }
+    assert out[3]["n_tokens"] == 32
+    assert out[3]["removed_tokens"] == 32
+    assert out[3]["kept_tokens"] == 0
+    assert out[3]["clean_text"] == ""
+
+
+def test_span_rewrite_consistent_with_stats(spark):
+    """Cross-operator law: a doc whose stats row says removed_spans==0
+    is untouched by the rewrite; any doc with removed spans loses at
+    least w tokens (a removed span covers w)."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        SPAN_W,
+        span_dedup_rewrite,
+        span_dedup_stats,
+    )
+
+    docs = _span_docs(spark)
+    stats = {r["doc_id"]: r for r in span_dedup_stats(docs).collect()}
+    rw = {r["doc_id"]: r for r in span_dedup_rewrite(docs).collect()}
+    for d in stats:
+        if stats[d]["removed_spans"] == 0:
+            assert rw[d]["removed_tokens"] == 0
+        else:
+            assert rw[d]["removed_tokens"] >= SPAN_W
+
+
+def test_span_rewrite_stride_thins_removal(spark):
+    """stride > 1 samples fewer windows, so removal recall can only
+    drop; conservation still holds; stride 0 rejected."""
+    import pytest as _pytest
+
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        span_dedup_rewrite,
+    )
+
+    docs = _span_docs(spark)
+    s1 = {r["doc_id"]: r for r in span_dedup_rewrite(docs).collect()}
+    s8 = {
+        r["doc_id"]: r
+        for r in span_dedup_rewrite(docs, stride=8).collect()
+    }
+    for d in s8:
+        assert s8[d]["removed_tokens"] <= s1[d]["removed_tokens"]
+        assert s8[d]["kept_tokens"] + s8[d]["removed_tokens"] == s8[d][
+            "n_tokens"
+        ]
+    with _pytest.raises(ValueError):
+        span_dedup_rewrite(docs, stride=0)

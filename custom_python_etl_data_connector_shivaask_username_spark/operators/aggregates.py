@@ -428,21 +428,40 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.when(big, F.col("value")), "avg_big_value"),
     )
     quant = F.floor(F.col("p") * PCT_QUANT + F.lit(0.5)) / PCT_QUANT
-    # explicit bucket_width: events.value spans ~600, so w=1 gives a
-    # ~600-bucket/group histogram (8x fewer collected rows than the
-    # adaptive 65k-bucket geometry, ~0.4 s at sf0.1). Safe because the
-    # operator's round-8 guard re-derives any width whose bucket count
-    # would exceed 4x max_buckets — a fixture change cannot reintroduce
-    # the wide-range driver hazard here. bounds="footer": `value` is
-    # stored unchanged in the events files, so the geometry's min/max
-    # comes from parquet footers — pass 0 costs zero data scanned
-    # (one full scan saved per call; ~0.3-0.7 s measured at sf1.0 —
-    # the X40 composition).
-    pcts = (
-        exact_percentiles_twopass(
+    # round 15 (VERDICT r14 ask #7): where a maintained rollup store
+    # exists for this dir (registered or at the conventional path),
+    # the percentile pass routes through the X62 navigator — pass 1
+    # served from the store's X51 partials, pass 2 still the exact
+    # straddle probe, answers bit-identical either way. Fixture dirs
+    # carry no store, so driver traffic takes the raw branch below
+    # unchanged.
+    from ..plans.matview import (
+        event_store_path,
+        route_event_exact_percentiles,
+    )
+
+    store = event_store_path(spark, sf_dir)
+    if store is not None:
+        pl, _route = route_event_exact_percentiles(
+            spark, sf_dir, store, _PCT_QS
+        )
+    else:
+        # explicit bucket_width: events.value spans ~600, so w=1 gives a
+        # ~600-bucket/group histogram (8x fewer collected rows than the
+        # adaptive 65k-bucket geometry, ~0.4 s at sf0.1). Safe because the
+        # operator's round-8 guard re-derives any width whose bucket count
+        # would exceed 4x max_buckets — a fixture change cannot reintroduce
+        # the wide-range driver hazard here. bounds="footer": `value` is
+        # stored unchanged in the events files, so the geometry's min/max
+        # comes from parquet footers — pass 0 costs zero data scanned
+        # (one full scan saved per call; ~0.3-0.7 s measured at sf1.0 —
+        # the X40 composition).
+        pl = exact_percentiles_twopass(
             ev, "event_type", "value", _PCT_QS, bucket_width=1.0,
             bounds="footer",
         )
+    pcts = (
+        pl
         .groupBy("event_type")
         .agg(
             *[
@@ -460,6 +479,183 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.join(F.broadcast(pcts), "event_type", "left")
         .orderBy("event_type")
     )
+
+
+#: observability for tests: the most recent ``exact_percentiles_qhist``
+#: call's pass sizes (store-served histogram rows, straddling buckets,
+#: pass-2 collected rows, and the pruning range pushed to the scan)
+LAST_QHIST_STATS: dict = {}
+
+
+def _qhist_rep_py(k: int) -> float:
+    """Pure-python twin of rollup's ``_qhist_rep``: the bucket
+    representative, monotone in the true value — the driver's sort key
+    for value-ordering qhist buckets (mirrors `_qhist_sort_surrogate`
+    without numpy; ordering only, never an answer)."""
+    from .rollup import QHIST_K, QHIST_ZERO_KEY
+
+    if k == QHIST_ZERO_KEY:
+        return 0.0
+    if k % 2 == 0:
+        return 2.0 ** ((k // 2 + 0.5) / QHIST_K)
+    return -(2.0 ** (((k - 1) // 2 + 0.5) / QHIST_K))
+
+
+def _qhist_bounds_py(k: int) -> tuple[float, float]:
+    """Conservative [lo, hi] VALUE range of one qhist bucket — for
+    parquet row-group pruning only (membership exactness comes from
+    the ``_qhist_key(value) == k`` predicate, never from these).
+    Extreme octaves absorb the clamp tails, so they widen to ±inf."""
+    import math as _math
+
+    from .rollup import QHIST_K, QHIST_OCT, QHIST_ZERO_KEY
+
+    if k == QHIST_ZERO_KEY:
+        return (0.0, 0.0)
+    key16 = k // 2 if k % 2 == 0 else (k - 1) // 2
+    lo16, hi16 = QHIST_K * -QHIST_OCT, QHIST_K * QHIST_OCT
+    lo_m = -_math.inf if key16 <= lo16 else 2.0 ** (key16 / QHIST_K)
+    hi_m = (
+        _math.inf
+        if key16 >= hi16 - 1
+        else 2.0 ** ((key16 + 1) / QHIST_K)
+    )
+    # one-ulp-ish slack: these bound a PRUNING conjunct, not the answer
+    lo_m = lo_m if lo_m == -_math.inf else lo_m * (1 - 1e-9)
+    hi_m = hi_m if hi_m == _math.inf else hi_m * (1 + 1e-9)
+    if k % 2 == 0:
+        return (lo_m, hi_m)
+    return (-hi_m, -lo_m)
+
+
+def exact_percentiles_qhist(
+    df: DataFrame,
+    key: str,
+    col: str,
+    qs: tuple[float, ...],
+    hist: list,
+) -> DataFrame:
+    """EXACT interpolated percentiles with pass 1 served from X51
+    quantile partials (round 15, VERDICT r14 ask #7): the same
+    answer as :func:`exact_percentiles_twopass`, but the full
+    histogram scan (the only full-table pass in the percentile path)
+    is replaced by the rollup store's already-maintained per-bucket
+    counts. ``hist`` is the folded metadata-scale collect —
+    ``[(group, qhist_key, cnt), ...]`` with counts EXACT for the rows
+    ``df`` holds (the matview navigator's Σcnt freshness gate is the
+    caller's contract; a count that disagrees raises here rather than
+    returning a wrong rank).
+
+    Pass 2 is the twopass operator's, re-keyed to the store's HDR
+    geometry: membership by ``_qhist_key(value) == k`` — the
+    bit-deterministic key function both writers share — plus a global
+    value-range conjunct for parquet row-group pruning, so the only
+    raw read is the straddling buckets' row groups. The driver then
+    resolves the identical order statistics and interpolates the
+    identical IEEE expression, so store-assisted and raw-twopass
+    results are bit-identical, not merely close.
+    """
+    import math as _math
+
+    from .rollup import _qhist_key
+
+    LAST_QHIST_STATS.clear()
+    spark = df.sparkSession
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, q double, p double"
+    by_group: dict = {}
+    for g, k, c in hist:
+        if k is None or not c:
+            continue
+        by_group.setdefault(g, []).append((int(k), int(c)))
+    if not by_group:
+        return spark.createDataFrame([], out_schema)
+
+    # driver: value-order cumsum per group, rank targets, straddling keys
+    targets = []  # (group, q, r, rank, qhist_key, k_local)
+    for g, kl in by_group.items():
+        kl.sort(key=lambda kc: _qhist_rep_py(kc[0]))
+        n = sum(c for _, c in kl)
+        cum_before = 0
+        cums = []
+        for k, c in kl:
+            cums.append((k, cum_before, c))
+            cum_before += c
+        for q in qs:
+            r = q * (n - 1)
+            for rank in {int(_math.floor(r)), int(_math.ceil(r))}:
+                hit = False
+                for k, cb, c in cums:
+                    if cb <= rank < cb + c:
+                        targets.append((g, q, r, rank, k, rank - cb))
+                        hit = True
+                        break
+                if not hit:
+                    raise AssertionError(
+                        f"rank {rank} outside histogram mass for {g!r} "
+                        "— stale partials (caller must gate freshness)"
+                    )
+
+    # pass 2: distinct-value counts inside straddling buckets only
+    pairs = sorted(
+        {(g, k) for g, _, _, _, k, _ in targets},
+        key=lambda p: (p[0] is not None, str(p[0]), p[1]),
+    )
+    los, his = zip(*(_qhist_bounds_py(k) for _, k in pairs))
+    vals = df.select(key, col).where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    )
+    glo, ghi = min(los), max(his)
+    if glo != -_math.inf:
+        vals = vals.where(F.col(col) >= F.lit(glo))
+    if ghi != _math.inf:
+        vals = vals.where(F.col(col) <= F.lit(ghi))
+    qk = _qhist_key(col)
+    in_straddle = None
+    for g, k in pairs:
+        this = F.col(key).eqNullSafe(F.lit(g)) & (qk == F.lit(k))
+        in_straddle = this if in_straddle is None else in_straddle | this
+    vc = (
+        vals.where(in_straddle)
+        .groupBy(key, qk.alias("bucket"), col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    LAST_QHIST_STATS.update(
+        hist_rows=sum(len(v) for v in by_group.values()),
+        straddle_buckets=len(pairs),
+        straddle_rows=len(vc),
+        prune_lo=glo,
+        prune_hi=ghi,
+    )
+    local: dict = {}
+    for row in vc:
+        local.setdefault((row[key], row["bucket"]), []).append(
+            (row[col], row["c"])
+        )
+
+    def order_stat(g, k, k_local):
+        cum = 0
+        for v, c in sorted(local.get((g, k), ())):
+            if cum <= k_local < cum + c:
+                return v
+            cum += c
+        raise AssertionError(
+            f"rank {k_local} not found in bucket ({g!r}, {k}) — store "
+            "counts disagree with the raw rows (stale partials)"
+        )
+
+    by_gq: dict = {}
+    for g, q, r, rank, k, k_local in targets:
+        by_gq.setdefault((g, q, r), {})[rank] = order_stat(g, k, k_local)
+    rows = []
+    for (g, q, r), ks in by_gq.items():
+        v_lo = ks[min(ks)]
+        v_hi = ks[max(ks)]
+        p = v_lo + (v_hi - v_lo) * (r - _math.floor(r))
+        rows.append((g, float(q), float(p)))
+    rows.sort(key=lambda r: (r[0] is not None, str(r[0]), r[1]))
+    return spark.createDataFrame(rows, out_schema)
 
 
 # --- A4: exact percentiles ------------------------------------------------

@@ -199,6 +199,122 @@ def route_event_quantiles(
     return df, route
 
 
+#: per-sf_dir registered (or probed) event rollup store, consulted by
+#: q_event_type_stats' percentile path. None = probed and absent.
+_EVENT_STORES: dict[str, str | None] = {}
+
+
+def register_event_store(sf_dir: str, store_path: str | None) -> None:
+    """Declare (or with None, clear) the rollup store maintained for
+    ``sf_dir``'s events feed — the deployment hook that lets
+    registry queries route through the navigator. Fixture dirs are
+    read-only and never carry one, so driver traffic stays on the raw
+    path untouched."""
+    if store_path is None:
+        _EVENT_STORES.pop(sf_dir, None)
+    else:
+        _EVENT_STORES[sf_dir] = store_path
+
+
+def event_store_path(spark: SparkSession, sf_dir: str) -> str | None:
+    """The store serving ``sf_dir``, if any: an explicit
+    :func:`register_event_store` registration, else a one-time probe
+    for the conventional ``{sf_dir}/_rollup_store`` location
+    (memoized — one metadata call per dir per session; cleared by
+    ``tables.invalidate_table_cache`` siblings' session resets)."""
+    if sf_dir in _EVENT_STORES:
+        return _EVENT_STORES[sf_dir]
+    path = f"{sf_dir.rstrip('/')}/_rollup_store"
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        found = p.getFileSystem(hconf).exists(p)
+    except Exception:
+        found = False
+    _EVENT_STORES[sf_dir] = path if found else None
+    return _EVENT_STORES[sf_dir]
+
+
+def route_event_exact_percentiles(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    qs: tuple[float, ...],
+    snapshot: bool = False,
+) -> tuple[DataFrame, str]:
+    """The navigator's EXACT-percentile route (round 15, VERDICT r14
+    ask #7): serve ``exact_percentiles_twopass``' pass-1 histogram —
+    the only full-table scan in the percentile path — from the store's
+    X51 quantile partials, keeping pass 2 (the straddling-bucket
+    distinct-value probe, parquet-pruned to the straddle row groups)
+    on the raw table so the answer stays EXACT and bit-identical to
+    the raw twopass route. This is a different contract from
+    :func:`route_event_quantiles`, which renders the store's
+    QUANTIZED percentiles (≈2.2% relative error) on both routes; here
+    both routes are exact, and the store merely deletes a full scan.
+
+    Can-answer: qhist coverage "all" at ANY stored grain (the per-type
+    fold collapses time). Is-fresh: the same Σcnt == raw-stats gate —
+    per-bucket counts must describe exactly the rows the raw table
+    holds, or ranks would shift; a disagreement that slips past the
+    gate raises in the rank resolution and falls back here. Returns
+    ``(long frame (key, q, p), route)``."""
+    from ..operators.aggregates import (
+        exact_percentiles_qhist,
+        exact_percentiles_twopass,
+    )
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    route = "store"
+    keep = None
+    try:
+        from ..operators.rollup import _qhist_coverage, _visible_epochs
+
+        if snapshot:
+            keep = _visible_epochs(spark, store_path)
+        if (
+            _qhist_coverage(spark, store_path, snapshot=snapshot, keep=keep)
+            != "all"
+        ):
+            route = "raw"
+    except Exception:
+        route = "raw"
+    if route == "store" and not _store_fresh(
+        spark, sf_dir, store_path, snapshot, keep
+    ):
+        route = "raw"
+    if route == "store":
+        try:
+            from ..operators.rollup import _snapshot_parts
+
+            hist = [
+                (r["event_type"], r["qk"], r["cnt"])
+                for r in (
+                    _snapshot_parts(spark, store_path, snapshot, keep=keep)
+                    .select(
+                        "event_type", F.explode("qhist").alias("qk", "c")
+                    )
+                    .groupBy("event_type", "qk")
+                    .agg(F.sum("c").alias("cnt"))
+                    .collect()
+                )
+            ]
+            return (
+                exact_percentiles_qhist(ev, "event_type", "value", qs, hist),
+                "store",
+            )
+        except Exception:
+            route = "raw"  # torn store past the gate: raw always works
+    return (
+        exact_percentiles_twopass(
+            ev, "event_type", "value", qs, bucket_width=1.0, bounds="footer"
+        ),
+        "raw",
+    )
+
+
 def _store_fresh(
     spark: SparkSession,
     sf_dir: str,

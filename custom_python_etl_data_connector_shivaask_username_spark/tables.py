@@ -110,6 +110,14 @@ def invalidate_table_cache(sf_dir: str | None = None) -> None:
         for k in [k for k in _STATS_CACHE if k[0] == sf_dir]:
             del _STATS_CACHE[k]
         _PENDING_FOLDS.pop(sf_dir, None)
+    # the matview navigator's store-location memo rides the same
+    # lifecycle: a mutated dir may have grown/lost its rollup store
+    from .plans import matview as _mv
+
+    if sf_dir is None:
+        _mv._EVENT_STORES.clear()
+    else:
+        _mv._EVENT_STORES.pop(sf_dir, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -271,3 +271,114 @@ def test_quantile_route_refuses_finer_grain_via_raw(spark, sf_dir, tmp_path):
         "exploded",
     )
     assert _rows(df) == _rows(direct)
+
+
+# --- round 15 (VERDICT r14 ask #7): the EXACT-percentile route ---------------
+
+
+def test_exact_percentile_route_bit_identical_and_pass1_scan_free(
+    spark, sf_dir, fresh_store, monkeypatch
+):
+    """A fresh store serves exact_percentiles_twopass' pass-1 histogram
+    from the X51 partials: the raw twopass operator is NEVER invoked
+    (spy), pass 2 collects only the straddling buckets' rows, and the
+    answer is bit-identical to the raw twopass route."""
+    import custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates as A
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.matview import (
+        route_event_exact_percentiles,
+    )
+
+    qs = (0.5, 0.95, 0.99)
+    raw = A.exact_percentiles_twopass(
+        load_table(spark, sf_dir, "events"), "event_type", "value", qs,
+        bucket_width=1.0, bounds="footer",
+    ).collect()
+
+    def boom(*a, **k):
+        raise AssertionError("store route must not run the raw twopass")
+
+    monkeypatch.setattr(A, "exact_percentiles_twopass", boom)
+    served, route = route_event_exact_percentiles(
+        spark, sf_dir, fresh_store, qs
+    )
+    assert route == "store"
+    got = served.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, raw)), (
+        "store-assisted and raw twopass percentiles must be "
+        "bit-identical"
+    )
+    st = A.LAST_QHIST_STATS
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert st["hist_rows"] > 0
+    assert 0 < st["straddle_rows"] < n_events / 10, (
+        f"pass 2 must touch only straddle rows, got {st}"
+    )
+
+
+def test_exact_percentile_route_stale_store_falls_back(
+    spark, sf_dir, tmp_path
+):
+    """A store missing part of the feed fails the freshness gate; the
+    route is raw and equals the direct twopass."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.aggregates import (
+        exact_percentiles_twopass,
+    )
+    from custom_python_etl_data_connector_shivaask_username_spark.plans.matview import (
+        route_event_exact_percentiles,
+    )
+
+    store = str(tmp_path / "stale")
+    refresh_rollup(
+        load_table(spark, sf_dir, "events").filter("event_type = 'view'"),
+        store, batch_id=0, resolution="hour",
+    )
+    served, route = route_event_exact_percentiles(
+        spark, sf_dir, store, (0.5, 0.99)
+    )
+    assert route == "raw"
+    direct = exact_percentiles_twopass(
+        load_table(spark, sf_dir, "events"), "event_type", "value",
+        (0.5, 0.99), bucket_width=1.0, bounds="footer",
+    )
+    assert _rows(served) == _rows(direct)
+
+
+def test_q_event_type_stats_routes_percentiles_through_store(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """End-to-end registry dogfood: an events dir carrying the
+    conventional `_rollup_store` routes the percentile pass through the
+    navigator (route spied 'store'), and the full query's rows are
+    byte-equal to the raw-path rows on the same dir."""
+    import custom_python_etl_data_connector_shivaask_username_spark.plans.matview as M
+    from custom_python_etl_data_connector_shivaask_username_spark import registry, tables
+
+    registry.load_all()
+    live = str(tmp_path / "live")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(f"{live}/events.parquet")
+    refresh_rollup(
+        tables.load_table(spark, live, "events"),
+        f"{live}/_rollup_store", batch_id=0, resolution="hour",
+    )
+
+    routes: list[str] = []
+    orig = M.route_event_exact_percentiles
+
+    def spy(*a, **k):
+        df, route = orig(*a, **k)
+        routes.append(route)
+        return df, route
+
+    monkeypatch.setattr(M, "route_event_exact_percentiles", spy)
+    tables.invalidate_table_cache(live)  # fresh store-location probe
+    stored = registry.QUERIES["q_event_type_stats"](spark, live).collect()
+    assert routes == ["store"], routes
+
+    # raw twin on the SAME dir: navigator disabled
+    monkeypatch.setattr(M, "event_store_path", lambda *a, **k: None)
+    raw = registry.QUERIES["q_event_type_stats"](spark, live).collect()
+    assert sorted(map(str, stored)) == sorted(map(str, raw)), (
+        "store-routed and raw q_event_type_stats must be byte-equal"
+    )
+    M.register_event_store(live, None)

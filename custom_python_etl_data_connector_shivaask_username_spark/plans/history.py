@@ -166,14 +166,17 @@ def record_subtree_rows(
     key: str,
     rows: float,
     member_stats: dict[str, dict | None],
+    source: str = "subtree_probe",
 ) -> None:
     """Remember one measured subtree cardinality with EVERY member
     table's signature — the probe rides a Bernoulli sample of the
     lead, so the measurement describes this exact member set at these
-    sizes and nothing else."""
+    sizes and nothing else. ``source`` distinguishes probe-sampled
+    subtree estimates from executed virtual-cross-edge outputs (round
+    15); the format and freshness gating are shared."""
     history[key] = {
         "rows": float(rows),
-        "source": "subtree_probe",
+        "source": source,
         "sigs": {m: _signature(s) for m, s in member_stats.items()},
     }
 
@@ -197,6 +200,33 @@ def fresh_subtree_rows(
     ):
         return float(ent["rows"])
     return None
+
+
+def cross_history_key(
+    lead_a: str,
+    edges_a: list,
+    lead_b: str,
+    edges_b: list,
+    lcol,
+    rcol,
+    filter_digest: str = "",
+) -> str:
+    """Canonical history key for one of the bushy combine's VIRTUAL
+    cross edges (round 15, VERDICT r14 ask #2): keyed by COMPONENT
+    CONTENT — each side's subtree signature (lead + halo edges, the
+    same rendering X53 probe entries use) plus the cross columns —
+    so a measured combine-fold cardinality is served only to the
+    exact same subtree pairing under the same declared filters, and
+    never mistaken for a base-pair measurement (which the combine
+    would re-scale by surviving fractions: the round-14 latent
+    double-shrink). Symmetric in the two sides."""
+    a = subtree_history_key(lead_a, edges_a, "")
+    b = subtree_history_key(lead_b, edges_b, "")
+    cols = "~".join(
+        sorted([",".join(_cols(lcol)), ",".join(_cols(rcol))])
+    )
+    lo, hi = (a, b) if a <= b else (b, a)
+    return f"cross:{lo}+{hi}|{cols}|{filter_digest}"
 
 
 def executed_join_rows(df: DataFrame) -> list[dict[str, Any]]:

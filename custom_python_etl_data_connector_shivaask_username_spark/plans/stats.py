@@ -1133,6 +1133,7 @@ def plan_join_tree(
     skew_salts: int = 8,
     history: dict | None = None,
     history_digest: str = "",
+    fold_hook=None,
 ) -> tuple[DataFrame, list[str]]:
     """Greedy left-deep join ordering with stats-driven broadcast hints.
 
@@ -1644,12 +1645,16 @@ def plan_join_tree(
             sub_stats: dict[str, dict] = {}
             sub_order: dict[str, list[str]] = {}
             sub_part: dict[str, list[str]] = {}
+            sub_members: dict[str, list[str]] = {}
+            sub_comp_edges: dict[str, list] = {}
             ambiguous = False
             for ms in comps:
                 cname = comp_of[ms[0]]
                 comp_edges = [
                     e for e in halo if e[0] in ms and e[2] in ms
                 ]
+                sub_members[cname] = list(ms)
+                sub_comp_edges[cname] = comp_edges
                 df, order, est, est_h = chain_fold(cname, comp_edges)
                 # Subtree-level probe dispatch (round 11, X41×X50): the
                 # combine's broadcast decision rides this chain
@@ -1804,6 +1809,62 @@ def plan_join_tree(
                     sub_measured[
                         (comp_of[e[0]], e[1], comp_of[e[2]], e[3])
                     ] = measured[tuple(e)] * scale
+                # X56 for the VIRTUAL cross edges (round 15, VERDICT
+                # r14 ask #2): a combine fold executed before lands in
+                # the history under a COMPONENT-CONTENT key (both
+                # subtrees' signatures + the cross columns + filter
+                # digest) — here it serves UNSCALED, because the
+                # recorded number already IS the halo-shrunk combine
+                # output (re-scaling an executed fold by surviving
+                # fractions was the round-14 latent double-shrink).
+                # Caller-measured base pairs above still outrank it by
+                # doctrine. Unserved edges register through fold_hook
+                # so harvest_executed records them under the same
+                # content key, gated on EVERY member's signature.
+                if history is not None:
+                    from .history import (
+                        cross_history_key,
+                        fresh_subtree_rows,
+                    )
+
+                    for e in cross:
+                        ve = (comp_of[e[0]], e[1], comp_of[e[2]], e[3])
+                        if ve in sub_measured:
+                            continue
+                        ca, cb = comp_of[e[0]], comp_of[e[2]]
+                        ckey = cross_history_key(
+                            ca,
+                            sub_comp_edges[ca],
+                            cb,
+                            sub_comp_edges[cb],
+                            e[1],
+                            e[3],
+                            history_digest,
+                        )
+                        m_stats = {
+                            m: stats[m]
+                            for m in sub_members[ca] + sub_members[cb]
+                        }
+                        remembered = fresh_subtree_rows(
+                            history, ckey, m_stats
+                        )
+                        if remembered is not None:
+                            sub_measured[ve] = remembered
+                        if fold_hook is not None:
+                            # served=True retires the base-key fold the
+                            # caller registered for this colset (there
+                            # is nothing left to harvest, and an
+                            # executed cross join landing on a stale
+                            # base fold would record the combine output
+                            # as a base pair — the double-shrink)
+                            fold_hook(
+                                frozenset(
+                                    [*_cols(e[1]), *_cols(e[3])]
+                                ),
+                                ckey,
+                                m_stats,
+                                remembered is not None,
+                            )
                 joined, rec_order = plan_join_tree(
                     sub_tables,
                     sub_edges,

@@ -303,7 +303,11 @@ def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
     measurement with traffic the fold never described (the next
     planning re-registers)."""
     try:
-        from .plans.history import executed_equi_joins, record_edge_rows
+        from .plans.history import (
+            executed_equi_joins,
+            record_edge_rows,
+            record_subtree_rows,
+        )
 
         pend = _PENDING_FOLDS.get(sf_dir) or {}
         if not pend:
@@ -319,14 +323,26 @@ def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
                 or j.get("join_type") != "Inner"
             ):
                 continue
-            record_edge_rows(
-                hist,
-                fold["key"],
-                j["rows"],
-                fold["left_stats"],
-                fold["right_stats"],
-                source="executed",
-            )
+            if fold.get("member_stats") is not None:
+                # a bushy VIRTUAL cross fold (round 15): the content
+                # key + every member's signature — served unscaled by
+                # the combine, never mistaken for a base pair
+                record_subtree_rows(
+                    hist,
+                    fold["key"],
+                    j["rows"],
+                    fold["member_stats"],
+                    source="executed",
+                )
+            else:
+                record_edge_rows(
+                    hist,
+                    fold["key"],
+                    j["rows"],
+                    fold["left_stats"],
+                    fold["right_stats"],
+                    source="executed",
+                )
             pend.pop(j["keys"], None)
             n += 1
         return n
@@ -568,6 +584,7 @@ def plan_star_join(
     hist = None
     hist_dirty = False
     fdigest = ""
+    fold_hook = None
     if history == "session":
         # round 13: the dogfood mode — the per-sf_dir session store,
         # populated by harvest_executed / the probe recorder and
@@ -652,6 +669,42 @@ def plan_star_join(
                     "right_stats": sts.get(rn),
                     "ambiguous": False,
                 }
+            # round 15 (VERDICT r14 ask #2): when the bushy rung turns
+            # a cross edge into a VIRTUAL combine fold, its executed
+            # cardinality is the halo-shrunk combine output — recording
+            # it under the base-pair key would double-shrink on the
+            # next serve. The rung refines the registration through
+            # this hook: the colset's fold re-keys to the component-
+            # content cross key (with every member's signature), so the
+            # harvest records — and the next planning serves — the
+            # right quantity. A colset claimed by a DIFFERENT query's
+            # fold goes sticky-ambiguous instead, same as base edges.
+            base_keys = {
+                edge_history_key(*e, fdigest) for e in edges
+            }
+
+            def fold_hook(colset, ckey, member_stats, served, _pend=pend):
+                prev = _pend.get(colset)
+                if prev is not None and prev["key"] not in base_keys | {
+                    ckey
+                }:
+                    prev["ambiguous"] = True
+                    return
+                if served:
+                    # history already answers this virtual fold: retire
+                    # this planning's own base-key registration so the
+                    # harvest cannot record the combine output under a
+                    # base-pair key (a sticky-ambiguous mark survives —
+                    # popping it would un-poison the colset)
+                    if prev is not None and not prev.get("ambiguous"):
+                        _pend.pop(colset, None)
+                    return
+                _pend[colset] = {
+                    "key": ckey,
+                    "member_stats": member_stats,
+                    "ambiguous": bool(prev and prev.get("ambiguous")),
+                }
+
         edge_rows = er or None
     if probe == "auto" and how.replace("_", "").lower() == "inner":
         from .plans.stats import estimate_join_rows_validated
@@ -736,4 +789,7 @@ def plan_star_join(
         # member-set shape, plan from memory afterwards
         history=hist,
         history_digest=fdigest,
+        # round 15: virtual cross edges re-key their pending folds to
+        # component content through this hook (None without history)
+        fold_hook=fold_hook,
     )

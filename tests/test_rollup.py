@@ -52,6 +52,48 @@ def test_refresh_touches_only_its_partitions(spark, tmp_path):
     assert len(after) > len(before)
 
 
+def test_concurrent_refreshes_distinct_ids(spark, tmp_path):
+    """Round-15 pin for the parallel-delivery path q_rollup_incremental
+    now uses: three deliveries with DISTINCT batch ids committed from
+    concurrent threads must produce a store byte-equivalent (same
+    cells, same merged reads) to the sequential application — each
+    writer stages under its own uuid root and commits only its own
+    ``(day, batch_id)`` cells, so concurrency is invisible."""
+    import concurrent.futures as cf
+
+    rows = [
+        (d, h, 0, t, float(d * 10 + h))
+        for d in (1, 2, 3)
+        for h in (8, 9)
+        for t in ("view", "click")
+    ]
+    feeds = [
+        _events(spark, rows[0::3]),
+        _events(spark, rows[1::3]),
+        _events(spark, rows[2::3]),
+    ]
+    seq_store = str(tmp_path / "seq")
+    for i, b in enumerate(feeds):
+        refresh_rollup(b, seq_store, batch_id=i)
+    conc_store = str(tmp_path / "conc")
+    with cf.ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(refresh_rollup, b, conc_store, i)
+            for i, b in enumerate(feeds)
+        ]
+        for f in futs:
+            f.result()
+    seq = sorted(map(tuple, read_rollup(spark, seq_store).collect()))
+    conc = sorted(map(tuple, read_rollup(spark, conc_store).collect()))
+    assert seq == conc
+    # cell layout identical: same relative parquet dirs in both stores
+    rel = lambda p, root: sorted(
+        os.path.relpath(os.path.dirname(f), root)
+        for f in glob.glob(f"{root}/**/*.parquet", recursive=True)
+    )
+    assert rel(seq_store, seq_store) == rel(conc_store, conc_store)
+
+
 def test_replay_same_batch_id_is_idempotent(spark, tmp_path):
     store = str(tmp_path / "store")
     rows = [(1, 10, 0, "view", 1.0), (1, 11, 0, "view", 5.0)]

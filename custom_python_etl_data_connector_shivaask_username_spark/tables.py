@@ -112,10 +112,13 @@ def invalidate_table_cache(sf_dir: str | None = None) -> None:
     if sf_dir is None:
         _STATS_CACHE.clear()
         _PENDING_FOLDS.clear()
+        for d in list(_PLANNING_EPOCH):
+            _PLANNING_EPOCH[d] += 1
     else:
         for k in [k for k in _STATS_CACHE if k[0] == sf_dir]:
             del _STATS_CACHE[k]
         _PENDING_FOLDS.pop(sf_dir, None)
+        _PLANNING_EPOCH[sf_dir] = _PLANNING_EPOCH.get(sf_dir, 0) + 1
     # the matview navigator's store-location memo rides the same
     # lifecycle: a mutated dir may have grown/lost its rollup store
     from .plans import matview as _mv
@@ -283,6 +286,17 @@ _PENDING_FOLDS: dict[str, dict[frozenset, dict]] = {}
 #: analysis over a ~30-op pipeline.
 _PLAN_MEMO: dict[SparkSession, dict] = {}
 
+#: Monotonic per-dir planning epoch, bumped whenever a harvest consumes
+#: pending folds (and on explicit invalidation). Part of the memo's
+#: state version because the (stats, history, conf) tuple alone is NOT
+#: monotonic: a caller that harvests and then CLEARS the session
+#: history returns the tuple to a previously-stored value, and the
+#: memo would re-serve a frame whose one-shot pending folds were
+#: already consumed — its re-execution harvests zero edges and the
+#: self-tuning loop silently stops learning (caught by the round-15
+#: full-suite run of test_history_dogfood under cross-file ordering).
+_PLANNING_EPOCH: dict[str, int] = {}
+
 
 def _planning_state_version(spark: SparkSession, sf_dir: str) -> tuple:
     """Cheap fingerprint of everything a planner-routed construction
@@ -307,7 +321,7 @@ def _planning_state_version(spark: SparkSession, sf_dir: str) -> tuple:
         )
     except Exception:
         confs = ()
-    return (stats_v, hist_v, confs)
+    return (_PLANNING_EPOCH.get(sf_dir, 0), stats_v, hist_v, confs)
 
 
 def memoized_plan(
@@ -408,6 +422,14 @@ def harvest_executed(spark: SparkSession, frame, sf_dir: str) -> int:
                 )
             pend.pop(j["keys"], None)
             n += 1
+        if n:
+            # folds were consumed: any memoized plan built against
+            # them is one-shot-spent — advance the epoch so the next
+            # identical-looking (stats, history, conf) state still
+            # re-constructs (see _PLANNING_EPOCH)
+            _PLANNING_EPOCH[sf_dir] = (
+                _PLANNING_EPOCH.get(sf_dir, 0) + 1
+            )
         return n
     except Exception:
         return 0

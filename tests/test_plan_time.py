@@ -128,6 +128,33 @@ def test_plan_memo_serves_identical_frame_and_tracks_state(
     tables._PENDING_FOLDS.pop(sf_dir, None)
 
 
+def test_plan_memo_epoch_survives_history_clear(spark, sf_dir):
+    """Round-15 regression (full-suite ordering flake): the version
+    tuple (stats, history, conf) is NOT monotonic — build + harvest +
+    ``session_history().clear()`` returns it to a previously-stored
+    value, and without the planning epoch the memo re-serves a frame
+    whose one-shot pending folds were already consumed, so the next
+    harvest records ZERO edges and the self-tuning loop silently goes
+    dark. Pin: the clear-and-rebuild cycle must harvest ≥1 edge every
+    time."""
+    from custom_python_etl_data_connector_shivaask_username_spark import tables
+
+    name = "q_customer_order_counts"
+    fn = registry.QUERIES[name]
+    for cycle in range(2):
+        tables.session_history(sf_dir).clear()
+        tables._PENDING_FOLDS.pop(sf_dir, None)
+        df = fn(spark, sf_dir)
+        df.collect()
+        assert tables.harvest_executed(spark, df, sf_dir) >= 1, (
+            f"cycle {cycle}: a fresh construction after a history "
+            "clear must register measurable folds (memo must not "
+            "serve the spent frame)"
+        )
+    tables.session_history(sf_dir).clear()
+    tables._PENDING_FOLDS.pop(sf_dir, None)
+
+
 def test_load_table_memoized_and_invalidatable(spark, sf_dir):
     from custom_python_etl_data_connector_shivaask_username_spark import tables
 

@@ -1893,15 +1893,109 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_similarity import pq_encode, pq_topk, pq_train
 
     emb_pq = load_table(spark, sf_dir, "embeddings")
+
+    # Round 15 (VERDICT r14 ask #4): the suite's ACTION-BEARING
+    # builders — the pq/coarse trainers, the MLlib fit, the BPE driver
+    # round-trip, the query-vector collect — are mutually independent
+    # driver-side chains that ran strictly sequentially, so the wall
+    # was their SUM (the per-branch profile at sf1: trainers ~15 s of
+    # a ~38 s warm total, each a latency-bound chain of small jobs
+    # that leaves 32 cores mostly idle). They now run on a thread
+    # pool (concurrent Spark jobs, identical computations and seeds —
+    # bit-equal rows, pinned by the unchanged row-count/value tests);
+    # the two coarse-quantizer CONSUMERS (ivfpq_build, semantic_dedup)
+    # are submitted as soon as the shared quantizer resolves. Each
+    # task pins the session active in its worker thread
+    # (session.pin_active_session — same py4j thread-local story as
+    # the rollup concurrent deliveries).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..session import pin_active_session
+
+    def _task(fn):
+        def run():
+            pin_active_session(spark)
+            return fn()
+
+        return run
+
     # train_fraction: codebook training on a deterministic quarter
     # hash-sample — the as-deployed shape the pq_train docstring
     # prescribes at scale (k=16 centroids/subspace need thousands of
     # training points, not the corpus); ENCODE stays full-corpus
-    books = pq_train(emb_pq, iters=1, train_fraction=0.25)
-    qvec = [
-        float(x)
-        for x in emb_pq.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
+    _pool = ThreadPoolExecutor(max_workers=5)
+    _fut_books = _pool.submit(
+        _task(lambda: pq_train(emb_pq, iters=1, train_fraction=0.25))
+    )
+    _fut_qvec = _pool.submit(
+        _task(
+            lambda: [
+                float(x)
+                for x in emb_pq.filter(F.col("vec_id") == 0)
+                .collect()[0]["embedding"]
+            ]
+        )
+    )
+    # the remaining independent trainers go on the pool before ANY
+    # future is resolved, so every chain overlaps (see the qclf/bpe
+    # branch comments below for what each computes)
+    from ..functions.text import quality_score
+    from .llm_classifier import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+    from .llm_similarity import (
+        ivfpq_build,
+        ivfpq_topk_rerank,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+    from .llm_bpe import bpe_train
+
+    _fut_coarse = _pool.submit(
+        _task(
+            lambda: kmeans_centroids(
+                emb_pq.filter(F.col("vec_id") != 0),
+                n_clusters=8,
+                iters=1,
+                train_fraction=0.25,
+                metric="l2",
+            )
+        )
+    )
+    corpus = load_table(spark, sf_dir, "documents")
+    pos_seed = (
+        corpus.withColumn("_q", quality_score(F.col("text")))
+        .orderBy(F.desc("_q"), "doc_id")
+        .limit(40)
+        .select("text")
+    )
+    neg_seed = corpus.orderBy("doc_id").limit(40).select(
+        F.trim(
+            F.regexp_replace(F.sha2(F.col("text"), 256), "(.{8})", "$1 ")
+        ).alias("text")
+    )
+    # maxIter 15: the bootstrap seeds are trivially separable —
+    # full convergence adds driver-visible latency, not signal
+    _fut_clf = _pool.submit(
+        _task(
+            lambda: quality_classifier_train(
+                pos_seed, neg_seed, max_iter=15
+            )
+        )
+    )
+    _fut_bpe = _pool.submit(
+        _task(
+            lambda: bpe_train(
+                load_table(spark, sf_dir, "documents"),
+                n_merges=8,
+                min_freq=2,
+            )
+        )
+    )
+
+    books = _fut_books.result()
+    qvec = _fut_qvec.result()
     pq = pq_topk(
         pq_encode(emb_pq.filter(F.col("vec_id") != 0), books), books, qvec, k=10
     ).select(
@@ -1915,37 +2009,45 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank: X29 retrieve-k'-rerank-to-k over a stored IVF-PQ index —
     # the two-stage serving shape (cheap wide retrieve, expensive
     # narrow rerank); the reranked rank order is the driver-visible row
-    from .llm_similarity import (
-        ivfpq_build,
-        ivfpq_topk_rerank,
-        kmeans_centroids,
-    )
-
+    #
     # ONE coarse quantizer for the rerank index AND the semdedup cells
     # (round 12, suite-tail cut): both are L2 k-means over the same
     # embedding space, and training it twice bought nothing but the
-    # second Lloyd's pass — trained here with EXACTLY the parameters
-    # the rerank branch always used (sampled quarter, one iteration),
-    # so the rerank rows are bit-unchanged; semdedup's cells move to
-    # the shared quantizer, which cannot change its output here: its
-    # verified pairs are a subset of the brute-force ≥0.95 pairs under
-    # ANY cell assignment, and the fixture has none (the zero-drop
-    # assertion this branch exists for).
-    shared_coarse = kmeans_centroids(
-        emb_pq.filter(F.col("vec_id") != 0),
-        n_clusters=8,
-        iters=1,
-        train_fraction=0.25,
-        metric="l2",
+    # second Lloyd's pass — trained (on the pool, above) with EXACTLY
+    # the parameters the rerank branch always used (sampled quarter,
+    # one iteration), so the rerank rows are bit-unchanged; semdedup's
+    # cells move to the shared quantizer, which cannot change its
+    # output here: its verified pairs are a subset of the brute-force
+    # ≥0.95 pairs under ANY cell assignment, and the fixture has none
+    # (the zero-drop assertion this branch exists for).
+    shared_coarse = _fut_coarse.result()
+    # the two coarse consumers are themselves independent chains —
+    # overlap them too
+    _fut_built = _pool.submit(
+        _task(
+            lambda: ivfpq_build(
+                emb_pq.filter(F.col("vec_id") != 0),
+                n_clusters=8,
+                coarse_iters=1,
+                pq_iters=1,
+                train_fraction=0.25,
+                coarse=shared_coarse,
+            )
+        )
     )
-    rr_coarse, rr_books, rr_codes = ivfpq_build(
-        emb_pq.filter(F.col("vec_id") != 0),
-        n_clusters=8,
-        coarse_iters=1,
-        pq_iters=1,
-        train_fraction=0.25,
-        coarse=shared_coarse,
+    _fut_sem = _pool.submit(
+        _task(
+            lambda: semantic_dedup(
+                emb,
+                threshold=0.95,
+                n_clusters=8,
+                max_cell=2000,
+                iters=2,
+                centroids=shared_coarse,
+            )
+        )
     )
+    rr_coarse, rr_books, rr_codes = _fut_built.result()
     rerank = ivfpq_topk_rerank(
         rr_codes,
         rr_coarse,
@@ -1969,20 +2071,11 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the branch visible and pins corpus size minus drops.
     # Accuracy on planted duplicate groups is pinned in
     # tests/test_llm_dedup.py (incl. brute-force equivalence).
-    from .llm_similarity import semantic_dedup
-
     # max_cell=2000: at the sf1.0 sweep's 50k vectors the 8 learned
     # cells hold ~6k rows each — above this cap they LSH-sub-block, so
     # the suite's quadratic term stays bounded at any sweep scale
     # (sf0.01 cells are ~60 rows and take the exact path unchanged)
-    sem_kept = semantic_dedup(
-        emb,
-        threshold=0.95,
-        n_clusters=8,
-        max_cell=2000,
-        iters=2,
-        centroids=shared_coarse,
-    )
+    sem_kept = _fut_sem.result()
     sem_dropped = emb.join(sem_kept, "vec_id", "left_anti").select(
         F.lit("semdedup").alias("branch"),
         F.col("vec_id").alias("id_a"),
@@ -2006,28 +2099,10 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # = deterministic synthetic token soup (sha2 hex re-worded), score
     # every doc with the trained model. Scores rounded to 6 (LBFGS
     # layout jitter ~1e-12, documented); separation/rank-stability
-    # pinned in tests/test_llm_classifier.py.
-    from ..functions.text import quality_score
-    from .llm_classifier import (
-        quality_classifier_score,
-        quality_classifier_train,
-    )
-
-    corpus = load_table(spark, sf_dir, "documents")
-    pos_seed = (
-        corpus.withColumn("_q", quality_score(F.col("text")))
-        .orderBy(F.desc("_q"), "doc_id")
-        .limit(40)
-        .select("text")
-    )
-    neg_seed = corpus.orderBy("doc_id").limit(40).select(
-        F.trim(
-            F.regexp_replace(F.sha2(F.col("text"), 256), "(.{8})", "$1 ")
-        ).alias("text")
-    )
-    # maxIter 15: the bootstrap seeds are trivially separable —
-    # full convergence adds driver-visible latency, not signal
-    clf = quality_classifier_train(pos_seed, neg_seed, max_iter=15)
+    # pinned in tests/test_llm_classifier.py. (Seeds built and the fit
+    # submitted to the pool above, before the pq/coarse futures were
+    # first resolved.)
+    clf = _fut_clf.result()
     qclf = quality_classifier_score(corpus, clf).select(
         F.lit("qclf").alias("branch"),
         F.col("doc_id").alias("id_a"),
@@ -2040,11 +2115,8 @@ def q_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture corpus (deterministic: exact integer pair counts +
     # lexicographic tie-break, pinned in tests/test_llm_bpe.py); the
     # driver sees (rank, pair, weighted frequency) rows
-    from .llm_bpe import bpe_train
-
-    bpe_merges = bpe_train(
-        load_table(spark, sf_dir, "documents"), n_merges=8, min_freq=2
-    )
+    bpe_merges = _fut_bpe.result()
+    _pool.shutdown()
     bpe = spark.createDataFrame(
         [
             (i, a, b, float(pf))

@@ -280,19 +280,13 @@ def refresh_rollup(
     explicit, inspectable commit protocol. Falls back to dynamic
     overwrite if the runtime lacks the Python Data Source API."""
     spark = batch.sparkSession
-    # py4j pinned-thread mode maps each Python thread to its own JVM
-    # thread whose active-session thread-local starts EMPTY, and the
-    # Python DataSource lookup resolves the registry through the
-    # active session — so a delivery submitted from a worker thread
-    # (the q_rollup_incremental concurrent-writer path) would raise
-    # DATA_SOURCE_NOT_FOUND. Pin the batch's own session active in
-    # whichever thread runs this delivery (no-op on the main thread).
-    try:
-        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
-            spark._jsparkSession
-        )
-    except AttributeError:  # non-classic session (e.g. connect)
-        pass
+    # a delivery may run from a worker thread (q_rollup_incremental's
+    # concurrent-writer path), where the JVM thread-local active
+    # session starts empty and the Python DataSource lookup would
+    # raise DATA_SOURCE_NOT_FOUND — pin this batch's session active
+    from ..session import pin_active_session
+
+    pin_active_session(spark)
     if batch_id <= _folded_watermark(spark, store_path):
         return  # this delivery's rows already live in the compacted base
     record_resolution(spark, store_path, resolution)

@@ -33,6 +33,25 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def pin_active_session(spark: SparkSession) -> None:
+    """Make ``spark`` the active session in the CURRENT thread.
+
+    py4j pinned-thread mode maps each Python thread to its own JVM
+    thread whose active-session thread-local starts empty; JVM-side
+    lookups that consult the active session (Python DataSource
+    registry resolution, some ML/Arrow conf reads) then fail or fall
+    back to defaults. Any code that submits Spark work from worker
+    threads (concurrent rollup deliveries, the lsh-suite's parallel
+    trainer chains) calls this first. No-op on the main thread and on
+    non-classic sessions (e.g. connect)."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except AttributeError:
+        pass
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-created session.
 

@@ -35,7 +35,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(REPO, "SCALE_LSH_R14.json")
+#: append-target for attempt records; overridable per campaign so each
+#: round's records live in their own file (R14's stay frozen)
+OUT = os.environ.get(
+    "SPARK_GRAFT_LSH_GATE_OUT",
+    os.path.join(REPO, "SCALE_LSH_R15.json"),
+)
 
 _TIMED_CODE = """
 import json, time

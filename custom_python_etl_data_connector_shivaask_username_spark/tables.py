@@ -327,23 +327,38 @@ def _planning_state_version(spark: SparkSession, sf_dir: str) -> tuple:
 def memoized_plan(
     spark: SparkSession, sf_dir: str, name: str, builder
 ) -> DataFrame:
-    """Serve ``builder()``'s DataFrame from the plan memo while the
+    """Serve ``builder()``'s LOGICAL PLAN from the plan memo while the
     planning state is unchanged. The version is re-read AFTER a fresh
     construction (the construction itself warms stats entries), so the
     stored version describes the state the plan was actually built
     from; any later harvest/autotune/invalidations miss the version
     compare and re-construct — byte-equal when the state is equal,
-    fresh when it is not."""
+    fresh when it is not.
+
+    Measurement integrity (round 15): every serve — including the one
+    right after a fresh construction — returns a NEW Dataset wrapping
+    the memoized logical plan (``.alias``), never the stored Dataset
+    itself. Re-collecting the *same* Dataset object reuses its
+    ``QueryExecution``, whose shuffle dependencies and broadcasts are
+    already materialized — Spark silently SKIPS every map stage and
+    the "query" re-runs only the final reduce (the skipped-stages UI
+    mode). That is result caching of intermediates, not planning: a
+    bench loop timing the memoized object would report the reduce tail
+    (~50 ms) as the query's cost. The alias wrapper forces a fresh
+    QueryExecution — full analysis, physical planning, shuffles and
+    broadcasts re-execute from the parquet inputs on every action —
+    while still skipping the expensive part the memo targets: the
+    ~30-op eager re-construction and its per-op analyzer passes.
+    Pinned by tests/test_plan_time.py::test_memoized_serve_reexecutes
+    (second run must WRITE shuffle bytes, not just read them)."""
     per_session = _PLAN_MEMO.setdefault(spark, {})
     key = (sf_dir, name)
     ent = per_session.get(key)
-    if ent is not None and ent[0] == _planning_state_version(
-        spark, sf_dir
-    ):
-        return ent[1]
-    df = builder()
-    per_session[key] = (_planning_state_version(spark, sf_dir), df)
-    return df
+    if ent is None or ent[0] != _planning_state_version(spark, sf_dir):
+        df = builder()
+        ent = (_planning_state_version(spark, sf_dir), df)
+        per_session[key] = ent
+    return ent[1].alias(name)
 
 
 def session_history(sf_dir: str) -> dict:

@@ -92,14 +92,22 @@ def test_repeat_plan_construction_scan_free_and_bounded(
     )
 
 
-def test_plan_memo_serves_identical_frame_and_tracks_state(
-    spark, sf_dir
-):
+def _memo_core(spark, sf_dir, name):
+    from custom_python_etl_data_connector_shivaask_username_spark import tables
+
+    ent = tables._PLAN_MEMO.get(spark, {}).get((sf_dir, name))
+    return None if ent is None else ent[1]
+
+
+def test_plan_memo_serves_same_plan_and_tracks_state(spark, sf_dir):
     """Round 15 (VERDICT r14 ask #6): with unchanged (stats, history,
-    conf) state a repeat construction returns the IDENTICAL immutable
-    frame; the dogfood loop's state changes (an executed harvest
-    growing the history) miss the version compare and re-construct —
-    with byte-equal answers."""
+    conf) state a repeat construction serves the IDENTICAL memoized
+    logical plan — but wrapped in a FRESH Dataset per call (see
+    ``memoized_plan``'s measurement-integrity note: handing out the
+    same Dataset object would let re-collects skip materialized
+    shuffle stages). The dogfood loop's state changes (an executed
+    harvest growing the history) miss the version compare and
+    re-construct — with byte-equal answers."""
     from custom_python_etl_data_connector_shivaask_username_spark import tables
 
     name = "q_revenue_by_nation"
@@ -109,23 +117,96 @@ def test_plan_memo_serves_identical_frame_and_tracks_state(
     tables.invalidate_table_cache(sf_dir)
 
     a = fn(spark, sf_dir)
+    core_a = _memo_core(spark, sf_dir, name)
     b = fn(spark, sf_dir)
-    assert a is b, "unchanged state must serve the memoized plan"
+    assert _memo_core(spark, sf_dir, name) is core_a, (
+        "unchanged state must serve the memoized plan"
+    )
+    assert b is not a, (
+        "every serve must be a fresh execution wrapper — the stored "
+        "Dataset itself would re-collect with skipped stages"
+    )
     rows_a = sorted(map(str, a.collect()))
     # the dogfood harvest grows the history: state version moves
     assert tables.harvest_executed(spark, a, sf_dir) >= 1
+    fn(spark, sf_dir)
+    core_c = _memo_core(spark, sf_dir, name)
+    assert core_c is not core_a, "a harvested history must re-construct"
     c = fn(spark, sf_dir)
-    assert c is not a, "a harvested history must re-construct"
+    assert _memo_core(spark, sf_dir, name) is core_c, (
+        "stable state memoizes again"
+    )
     assert sorted(map(str, c.collect())) == rows_a, (
         "state-driven re-planning must be answer-preserving"
     )
-    d = fn(spark, sf_dir)
-    assert d is c, "stable state memoizes again"
     # invalidation drops the memo with the rest of the session state
     tables.invalidate_table_cache(sf_dir)
-    assert fn(spark, sf_dir) is not c
+    fn(spark, sf_dir)
+    assert _memo_core(spark, sf_dir, name) is not core_c
     tables.session_history(sf_dir).clear()
     tables._PENDING_FOLDS.pop(sf_dir, None)
+
+
+def _shuffle_write_since(spark, mark: int) -> int:
+    """Total shuffle-WRITE bytes of completed stages with id > mark
+    (the bench's AppStatusStore window, reduced to the one metric
+    stage-skipping zeroes out)."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.3)
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    seq = store.stageList(
+        None, False, False, gw.new_array(gw.jvm.double, 0), None
+    )
+    total, it = 0, seq.iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.stageId() > mark:
+            total += s.shuffleWriteBytes()
+    return total
+
+
+def _max_stage_id(spark) -> int:
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.3)
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    seq = store.stageList(
+        None, False, False, gw.new_array(gw.jvm.double, 0), None
+    )
+    mark, it = -1, seq.iterator()
+    while it.hasNext():
+        mark = max(mark, it.next().stageId())
+    return mark
+
+
+def test_memoized_serve_reexecutes(spark, sf_dir):
+    """Measurement-integrity pin (round 15): a memo-served query must
+    RE-EXECUTE from the parquet inputs — map stages re-run and WRITE
+    shuffle bytes. Re-collecting the stored Dataset object instead
+    would reuse its materialized shuffle dependencies (Spark's
+    skipped-stage mode): the second run would only READ old shuffle
+    files, report ~0 shuffle write, and any timing of it would be
+    result-cache gaming, not query speed."""
+    name = "q_revenue_by_nation"
+    fn = registry.QUERIES[name]
+    first = fn(spark, sf_dir)
+    first.collect()  # materializes run 1's shuffles
+    base = _shuffle_write_since(spark, -1)
+    assert base > 0, "the star join must shuffle at least its aggregates"
+    mark = _max_stage_id(spark)
+    again = fn(spark, sf_dir)  # memo hit (state unchanged: no harvest)
+    again.collect()
+    assert _shuffle_write_since(spark, mark) > 0, (
+        "memo-served run wrote no shuffle bytes — it reused the prior "
+        "run's materialized stages (result caching, not planning)"
+    )
 
 
 def test_plan_memo_epoch_survives_history_clear(spark, sf_dir):

@@ -149,48 +149,119 @@ def _span_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
 
 
-def _span_occurrences(base: DataFrame, w: int, stride: int):
-    """Every sampled window's (doc_id, pos, h) plus the survivor
-    group-by (h, total, s = min (doc_id, pos)). Shared VERBATIM
-    between :func:`span_dedup_stats` and :func:`span_dedup_rewrite` so
-    that when both ride one query (the registry's tagged union) the
-    expression trees are identical and Spark's ReuseExchange serves
-    the second branch from the first's span shuffle instead of
-    re-exploding the token mass. Fingerprints lowercase per token
-    (md5 of the space-joined window — engine-portable)."""
+#: second xxhash64 seed for the span fingerprint pair — two
+#: independent 64-bit hashes ≈ a 128-bit key, the collision bar the
+#: round-14 md5 fingerprint provided, at integer-hash cost
+_SPAN_SEED2 = 0x51AB5EED
+
+
+def _span_positions(w: int, stride: int) -> Column:
+    """Sampled window start positions for a ``ws`` token array:
+    1, 1+stride, … while a full ``w``-token window fits. NULL (guarded
+    by callers) when no window fits — NB ``sequence(1, 0)`` DESCENDS
+    ([1, 0]), hence the guard rather than an empty sequence."""
+    m = F.greatest(F.size("ws") - (w - 1), F.lit(0))
+    return F.when(m >= 1, F.sequence(F.lit(1), m, F.lit(stride)))
+
+
+def _span_occurrence_count(w: int, stride: int) -> Column:
+    """size(_span_positions) as a closed form over ``ws`` — the per-doc
+    span count (``n_spans``) WITHOUT exploding anything: the stats
+    branch's COUNT(*) over all occurrences equals the arithmetic
+    window count, so only *duplicated* occurrences ever need to ride
+    the per-doc shuffle (round 15, guide §2.3: shuffle fewer bytes)."""
+    m = F.greatest(F.size("ws") - (w - 1), F.lit(0))
+    return (
+        F.when(m >= 1, F.floor((m - F.lit(1)) / F.lit(stride)) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def _span_dup_doc_stats(base: DataFrame, w: int, stride: int) -> DataFrame:
+    """Per-doc accounting of DUPLICATED span occurrences:
+    ``(doc_id, dup_spans, removed_spans, rem_pos)`` where ``rem_pos``
+    is the sorted start positions of this doc's removed occurrences.
+    Docs whose every span is globally unique have no row (callers
+    left-join and coalesce to 0 / empty).
+
+    Round-15 rewrite of the round-14 ``_span_occurrences`` pair — same
+    semantics (survivor = global min-(doc_id, pos) occurrence of each
+    repeated fingerprint), one-quarter of the work:
+
+    - **One explode traversal** (was 4: the groupBy and the flag join
+      each re-exploded the token mass, × 2 union branches). The span
+      mass is exploded once, shuffled once by fingerprint, and both
+      ``total`` and the survivor rank come from two window functions
+      over that single sort — no survivor aggregate, no flag join
+      (guide §2.4: remove shuffles outright).
+    - **Integer fingerprints** (was md5 of the re-lowered, re-joined
+      window string — O(w) string building + md5 per position, and a
+      32-char shuffle key). Tokens are lowered and xxhash64-ed ONCE
+      per token; each window hashes its w-long slice of the token-hash
+      arrays twice (independent seeds ≈ 128 collision bits, the md5
+      guarantee that matters at 100 TB span counts). Shuffle key: two
+      longs, 16 B vs 32+ B (guide §2.3: narrower types).
+    - **Only duplicated occurrences shuffle to the per-doc rollup**
+      (was every occurrence): ``n_spans`` is closed-form from the
+      token count, so unique-span mass — the overwhelming majority in
+      real corpora — stops at the fingerprint shuffle.
+
+    The survivor rank ``row_number() over (partition by h order by
+    doc_id, pos)`` is the lexicographic min-(doc_id, pos) the round-14
+    ``min(struct)`` computed — but window-ranked over the already
+    sorted partition instead of a SortAggregate + broadcast join back.
+    Skew note (documented, deliberate): a planet-scale boilerplate
+    span makes one window partition large; the removal list for such a
+    span is exactly what the pass exists to emit, and the per-doc
+    rollup re-spreads it immediately."""
+    from pyspark.sql import Window
+
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    n_spans = F.greatest(F.size("ws") - (w - 1), F.lit(0))
-    # NB sequence(1, 0) DESCENDS ([1, 0]); guard the empty case
-    idx = F.when(n_spans >= 1, F.sequence(F.lit(1), n_spans, F.lit(stride)))
-    spans = base.select(
+    wsl = F.transform("ws", F.lower)
+    hashed = base.select(
+        "doc_id",
+        F.transform(wsl, lambda t: F.xxhash64(t)).alias("th1"),
+        F.transform(
+            wsl, lambda t: F.xxhash64(t, F.lit(_SPAN_SEED2))
+        ).alias("th2"),
+        _span_positions(w, stride).alias("idx"),
+    )
+    spans = hashed.select(
         "doc_id",
         F.explode(
             F.coalesce(
                 F.transform(
-                    idx,
+                    "idx",
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.md5(
-                            F.concat_ws(
-                                " ",
-                                F.transform(
-                                    F.slice("ws", i, w),
-                                    lambda t: F.lower(t),
-                                ),
-                            )
-                        ).alias("h"),
+                        F.xxhash64(F.slice("th1", i, w)).alias("h1"),
+                        F.xxhash64(F.slice("th2", i, w)).alias("h2"),
                     ),
                 ),
-                F.array().cast("array<struct<pos:int,h:string>>"),
+                F.array().cast(
+                    "array<struct<pos:int,h1:bigint,h2:bigint>>"
+                ),
             )
         ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    surv = spans.groupBy("h").agg(
-        F.count(F.lit(1)).alias("total"),
-        F.min(F.struct("doc_id", "pos")).alias("s"),
+    ).select("doc_id", "s.pos", "s.h1", "s.h2")
+    part = Window.partitionBy("h1", "h2")
+    occ = spans.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(part).alias("total"),
+        F.row_number()
+        .over(part.orderBy("doc_id", "pos"))
+        .alias("rn"),
+    ).filter(F.col("total") > 1)
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("removed_spans"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") > 1, F.col("pos")))
+        ).alias("rem_pos"),
     )
-    return spans, surv
 
 
 def span_dedup_stats(
@@ -218,49 +289,38 @@ def span_dedup_stats(
     removed/n (0.0 for docs too short to span).
 
     100 TB shape: span rows ≈ token mass / stride — strictly linear,
-    bucketed by the span hash (never all-pairs); the survivor group-by
-    is THE shuffle (map-side partial agg), the flag join is hash-keyed
-    on the same column (exchange reuse), and the per-doc rollup + the
-    short-doc left join shuffle on the id. Raising ``stride`` to w/2
-    trades recall of short overlaps for proportionally less shuffle
-    mass — same plan, production knob."""
+    bucketed by the span hash (never all-pairs); the fingerprint
+    window pass is THE shuffle, only duplicated occurrences ride the
+    per-doc rollup, and ``n_spans`` is closed-form from the token
+    count (round-15 shape — see :func:`_span_dup_doc_stats`). Raising
+    ``stride`` to w/2 trades recall of short overlaps for
+    proportionally less shuffle mass — same plan, production knob."""
     base = _span_base(docs, id_col, text_col)
-    # measured negative (round 14): filtering the survivor side to
-    # total > 1 and LEFT-joining (broadcast the dup set) read as the
-    # obvious cut, but interleaved A/B at sf0.1 measured it SLOWER
-    # (2.05 vs 1.61 s min-of-4) — the filtered aggregate is a barrier
-    # the inner join's AQE pipeline doesn't pay. Keep the plain
-    # h-keyed inner join: it reuses the groupBy's exchange at scale.
-    spans, surv = _span_occurrences(base, w, stride)
-    occ = spans.join(surv, "h").select(
-        "doc_id",
-        (F.col("total") > 1).cast("long").alias("is_dup"),
-        (
-            (F.col("total") > 1)
-            & ~(
-                (F.col("doc_id") == F.col("s.doc_id"))
-                & (F.col("pos") == F.col("s.pos"))
-            )
-        )
-        .cast("long")
-        .alias("is_removed"),
-    )
-    per_doc = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("is_dup").alias("dup_spans"),
-        F.sum("is_removed").alias("removed_spans"),
-    )
+    per_doc = _span_dup_doc_stats(base, w, stride)
+    return _span_stats_frame(base, per_doc, id_col, w, stride)
+
+
+def _span_stats_frame(
+    base: DataFrame, per_doc: DataFrame, id_col: str, w: int, stride: int
+) -> DataFrame:
+    """:func:`span_dedup_stats`' output from a prebuilt (base,
+    per_doc) pair — split out so the registry's tagged union hands the
+    SAME per_doc object to both the span and clean branches and
+    ReuseExchange runs the heavy span pipeline once."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
+        base.select(
+            "doc_id", _span_occurrence_count(w, stride).alias("n_spans")
+        )
+        .join(per_doc.drop("rem_pos"), "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            "n_spans",
             F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
             F.coalesce("removed_spans", F.lit(0)).alias("removed_spans"),
             F.when(
-                F.coalesce("n_spans", F.lit(0)) > 0,
-                F.col("removed_spans").cast("double") / F.col("n_spans"),
+                F.col("n_spans") > 0,
+                F.coalesce("removed_spans", F.lit(0)).cast("double")
+                / F.col("n_spans"),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
@@ -299,70 +359,63 @@ def span_dedup_rewrite(
     than ``w`` tokens pass through untouched (modulo whitespace
     normalization).
 
-    100 TB shape — same linear/bucketed plan as the stats pass, plus
-    two bounded per-doc steps: span rows ≈ token mass / stride, one
-    span-hash shuffle with map-side partial agg (and the flag join
-    reusing its exchange); then ONLY the removed occurrences (a small
-    fraction in real corpora) ride an id-keyed window to merge into
-    intervals, and the per-doc interval ARRAY (bounded by merged-run
-    count, not span count) joins back to the token arrays for a
-    JVM-side filter-with-index — no w× token explosion, no Python.
-    ``stride`` > 1 thins removal recall exactly as it thins the stats.
+    100 TB shape — same linear/bucketed plan as the stats pass (ONE
+    explode traversal, one fingerprint shuffle — round 15, see
+    :func:`_span_dup_doc_stats`): only duplicated occurrences ride the
+    per-doc rollup, whose sorted removed-position list folds into
+    merged intervals with a JVM ``aggregate`` HOF (the round-14
+    island-window pass over removed occurrences, collapsed into the
+    rollup the pass already paid for); the per-doc interval ARRAY
+    (bounded by merged-run count, not span count) joins back to the
+    token arrays for a JVM-side filter-with-index — no w× token
+    explosion, no Python. ``stride`` > 1 thins removal recall exactly
+    as it thins the stats.
     """
-    from pyspark.sql import Window
-
     base = _span_base(docs, id_col, text_col)
-    spans, surv = _span_occurrences(base, w, stride)
-    rem = (
-        spans.join(surv, "h")
-        .filter(
-            (F.col("total") > 1)
-            & ~(
-                (F.col("doc_id") == F.col("s.doc_id"))
-                & (F.col("pos") == F.col("s.pos"))
-            )
-        )
-        .select(
-            "doc_id",
-            F.col("pos").alias("lo"),
-            (F.col("pos") + (w - 1)).alias("hi"),
-        )
+    per_doc = _span_dup_doc_stats(base, w, stride)
+    return _span_rewrite_frame(base, per_doc, id_col, w, stride)
+
+
+def _iv(lo: Column, hi: Column) -> Column:
+    return F.struct(lo.alias("lo"), hi.alias("hi"))
+
+
+def _span_rewrite_frame(
+    base: DataFrame, per_doc: DataFrame, id_col: str, w: int, stride: int
+) -> DataFrame:
+    """:func:`span_dedup_rewrite`'s output from a prebuilt (base,
+    per_doc) pair (see :func:`_span_stats_frame` for why it is split
+    out). ``rem_pos`` is sorted and every removed interval is
+    ``[p, p+w-1]``, so the classic interval union is a single
+    left-to-right fold: extend the last interval while the next start
+    is within (or adjacent to) it, else open a new one — the same
+    islands the round-14 window pass built, without the extra shuffle
+    and double window sort."""
+    joined = base.join(
+        per_doc.select("doc_id", "rem_pos"), "doc_id", "left"
     )
-    # merge overlapping/adjacent removed intervals per doc: running-max
-    # end over preceding rows flags island starts, cumulative sum
-    # numbers the islands — the classic interval union, all JVM window
-    # work over ONLY the removed occurrences
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("lo")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    empty_ivs = F.array().cast("array<struct<lo:int,hi:int>>")
+    # nested whens, not one AND: CaseWhen branches evaluate lazily but
+    # AND operands do not, and ANSI element_at throws on an empty array
+    ivs = F.aggregate(
+        F.coalesce("rem_pos", F.array().cast("array<int>")),
+        empty_ivs,
+        lambda acc, p: F.when(
+            F.size(acc) == 0,
+            F.concat(acc, F.array(_iv(p, p + (w - 1)))),
+        ).otherwise(
+            F.when(
+                p <= F.element_at(acc, -1)["hi"] + 1,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        _iv(F.element_at(acc, -1)["lo"], p + (w - 1))
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(_iv(p, p + (w - 1)))))
+        ),
     )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("lo")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = (
-        rem.withColumn("prev_hi", F.max("hi").over(w_prev))
-        .withColumn(
-            "new_island",
-            (
-                F.col("prev_hi").isNull()
-                | (F.col("lo") > F.col("prev_hi") + 1)
-            ).cast("int"),
-        )
-        .withColumn("island", F.sum("new_island").over(w_cum))
-        .groupBy("doc_id", "island")
-        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
-    )
-    ivs = islands.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("lo", "hi"))).alias("ivs"),
-        F.sum(F.col("hi") - F.col("lo") + 1).alias("removed_tokens"),
-    )
-    joined = base.join(ivs, "doc_id", "left").withColumn(
-        "ivs",
-        F.coalesce("ivs", F.array().cast("array<struct<lo:long,hi:long>>")),
-    )
+    joined = joined.withColumn("ivs", ivs)
     kept = F.filter(
         "ws",
         lambda tok, i: ~F.exists(
@@ -373,9 +426,11 @@ def span_dedup_rewrite(
         F.col("doc_id").alias(id_col),
         F.size("ws").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("kept_tokens"),
-        F.coalesce("removed_tokens", F.lit(0)).cast("long").alias(
-            "removed_tokens"
-        ),
+        F.aggregate(
+            "ivs", F.lit(0), lambda a, iv: a + (iv.hi - iv.lo + 1)
+        )
+        .cast("long")
+        .alias("removed_tokens"),
         F.array_join(kept, " ").alias("clean_text"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
@@ -401,9 +456,15 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Consolidated into ONE registry row (the round-6 tagged-union move)
     to hold the registry at the driver's 50-query window. The span and
-    clean branches share the span-fingerprint groupBy subtree — AQE's
-    ReuseExchange serves the second branch from the first's shuffle."""
+    clean branches are built from the SAME (base, per_doc) objects, so
+    their subtrees are identical up to the per-doc rollup's exchange
+    and ReuseExchange runs the whole span pipeline — explode,
+    fingerprint shuffle, window pass, rollup partials — exactly once
+    for both branches (round 15; the round-14 form re-exploded the
+    token mass four times)."""
     docs = load_table(spark, sf_dir, "documents")
+    span_base = _span_base(docs, "doc_id", "text")
+    per_doc = _span_dup_doc_stats(span_base, SPAN_W, 1)
     null_span = [
         F.lit(None).cast("long").alias("n_spans"),
         F.lit(None).cast("long").alias("dup_spans"),
@@ -430,7 +491,9 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             *null_clean,
         )
     )
-    span_branch = span_dedup_stats(docs).select(
+    span_branch = _span_stats_frame(
+        span_base, per_doc, "doc_id", SPAN_W, 1
+    ).select(
         F.lit("span").alias("branch"),
         "doc_id",
         F.lit(None).cast("long").alias("dupe_count"),
@@ -440,7 +503,9 @@ def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_frac",
         *null_clean,
     )
-    clean_branch = span_dedup_rewrite(docs).select(
+    clean_branch = _span_rewrite_frame(
+        span_base, per_doc, "doc_id", SPAN_W, 1
+    ).select(
         F.lit("clean").alias("branch"),
         "doc_id",
         F.lit(None).cast("long").alias("dupe_count"),

@@ -723,7 +723,7 @@ def _containment_from_grams(
     )
 
 
-@query("q_curation_mix", oracle=_CURATION_MIX_ORACLE)
+@query("q_curation_mix", oracle=_CURATION_MIX_ORACLE, plan_memo=True)
 def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sample → per-language token budget → mixture report.
 
@@ -845,7 +845,7 @@ ORDER BY branch, doc_id
 """
 
 
-@query("q_pack_sequences", oracle=_PACK_ORACLE)
+@query("q_pack_sequences", oracle=_PACK_ORACLE, plan_memo=True)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 as a driver-checked row (round-6 promotion — packing shipped
     in round 5 with unit pins only): GPT-style sequence packing over

@@ -436,7 +436,7 @@ def _span_rewrite_frame(
     )
 
 
-@query("q_dedup_exact_documents", oracle=_EXACT_DEDUP_ORACLE)
+@query("q_dedup_exact_documents", oracle=_EXACT_DEDUP_ORACLE, plan_memo=True)
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 + the round-14 substring row + the round-15 removal row, as
     a tagged union:

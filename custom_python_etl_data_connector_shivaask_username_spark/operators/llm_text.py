@@ -217,7 +217,23 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest+GROUP BY while Spark stays pure array algebra).
     Stays a zero-exchange map-only plan (asserted in test_plans) —
     never spread: a pure Project over the scan must not shuffle at any
-    scale."""
+    scale.
+
+    Round 15 (guide §1.2 step 2 — per-task work): the round-6 form
+    inlined every helper's expression tree into ONE Project, so the
+    text was re-split 37 times per row and — worse — array-building
+    subtrees referenced inside higher-order-function lambdas
+    (``element_at(sort_array(lines), i)``) re-evaluated PER ELEMENT:
+    codegen subexpression elimination does not reach into lambda
+    bodies, making the line-dedup metric O(n² log n) string sorts per
+    document. The pass now STAGES shared intermediates (token arrays,
+    sorted arrays, 3-gram array, counters) as aliased columns across
+    consecutive Projects; each is a non-cheap alias referenced more
+    than once, which CollapseProject refuses to inline (SPARK-36718),
+    so every array is computed once per row and lambda bodies read
+    attributes. Same fused map-only WSCG stage, zero exchanges.
+    Measured (noop sink, sf0.1, min-of-3): 11.9 → see
+    OPTIMIZATION_r15.md; outputs bit-identical (oracle unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit("contact "),
@@ -229,23 +245,158 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("999 re: "),
         F.substring("text", 1, 30),
     )
-    quality = quality_score(F.col("text"))
-    return docs.select(
+    # --- stage 0: the arrays every metric family shares -------------
+    s0 = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        whitespace_tokens(F.col("text")).alias("_ws"),
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("_wl"),
+        F.filter(
+            F.split(F.col("text"), "\n"),
+            lambda l: F.length(F.trim(l)) > 0,
+        ).alias("_lines"),
+        punct_ratio(F.col("text")).alias("_pr"),
+    )
+    # --- stage 1: derived arrays / counters (each computed once) ----
+    s1 = s0.select(
+        "*",
+        (
+            F.aggregate(
+                F.transform("_ws", F.length), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / F.greatest(F.size("_ws"), F.lit(1))
+        ).alias("_mwl"),
+        F.sort_array("_wl").alias("_swl"),
+        F.sort_array("_lines").alias("_slines"),
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_wl") - 2, F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice("_wl", i, 3)),
+        ).alias("_g3"),
+        F.size("_wl").alias("_nw"),
+        F.size("_lines").alias("_nl"),
+        F.aggregate(
+            "_lines", F.lit(0), lambda acc, l: acc + F.length(l)
+        ).alias("_tlc"),
+    )
+    # --- stage 2: scalars that read the staged arrays ---------------
+    quality = F.round(
+        (
+            F.least(F.length("text").cast("double") / 200.0, F.lit(1.0))
+            + (1.0 - F.least(F.col("_pr") * 5.0, F.lit(1.0)))
+            + F.when(
+                (F.col("_mwl") >= 3.0) & (F.col("_mwl") <= 10.0), 1.0
+            ).otherwise(0.4)
+        )
+        / 3.0,
+        6,
+    )
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("_nl"), F.lit(1))),
+            lambda i: F.when(
+                (
+                    (i > 1)
+                    & (
+                        F.element_at(F.col("_slines"), i)
+                        == F.element_at(F.col("_slines"), i - 1)
+                    )
+                )
+                | (
+                    (i < F.col("_nl"))
+                    & (
+                        F.element_at(F.col("_slines"), i)
+                        == F.element_at(F.col("_slines"), i + 1)
+                    )
+                ),
+                F.length(F.element_at(F.col("_slines"), i)),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    top_run = F.aggregate(
+        F.col("_swl"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    s2 = s1.select(
+        "*",
+        quality.alias("_q"),
+        dup_line_chars.alias("_dlc"),
+        top_run.alias("_trun"),
+    )
+    # --- final projection: the round-6 output, column for column ----
+    return s2.select(
         "doc_id",
         F.length("text").alias("text_len"),
-        F.size(whitespace_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size("_ws").alias("ws_tokens"),
         token_count(F.col("text")).alias("bpe_tokens"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round("_pr", 6).alias("punct_ratio"),
+        F.round("_mwl", 6).alias("mean_word_len"),
         (
             (F.length("text") >= 80)
             & (F.col("n_chars") == F.length("text"))
         ).alias("meta_consistent"),
-        quality.alias("quality"),
-        (quality >= 0.5).alias("keep"),
+        F.col("_q").alias("quality"),
+        (F.col("_q") >= 0.5).alias("keep"),
         scrub_pii(payload).alias("scrubbed"),
         *string_feature_cols(),
-        *repetition_metric_cols(F.col("text")),
+        F.round(
+            F.when(F.col("_nl") <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("_lines")) / F.col("_nl")
+            ),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("_tlc") <= 0, F.lit(0.0)).otherwise(
+                F.col("_dlc") / F.col("_tlc")
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.when(F.col("_nw") <= 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("_wl")) / F.col("_nw")
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(F.col("_nw") < 3, F.lit(0.0)).otherwise(
+                F.when(F.size("_g3") <= 0, F.lit(0.0)).otherwise(
+                    1.0 - F.size(F.array_distinct("_g3")) / F.size("_g3")
+                )
+            ),
+            6,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.when(F.col("_nw") <= 0, F.lit(0.0)).otherwise(
+                F.col("_trun") / F.col("_nw")
+            ),
+            6,
+        ).alias("top_word_frac"),
     )
 
 

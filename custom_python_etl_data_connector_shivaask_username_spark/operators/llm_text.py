@@ -23,9 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     TOKEN_RE,
     chunk_text,
-    mean_word_length,
     punct_ratio,
-    quality_score,
     scrub_pii,
     token_count,
     whitespace_tokens,

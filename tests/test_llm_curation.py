@@ -866,7 +866,17 @@ def test_mix_summary_cap_trips_loudly(spark, sf_dir, monkeypatch):
     )
 
     load_all()
+    from custom_python_etl_data_connector_shivaask_username_spark import tables
+
     monkeypatch.setattr(C, "_MAX_MIX_STRATA", 2)
-    df = QUERIES["q_curation_mix"](spark, sf_dir)
-    with pytest.raises(Exception, match="per-stratum summary exceeds"):
-        df.collect()
+    # the cap is baked into the CONSTRUCTED plan and q_curation_mix is
+    # plan-memoized (round 15): drop the memo so construction re-runs
+    # under the patched cap — and again afterwards so later tests don't
+    # inherit the cap-2 plan
+    tables.invalidate_table_cache(sf_dir)
+    try:
+        df = QUERIES["q_curation_mix"](spark, sf_dir)
+        with pytest.raises(Exception, match="per-stratum summary exceeds"):
+            df.collect()
+    finally:
+        tables.invalidate_table_cache(sf_dir)

@@ -186,27 +186,53 @@ def _max_stage_id(spark) -> int:
     return mark
 
 
-def test_memoized_serve_reexecutes(spark, sf_dir):
-    """Measurement-integrity pin (round 15): a memo-served query must
+#: every plan_memo=True registry row (round 16, VERDICT r15 ask #5):
+#: the result-caching ban must be pinned on each memoized query, not
+#: just the one that caught the round-15 bug — all seven share
+#: tables.memoized_plan today, but the pin is the contract that keeps
+#: a future per-query special case from regressing into result caching
+MEMOIZED_QUERIES = [
+    "q_revenue_by_nation",
+    "q_customer_order_counts",
+    "q_lm_quality",
+    "q_incremental_dedup",
+    "q_dedup_exact_documents",
+    "q_curation_mix",
+    "q_pack_sequences",
+]
+
+
+@pytest.mark.parametrize("name", MEMOIZED_QUERIES)
+def test_memoized_serve_reexecutes(spark, sf_dir, name):
+    """Measurement-integrity pin (round 15; parameterized over every
+    plan_memo=True query in round 16): a memo-served query must
     RE-EXECUTE from the parquet inputs — map stages re-run and WRITE
     shuffle bytes. Re-collecting the stored Dataset object instead
     would reuse its materialized shuffle dependencies (Spark's
     skipped-stage mode): the second run would only READ old shuffle
     files, report ~0 shuffle write, and any timing of it would be
     result-cache gaming, not query speed."""
-    name = "q_revenue_by_nation"
     fn = registry.QUERIES[name]
     first = fn(spark, sf_dir)
+    mark0 = _max_stage_id(spark)
     first.collect()  # materializes run 1's shuffles
-    base = _shuffle_write_since(spark, -1)
-    assert base > 0, "the star join must shuffle at least its aggregates"
+    base = _shuffle_write_since(spark, mark0)
+    assert base > 0, f"{name}: run 1 must shuffle at least its aggregates"
     mark = _max_stage_id(spark)
     again = fn(spark, sf_dir)  # memo hit (state unchanged: no harvest)
     again.collect()
     assert _shuffle_write_since(spark, mark) > 0, (
-        "memo-served run wrote no shuffle bytes — it reused the prior "
-        "run's materialized stages (result caching, not planning)"
+        f"{name}: memo-served run wrote no shuffle bytes — it reused "
+        "the prior run's materialized stages (result caching, not "
+        "planning)"
     )
+    # isolation: this test constructs without harvesting, so its memo
+    # entry still references un-consumed pending folds; drop it so a
+    # later test that resets _PENDING_FOLDS directly (the epoch pin's
+    # hostile simulation) cannot be served this spent frame
+    from custom_python_etl_data_connector_shivaask_username_spark import tables
+
+    tables._PLAN_MEMO.get(spark, {}).pop((sf_dir, name), None)
 
 
 def test_plan_memo_epoch_survives_history_clear(spark, sf_dir):

@@ -146,6 +146,7 @@ def exact_percentiles_twopass(
     bucket_width: float | None = None,
     max_buckets: int = MAX_PCT_BUCKETS,
     bounds: Any = None,
+    pass2: str = "collect",
 ) -> DataFrame:
     """A4 exact interpolated percentiles with BOUNDED memory everywhere —
     the 100 TB replacement for Spark's ``percentile()``, whose agg buffer
@@ -310,7 +311,7 @@ def exact_percentiles_twopass(
         # scan-derived geometry (one extra scan, only ever paid on a
         # wrong claim; results stay exact either way)
         out = exact_percentiles_twopass(
-            df, key, col, qs, None, max_buckets, bounds=None
+            df, key, col, qs, None, max_buckets, bounds=None, pass2=pass2
         )
         LAST_TWOPASS_STATS["bounds_source"] = "fallback_scan"
         return out
@@ -325,12 +326,23 @@ def exact_percentiles_twopass(
     ghi = _math.nextafter(
         (max(b for _, b in pairs) + 1) * bucket_width, _math.inf
     )
-    in_straddle = None
+    # one clause per GROUP (bucket set membership), not per (g, b) pair
+    # — round 16: the pair-wise disjunction rebuilt the bucket
+    # expression ~5 py4j ops per pair; grouping the buckets into one
+    # isin per key cuts the construction to ~4 ops per group with the
+    # identical set-membership semantics
+    by_group: dict = {}
     for g, b in pairs:
+        by_group.setdefault(g, []).append(b)
+    in_straddle = None
+    for g in sorted(by_group, key=lambda x: (x is not None, str(x))):
+        bl = by_group[g]
         # null-safe: g may legitimately be None (the NULL-key group)
-        this = F.col(key).eqNullSafe(F.lit(g)) & (bucket == F.lit(b))
+        this = F.col(key).eqNullSafe(F.lit(g)) & (
+            bucket.isin(bl) if len(bl) > 1 else (bucket == F.lit(bl[0]))
+        )
         in_straddle = this if in_straddle is None else in_straddle | this
-    vc = (
+    straddle = (
         vals
         # pushable row-group pruning conjunct; exactness comes from the
         # bucket-expression disjunction
@@ -338,8 +350,67 @@ def exact_percentiles_twopass(
         .where(in_straddle)
         .groupBy(key, bucket.alias("bucket"), col)
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
+    if pass2 == "plan":
+        # Round 16 (VERDICT r15 ask #7, generalized): render pass 2 AND
+        # the rank resolution/interpolation as PLAN instead of a
+        # construct-time collect. The driver work above (geometry,
+        # targets, straddling buckets) is unchanged; the straddle scan
+        # then executes inside the CALLER's action — overlapping
+        # whatever else that job computes (q_event_type_stats: the
+        # moments battery scans concurrently) and removing one
+        # sequential job + driver round-trip per invocation. Values are
+        # bit-identical to the collect path: the window cumsum ordered
+        # by value IS order_stat's sorted scan, the (k_lo, k_hi) order
+        # statistics come from the same exact-count arithmetic, and the
+        # interpolation is the same IEEE double expression
+        # v_lo + (v_hi − v_lo)·(r − ⌊r⌋). Row ORDER is not guaranteed
+        # (the collect path sorts); callers that aggregate or join the
+        # long frame — the only in-repo consumers — are order-free.
+        # Assumes ``col`` casts losslessly to double (true for every
+        # caller; guards the 2^53 integer edge the collect path's
+        # Python floats share anyway).
+        from pyspark.sql import Window as _W
+
+        LAST_TWOPASS_STATS["pass2"] = "plan"
+        tgt = spark.createDataFrame(
+            [
+                (g, float(q), float(r), int(k), int(b), int(kl))
+                for g, q, r, k, b, kl in targets
+            ],
+            f"_tg {key_type}, q double, r double, k long, _tb long, _kl long",
+        )
+        w = _W.partitionBy("_gk", "_gb").orderBy("_v")
+        cum = straddle.select(
+            F.col(key).alias("_gk"),
+            F.col("bucket").alias("_gb"),
+            F.col(col).cast("double").alias("_v"),
+            F.col("c"),
+        ).withColumn("_cb", F.sum("c").over(w) - F.col("c"))
+        j = F.broadcast(tgt).join(
+            cum,
+            F.col("_tg").eqNullSafe(F.col("_gk"))
+            & (F.col("_tb") == F.col("_gb"))
+            & (F.col("_cb") <= F.col("_kl"))
+            & (F.col("_kl") < F.col("_cb") + F.col("c")),
+        )
+        return (
+            j.groupBy("_tg", "q", "r")
+            .agg(
+                F.min_by("_v", "k").alias("_vlo"),
+                F.max_by("_v", "k").alias("_vhi"),
+            )
+            .select(
+                F.col("_tg").alias(key),
+                "q",
+                (
+                    F.col("_vlo")
+                    + (F.col("_vhi") - F.col("_vlo"))
+                    * (F.col("r") - F.floor("r"))
+                ).alias("p"),
+            )
+        )
+    vc = straddle.collect()
     LAST_TWOPASS_STATS["straddle_rows"] = len(vc)
     local: dict = {}
     for row in vc:
@@ -456,9 +527,14 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # comes from parquet footers — pass 0 costs zero data scanned
         # (one full scan saved per call; ~0.3-0.7 s measured at sf1.0 —
         # the X40 composition).
+        # pass2="plan" (round 16): the straddle probe + rank resolution
+        # execute inside the query's own action, concurrent with the
+        # moments battery scan, instead of as a second construct-time
+        # collect — one fewer sequential job per invocation, answers
+        # bit-identical (oracle hash-checked)
         pl = exact_percentiles_twopass(
             ev, "event_type", "value", _PCT_QS, bucket_width=1.0,
-            bounds="footer",
+            bounds="footer", pass2="plan",
         )
     pcts = (
         pl

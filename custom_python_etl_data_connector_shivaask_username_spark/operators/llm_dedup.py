@@ -1030,9 +1030,26 @@ def dedupe_near_cc(
 
 
 def q_near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 LSH candidate pairs (driver-visible via ``q_lsh_suite``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, threshold=0.5)
+    """L2 LSH candidate pairs (driver-visible via ``q_lsh_suite``).
+
+    Round 16: construction rides the plan memo (`tables.memoized_plan`,
+    the round-15 integrity-pinned mechanism — every serve is a fresh
+    alias that re-executes in full). Measured construct 0.34 s min on a
+    quiet box (the nested pair-HOF + verify-expression tree is ~100
+    py4j ops), job-free (0 Spark jobs across repeat constructions),
+    and state-independent — the same ≥0.3 s job-free criterion the
+    round-15 memo opt-ins used. Pinned re-executing by
+    tests/test_plan_time.py::test_memoized_serve_reexecutes."""
+    from ..tables import memoized_plan
+
+    return memoized_plan(
+        spark,
+        sf_dir,
+        "q_near_dup_pairs_minhash",
+        lambda: near_dup_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.5
+        ),
+    )
 
 
 # --- SimHash ---------------------------------------------------------------------

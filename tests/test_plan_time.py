@@ -199,7 +199,21 @@ MEMOIZED_QUERIES = [
     "q_dedup_exact_documents",
     "q_curation_mix",
     "q_pack_sequences",
+    # round 16: benched standalone (rides the q_lsh_suite registry row)
+    "q_near_dup_pairs_minhash",
 ]
+
+
+def _resolve_query(name):
+    """Registry row, or a standalone-benched module query (the bench's
+    own _resolve contract for consolidated registry slots)."""
+    if name in registry.QUERIES:
+        return registry.QUERIES[name]
+    from custom_python_etl_data_connector_shivaask_username_spark.operators import (
+        llm_dedup,
+    )
+
+    return getattr(llm_dedup, name)
 
 
 @pytest.mark.parametrize("name", MEMOIZED_QUERIES)
@@ -212,7 +226,7 @@ def test_memoized_serve_reexecutes(spark, sf_dir, name):
     skipped-stage mode): the second run would only READ old shuffle
     files, report ~0 shuffle write, and any timing of it would be
     result-cache gaming, not query speed."""
-    fn = registry.QUERIES[name]
+    fn = _resolve_query(name)
     first = fn(spark, sf_dir)
     mark0 = _max_stage_id(spark)
     first.collect()  # materializes run 1's shuffles

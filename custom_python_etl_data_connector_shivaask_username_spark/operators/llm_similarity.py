@@ -1257,9 +1257,17 @@ def kmeans_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("c"))
             .collect()
         )
-        centroids = [
+        new_centroids = [
             (r["cid"], [float(x["m"]) for x in r["c"]]) for r in means
         ]
+        # exact-equality early stop (round 16): a bit-identical update is
+        # a fixed point — assignment is a deterministic function of the
+        # centroids, so every remaining iteration would reproduce exactly
+        # this list; breaking here cannot change the returned value
+        converged = sorted(new_centroids) == sorted(centroids)
+        centroids = new_centroids
+        if converged:
+            break
     return sorted(centroids)
 
 
@@ -1477,9 +1485,6 @@ def pq_train(
     there it is ONE map-only projection, not ``iters`` of them.
     """
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
-    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
-    sub = dim // m
     if train_fraction is not None and train_fraction < 1.0:
         emb = emb.filter(
             F.abs(F.xxhash64(F.col(id_col), F.lit(11))) % 1_000_000
@@ -1491,6 +1496,13 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    # dim from the seeds already collected — the former standalone
+    # ``first()`` probe was one whole extra Spark job per training call
+    # (round 16; two calls per q_lsh_suite construction) for a value the
+    # seed rows carry anyway
+    dim = len(seeds[0][vec_col])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
     books = [
         [
             [float(x) for x in r[vec_col][mi * sub : (mi + 1) * sub]]
@@ -1508,6 +1520,12 @@ def pq_train(
         (F.col("pos") % sub).alias("j"),
     )
     for _ in range(iters):
+        # exact-equality early stop (round 16): if an update leaves every
+        # codebook bit-identical, the next iteration's assignment — a
+        # deterministic function of the codebooks — reproduces the same
+        # means, so the remaining iterations are identity; skipping them
+        # cannot change the result
+        _books_before = [[list(vec) for vec in book] for book in books]
         cent_elems = spark.createDataFrame(
             [
                 (mi, cid, j, float(w))
@@ -1558,6 +1576,8 @@ def pq_train(
         )
         for r in means:
             books[r["mi"]][r["cid"]][r["j"]] = float(r["mean_v"])
+        if books == _books_before:
+            break
     return books
 
 

@@ -81,6 +81,13 @@ HEADLINE: list[str] = [
     "q_incremental_dedup",  # round 5: batch-vs-corpus dedup decision
     "q_pack_sequences",  # round 6: prefix-sum sequence packing
     "q_lm_quality",  # round 6: corpus bigram-LM quality scoring
+    # round 16 (VERDICT r15 ask #2) — ADDITION ONLY, no row removed or
+    # renamed, so round-over-round comparison on the prior 19 stays
+    # valid: the round-15 8.7x q_doc_profile win (staged shared arrays)
+    # was invisible to PERF because the row wasn't benched.
+    # q_rollup_incremental was considered and left out: its ~12 s
+    # store-maintenance wall would dominate the 19-row ~17 s suite.
+    "q_doc_profile",  # round 16: per-doc text-profile map pass
 ]
 
 

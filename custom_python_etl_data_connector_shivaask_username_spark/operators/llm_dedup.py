@@ -970,14 +970,25 @@ def connected_components(
     star-contraction variant converges in O(log n) for pathological
     long-chain graphs, which dedup graphs are not.
     """
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the DIRECTED edge list, not the bidirectional union:
+    # materializing the union executed the (expensive) edge-producing
+    # subplan once per branch; past the checkpoint the reversal is a
+    # narrow projection over cached blocks, rebuilt per round for free
+    # (round 16, guide §5 driver-coordination cost)
+    fwd = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     bi = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    bi = bi.localCheckpoint(eager=True)
+    # LAZY checkpoints from here on: the per-round fixpoint count (a
+    # full count, not limit(1) — limit would leave partitions uncached
+    # and force a fill-in job at checkpoint time) materializes the
+    # round's labels in the SAME job, so each round is ONE action
+    # instead of an eager-checkpoint job plus a count job
     labels = (
         bi.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         # candidate label for v: the min label among v's neighbors
@@ -1001,9 +1012,9 @@ def connected_components(
                     < F.col("component")
                 ).alias("_ch"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter("_ch").limit(1).count()
+        changed = stepped.filter("_ch").count()
         labels = stepped.drop("_ch")
         if changed == 0:
             break

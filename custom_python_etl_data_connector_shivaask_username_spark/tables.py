@@ -350,7 +350,17 @@ def memoized_plan(
     while still skipping the expensive part the memo targets: the
     ~30-op eager re-construction and its per-op analyzer passes.
     Pinned by tests/test_plan_time.py::test_memoized_serve_reexecutes
-    (second run must WRITE shuffle bytes, not just read them)."""
+    (second run must WRITE shuffle bytes, not just read them).
+
+    Contract for opting a query in (``plan_memo=True`` or a direct
+    call): the builder must be job-free, and every module-level
+    constant it bakes into the plan (caps, thresholds, strata limits)
+    must be immutable for the session — the version tuple fingerprints
+    planning STATE (epoch, stats, history, the two planning confs),
+    not module constants, so a runtime constant change serves a stale
+    plan until ``invalidate_table_cache``. Tests that monkeypatch such
+    a constant must invalidate the memo around the patch (see
+    tests/test_llm_curation.py's mix-cap trip test)."""
     per_session = _PLAN_MEMO.setdefault(spark, {})
     key = (sf_dir, name)
     ent = per_session.get(key)

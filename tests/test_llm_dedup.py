@@ -322,6 +322,44 @@ def test_connected_components_path_and_isolate(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 7: 7, 9: 7}
 
 
+def test_connected_components_fused_round_actions(spark):
+    """Round-16 internals pin: each CC round must run as ONE action —
+    the fixpoint count is a FULL count over a LAZY localCheckpoint, so
+    the round's labels materialize inside the count's own job. The
+    pre-fusion form (eager checkpoint job + limit(1) count job per
+    round) measured a stable 40 driver jobs on this graph vs 35 fused;
+    the bound splits them with margin for planner drift. If this trips
+    after an intentional CC change, re-derive both counts the same way
+    (statusStore jobsList before/after) and move the bound WITH the
+    delta preserved — the contract is one action per round, not the
+    literal 35."""
+    from custom_python_etl_data_connector_shivaask_username_spark.operators.llm_dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+         Row(id_a=7, id_b=9)],
+    )
+    connected_components(edges).collect()  # warm (JIT/broadcast reuse)
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    j0 = store.jobsList(None).size()
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 7: 7, 9: 7}
+    sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    jobs = store.jobsList(None).size() - j0
+    assert jobs <= 37, (
+        f"connected_components ran {jobs} jobs on the 4-edge path graph "
+        "(fused form: 35; two-actions-per-round form: 40) — a per-round "
+        "action was reintroduced"
+    )
+
+
 def test_dedupe_near_cc_collapses_chains(spark):
     """A~B and B~C but not A~C: greedy and CC both keep A, but only CC
     guarantees it via the component, not via pair-direction luck; and a

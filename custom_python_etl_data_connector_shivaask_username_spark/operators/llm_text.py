@@ -198,7 +198,7 @@ ORDER BY doc_id
 """
 
 
-@query("q_doc_profile", oracle=_DOC_PROFILE_ORACLE)
+@query("q_doc_profile", oracle=_DOC_PROFILE_ORACLE, plan_memo=True)
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L8+L9: the per-document profile every training-data pipeline
     computes in one map-only pass — token counts (whitespace + BPE-ish
@@ -231,7 +231,14 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every array is computed once per row and lambda bodies read
     attributes. Same fused map-only WSCG stage, zero exchanges.
     Measured (noop sink, sf0.1, min-of-3): 11.9 → see
-    OPTIMIZATION_r15.md; outputs bit-identical (oracle unchanged)."""
+    OPTIMIZATION_r15.md; outputs bit-identical (oracle unchanged).
+
+    Round 16: construction rides the plan memo — measured 0.52-0.67 s
+    of pure expression building, ZERO Spark jobs across repeated
+    constructions, no planner-state reads beyond load_table (the same
+    ≥0.3 s job-free criterion as the other memoized rows); every
+    serve is a fresh alias that re-executes fully, pinned by the
+    parameterized test_memoized_serve_reexecutes."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit("contact "),

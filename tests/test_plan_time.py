@@ -169,6 +169,28 @@ def _shuffle_write_since(spark, mark: int) -> int:
     return total
 
 
+def _input_bytes_since(spark, mark: int) -> int:
+    """Total scan-input bytes of completed stages with id > mark — the
+    re-execution signal for zero-exchange (map-only) plans, which have
+    no shuffle write to observe."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.3)
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    seq = store.stageList(
+        None, False, False, gw.new_array(gw.jvm.double, 0), None
+    )
+    total, it = 0, seq.iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.stageId() > mark:
+            total += s.inputBytes()
+    return total
+
+
 def _max_stage_id(spark) -> int:
     try:
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
@@ -201,6 +223,8 @@ MEMOIZED_QUERIES = [
     "q_pack_sequences",
     # round 16: benched standalone (rides the q_lsh_suite registry row)
     "q_near_dup_pairs_minhash",
+    # round 16: job-free 0.5-0.7 s pure-map construction, new bench row
+    "q_doc_profile",
 ]
 
 
@@ -225,21 +249,36 @@ def test_memoized_serve_reexecutes(spark, sf_dir, name):
     would reuse its materialized shuffle dependencies (Spark's
     skipped-stage mode): the second run would only READ old shuffle
     files, report ~0 shuffle write, and any timing of it would be
-    result-cache gaming, not query speed."""
+    result-cache gaming, not query speed.
+
+    Zero-exchange queries (q_doc_profile's map-only pass) have no
+    shuffle dependencies a stored Dataset could reuse, so their
+    re-execution signal is input: the memo-served run must READ at
+    least run 1's input bytes from the scan again."""
     fn = _resolve_query(name)
     first = fn(spark, sf_dir)
     mark0 = _max_stage_id(spark)
     first.collect()  # materializes run 1's shuffles
     base = _shuffle_write_since(spark, mark0)
-    assert base > 0, f"{name}: run 1 must shuffle at least its aggregates"
+    base_in = _input_bytes_since(spark, mark0)
     mark = _max_stage_id(spark)
     again = fn(spark, sf_dir)  # memo hit (state unchanged: no harvest)
     again.collect()
-    assert _shuffle_write_since(spark, mark) > 0, (
-        f"{name}: memo-served run wrote no shuffle bytes — it reused "
-        "the prior run's materialized stages (result caching, not "
-        "planning)"
-    )
+    if base > 0:
+        assert _shuffle_write_since(spark, mark) > 0, (
+            f"{name}: memo-served run wrote no shuffle bytes — it "
+            "reused the prior run's materialized stages (result "
+            "caching, not planning)"
+        )
+    else:
+        assert base_in > 0, (
+            f"{name}: run 1 neither shuffled nor read input — the pin "
+            "has nothing to observe; was the scan cached?"
+        )
+        assert _input_bytes_since(spark, mark) >= base_in, (
+            f"{name}: memo-served run read less input than run 1 — "
+            "the zero-exchange plan did not re-execute its scan"
+        )
     # isolation: this test constructs without harvesting, so its memo
     # entry still references un-consumed pending folds; drop it so a
     # later test that resets _PENDING_FOLDS directly (the epoch pin's
